@@ -1,13 +1,224 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.operators.{Pipeline, Relational}
+import graft.sqlx.Sql
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or a
+  * training-pipeline extension), implemented as a declarative DataFrame
+  * program; `oracleSql` holds the equivalent DuckDB SQL over the same parquet
+  * tables. Aliases and result types are aligned on both sides (the driver
+  * sorts columns by name and hash-compares values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4/2.2 relational core
+    "q01_pricing_summary"    -> Relational.pricingSummary _,
+    "q02_filter_project"     -> Relational.filterProject _,
+    "q03_customers_region"   -> Relational.customersPerRegion _,
+    "q04_revenue_segment"    -> Relational.revenueBySegment _,
+    "q05_orders_customer"    -> Relational.ordersPerCustomer _,
+    "q06_anti_join"          -> Relational.customersWithoutOrders _,
+    "q07_semi_join"          -> Relational.customersWithOrders _,
+    "q08_latest_per_user"    -> Relational.latestEventPerUser _,
+    "q09_topk"               -> Relational.topOrders _,
+    "q10_pagination"         -> Relational.eventsPage _,
+    "q11_in_like"            -> Relational.inListLike _,
+    "q12_event_stats"        -> Relational.eventTypeStats _,
+    "q13_revenue_nation"     -> Relational.revenueByNation _,
+    "q14_dedup_exact"        -> Relational.dedupFirstEvent _,
+    "q15_topn_per_group"     -> Relational.topOrdersPerPriority _,
+    "q16_scalar_funcs"       -> Relational.scalarShowcase _,
+    "q17_conditional_agg"    -> Relational.conditionalAgg _,
+    "q18_latest_join_back"   -> Relational.usersLastError _,
+    // training-data pipeline (documents / embeddings)
+    "q19_token_stats"        -> Pipeline.tokenStats _,
+    "q20_quality_score"      -> Pipeline.qualityScores _,
+    "q21_lang_id"            -> Pipeline.langIdPredictions _,
+    "q22_exact_dup_groups"   -> Pipeline.exactDupGroups _,
+    "q23_jaccard_adjacent"   -> Pipeline.jaccardAdjacent _,
+    "q24_minhash_pairs"      -> Pipeline.minhashPairs _,
+    "q25_simhash"            -> Pipeline.simhashBuckets _,
+    "q26_cosine_topk"        -> Pipeline.cosineTopK _,
+    "q27_lsh_topk"           -> Pipeline.lshTopK _,
+    // SQL execution engine: truncate-and-load materialization (S3/S6/O1/O2)
+    "q28_truncate_load"      -> ((s: SparkSession, dir: String) => {
+      Tables.orders(s, dir).createOrReplaceTempView("staging_orders")
+      Sql.truncateAndLoad(s, "staging_orders", "graft_dwd_orders")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS line_no, l_quantity AS qty,
+        | l_extendedprice*(1-l_discount) AS net_price,
+        | strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_discount > 0.05""".stripMargin,
+    "q03_customers_region" ->
+      """SELECT r_name AS region_name, count(*) AS n_customers,
+        | round(avg(c_acctbal),4) AS avg_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q04_revenue_segment" ->
+      """SELECT c_mktsegment AS segment, round(sum(o_totalprice),2) AS total_price,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q05_orders_customer" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice),0),2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q07_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE c_acctbal > 0
+        |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q08_latest_per_user" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | ts AS last_ts
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+    "q09_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q10_pagination" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY ts DESC, event_id DESC LIMIT 20 OFFSET 40""".stripMargin,
+    "q11_in_like" ->
+      """SELECT event_id, user_id, event_type, props FROM events
+        |WHERE event_type IN ('click','purchase') AND props LIKE '%7%'""".stripMargin,
+    "q12_event_stats" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q13_revenue_nation" ->
+      """SELECT n_name AS nation,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q14_dedup_exact" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event_id,
+        | min(ts) AS first_ts
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+    "q15_topn_per_group" ->
+      """SELECT o_orderpriority, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER
+        |        (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) rn
+        |      FROM orders) WHERE rn <= 3""".stripMargin,
+    "q16_scalar_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(date_part('year', o_orderdate) AS INT) AS order_year,
+        | CAST(date_part('month', o_orderdate) AS INT) AS order_month,
+        | strftime(o_orderdate, '%Y-%m') AS order_ym,
+        | CASE WHEN o_totalprice >= 200000 THEN 'high'
+        |      WHEN o_totalprice >= 100000 THEN 'mid'
+        |      ELSE 'low' END AS price_bucket,
+        | o_orderstatus || '-' || substr(o_orderpriority, 1, 1) AS status_label,
+        | upper(o_orderstatus) AS status_uc,
+        | CAST(length(o_orderpriority) AS INT) AS prio_len
+        |FROM orders""".stripMargin,
+    "q17_conditional_agg" ->
+      """SELECT event_type,
+        | CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        | CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        | round(avg(CAST(CASE WHEN value > 50 THEN 1 ELSE 0 END AS DOUBLE)),4) AS share_high
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q18_latest_join_back" ->
+      """WITH latest AS (
+        |  SELECT user_id, ts, event_type
+        |  FROM (SELECT user_id, ts, event_type, row_number() OVER
+        |          (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |        FROM events) WHERE rn = 1),
+        |counts AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+        |SELECT l.user_id, c.n_events, l.ts AS last_ts
+        |FROM latest l JOIN counts c ON l.user_id = c.user_id
+        |WHERE l.event_type = 'error'""".stripMargin,
+    "q19_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(lower(text),'\S+')) AS INT) AS n_tokens,
+        | CAST(len(list_distinct(regexp_extract_all(lower(text),'\S+'))) AS INT) AS n_distinct_tokens,
+        | CAST(length(text) AS INT) AS n_chars_calc,
+        | n_chars
+        |FROM documents""".stripMargin,
+    "q20_quality_score" ->
+      """SELECT doc_id, stop_hits, n_punct, n_digits,
+        | round(least(1.0, (CAST(stop_hits AS DOUBLE)/greatest(CAST(n_tokens AS DOUBLE),1.0))*4.0)
+        |   * (1.0 - least(1.0, (CAST(n_punct AS DOUBLE)/greatest(CAST(n_chars AS DOUBLE),1.0))*10.0)), 4) AS quality
+        |FROM (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text),'\b(the|a|an|and|or|of|to|in|is)\b')) AS INT) AS stop_hits,
+        |  CAST(length(regexp_replace(text,'[^.,;:!?]','','g')) AS INT) AS n_punct,
+        |  CAST(length(regexp_replace(text,'[^0-9]','','g')) AS INT) AS n_digits,
+        |  len(regexp_extract_all(lower(text),'\S+')) AS n_tokens,
+        |  length(text) AS n_chars
+        | FROM documents)""".stripMargin,
+    "q21_lang_id" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN len(regexp_extract_all(text,'[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |      WHEN h_en = best AND best > 0 THEN 'en'
+        |      WHEN h_de = best AND best > 0 THEN 'de'
+        |      WHEN h_fr = best AND best > 0 THEN 'fr'
+        |      WHEN h_es = best AND best > 0 THEN 'es'
+        |      ELSE 'und' END AS lang_pred
+        |FROM (SELECT *, greatest(h_en, h_de, h_fr, h_es) AS best
+        |  FROM (SELECT doc_id, lang, text,
+        |    len(regexp_extract_all(lower(text),'\b(the|and|of|to|is|in|that|it)\b')) AS h_en,
+        |    len(regexp_extract_all(lower(text),'\b(der|die|und|das|ist|nicht|ein|zu)\b')) AS h_de,
+        |    len(regexp_extract_all(lower(text),'\b(le|la|et|les|des|est|une|que)\b')) AS h_fr,
+        |    len(regexp_extract_all(lower(text),'\b(el|los|las|es|una|que|para|por)\b')) AS h_es
+        |   FROM documents))""".stripMargin,
+    "q22_exact_dup_groups" ->
+      """SELECT md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q23_jaccard_adjacent" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+        |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
+        |      FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q26_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |        round(list_cosine_similarity(qv, e.embedding::DOUBLE[]),6) AS cos_sim
+        |      FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+        |FROM (SELECT query_id, neighbor_id, cos_sim, row_number() OVER
+        |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rank
+        |      FROM s) WHERE rank <= 5""".stripMargin,
+    "q28_truncate_load" -> "SELECT * FROM orders",
+  )
 }

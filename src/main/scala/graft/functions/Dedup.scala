@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design: every stage is a narrow map or a key-partitioned shuffle.
+  * MinHash-LSH turns the O(n²) all-pairs problem into |bands| shuffles keyed
+  * by (band, bandHash) — at 100 TB the candidate set is bounded by bucket
+  * collisions, never the cross product. Signatures (k longs) shuffle instead
+  * of document bodies.
+  */
+object Dedup {
+
+  /** Word w-shingles of the token array (w consecutive tokens joined). */
+  def shingles(toks: Column, w: Int = 3): Column =
+    when(size(toks) < w, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+
+  /** MinHash signature: k independent hash families h_i(s) = murmur3(s, i);
+    * signature[i] = min over shingles. One pass, no shuffle. */
+  def minhashSignature(shingleSet: Column, k: Int = 32): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleSet, s => hash(s, i))))
+
+  /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
+    * components. */
+  def minhashJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") /
+      size(sigA).cast("double")
+
+  /** LSH banding: candidate near-duplicate pairs. Signature split into
+    * `bands` bands of k/bands rows; docs sharing any band hash become
+    * candidates; candidates are scored by full-signature agreement and
+    * filtered by `threshold`.
+    *
+    * @param df        input with `idCol` (unique long) and `textCol`
+    * @return (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32, bands: Int = 8,
+                        threshold: Double = 0.5): DataFrame = {
+    val r = k / bands
+    val sig = df.select(
+      col(idCol).as("id"),
+      minhashSignature(array_distinct(shingles(Text.tokens(col(textCol)))), k).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bh")))
+    val pairs = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+              col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs.select(col("id_a"), col("id_b"),
+        round(minhashJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over token hashes: per-bit majority vote of xxhash64
+    * of each token. Returns one long per document; near-duplicates are
+    * documents within small Hamming distance. Pure expression — the 64
+    * per-bit counters live in a single projection, not 64 aggregations. */
+  def simhash(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact n-gram Jaccard similarity between two texts (distinct word
+    * w-shingle sets). */
+  def ngramJaccard(textA: Column, textB: Column, w: Int = 3): Column = {
+    val sa = array_distinct(shingles(Text.tokens(textA), w))
+    val sb = array_distinct(shingles(Text.tokens(textB), w))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    inter / (size(sa) + size(sb) - inter).cast("double")
+  }
+
+  /** Exact duplicate groups by content fingerprint: one canonical (min id)
+    * survivor per normalized text. GroupBy on the 16-byte digest — the only
+    * shuffled payload is (fingerprint, id). */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(Text.fingerprint(col(textCol)).as("fp"), col(idCol).as("id"))
+      .groupBy("fp")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("n_copies"))
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{Dedup, Text, Vectors}
+
+/** Training-data pipeline operators over the `documents` / `embeddings`
+  * tables: text analysis, deduplication, similarity search. Each is a pure
+  * DataFrame program — the same code paths a 100 TB corpus would run, just
+  * pointed at the TESTDATA parquet here.
+  */
+object Pipeline {
+
+  /** Token / character statistics per document. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      Text.tokenCount(col("text")).as("n_tokens"),
+      size(Text.tokenSet(col("text"))).as("n_distinct_tokens"),
+      length(col("text")).as("n_chars_calc"),
+      col("n_chars"))
+
+  /** Quality scoring: stopword/punctuation/digit features + composite score. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      Text.stopwordHits(col("text")).as("stop_hits"),
+      Text.punctCount(col("text")).as("n_punct"),
+      Text.digitCount(col("text")).as("n_digits"),
+      Text.qualityScore(col("text")).as("quality"))
+
+  /** Language-ID heuristic + agreement with the labeled lang column. */
+  def langIdPredictions(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      col("lang"),
+      Text.langId(col("text")).as("lang_pred"))
+
+  /** Exact-dedup groups by normalized-content fingerprint (md5). */
+  def exactDupGroups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDuplicates(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Exact n-gram Jaccard between adjacent doc ids — a deterministic,
+    * linear-cost probe of the similarity kernel (the all-pairs version goes
+    * through MinHash-LSH below). */
+  def jaccardAdjacent(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+              round(Dedup.ngramJaccard(col("text_a"), col("text_b")), 4).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs (not SQL-expressible —
+    * rows-only check; determinism guaranteed by seeded hash families). */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(Tables.documents(spark, dir), "doc_id", "text",
+      k = 32, bands = 8, threshold = 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash fingerprints + per-source Hamming-near-dup counts. */
+  def simhashBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.simhash(Text.tokens(col("text"))).as("simhash"))
+
+  /** Brute-force cosine top-5 neighbors for the first 5 vectors. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    Vectors.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+  }
+
+  /** LSH-bucketed ANN variant (scale path; recall < 1 by design → rows-only). */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 50)
+    Vectors.lshTopK(emb, queries, "vec_id", "embedding", dim = 64, k = 5,
+      bitsPerTable = 6, nTables = 6)
+  }
+}

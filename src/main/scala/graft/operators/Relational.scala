@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Relational operator layer — the reference's query semantics (SURVEY.md §2.2-2.7)
+  * re-expressed as declarative DataFrame programs over the TESTDATA corpus.
+  *
+  * Every function is DataFrame→DataFrame with no driver-side materialization, so
+  * Catalyst owns pushdown / pruning / join strategy and the same code runs
+  * unchanged on a 1000-executor cluster. Dimension joins are explicitly
+  * broadcast; fact-fact joins shuffle on their keys (sort-merge under AQE).
+  *
+  * Reference citations: web_scheduler.py (P1-P8 filters ~4599-4644, J1-J9 joins
+  * ~1050-5385, A1-A6 aggregates ~1350-4685, T1-T5 sorts/limits ~5239-5423).
+  */
+object Relational {
+
+  /** A1/A2/P1 — full-scan grouped aggregation (TPC-H Q1 shape).
+    * Partial aggregation (map-side combine) keeps the shuffle at
+    * |groups| × |partitions| rows regardless of input size. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** P1-P5 — projection with aliases + conjunctive filters; both the predicate
+    * and the 5-column read schema reach the parquet scan. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R" && col("l_discount") > 0.05)
+      .select(
+        col("l_orderkey").as("okey"),
+        col("l_linenumber").as("line_no"),
+        col("l_quantity").as("qty"),
+        // no round(): the raw product is bit-identical IEEE math in any
+        // engine, while round-to-decimal semantics differ across engines
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+
+  /** J1-shape — snowflake dimension join; both dims are broadcast so the fact
+    * side never shuffles. */
+  def customersPerRegion(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           round(avg("c_acctbal"), 4).as("avg_bal"))
+
+  /** J1/A1 — fact ⋈ dim aggregate: revenue per market segment. Customer is the
+    * small side → broadcast; orders aggregates map-side first. */
+  def revenueBySegment(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(round(sum("o_totalprice"), 2).as("total_price"),
+           count(lit(1)).as("n_orders"))
+
+  /** J5/J8 — LEFT join preserving customers with zero orders
+    * (reference: notification_logs ⟕ email_configs, web_scheduler.py:5376-5385). */
+  def ordersPerCustomer(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+
+  /** J6-as-anti-join — customers that never ordered (reference's
+    * `tl.task_id IS NULL` never-executed filter, web_scheduler.py:4639-4640). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** Semi join — EXISTS: customers with at least one order and positive balance. */
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 0)
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** A4/A5 — greatest-n-per-group: latest event per user (the reference's
+    * latest-log-per-task correlated subquery, web_scheduler.py:1258-1271,
+    * 4679-4685). One shuffle on the partition key; no correlated re-scan. */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+              col("event_type").as("last_event_type"), col("ts").as("last_ts"))
+  }
+
+  /** T3 — top-k by value with a unique tie-break (reference's
+    * `ORDER BY execution_time DESC LIMIT 1`, web_scheduler.py:1335-1341).
+    * Spark plans this as TakeOrderedAndProject — no global sort. */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** T4 — pagination with LIMIT/OFFSET over a total order
+    * (web_scheduler.py:5261-5267; per_page clamp semantics live in Serve). */
+  def eventsPage(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .offset(40)
+      .limit(20)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** P3/P6 — IN-list + LIKE substring filters
+    * (web_scheduler.py:1256-1271, 4603-4605). */
+  def inListLike(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase") && col("props").like("%7%"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("props"))
+
+  /** A1 — counts + exact distinct per group. */
+  def eventTypeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"),
+           round(sum("value"), 2).as("sum_value"))
+
+  /** J3/J4-shape — multi-way join: fact ⋈ fact ⋈ dim ⋈ dim, aggregated.
+    * lineitem⋈orders shuffles on orderkey; customer/nation broadcast. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+
+  /** A6 — deterministic dedup: canonical (min id) row per key, instead of
+    * dropDuplicates' arbitrary pick (reference `GROUP BY t.id`,
+    * web_scheduler.py:4648). */
+  def dedupFirstEvent(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min("event_id").as("first_event_id"),
+           min("ts").as("first_ts"))
+
+  /** Window top-n per group — top-3 orders per priority class. */
+  def topOrdersPerPriority(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** F1-F13 — scalar function surface: date parts/formatting, CASE buckets,
+    * string concat/substr (web_scheduler.py F-table, SURVEY.md §2.8). */
+  def scalarShowcase(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_ym"),
+        when(col("o_totalprice") >= 200000, "high")
+          .when(col("o_totalprice") >= 100000, "mid")
+          .otherwise("low").as("price_bucket"),
+        concat_ws("-", col("o_orderstatus"), substring(col("o_orderpriority"), 1, 1))
+          .as("status_label"),
+        upper(col("o_orderstatus")).as("status_uc"),
+        length(col("o_orderpriority")).as("prio_len"))
+
+  /** A2-shape — conditional aggregation (the alert-condition evaluator's
+    * thresholding, web_scheduler.py:3354-3364, as a grouped pivot). */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value") > 50, 1).otherwise(0)).as("n_high"),
+        sum(when(col("value") <= 50, 1).otherwise(0)).as("n_low"),
+        round(avg(when(col("value") > 50, 1.0).otherwise(0.0)), 4).as("share_high"))
+
+  /** J6 — join back to a greatest-n-per-group: users whose LATEST event is an
+    * error, with their lifetime event count (the reference's task-list
+    * status filter, web_scheduler.py:4621-4648). */
+  def usersLastError(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val latest = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("last_ts"))
+    val counts = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    latest.join(counts, "user_id")
+      .select(col("user_id"), col("n_events"), col("last_ts"))
+  }
+}

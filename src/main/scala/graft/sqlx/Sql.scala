@@ -1,0 +1,105 @@
+package graft.sqlx
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's federated SQL execution engine re-expressed on Spark SQL
+  * (web_scheduler.py:896-1026): split a multi-statement script, classify each
+  * statement SELECT-vs-DML, execute via `spark.sql`, and normalize results.
+  */
+object Sql {
+
+  /** Quote- and comment-aware multi-statement splitter.
+    *
+    * The reference splits naively on ';' (web_scheduler.py:921) — this
+    * preserves its observable behavior on its corpus (no quoted semicolons
+    * there) while staying correct when ';' appears inside '...', "...",
+    * `...`, line comments (--) or block comments. Empty statements are
+    * dropped (reference filters falsy parts at :921). */
+  def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var state: Char = 'n' // n=normal, '\''=single, '"'=double, '`'=backtick, '-'=line comment, '*'=block comment
+    val n = script.length
+    while (i < n) {
+      val c = script.charAt(i)
+      state match {
+        case 'n' =>
+          if (c == ';') { out += cur.toString; cur.clear() }
+          else {
+            if (c == '\'' || c == '"' || c == '`') state = c
+            else if (c == '-' && i + 1 < n && script.charAt(i + 1) == '-') state = '-'
+            else if (c == '/' && i + 1 < n && script.charAt(i + 1) == '*') state = '*'
+            cur += c
+          }
+        case '\'' | '"' | '`' =>
+          cur += c
+          // doubled quote inside a quoted region is an escaped quote
+          if (c == state) {
+            if (i + 1 < n && script.charAt(i + 1) == state) { cur += state; i += 1 }
+            else state = 'n'
+          }
+        case '-' =>
+          cur += c
+          if (c == '\n') state = 'n'
+        case '*' =>
+          cur += c
+          if (c == '/' && cur.length >= 2 && script.charAt(i - 1) == '*') state = 'n'
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** SELECT-vs-DML classification by prefix, matching the reference
+    * (web_scheduler.py:931, 969, 1001). WITH/VALUES/SHOW/DESCRIBE also
+    * produce result sets on Spark, so they classify as queries. */
+  def isQuery(stmt: String): Boolean = {
+    val s = stmt.trim.toUpperCase
+    Seq("SELECT", "WITH", "VALUES", "SHOW", "DESCRIBE", "DESC", "EXPLAIN")
+      .exists(s.startsWith)
+  }
+
+  /** Normalized per-statement result (reference's per-dialect shapes unified,
+    * SURVEY.md §7.5): a result set for queries, an affected-row count for DML. */
+  final case class StatementResult(
+      sql: String,
+      isQuery: Boolean,
+      result: Option[DataFrame],
+      affectedRows: Long)
+
+  /** Execute a multi-statement script. Queries return their DataFrame
+    * lazily (no collect — callers decide materialization); DML statements
+    * execute eagerly, reporting affected rows where Spark exposes them.
+    * Statement errors abort the script, mirroring the reference
+    * (exception propagates from the per-statement execute, 1009-1026). */
+  def runScript(spark: SparkSession, script: String): Seq[StatementResult] =
+    splitStatements(script).map { stmt =>
+      if (isQuery(stmt)) {
+        StatementResult(stmt, isQuery = true, Some(spark.sql(stmt)), -1L)
+      } else {
+        val df = spark.sql(stmt) // commands execute eagerly
+        val affected = try {
+          val rows = df.collect()
+          if (rows.nonEmpty && df.columns.contains("num_affected_rows"))
+            rows.head.getAs[Long]("num_affected_rows")
+          else -1L
+        } catch { case _: Throwable => -1L }
+        StatementResult(stmt, isQuery = false, None, affected)
+      }
+    }
+
+  /** The reference's flagship production workload — truncate-and-load
+    * materialization (scheduler.db sql_scripts row 30:
+    * `truncate table tgt; insert into tgt select * from src;`).
+    * Runs against the session catalog; returns the refreshed target. */
+  def truncateAndLoad(spark: SparkSession, source: String, target: String): DataFrame = {
+    if (!spark.catalog.tableExists(target)) {
+      spark.table(source).limit(0).write.saveAsTable(target)
+    }
+    runScript(spark,
+      s"TRUNCATE TABLE $target; INSERT INTO $target SELECT * FROM $source;")
+    spark.table(target)
+  }
+}
