@@ -46,9 +46,16 @@ object Dedup {
                         k: Int = 32, bands: Int = 8,
                         threshold: Double = 0.5): DataFrame = {
     val r = k / bands
-    val sig = df.select(
-      col(idCol).as("id"),
-      minhashSignature(array_distinct(shingles(Text.tokens(col(textCol)))), k).as("sig"))
+    // Explode shingles then MIN-aggregate the k hash families: the regex
+    // tokenize + shingle build runs ONCE per document (a nested
+    // transform-over-transform would inline it k× per row), and the partial
+    // aggregation keeps the shuffle at k longs per doc.
+    val exploded = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(Text.tokens(col(textCol))))).as("sh"))
+    val minCols = (0 until k).map(i => min(hash(col("sh"), lit(i))).as(s"m$i"))
+    val sig = exploded.groupBy("id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bh")))

@@ -64,25 +64,36 @@ object Vectors {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** Multi-table signatures: `nTables` independent `bitsPerTable`-bit LSH
-    * signatures as an array column (standard (b,L) LSH: candidate = collide
-    * in ANY table — L tables drive recall up, b bits keep buckets small). */
-  private def lshTables(v: Column, dim: Int, bitsPerTable: Int, nTables: Int): Column =
-    array((0 until nTables).map(t =>
-      lshSignature(v, dim, bitsPerTable, seed = 42L + t)): _*)
-
   /** Bucketed ANN top-k: a query scores only corpus rows it collides with in
-    * at least one of `nTables` LSH tables — recall traded for probing
+    * at least one of `nTables` LSH tables (standard (b,L) scheme: L tables
+    * drive recall up, b bits keep buckets small) — recall traded for probing
     * |bucket|-sized slices instead of a full scan. The bucket join shuffles
     * on (table, signature), so work distributes by bucket; at 100 TB the
-    * corpus signatures would be precomputed and bucket-partitioned on write. */
+    * corpus signatures would be precomputed and bucket-partitioned on write.
+    *
+    * Signature computation is staged through named columns (cast vector →
+    * all-plane projections → per-table signatures): each stage references the
+    * previous by attribute, so the 64-element cast runs once per row instead
+    * of being inlined into every one of the b×L dot products. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int,
               bitsPerTable: Int = 8, nTables: Int = 4): DataFrame = {
+    val ps = planes(bitsPerTable * nTables, dim, seed = 42L)
+    val planesLit = typedLit(ps.map(_.toSeq).toSeq)
     def signed(df: DataFrame, idAs: String, vecAs: String) = df
       .select(col(idCol).as(idAs), col(vecCol).as(vecAs),
-        posexplode(lshTables(col(vecCol), dim, bitsPerTable, nTables))
-          .as(Seq("tbl", "sig")))
+              asDouble(col(vecCol)).as("vd"))
+      .select(col(idAs), col(vecAs),
+        transform(planesLit,
+          p => aggregate(zip_with(col("vd"), p, (x, w) => x * w),
+                         lit(0.0), (acc, v) => acc + v)).as("projs"))
+      .select(col(idAs), col(vecAs),
+        posexplode(array((0 until nTables).map { t =>
+          (0 until bitsPerTable).map { i =>
+            when(element_at(col("projs"), t * bitsPerTable + i + 1) >= 0,
+              lit(1 << i)).otherwise(lit(0))
+          }.reduce(_ + _)
+        }: _*)).as(Seq("tbl", "sig")))
     val sigC = signed(corpus, "neighbor_id", "cv")
     val sigQ = signed(queries, "query_id", "qv")
     val scored = sigC.join(sigQ, Seq("tbl", "sig"))
