@@ -1,0 +1,82 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SaveMode, SparkSession}
+
+/** Mutable metadata catalog over immutable Parquet — the reference's SQLite
+  * CRUD surface (SURVEY.md §2.11 D1-D7) as read→transform→overwrite with a
+  * crash-safe directory swap.
+  *
+  * Spark tables are immutable, so each mutation writes a fresh directory and
+  * atomically renames it over the old one (temp-dir swap; web_scheduler.py's
+  * rename-copy-drop migration D3 uses the same shape at table level).
+  * Single-writer discipline from the driver mirrors the reference's one
+  * scheduler thread + SQLite write lock.
+  *
+  * Catalog tables are metadata-sized (thousands of rows), so full-rewrite
+  * upserts are cheap; the 100 TB data path never goes through this store.
+  * Append-only log tables use `append` mode instead of rewrite, so log
+  * writes scale with the increment, not history size.
+  */
+final class CatalogStore(spark: SparkSession, root: String) {
+
+  private def dir(table: String): Path = Paths.get(root, table)
+
+  def exists(table: String): Boolean = Files.exists(dir(table))
+
+  /** Read a table as a typed Dataset; empty if never written. */
+  def read[T <: Product: TypeTag](table: String): Dataset[T] = {
+    implicit val enc: Encoder[T] = Encoders.product[T]
+    if (exists(table)) spark.read.schema(enc.schema).parquet(dir(table).toString).as[T]
+    else spark.emptyDataset[T]
+  }
+
+  /** Overwrite a table with a crash-safe swap: write to `<table>.tmp`, then
+    * rename old → `.bak`, tmp → live, drop `.bak`. A crash leaves either the
+    * old or the new directory intact, never a half-written live dir. */
+  def overwrite[T](ds: Dataset[T], table: String): Unit = {
+    val live = dir(table)
+    val tmp = Paths.get(root, table + ".tmp")
+    val bak = Paths.get(root, table + ".bak")
+    deleteRecursively(tmp); deleteRecursively(bak)
+    ds.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (Files.exists(live)) Files.move(live, bak, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(bak)
+  }
+
+  /** Append rows (log tables — task_logs / sql_alert_logs / notification_logs
+    * are insert-only in the reference, S12). */
+  def append[T](ds: Dataset[T], table: String): Unit =
+    ds.write.mode(SaveMode.Append).parquet(dir(table).toString)
+
+  /** Row-level upsert by key: replaces rows whose key is present in `rows`,
+    * keeps the rest (the reference's dynamic partial-UPDATE builders D7,
+    * web_scheduler.py:2216-2271, as read-modify-overwrite). */
+  def upsert[T <: Product: TypeTag](table: String, rows: Seq[T], key: T => Long): Unit = {
+    val existing = read[T](table).collect().toSeq
+    val keys = rows.map(key).toSet
+    val merged = existing.filterNot(r => keys.contains(key(r))) ++ rows
+    implicit val enc: Encoder[T] = Encoders.product[T]
+    overwrite(spark.createDataset(merged), table)
+  }
+
+  /** Delete rows by key predicate (FK-guard checks live in callers,
+    * web_scheduler.py:3920-3938). */
+  def delete[T <: Product: TypeTag](table: String, pred: T => Boolean): Long = {
+    val existing = read[T](table).collect()
+    val keep = existing.filterNot(pred)
+    implicit val enc: Encoder[T] = Encoders.product[T]
+    overwrite(spark.createDataset(keep.toSeq), table)
+    (existing.length - keep.length).toLong
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+}

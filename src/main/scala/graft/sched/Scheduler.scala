@@ -1,0 +1,160 @@
+package graft.sched
+
+import java.time.LocalDateTime
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.CatalogStore
+import graft.catalog.Model._
+import graft.sqlx.Sql
+
+/** The reference's scheduler daemon (ST1-ST8, web_scheduler.py:1289-1582) as
+  * a driver-side service: a 1-second tick loop that loads active tasks,
+  * applies in-flight dedup / dependency gating / retry policy, advances
+  * next_run BEFORE execution (retries do not advance it), dispatches
+  * synchronously (Spark parallelizes within the job), and appends run logs.
+  *
+  * Execution is pluggable so tests inject fake executors; the default
+  * dispatches task_type='sql' through [[graft.sqlx.Sql.runScript]] and
+  * task_type='python' through a subprocess with the reference's 300 s
+  * timeout (S8, web_scheduler.py:736-829).
+  */
+final class Scheduler(
+    spark: SparkSession,
+    store: CatalogStore,
+    executor: Task => Either[String, String],
+    clock: () => LocalDateTime = () => LocalDateTime.now()) {
+
+  private val guard = new InFlightGuard
+  @volatile private var logSeq = 0L
+
+  final case class TickResult(taskId: Long, name: String, action: String,
+                              status: Option[String] = None)
+
+  /** One scheduler tick — evaluates every active task once. Synchronous
+    * within the tick (ST8, "同步执行，不使用线程"). */
+  def tick(): Seq[TickResult] = {
+    val now = clock()
+    val tasks = store.read[Task]("tasks").collect().filter(_.isActive).sortBy(_.id)
+    val logs = store.read[TaskLog]("task_logs").collect()
+    val logsByTask = logs.groupBy(_.taskId).map { case (k, v) =>
+      k -> v.sortBy(_.executionTime.getTime).reverse.toSeq
+    }
+    val latestStatus: Long => Option[String] = id => logsByTask.get(id).map(_.head.status)
+    val knownIds = tasks.map(_.id).toSet
+
+    tasks.toSeq.map { task =>
+      if (!guard.tryAcquire(task.id)) {
+        TickResult(task.id, task.name, "skipped_in_flight")
+      } else try {
+        runOne(task, now, logsByTask.getOrElse(task.id, Nil), knownIds, latestStatus)
+      } catch {
+        case NonFatal(e) => // ST7 failure isolation: log, keep looping
+          appendLog(task.id, "failed", s"scheduler error: ${e.getMessage}", now)
+          TickResult(task.id, task.name, "error", Some(e.getMessage))
+      } finally guard.release(task.id)
+    }
+  }
+
+  private def runOne(task: Task, now: LocalDateTime, recent: Seq[TaskLog],
+                     known: Long => Boolean,
+                     latest: Long => Option[String]): TickResult = {
+    if (!Policies.canExecute(task.dependencies, known, latest))
+      return TickResult(task.id, task.name, "blocked_dependency")
+
+    val recentPairs = recent.map(l =>
+      (l.status, l.executionTime.toLocalDateTime))
+    val retry = Policies.shouldRetry(recentPairs, task.maxRetries,
+      task.retryDelay.toLong, now)
+    val due = Policies.isDue(
+      task.nextRun.map(_.toLocalDateTime), now)
+
+    if (!due && !retry) return TickResult(task.id, task.name, "not_due")
+
+    // Advance last_run/next_run BEFORE execution, but never on retry
+    // (web_scheduler.py:1376-1399): a retry must not push the schedule.
+    if (!retry) {
+      val nr = Policies.nextRun(task.cronExpression, task.scheduleInterval, now)
+      store.upsert[Task]("tasks", Seq(task.copy(
+        lastRun = Some(java.sql.Timestamp.valueOf(now)),
+        nextRun = Some(java.sql.Timestamp.valueOf(nr)))), _.id)
+    }
+
+    executor(task) match {
+      case Right(msg) =>
+        appendLog(task.id, "success", msg, now)
+        TickResult(task.id, task.name, if (retry) "retried" else "executed", Some("success"))
+      case Left(err) =>
+        appendLog(task.id, "failed", err, now)
+        TickResult(task.id, task.name, if (retry) "retried" else "executed", Some("failed"))
+    }
+  }
+
+  private def appendLog(taskId: Long, status: String, message: String,
+                        now: LocalDateTime): Unit = {
+    logSeq += 1
+    val row = TaskLog(System.nanoTime() + logSeq, taskId, status, message,
+      java.sql.Timestamp.valueOf(now))
+    import spark.implicits._
+    store.append(spark.createDataset(Seq(row)), "task_logs")
+  }
+
+  /** ST1 — the 1 s poll loop (web_scheduler.py:1556). Runs until `stop`
+    * flips; exceptions are isolated per tick (ST7). */
+  @volatile var stopped = false
+  def runLoop(tickMillis: Long = 1000L): Unit =
+    while (!stopped) {
+      try tick()
+      catch { case NonFatal(e) => System.err.println(s"[scheduler] tick failed: ${e.getMessage}") }
+      Thread.sleep(tickMillis)
+    }
+}
+
+object Scheduler {
+
+  /** Default dispatcher: sql → Sql.runScript over the session catalog
+    * (forcing materialization per statement, counting query rows); python →
+    * subprocess with 300 s timeout (S8). */
+  def defaultExecutor(spark: SparkSession, store: CatalogStore)(task: Task): Either[String, String] =
+    task.taskType match {
+      case "sql" =>
+        task.sqlScriptId.toRight("sql task without sql_script_id").flatMap { sid =>
+          store.read[SqlScript]("sql_scripts").collect().find(_.id == sid)
+            .toRight(s"sql script $sid not found")
+            .flatMap { script =>
+              try {
+                val results = Sql.runScript(spark, script.sqlContent)
+                val summary = results.map { r =>
+                  if (r.isQuery) s"rows=${r.result.map(_.count()).getOrElse(0L)}"
+                  else s"affected=${r.affectedRows}"
+                }.mkString("; ")
+                Right(s"SQL script $sid ok: $summary")
+              } catch { case NonFatal(e) => Left(s"SQL script $sid failed: ${e.getMessage}") }
+            }
+        }
+      case "python" =>
+        task.scriptPath.toRight("python task without script_path").flatMap(runPython)
+      case other => Left(s"unknown task type '$other'")
+    }
+
+  /** S8 — subprocess execution: 300 s timeout, cwd = script dir, UTF-8
+    * tolerant decode (reference web_scheduler.py:736-829). */
+  def runPython(path: String): Either[String, String] = {
+    import java.util.concurrent.TimeUnit
+    val f = new java.io.File(path)
+    if (!f.exists()) return Left(s"script not found: $path")
+    val pb = new ProcessBuilder("python3", f.getName)
+    pb.directory(f.getParentFile)
+    pb.redirectErrorStream(false)
+    val p = pb.start()
+    val done = p.waitFor(300, TimeUnit.SECONDS)
+    if (!done) { p.destroyForcibly(); return Left(s"script timeout (300s): $path") }
+    def decode(in: java.io.InputStream) =
+      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    val out = decode(p.getInputStream); val err = decode(p.getErrorStream)
+    if (p.exitValue() == 0) Right(s"exit=0\n$out")
+    else Left(s"exit=${p.exitValue()}\n$err\n$out")
+  }
+}

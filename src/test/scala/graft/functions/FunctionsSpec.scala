@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class FunctionsSpec extends SparkSuite {
+
+  test("tokens/tokenCount handle runs of whitespace") {
+    import spark.implicits._
+    val df = Seq("the  quick   brown fox", "", "one").toDF("text")
+    val counts = df.select(Text.tokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(counts.toSeq == Seq(4, 0, 1))
+  }
+
+  test("quality score rises with stopwords, falls with punctuation") {
+    import spark.implicits._
+    val df = Seq(
+      ("natural", "the cat sat on the mat and the dog is in a house"),
+      ("noisy", "x;;;; y.... z!!!! ???? ;;;")
+    ).toDF("kind", "text")
+    val m = df.select(col("kind"), Text.qualityScore(col("text")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("natural") > 0.8)
+    assert(m("noisy") < 0.2)
+  }
+
+  test("langId picks the language whose stopwords dominate") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "the cat and the dog of the house"),
+      ("de", "der hund und die katze ist nicht da"),
+      ("fr", "le chat et la maison est une belle"),
+      ("es", "el gato es una casa para los perros"),
+      ("zh", "这是 中文 文本"),
+      ("und", "qwerty zxcvb asdfg")
+    ).toDF("expected", "text")
+    val got = df.select(col("expected"), Text.langId(col("text")))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    import spark.implicits._
+    val df = Seq("Hello   World", "hello world", "hello worlds").toDF("text")
+    val fps = df.select(Text.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("shingles produce w-grams; short docs fall back to one joined gram") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b").toDF("text")
+    val sh = df.select(Dedup.shingles(Text.tokens(col("text")), 3))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0).toSeq == Seq("a b c", "b c d"))
+    assert(sh(1).toSeq == Seq("a b"))
+  }
+
+  test("minhash estimate ≈ exact jaccard for similar docs") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val similar = (1 to 38).map(i => s"tok$i").mkString(" ") + " x y"
+    val different = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, similar), (3L, different)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(df, "doc_id", "text", k = 64, bands = 16,
+      threshold = 0.3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("ngramJaccard: identical → 1, disjoint → 0") {
+    import spark.implicits._
+    val df = Seq(("a b c d e", "a b c d e", 1.0), ("a b c d e", "x y z w v", 0.0))
+      .toDF("ta", "tb", "expected")
+    df.select(Dedup.ngramJaccard(col("ta"), col("tb")).as("j"), col("expected"))
+      .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("simhash: near-identical docs within small hamming distance, disjoint far") {
+    import spark.implicits._
+    val a = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 58).map(i => s"tok$i").mkString(" ") + " q r"
+    val c = (200 to 260).map(i => s"tok$i").mkString(" ")
+    val df = Seq(("a", a), ("b", b), ("c", c)).toDF("k", "text")
+      .select(col("k"), Dedup.simhash(Text.tokens(col("text"))).as("sh"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m("a"), m("b")) < 12)
+    assert(ham(m("a"), m("c")) > 20)
+  }
+
+  test("cosine: orthogonal → 0, identical → 1") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 2f), Array(1f, 2f), 1.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0)
+    ).toDF("a", "b", "expected")
+    df.select(Vectors.cosine(col("a"), col("b")).as("c"), col("expected"))
+      .collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("bruteForceTopK returns k ranked neighbors excluding self") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0.95f, 0.05f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+    val top = Vectors.bruteForceTopK(vecs, q, "vec_id", "embedding", 2).collect()
+    assert(top.length == 2)
+    assert(top.map(_.getLong(2)).toSeq == Seq(3L, 1L)) // ranked by cosine
+    assert(top.forall(_.getLong(0) == 0L))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.sched
+
+import java.sql.Timestamp
+import java.time.LocalDateTime
+
+import graft.SparkSuite
+import graft.catalog.{CatalogStore, Model}
+import graft.catalog.Model._
+
+class SchedulerSpec extends SparkSuite {
+
+  private val t0 = LocalDateTime.of(2026, 1, 10, 12, 0, 0)
+
+  private def mkTask(id: Long, deps: Option[String] = None,
+                     maxRetries: Int = 0, retryDelay: Int = 0,
+                     cron: Option[String] = None,
+                     nextRun: Option[LocalDateTime] = None) = Task(
+    id, s"task$id", "sql", None, Some(1L), 300L, None,
+    nextRun.map(Timestamp.valueOf), isActive = true, deps, maxRetries,
+    retryDelay, cron, Timestamp.valueOf(t0.minusDays(1)))
+
+  private def fixture(tasks: Seq[Task], outcomes: Map[Long, Either[String, String]],
+                      at: LocalDateTime = t0) = {
+    val store = new CatalogStore(spark, tmpDir("sched"))
+    import spark.implicits._
+    store.overwrite(spark.createDataset(tasks), "tasks")
+    val executed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sched = new Scheduler(spark, store,
+      task => { executed += task.id; outcomes.getOrElse(task.id, Right("ok")) },
+      clock = () => at)
+    (store, sched, executed)
+  }
+
+  test("first run fires immediately (no next_run) and advances next_run") {
+    val (store, sched, executed) = fixture(Seq(mkTask(1)), Map.empty)
+    val r = sched.tick()
+    assert(r.map(_.action) == Seq("executed"))
+    assert(executed.toSeq == Seq(1L))
+    val t = store.read[Task]("tasks").collect().head
+    assert(t.nextRun.map(_.toLocalDateTime).contains(t0.plusSeconds(300)))
+    assert(t.lastRun.map(_.toLocalDateTime).contains(t0))
+    // run log appended
+    assert(store.read[TaskLog]("task_logs").collect().head.status == "success")
+  }
+
+  test("not due → skipped") {
+    val (_, sched, executed) =
+      fixture(Seq(mkTask(1, nextRun = Some(t0.plusMinutes(5)))), Map.empty)
+    assert(sched.tick().map(_.action) == Seq("not_due"))
+    assert(executed.isEmpty)
+  }
+
+  test("cron task computes next_run from cron (O4)") {
+    val (store, sched, _) = fixture(Seq(mkTask(1, cron = Some("0 9 * * *"))), Map.empty)
+    sched.tick()
+    val t = store.read[Task]("tasks").collect().head
+    assert(t.nextRun.map(_.toLocalDateTime).contains(LocalDateTime.of(2026, 1, 11, 9, 0)))
+  }
+
+  test("dependency gating blocks until dep succeeds (ST4)") {
+    // task 2 depends on task 1; neither has run
+    val (store, sched, executed) =
+      fixture(Seq(mkTask(1), mkTask(2, deps = Some("1"))), Map.empty)
+    val r1 = sched.tick()
+    // task1 executes; task2 blocked (task1 had never executed when gated —
+    // logs are loaded at tick start, matching the reference's per-tick reads)
+    assert(r1.find(_.taskId == 2).get.action == "blocked_dependency")
+    assert(executed.toSeq == Seq(1L))
+    // next tick: task1's success log now exists → task2 unblocked
+    val r2 = sched.tick()
+    assert(r2.find(_.taskId == 2).get.action == "executed")
+  }
+
+  test("failed task retries after delay without advancing next_run (ST5)") {
+    val tasks = Seq(mkTask(1, maxRetries = 2, retryDelay = 60))
+    val (store, sched0, _) = fixture(tasks, Map(1L -> Left("boom")))
+    sched0.tick() // fails; next_run = t0+300s
+    val nextRunAfterFail = store.read[Task]("tasks").collect().head.nextRun
+    assert(nextRunAfterFail.map(_.toLocalDateTime).contains(t0.plusSeconds(300)))
+
+    // 30s later: delay not elapsed → nothing happens
+    val sched1 = new Scheduler(spark, store, _ => Right("ok"),
+      clock = () => t0.plusSeconds(30))
+    assert(sched1.tick().map(_.action) == Seq("not_due"))
+
+    // 90s later: retry fires even though next_run (t0+300) hasn't arrived,
+    // and next_run is NOT advanced (web_scheduler.py:1376-1377)
+    val sched2 = new Scheduler(spark, store, _ => Right("ok"),
+      clock = () => t0.plusSeconds(90))
+    val r = sched2.tick()
+    assert(r.map(_.action) == Seq("retried"))
+    assert(store.read[Task]("tasks").collect().head.nextRun == nextRunAfterFail)
+  }
+
+  test("retry budget: stops after maxRetries consecutive failures") {
+    val tasks = Seq(mkTask(1, maxRetries = 1, retryDelay = 0))
+    val (store, _, _) = fixture(tasks, Map.empty)
+    import spark.implicits._
+    // two consecutive failures already logged → budget (maxRetries=1) exhausted
+    store.append(spark.createDataset(Seq(
+      TaskLog(1, 1, "failed", "f1", Timestamp.valueOf(t0.minusMinutes(2))),
+      TaskLog(2, 1, "failed", "f2", Timestamp.valueOf(t0.minusMinutes(1))))), "task_logs")
+    val sched = new Scheduler(spark, store, _ => Right("ok"),
+      clock = () => t0)
+    // next_run is unset → due fires anyway; but with next_run in the future
+    // and budget exhausted there must be no retry
+    import graft.catalog.Model.Task
+    val t = store.read[Task]("tasks").collect().head
+    store.upsert[Task]("tasks", Seq(t.copy(nextRun = Some(Timestamp.valueOf(t0.plusMinutes(10))))), _.id)
+    assert(sched.tick().map(_.action) == Seq("not_due"))
+  }
+
+  test("scheduler failure isolation: executor exception logged, loop continues (ST7)") {
+    val (store, sched, _) = fixture(Seq(mkTask(1), mkTask(2)),
+      Map.empty, at = t0)
+    val boom = new Scheduler(spark, store,
+      task => if (task.id == 1) throw new RuntimeException("kaput") else Right("ok"),
+      clock = () => t0)
+    val r = boom.tick()
+    assert(r.find(_.taskId == 1).get.action == "error")
+    assert(r.find(_.taskId == 2).get.action == "executed")
+    val logs = store.read[TaskLog]("task_logs").collect()
+    assert(logs.exists(l => l.taskId == 1 && l.status == "failed" &&
+      l.message.contains("kaput")))
+  }
+
+  test("end-to-end sql task through the default executor (row 30 semantics)") {
+    import spark.implicits._
+    val store = new CatalogStore(spark, tmpDir("sched"))
+    graft.core.Tables.orders(spark, sfDir).createOrReplaceTempView("sched_src")
+    spark.sql("DROP TABLE IF EXISTS sched_tgt")
+    spark.table("sched_src").limit(0).write.saveAsTable("sched_tgt")
+    store.overwrite(spark.createDataset(Seq(SqlScript(
+      7L, "refresh", None,
+      "TRUNCATE TABLE sched_tgt; INSERT INTO sched_tgt SELECT * FROM sched_src; SELECT count(*) AS n FROM sched_tgt",
+      Timestamp.valueOf(t0)))), "sql_scripts")
+    store.overwrite(spark.createDataset(Seq(
+      mkTask(1).copy(sqlScriptId = Some(7L)))), "tasks")
+    val sched = new Scheduler(spark, store,
+      Scheduler.defaultExecutor(spark, store), clock = () => t0)
+    val r = sched.tick()
+    assert(r.map(_.status) == Seq(Some("success")))
+    assert(spark.table("sched_tgt").count() == spark.table("sched_src").count())
+    spark.sql("DROP TABLE sched_tgt")
+  }
+}

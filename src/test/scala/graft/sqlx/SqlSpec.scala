@@ -1,0 +1,65 @@
+package graft.sqlx
+
+import graft.SparkSuite
+
+class SqlSpec extends SparkSuite {
+
+  test("splitter: plain multi-statement with trailing semicolon") {
+    assert(Sql.splitStatements("SELECT 1; SELECT 2;") == Seq("SELECT 1", "SELECT 2"))
+  }
+
+  test("splitter: drops empty statements") {
+    assert(Sql.splitStatements(";;SELECT 1;;  ;") == Seq("SELECT 1"))
+  }
+
+  test("splitter: semicolon inside single quotes survives") {
+    assert(Sql.splitStatements("SELECT 'a;b'; SELECT 2") ==
+      Seq("SELECT 'a;b'", "SELECT 2"))
+  }
+
+  test("splitter: escaped quote (doubled) inside literal") {
+    assert(Sql.splitStatements("SELECT 'it''s; fine'; SELECT 2") ==
+      Seq("SELECT 'it''s; fine'", "SELECT 2"))
+  }
+
+  test("splitter: double quotes and backticks") {
+    assert(Sql.splitStatements("""SELECT "a;b", `c;d`; SELECT 2""") ==
+      Seq("""SELECT "a;b", `c;d`""", "SELECT 2"))
+  }
+
+  test("splitter: line and block comments hide semicolons") {
+    assert(Sql.splitStatements("SELECT 1 -- c;omment\n; SELECT 2") ==
+      Seq("SELECT 1 -- c;omment", "SELECT 2"))
+    assert(Sql.splitStatements("SELECT /* a;b */ 1; SELECT 2") ==
+      Seq("SELECT /* a;b */ 1", "SELECT 2"))
+  }
+
+  test("classifier: SELECT/WITH/SHOW are queries, DML/DDL are not") {
+    assert(Sql.isQuery("select 1"))
+    assert(Sql.isQuery("  WITH t AS (SELECT 1) SELECT * FROM t"))
+    assert(Sql.isQuery("SHOW TABLES"))
+    assert(!Sql.isQuery("INSERT INTO t VALUES (1)"))
+    assert(!Sql.isQuery("TRUNCATE TABLE t"))
+    assert(!Sql.isQuery("CREATE TABLE t (a INT)"))
+  }
+
+  test("runScript executes statements in order and returns result sets") {
+    val rs = Sql.runScript(spark, "SELECT 1 AS a; SELECT 2 AS b;")
+    assert(rs.length == 2)
+    assert(rs.forall(_.isQuery))
+    assert(rs(0).result.get.collect().head.getInt(0) == 1)
+    assert(rs(1).result.get.collect().head.getInt(0) == 2)
+  }
+
+  test("truncateAndLoad refreshes target to match source (row 30 semantics)") {
+    import spark.implicits._
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+      .createOrReplaceTempView("src_tl")
+    val out1 = Sql.truncateAndLoad(spark, "src_tl", "tgt_tl_spec")
+    assert(out1.count() == 3)
+    // run again — truncate must prevent doubling (idempotent full refresh)
+    val out2 = Sql.truncateAndLoad(spark, "src_tl", "tgt_tl_spec")
+    assert(out2.count() == 3)
+    spark.sql("DROP TABLE tgt_tl_spec")
+  }
+}
