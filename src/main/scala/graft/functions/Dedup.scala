@@ -46,10 +46,13 @@ object Dedup {
                         k: Int = 32, bands: Int = 8,
                         threshold: Double = 0.5): DataFrame = {
     val r = k / bands
-    // Explode shingles then MIN-aggregate the k hash families: the regex
-    // tokenize + shingle build runs ONCE per document (a nested
-    // transform-over-transform would inline it k× per row), and the partial
-    // aggregation keeps the shuffle at k longs per doc.
+    // Explode shingles then MIN-aggregate the k hash families. The
+    // aggregation is a hard optimizer barrier: the regex tokenize + shingle
+    // build runs once per document and the k-long signature becomes a real
+    // attribute. (A projection-staged variant is NOT safe here —
+    // CollapseProject inlines the interpreted higher-order transform into
+    // every band reference, re-evaluating the whole signature 8-9× per row:
+    // measured 20× slower at sf0.1.) The shuffle payload is k longs per doc.
     val exploded = df.select(col(idCol).as("id"),
       explode(array_distinct(shingles(Text.tokens(col(textCol))))).as("sh"))
     val minCols = (0 until k).map(i => min(hash(col("sh"), lit(i))).as(s"m$i"))
