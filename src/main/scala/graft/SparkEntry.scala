@@ -55,6 +55,18 @@ object SparkEntry {
       Tables.orders(s, dir).createOrReplaceTempView("staging_orders")
       Sql.truncateAndLoad(s, "staging_orders", "graft_dwd_orders")
     }),
+    // extended surface: JSON, sessionization, rollup, set ops, sketches
+    "q29_json_extract"       -> Relational.jsonExtract _,
+    "q30_sessionize"         -> Relational.sessionize _,
+    "q31_rollup"             -> Relational.rollupAgg _,
+    "q32_set_ops"            -> Relational.setOps _,
+    "q33_approx_distinct"    -> Relational.approxDistinct _,
+    // multimodal + export adapters + streaming
+    "q34_multimodal_stats"   -> Pipeline.multimodalStats _,
+    "q35_stream_window"      -> ((s: SparkSession, dir: String) =>
+      graft.streaming.Streams.streamWindowedFromParquet(s, dir)),
+    "q36_media_features"     -> Pipeline.mediaFeatures _,
+    "q37_export_roundtrip"   -> Pipeline.exportRoundtrip _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -220,5 +232,37 @@ object SparkEntry {
         |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rank
         |      FROM s) WHERE rank <= 5""".stripMargin,
     "q28_truncate_load" -> "SELECT * FROM orders",
+    "q29_json_extract" ->
+      """SELECT event_id, event_type,
+        | CAST(json_extract_string(props,'$.k') AS INT) AS k_val
+        |FROM events WHERE CAST(json_extract_string(props,'$.k') AS INT) > 50""".stripMargin,
+    "q30_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id,
+        | CAST(sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        |              THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+    "q31_rollup" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        | count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY ROLLUP(event_type, day)""".stripMargin,
+    "q32_set_ops" ->
+      """SELECT custkey FROM (
+        | SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+        | UNION
+        | SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal < 0""".stripMargin,
+    "q34_multimodal_stats" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        | CAST(octet_length(text::BLOB) AS INT) AS n_bytes, md5(text) AS digest
+        |FROM documents""".stripMargin,
+    "q35_stream_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        | time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+        | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
   )
 }

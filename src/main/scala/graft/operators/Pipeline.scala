@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{Dedup, Text, Vectors}
+import graft.functions.{Dedup, Multimodal, Text, Vectors}
+import graft.sources.Ingest
 
 /** Training-data pipeline operators over the `documents` / `embeddings`
   * tables: text analysis, deduplication, similarity search. Each is a pure
@@ -79,5 +80,39 @@ object Pipeline {
     val queries = emb.filter(col("vec_id") < 50)
     Vectors.lshTopK(emb, queries, "vec_id", "embedding", dim = 64, k = 5,
       bitsPerTable = 6, nTables = 6)
+  }
+
+  /** Documents as an opaque-binary media table (payload = utf-8 bytes here;
+    * at scale: real image/audio payloads with the same schema). */
+  private def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      col("text").cast("binary").as("payload"),
+      lit(64).as("width"), lit(64).as("height"),
+      lit(0).as("sample_rate"), lit(25).as("n_frames"))
+
+  /** Multimodal byte-level stats — the pre-decode pushdown filter stage. */
+  def multimodalStats(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.payloadStats(mediaTable(spark, dir))
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("digest"))
+
+  /** Multimodal feature extraction through the partition-parallel decode
+    * stub (rows-only: the codec is a deterministic fake, SURVEY north-star). */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir).as[Multimodal.MediaRow]
+    Multimodal.extractFeatures(media, dim = 16)
+      .select(col("media_id"), col("n_bytes"), col("checksum"),
+              round(element_at(col("features"), 1), 4).as("f0"))
+  }
+
+  /** Export round-trip: top orders → sanitized CSV artifact (S7) → re-read
+    * (S1). Rows-only: exercises the ingest/export adapters end-to-end. */
+  def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val path = Ingest.exportResult(
+      Relational.topOrders(spark, dir), out, "top orders: report?.csv")
+    Ingest.readTable(spark, path, "csv")
   }
 }

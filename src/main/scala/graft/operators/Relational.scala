@@ -194,6 +194,59 @@ object Relational {
         sum(when(col("value") <= 50, 1).otherwise(0)).as("n_low"),
         round(avg(when(col("value") > 50, 1.0).otherwise(0.0)), 4).as("share_high"))
 
+  /** JSON path extraction over the `props` payload column (events carry a
+    * JSON props string; extraction stays codegen'd — no UDF). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .filter(col("k_val") > 50)
+
+  /** Gap-based sessionization: a new session starts after a >30 min gap per
+    * user (lag window + conditional sum) — one shuffle on user_id covers
+    * both the window and the final aggregate. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts").cast("timestamp")) -
+            unix_timestamp(col("prev_ts").cast("timestamp")) > 1800, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("is_new").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** ROLLUP hierarchy aggregation: per (event_type, day), per event_type,
+    * and grand total in one pass (partial-agg friendly). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+
+  /** Set operations: (big-order customers ∪ BUILDING-segment customers)
+    * minus negative-balance customers — UNION/EXCEPT with set semantics. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000).select(col("o_custkey").as("custkey"))
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
+    val negative = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") < 0).select(col("c_custkey").as("custkey"))
+    bigOrders.union(building).distinct().except(negative)
+  }
+
+  /** Approximate distinct (HyperLogLog++) per group — the sketch path for
+    * 100 TB cardinalities (exact countDistinct forces a second shuffle;
+    * approx is single-pass mergeable). Rows-only check: sketch estimates
+    * are engine-specific. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+           countDistinct(col("user_id")).as("exact_users"))
+
   /** J6 — join back to a greatest-n-per-group: users whose LATEST event is an
     * error, with their lifetime event count (the reference's task-list
     * status filter, web_scheduler.py:4621-4648). */
