@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Pipeline, Relational}
+import graft.operators.{Advanced, Pipeline, Relational}
 import graft.sqlx.Sql
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -67,6 +67,10 @@ object SparkEntry {
       graft.streaming.Streams.streamWindowedFromParquet(s, dir)),
     "q36_media_features"     -> Pipeline.mediaFeatures _,
     "q37_export_roundtrip"   -> Pipeline.exportRoundtrip _,
+    // advanced composition operators
+    "q38_asof_join"          -> Advanced.asofPurchaseClick _,
+    "q39_percentiles"        -> Advanced.pricePercentiles _,
+    "q40_pivot"              -> Advanced.eventPivot _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -264,5 +268,30 @@ object SparkEntry {
         | time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
         | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q38_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |       c.ts AS asof_click_ts, c.event_id AS asof_click_id
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "q39_percentiles" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | round(min(o_totalprice), 2) AS p_min,
+        | round(max(o_totalprice), 2) AS p_max
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q40_pivot" ->
+      """SELECT user_id % 5 AS cohort,
+        | count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        | count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }
