@@ -139,6 +139,19 @@ object Scheduler {
       case other => Left(s"unknown task type '$other'")
     }
 
+  /** S9 — script path normalization (web_scheduler.py:832-893): store
+    * project-relative paths; a foreign absolute path maps into the managed
+    * scripts dir by basename. */
+  def normalizeScriptPath(stored: String, scriptsDir: String = "uploads"): String = {
+    val unified = stored.replace('\\', '/')
+    val p = java.nio.file.Paths.get(unified)
+    // absolute = POSIX-absolute or Windows drive-letter path (the reference
+    // ran on Windows; stored paths like C:\Users\... must map by basename)
+    val absolute = p.isAbsolute || unified.matches("^[A-Za-z]:/.*")
+    if (!absolute) p.toString
+    else scriptsDir + "/" + p.getFileName.toString
+  }
+
   /** S8 — subprocess execution: 300 s timeout, cwd = script dir, UTF-8
     * tolerant decode (reference web_scheduler.py:736-829). */
   def runPython(path: String): Either[String, String] = {
