@@ -71,6 +71,7 @@ object SparkEntry {
     "q38_asof_join"          -> Advanced.asofPurchaseClick _,
     "q39_percentiles"        -> Advanced.pricePercentiles _,
     "q40_pivot"              -> Advanced.eventPivot _,
+    "q41_embedding_dups"     -> Pipeline.embeddingDups _,
   )
 
   def oracleSql: Map[String, String] = Map(

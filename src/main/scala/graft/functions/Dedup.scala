@@ -99,6 +99,20 @@ object Dedup {
     inter / (size(sa) + size(sb) - inter).cast("double")
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    * generation (collide in ≥1 hyperplane table) refined by exact fused
+    * cosine ≥ threshold. The bucket join bounds candidates far below the
+    * cross product; at 100 TB the signatures are precomputed at write time. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, threshold: Double,
+                        bitsPerTable: Int = 8, nTables: Int = 4): DataFrame =
+    Vectors.lshTopK(df, df, idCol, vecCol, dim, k = Int.MaxValue,
+        bitsPerTable, nTables)
+      .filter(col("query_id") < col("neighbor_id") &&
+              col("cos_sim") >= threshold)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+              col("cos_sim"))
+
   /** Exact duplicate groups by content fingerprint: one canonical (min id)
     * survivor per normalized text. GroupBy on the 16-byte digest — the only
     * shuffled payload is (fingerprint, id). */

@@ -25,7 +25,15 @@ object Vectors {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Interpreted composition form (kept for reference); `cosine` below is
+    * the fused native expression used on hot paths. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Fused single-loop cosine (custom Catalyst expression with codegen —
+    * one traversal, no per-element lambda dispatch). Same accumulation
+    * order as the composition form, so results are bit-identical. */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosine_sim(a, b)
 
   /** Brute-force cosine top-k: for each row of `queries`, the `k` nearest
     * corpus rows. Queries are broadcast (must be driver-small); the corpus

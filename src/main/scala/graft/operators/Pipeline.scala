@@ -82,6 +82,13 @@ object Pipeline {
       bitsPerTable = 6, nTables = 6)
   }
 
+  /** Embedding-cosine near-duplicate pairs (LSH candidates + exact refine;
+    * rows-only: recall is bucket-dependent by design). */
+  def embeddingDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", dim = 64, threshold = 0.2, bitsPerTable = 6, nTables = 6)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Documents as an opaque-binary media table (payload = utf-8 bytes here;
     * at scale: real image/audio payloads with the same schema). */
   private def mediaTable(spark: SparkSession, dir: String): DataFrame =

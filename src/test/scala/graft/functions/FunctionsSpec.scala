@@ -101,6 +101,37 @@ class FunctionsSpec extends SparkSuite {
       .collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
   }
 
+  test("fused cosine expression matches the higher-order composition bit-for-bit") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, sfDir).limit(50)
+    val pairs = emb.select(col("vec_id").as("ida"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("idb"), col("embedding").as("b")))
+      .filter(col("ida") < col("idb"))
+    val diffs = pairs.select(
+        Vectors.cosine(col("a"), col("b")).as("fused"),
+        Vectors.cosineHof(col("a"), col("b")).as("hof"))
+      .filter(col("fused") =!= col("hof")).count()
+    assert(diffs == 0)
+  }
+
+  test("fused cosine: zero vector yields null, not NaN") {
+    import spark.implicits._
+    val df = Seq((Array(0f, 0f), Array(1f, 2f))).toDF("a", "b")
+    assert(df.select(Vectors.cosine(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
+  test("embeddingNearDups: pairs are deduped, thresholded, symmetric-free") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.99f, 0.14f, 0f)),
+      (3L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val dups = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      dim = 3, threshold = 0.9, bitsPerTable = 2, nTables = 4).collect()
+    assert(dups.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(dups.forall(_.getDouble(2) >= 0.9))
+  }
+
   test("bruteForceTopK returns k ranked neighbors excluding self") {
     import spark.implicits._
     val vecs = Seq(
