@@ -106,8 +106,7 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
                         bitsPerTable: Int = 8, nTables: Int = 4): DataFrame =
-    Vectors.lshTopK(df, df, idCol, vecCol, dim, k = Int.MaxValue,
-        bitsPerTable, nTables)
+    Vectors.lshScoredPairs(df, df, idCol, vecCol, dim, bitsPerTable, nTables)
       .filter(col("query_id") < col("neighbor_id") &&
               col("cos_sim") >= threshold)
       .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),

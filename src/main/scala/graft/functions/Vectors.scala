@@ -83,9 +83,12 @@ object Vectors {
     * all-plane projections → per-table signatures): each stage references the
     * previous by attribute, so the 64-element cast runs once per row instead
     * of being inlined into every one of the b×L dot products. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, dim: Int, k: Int,
-              bitsPerTable: Int = 8, nTables: Int = 4): DataFrame = {
+  /** Candidate pairs scored by exact cosine: corpus×queries rows colliding
+    * in ≥1 LSH table, deduped. No ranking — consumers that need top-k add
+    * the window; threshold consumers (near-dup) filter directly. */
+  def lshScoredPairs(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, dim: Int,
+                     bitsPerTable: Int = 8, nTables: Int = 4): DataFrame = {
     val ps = planes(bitsPerTable * nTables, dim, seed = 42L)
     val planesLit = typedLit(ps.map(_.toSeq).toSeq)
     def signed(df: DataFrame, idAs: String, vecAs: String) = df
@@ -104,12 +107,19 @@ object Vectors {
         }: _*)).as(Seq("tbl", "sig")))
     val sigC = signed(corpus, "neighbor_id", "cv")
     val sigQ = signed(queries, "query_id", "qv")
-    val scored = sigC.join(sigQ, Seq("tbl", "sig"))
+    sigC.join(sigQ, Seq("tbl", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
               round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+  }
+
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int,
+              bitsPerTable: Int = 8, nTables: Int = 4): DataFrame = {
+    val scored = lshScoredPairs(corpus, queries, idCol, vecCol, dim,
+      bitsPerTable, nTables)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
