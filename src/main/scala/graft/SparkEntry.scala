@@ -72,9 +72,25 @@ object SparkEntry {
     "q39_percentiles"        -> Advanced.pricePercentiles _,
     "q40_pivot"              -> Advanced.eventPivot _,
     "q41_embedding_dups"     -> Pipeline.embeddingDups _,
+    "q42_profile"            -> Pipeline.profileOrders _,
+    "q43_train_split"        -> Pipeline.trainSplit _,
   )
 
+  /** q42 oracle: per-column profile as UNION ALL (DuckDB lacks stack()). */
+  private val profileOracle: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    cols.flatMap { c => Seq(
+      s"SELECT '$c' AS column_name, 'n' AS metric, CAST(count($c) AS VARCHAR) AS value FROM orders",
+      s"SELECT '$c', 'nulls', CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM orders",
+      s"SELECT '$c', 'distinct', CAST(count(DISTINCT $c) AS VARCHAR) FROM orders",
+      s"SELECT '$c', 'min', CAST(min($c) AS VARCHAR) FROM orders",
+      s"SELECT '$c', 'max', CAST(max($c) AS VARCHAR) FROM orders")
+    }.mkString(" UNION ALL ")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q42_profile" -> profileOracle,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
@@ -286,6 +302,15 @@ object SparkEntry {
         | round(min(o_totalprice), 2) AS p_min,
         | round(max(o_totalprice), 2) AS p_max
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q43_train_split" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::INT % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+        | count(*) AS n_docs,
+        | CAST(sum(len(regexp_extract_all(lower(text),'\S+'))) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1""".stripMargin,
     "q40_pivot" ->
       """SELECT user_id % 5 AS cohort,
         | count(CASE WHEN event_type = 'click' THEN 1 END) AS click,

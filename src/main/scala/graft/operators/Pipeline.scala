@@ -114,6 +114,43 @@ object Pipeline {
               round(element_at(col("features"), 1), 4).as("f0"))
   }
 
+  /** Column profiling — the data-quality pass a pipeline runs before
+    * training: per-column counts, nulls, distincts, min/max. One pass over
+    * the table (all aggregates in a single job). */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(spark, dir)
+    val metrics = df.schema.fieldNames.toSeq.flatMap { c =>
+      Seq(
+        count(col(c)).cast("string").as(s"${c}__n"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("string").as(s"${c}__nulls"),
+        countDistinct(col(c)).cast("string").as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = df.agg(metrics.head, metrics.tail: _*)
+    // unpivot to (column_name, metric, value)
+    val stacked = df.schema.fieldNames.toSeq.flatMap { c =>
+      Seq("n", "nulls", "distinct", "min", "max").map(m =>
+        s"'$c', '$m', `${c}__$m`")
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${df.schema.fieldNames.length * 5}, $stacked) AS (column_name, metric, value)")
+  }
+
+  /** Deterministic train/valid/test split via md5 bucketing (stable across
+    * engines, runs, and cluster sizes — never rand()): bucket =
+    * first-4-hex-digits(md5(id)) mod 100; <80 train, <90 valid, else test. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(Text.tokenCount(col("text"))).cast("bigint").as("n_tokens"))
+  }
+
   /** Export round-trip: top orders → sanitized CSV artifact (S7) → re-read
     * (S1). Rows-only: exercises the ingest/export adapters end-to-end. */
   def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,61 @@
+package graft.sched
+
+import java.time.LocalDateTime
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+
+import graft.alerts.{AlertService, Notifier}
+import graft.catalog.CatalogStore
+import graft.catalog.Model._
+
+/** The reference's single scheduler daemon drives BOTH task execution and
+  * SQL-alert checks from one loop (web_scheduler.py:1289-1582 tasks,
+  * 1446-1544 alerts, started together at 5486-5488). Orchestrator composes
+  * [[Scheduler]] and [[AlertService]] under one tick with the alert-side
+  * in-flight dedup (ST6's own `checking_alerts` set).
+  */
+final class Orchestrator(
+    spark: SparkSession,
+    store: CatalogStore,
+    scheduler: Scheduler,
+    alerts: AlertService,
+    clock: () => LocalDateTime = () => LocalDateTime.now()) {
+
+  private val alertGuard = new InFlightGuard
+
+  final case class AlertTickResult(alertId: Long, action: String)
+
+  /** One combined tick: tasks first (reference order), then due alerts. */
+  def tick(): (Seq[Scheduler#TickResult], Seq[AlertTickResult]) = {
+    val taskResults = scheduler.tick()
+    val now = clock()
+    val alertResults = store.read[SqlAlert]("sql_alerts").collect()
+      .filter(_.isEnabled).sortBy(_.id).toSeq.map { a =>
+        if (!alerts.isDue(a, now)) AlertTickResult(a.id, "not_due")
+        else if (!alertGuard.tryAcquire(a.id)) AlertTickResult(a.id, "skipped_in_flight")
+        else try {
+          alerts.check(a.id) match {
+            case Right(r) if r.triggered => AlertTickResult(a.id, "triggered")
+            case Right(_)                => AlertTickResult(a.id, "no_trigger")
+            case Left(err)               => AlertTickResult(a.id, s"failed: $err")
+          }
+        } catch {
+          case NonFatal(e) => AlertTickResult(a.id, s"failed: ${e.getMessage}")
+        } finally alertGuard.release(a.id)
+      }
+    (taskResults, alertResults)
+  }
+
+  @volatile var stopped = false
+
+  /** ST1 — combined 1 s loop; per-tick failure isolation (ST7). */
+  def runLoop(tickMillis: Long = 1000L): Unit =
+    while (!stopped) {
+      try tick()
+      catch { case NonFatal(e) =>
+        System.err.println(s"[orchestrator] tick failed: ${e.getMessage}") }
+      Thread.sleep(tickMillis)
+    }
+}

@@ -1,0 +1,56 @@
+package graft.sched
+
+import java.sql.Timestamp
+import java.time.LocalDateTime
+
+import graft.SparkSuite
+import graft.alerts.{AlertService, InMemoryNotifier}
+import graft.catalog.CatalogStore
+import graft.catalog.Model._
+
+class OrchestratorSpec extends SparkSuite {
+
+  private val t0 = LocalDateTime.of(2026, 3, 1, 8, 0)
+
+  test("combined tick runs due tasks AND due alerts; alert cadence respected") {
+    graft.core.Tables.events(spark, sfDir).createOrReplaceTempView("orch_events")
+    val store = new CatalogStore(spark, tmpDir("orch"))
+    import spark.implicits._
+    store.overwrite(spark.createDataset(Seq(SqlScript(
+      1L, "errors", None,
+      "SELECT * FROM orch_events WHERE event_type = 'error'",
+      Timestamp.valueOf(t0)))), "sql_scripts")
+    store.overwrite(spark.createDataset(Seq(Task(
+      1L, "refresh", "sql", None, Some(1L), 600L, None, None, isActive = true,
+      None, 0, 0, None, Timestamp.valueOf(t0)))), "tasks")
+    store.overwrite(spark.createDataset(Seq(SqlAlert(
+      9L, "errors-watch", 1L, None, "ops@x.com", "not_empty", 0,
+      isEnabled = true, None, None, None))), "sql_alerts")
+
+    val notifier = new InMemoryNotifier
+    var now = t0
+    val clock = () => now
+    val sched = new Scheduler(spark, store,
+      Scheduler.defaultExecutor(spark, store), clock)
+    val alerts = new AlertService(spark, store, notifier, tmpDir("orch_exp"), clock)
+    val orch = new Orchestrator(spark, store, sched, alerts, clock)
+
+    val (tasks1, alerts1) = orch.tick()
+    assert(tasks1.map(_.action) == Seq("executed"))
+    assert(alerts1 == Seq(orch.AlertTickResult(9L, "triggered")))
+    assert(notifier.sent.nonEmpty)
+    assert(store.read[SqlAlertLog]("sql_alert_logs").count() == 1)
+
+    // 100 s later: task not due (600 s interval), alert not due (300 s default)
+    now = t0.plusSeconds(100)
+    val (tasks2, alerts2) = orch.tick()
+    assert(tasks2.map(_.action) == Seq("not_due"))
+    assert(alerts2 == Seq(orch.AlertTickResult(9L, "not_due")))
+
+    // 301 s later: alert due again, task still waiting
+    now = t0.plusSeconds(301)
+    val (tasks3, alerts3) = orch.tick()
+    assert(tasks3.map(_.action) == Seq("not_due"))
+    assert(alerts3 == Seq(orch.AlertTickResult(9L, "triggered")))
+  }
+}
