@@ -74,6 +74,7 @@ object SparkEntry {
     "q41_embedding_dups"     -> Pipeline.embeddingDups _,
     "q42_profile"            -> Pipeline.profileOrders _,
     "q43_train_split"        -> Pipeline.trainSplit _,
+    "q44_session_windows"    -> Relational.sessionWindows _,
   )
 
   /** q42 oracle: per-column profile as UNION ALL (DuckDB lacks stack()). */
@@ -302,6 +303,19 @@ object SparkEntry {
         | round(min(o_totalprice), 2) AS p_min,
         | round(max(o_totalprice), 2) AS p_max
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q44_session_windows" ->
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(is_new) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        | max(ts) + INTERVAL '30 minutes' AS session_end,
+        | count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q43_train_split" ->
       """WITH b AS (SELECT doc_id, text,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::INT % 100 AS bucket

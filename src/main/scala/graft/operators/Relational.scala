@@ -217,6 +217,18 @@ object Relational {
       .agg(sum("is_new").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Session windows (gap-merged): per-user sessions closed after 30 min of
+    * inactivity, via Spark's native session_window aggregation — the same
+    * construct runs unchanged under Structured Streaming with a watermark. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+              col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("n_events"), col("sum_value"))
+
   /** ROLLUP hierarchy aggregation: per (event_type, day), per event_type,
     * and grand total in one pass (partial-agg friendly). */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =

@@ -53,4 +53,24 @@ class OrchestratorSpec extends SparkSuite {
     assert(tasks3.map(_.action) == Seq("not_due"))
     assert(alerts3 == Seq(orch.AlertTickResult(9L, "triggered")))
   }
+
+  test("runLoop: daemon ticks until stopped (ST1)") {
+    val store = new CatalogStore(spark, tmpDir("loop"))
+    import spark.implicits._
+    store.overwrite(spark.createDataset(Seq.empty[Task]), "tasks")
+    store.overwrite(spark.createDataset(Seq.empty[SqlAlert]), "sql_alerts")
+    var ticks = 0
+    val sched = new Scheduler(spark, store, _ => Right("ok"),
+      clock = () => { ticks += 1; LocalDateTime.now() })
+    val orch = new Orchestrator(spark, store, sched,
+      new AlertService(spark, store, new InMemoryNotifier, tmpDir("loop_exp")))
+    val t = new Thread(() => orch.runLoop(tickMillis = 50L))
+    t.setDaemon(true); t.start()
+    val deadline = System.currentTimeMillis() + 10000
+    while (ticks < 3 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    orch.stopped = true
+    t.join(5000)
+    assert(ticks >= 3, s"expected >=3 ticks, got $ticks")
+    assert(!t.isAlive)
+  }
 }
