@@ -53,9 +53,13 @@ object Dedup {
     // CollapseProject inlines the interpreted higher-order transform into
     // every band reference, re-evaluating the whole signature 8-9× per row:
     // measured 20× slower at sf0.1.) The shuffle payload is k longs per doc.
+    // hash the variable-length shingle to a long ONCE; the k families then
+    // mix that fixed-width value (murmur over 2 words ≪ murmur over the
+    // string k times)
     val exploded = df.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(Text.tokens(col(textCol))))).as("sh"))
-    val minCols = (0 until k).map(i => min(hash(col("sh"), lit(i))).as(s"m$i"))
+        explode(array_distinct(shingles(Text.tokens(col(textCol))))).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val minCols = (0 until k).map(i => min(hash(col("h"), lit(i))).as(s"m$i"))
     val sig = exploded.groupBy("id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
