@@ -20,6 +20,7 @@ object Ingest {
     * excel_to_db/excel_to_db.py:19-39). */
   def readTable(spark: SparkSession, path: String, format: String = "parquet",
                 schema: Option[StructType] = None): DataFrame = {
+    if (format == "xlsx") return Xlsx.read(spark, path)
     val r0 = spark.read.format(format)
     val r1 = schema.map(r0.schema).getOrElse(r0)
     format match {
