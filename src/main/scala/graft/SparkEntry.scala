@@ -75,6 +75,7 @@ object SparkEntry {
     "q42_profile"            -> Pipeline.profileOrders _,
     "q43_train_split"        -> Pipeline.trainSplit _,
     "q44_session_windows"    -> Relational.sessionWindows _,
+    "q45_aliased_projection" -> Relational.aliasedProjection _,
   )
 
   /** q42 oracle: per-column profile as UNION ALL (DuckDB lacks stack()). */
@@ -303,6 +304,11 @@ object SparkEntry {
         | round(min(o_totalprice), 2) AS p_min,
         | round(max(o_totalprice), 2) AS p_max
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q45_aliased_projection" ->
+      """SELECT o_orderkey AS 订单号, o_custkey AS 店铺, o_orderpriority AS sku,
+        | strftime(o_orderdate, '%Y-%m-%d') AS 日期,
+        | o_orderdate AS 创建日期, o_totalprice AS 总价格
+        |FROM orders""".stripMargin,
     "q44_session_windows" ->
       """WITH g AS (SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL

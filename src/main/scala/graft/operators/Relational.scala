@@ -194,6 +194,20 @@ object Relational {
         sum(when(col("value") <= 50, 1).otherwise(0)).as("n_low"),
         round(avg(when(col("value") > 50, 1.0).otherwise(0.0)), 4).as("share_high"))
 
+  /** The production monitoring projection (scheduler.db sql_scripts row 33):
+    * column aliases are observable output and include non-ASCII names —
+    * alias fidelity through plan, parquet write and oracle compare. */
+  def aliasedProjection(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey").as("订单号"),
+      col("o_custkey").as("店铺"),
+      col("o_orderpriority").as("sku"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("日期"),
+      // ntz at the output edge: DuckDB timestamps are naive (session TZ UTC
+      // makes the cast an identity)
+      col("o_orderdate").cast("timestamp_ntz").as("创建日期"),
+      col("o_totalprice").as("总价格"))
+
   /** JSON path extraction over the `props` payload column (events carry a
     * JSON props string; extraction stays codegen'd — no UDF). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
