@@ -119,22 +119,22 @@ object Pipeline {
     * the table (all aggregates in a single job). */
   def profileOrders(spark: SparkSession, dir: String): DataFrame = {
     val df = Tables.orders(spark, dir)
-    val metrics = df.schema.fieldNames.toSeq.flatMap { c =>
-      Seq(
-        count(col(c)).cast("string").as(s"${c}__n"),
-        sum(when(col(c).isNull, 1).otherwise(0)).cast("string").as(s"${c}__nulls"),
-        countDistinct(col(c)).cast("string").as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    val wide = df.agg(metrics.head, metrics.tail: _*)
-    // unpivot to (column_name, metric, value)
-    val stacked = df.schema.fieldNames.toSeq.flatMap { c =>
-      Seq("n", "nulls", "distinct", "min", "max").map(m =>
-        s"'$c', '$m', `${c}__$m`")
-    }.mkString(", ")
-    wide.selectExpr(
-      s"stack(${df.schema.fieldNames.length * 5}, $stacked) AS (column_name, metric, value)")
+    // one aggregate per column, unioned: a single multi-column agg with 6
+    // DIFFERENT countDistincts plans as a SortAggregate over materialized
+    // value-set buffers (measured 4.4s at sf0.1); per-column aggs each get
+    // the classic hash-based two-phase distinct plan over a pruned
+    // one-column scan, and the union branches run in one job.
+    df.schema.fieldNames.toSeq.map { c =>
+      df.agg(
+          count(col(c)).cast("string").as("m_n"),
+          sum(when(col(c).isNull, 1).otherwise(0)).cast("string").as("m_nulls"),
+          countDistinct(col(c)).cast("string").as("m_distinct"),
+          min(col(c)).cast("string").as("m_min"),
+          max(col(c)).cast("string").as("m_max"))
+        .selectExpr("stack(5, 'n', m_n, 'nulls', m_nulls, 'distinct', m_distinct, " +
+          "'min', m_min, 'max', m_max) AS (metric, value)")
+        .select(lit(c).as("column_name"), col("metric"), col("value"))
+    }.reduce(_ unionAll _)
   }
 
   /** Deterministic train/valid/test split via md5 bucketing (stable across
