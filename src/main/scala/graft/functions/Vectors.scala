@@ -105,12 +105,21 @@ object Vectors {
               lit(1 << i)).otherwise(lit(0))
           }.reduce(_ + _)
         }: _*)).as(Seq("tbl", "sig")))
-    val sigC = signed(corpus, "neighbor_id", "cv")
-    val sigQ = signed(queries, "query_id", "qv")
-    sigC.join(sigQ, Seq("tbl", "sig"))
+    // candidate id-pairs first (16 B rows through the dedup shuffle), vectors
+    // joined back afterwards — carrying both 64-float vectors through the
+    // dedup shuffle made the stage spill-sensitive (measured 3.8-19 s at
+    // sf0.1 depending on memory pressure; id-only dedup is stable)
+    val sigC = signed(corpus, "neighbor_id", "cv").select("tbl", "sig", "neighbor_id")
+    val sigQ = signed(queries, "query_id", "qv").select("tbl", "sig", "query_id")
+    val pairs = sigC.join(sigQ, Seq("tbl", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+    pairs
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+            Seq("neighbor_id"))
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+            Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
               round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
   }
