@@ -59,6 +59,9 @@ object Dedup {
     val exploded = df.select(col(idCol).as("id"),
         explode(array_distinct(shingles(Text.tokens(col(textCol))))).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("h"))
+    // k min-aggregates (not collect_list + post-agg transform: that variant
+    // re-measured slower — CollapseProject duplicates the interpreted
+    // HOF into every downstream band reference)
     val minCols = (0 until k).map(i => min(hash(col("h"), lit(i))).as(s"m$i"))
     val sig = exploded.groupBy("id")
       .agg(minCols.head, minCols.tail: _*)
