@@ -76,6 +76,8 @@ object SparkEntry {
     "q43_train_split"        -> Pipeline.trainSplit _,
     "q44_session_windows"    -> Relational.sessionWindows _,
     "q45_aliased_projection" -> Relational.aliasedProjection _,
+    "q46_window_suite"       -> Relational.windowSuite _,
+    "q47_correlated_subq"    -> Relational.aboveNationAverage _,
   )
 
   /** q42 oracle: per-column profile as UNION ALL (DuckDB lacks stack()). */
@@ -304,6 +306,23 @@ object SparkEntry {
         | round(min(o_totalprice), 2) AS p_min,
         | round(max(o_totalprice), 2) AS p_max
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q46_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | CAST(rank() OVER w AS INT) AS rnk,
+        | CAST(dense_rank() OVER w AS INT) AS drnk,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | round(sum(o_totalprice) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q47_correlated_subq" ->
+      """SELECT c_custkey, c_name, c_acctbal AS acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
     "q45_aliased_projection" ->
       """SELECT o_orderkey AS 订单号, o_custkey AS 店铺, o_orderpriority AS sku,
         | strftime(o_orderdate, '%Y-%m-%d') AS 日期,

@@ -231,6 +231,37 @@ object Relational {
       .agg(sum("is_new").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Window-function suite beyond row_number: lag/lead, rank/dense_rank,
+    * ntile, running sum — one shuffle on the partition key serves all six
+    * (same window spec → single Window exec). */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      lag("o_totalprice", 1).over(w).as("prev_price"),
+      lead("o_totalprice", 1).over(w).as("next_price"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      ntile(4).over(w).as("quartile"),
+      round(sum("o_totalprice").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+        .as("running_total"))
+  }
+
+  /** Correlated scalar subquery — customers above their nation's average
+    * balance. Catalyst decorrelates this into a join against a grouped
+    * aggregate (the rewrite the reference's correlated MAX subqueries rely
+    * on their backend DB for, SURVEY.md §4.1). Expressed through spark.sql
+    * to exercise the parser path. */
+  def aboveNationAverage(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("corr_customer")
+    spark.sql(
+      """SELECT c_custkey, c_name, c_acctbal AS acctbal
+        |FROM corr_customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM corr_customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+  }
+
   /** Session windows (gap-merged): per-user sessions closed after 30 min of
     * inactivity, via Spark's native session_window aggregation — the same
     * construct runs unchanged under Structured Streaming with a watermark. */
