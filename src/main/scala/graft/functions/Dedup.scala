@@ -112,10 +112,9 @@ object Dedup {
     * cross product; at 100 TB the signatures are precomputed at write time. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
-                        bitsPerTable: Int = 8, nTables: Int = 4): DataFrame =
-    Vectors.lshScoredPairs(df, df, idCol, vecCol, dim, bitsPerTable, nTables)
-      .filter(col("query_id") < col("neighbor_id") &&
-              col("cos_sim") >= threshold)
+                        bitsPerTable: Int = 0, nTables: Int = 6): DataFrame =
+    Vectors.lshSelfPairs(df, idCol, vecCol, dim, bitsPerTable, nTables)
+      .filter(col("cos_sim") >= threshold)
       .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
               col("cos_sim"))
 

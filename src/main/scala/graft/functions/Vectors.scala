@@ -52,69 +52,103 @@ object Vectors {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
-  /** Deterministic random hyperplanes: `nPlanes` × `dim`, components from a
-    * fixed-seed generator. Literal arrays — shipped in the plan, tiny. */
-  private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+  /** Deterministic random hyperplanes, flattened row-major
+    * ((nPlanes × dim), plane p at [p*dim, p*dim+dim)) for the fused
+    * signature expression. Fixed seed ⇒ reproducible buckets. */
+  private def planesFlat(nPlanes: Int, dim: Int, seed: Long): Array[Double] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    Array.fill(nPlanes * dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bit LSH signature under `nPlanes` fixed hyperplanes: an Int whose
-    * bit i is (v · plane_i) >= 0. Cosine-similar vectors collide with high
-    * probability (random hyperplane LSH, Charikar 2002). */
-  def lshSignature(v: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
-    val ps = planes(nPlanes, dim, seed)
-    val vd = asDouble(v)
-    val bits = ps.zipWithIndex.map { case (p, i) =>
-      val proj = (0 until dim).map(j => element_at(vd, j + 1) * lit(p(j))).reduce(_ + _)
-      when(proj >= 0, lit(1 << i)).otherwise(lit(0))
-    }
-    bits.reduce(_.bitwiseOR(_))
+  /** All `nTables` sign-bit LSH signatures of `v` (random hyperplane LSH,
+    * Charikar 2002) as array<int>, computed in one fused codegen loop —
+    * see LshSignatures for why HOF/staged-projection variants are traps. */
+  def lshSignatures(v: Column, dim: Int, bitsPerTable: Int, nTables: Int,
+                    seed: Long = 42L): Column =
+    graft.expressions.VectorExpressions.lsh_signatures(v,
+      planesFlat(bitsPerTable * nTables, dim, seed), bitsPerTable, nTables)
+
+  /** Bits per LSH table sized to the corpus: 2^b buckets ≈ n / target ⇒
+    * expected bucket size stays ~`targetBucketSize` as n grows, so expected
+    * candidate pairs grow O(n·target), not O(n²/2^b). At 100 TB (n ≈ 10^9)
+    * this gives b ≈ 25 — still a few KB of hyperplanes in the plan. */
+  def adaptiveBits(n: Long, targetBucketSize: Int = 32,
+                   minBits: Int = 4, maxBits: Int = 26): Int = {
+    val b = math.ceil(math.log(math.max(1L, n).toDouble / targetBucketSize) /
+      math.log(2.0)).toInt
+    math.max(minBits, math.min(maxBits, b))
   }
 
-  /** Bucketed ANN top-k: a query scores only corpus rows it collides with in
-    * at least one of `nTables` LSH tables (standard (b,L) scheme: L tables
-    * drive recall up, b bits keep buckets small) — recall traded for probing
-    * |bucket|-sized slices instead of a full scan. The bucket join shuffles
-    * on (table, signature), so work distributes by bucket; at 100 TB the
-    * corpus signatures would be precomputed and bucket-partitioned on write.
-    *
-    * Signature computation is staged through named columns (cast vector →
-    * all-plane projections → per-table signatures): each stage references the
-    * previous by attribute, so the 64-element cast runs once per row instead
-    * of being inlined into every one of the b×L dot products. */
+  /** (id, tbl, sig) bucket rows for `df`, bucket size capped at `bucketCap`
+    * (deterministic: lowest ids survive). The cap bounds the worst bucket's
+    * pair count at cap² regardless of skew — degenerate corpora (many exact-
+    * duplicate or zero vectors hash identically in EVERY table and would
+    * otherwise go quadratic; exact-dup by fingerprint belongs BEFORE ANN).
+    * Cap ⇒ recall on skewed buckets is best-effort by design. */
+  private def bucketRows(df: DataFrame, idCol: String, vecCol: String,
+                         idAs: String, dim: Int, bitsPerTable: Int,
+                         nTables: Int, bucketCap: Int): DataFrame = {
+    val sigs = df.select(col(idCol).as(idAs),
+      posexplode(lshSignatures(col(vecCol), dim, bitsPerTable, nTables))
+        .as(Seq("tbl", "sig")))
+    val w = Window.partitionBy("tbl", "sig").orderBy(col(idAs).asc)
+    sigs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= bucketCap).drop("rn")
+  }
+
   /** Candidate pairs scored by exact cosine: corpus×queries rows colliding
     * in ≥1 LSH table, deduped. No ranking — consumers that need top-k add
-    * the window; threshold consumers (near-dup) filter directly. */
+    * the window; threshold consumers (near-dup) filter directly.
+    *
+    * Scale shape: `bitsPerTable ≤ 0` (default) derives b from the corpus
+    * count so buckets stay ~`targetBucketSize` rows at ANY n (candidates
+    * O(L·n·target), never quadratic); `bucketCap` bounds skewed buckets.
+    * Only (id, tbl, sig) rows shuffle — 16 B each; vectors join back after
+    * the id-pair dedup (carrying 64-float payloads through the dedup
+    * shuffle measured 3.8–19 s flaky at sf0.1; id-only is stable). */
   def lshScoredPairs(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, dim: Int,
-                     bitsPerTable: Int = 8, nTables: Int = 4): DataFrame = {
-    val ps = planes(bitsPerTable * nTables, dim, seed = 42L)
-    val planesLit = typedLit(ps.map(_.toSeq).toSeq)
-    def signed(df: DataFrame, idAs: String, vecAs: String) = df
-      .select(col(idCol).as(idAs), col(vecCol).as(vecAs),
-              asDouble(col(vecCol)).as("vd"))
-      .select(col(idAs), col(vecAs),
-        transform(planesLit,
-          p => aggregate(zip_with(col("vd"), p, (x, w) => x * w),
-                         lit(0.0), (acc, v) => acc + v)).as("projs"))
-      .select(col(idAs), col(vecAs),
-        posexplode(array((0 until nTables).map { t =>
-          (0 until bitsPerTable).map { i =>
-            when(element_at(col("projs"), t * bitsPerTable + i + 1) >= 0,
-              lit(1 << i)).otherwise(lit(0))
-          }.reduce(_ + _)
-        }: _*)).as(Seq("tbl", "sig")))
-    // candidate id-pairs first (16 B rows through the dedup shuffle), vectors
-    // joined back afterwards — carrying both 64-float vectors through the
-    // dedup shuffle made the stage spill-sensitive (measured 3.8-19 s at
-    // sf0.1 depending on memory pressure; id-only dedup is stable)
-    val sigC = signed(corpus, "neighbor_id", "cv").select("tbl", "sig", "neighbor_id")
-    val sigQ = signed(queries, "query_id", "qv").select("tbl", "sig", "query_id")
+                     bitsPerTable: Int = 0, nTables: Int = 6,
+                     targetBucketSize: Int = 32,
+                     bucketCap: Int = 256): DataFrame = {
+    val bits = if (bitsPerTable > 0) bitsPerTable
+               else adaptiveBits(corpus.count(), targetBucketSize)
+    val sigC = bucketRows(corpus, idCol, vecCol, "neighbor_id",
+      dim, bits, nTables, bucketCap)
+    val sigQ = bucketRows(queries, idCol, vecCol, "query_id",
+      dim, bits, nTables, bucketCap)
     val pairs = sigC.join(sigQ, Seq("tbl", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+    scorePairs(pairs, corpus, queries, idCol, vecCol)
+  }
+
+  /** Self near-duplicate candidates (corpus vs itself, id_a < id_b):
+    * signatures computed ONCE and self-joined — half the signature work and
+    * one bucket shuffle instead of two vs calling lshScoredPairs(df, df). */
+  def lshSelfPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   bitsPerTable: Int = 0, nTables: Int = 6,
+                   targetBucketSize: Int = 32,
+                   bucketCap: Int = 256): DataFrame = {
+    val bits = if (bitsPerTable > 0) bitsPerTable
+               else adaptiveBits(df.count(), targetBucketSize)
+    val b = bucketRows(df, idCol, vecCol, "id", dim, bits, nTables, bucketCap)
+    val pairs = b.as("l").join(b.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.sig") === col("r.sig") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("query_id"), col("r.id").as("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    scorePairs(pairs, df, df, idCol, vecCol)
+  }
+
+  /** Exact-cosine scoring of candidate id-pairs: join the (tiny relative to
+    * the pair set) vector tables back by id. Spark auto-broadcasts the
+    * vector side when under the broadcast threshold; at 100 TB both sides
+    * shuffle by id — still linear in pairs + corpus. */
+  private def scorePairs(pairs: DataFrame, corpus: DataFrame,
+                         queries: DataFrame, idCol: String,
+                         vecCol: String): DataFrame =
     pairs
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
             Seq("neighbor_id"))
@@ -122,13 +156,35 @@ object Vectors {
             Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
               round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
-  }
 
+  /** Bucketed ANN top-k with MULTI-PROBE on the query side: each query
+    * probes its own bucket plus every Hamming-distance-1 bucket (flip one
+    * signature bit ⇒ b extra probes per table). Multi-probe buys back the
+    * recall lost to larger b (Lv et al., VLDB 2007), so bits can track
+    * corpus size without recall collapse. Query probes are a small relation
+    * (|Q|·L·(b+1) rows) — broadcast by AQE; the corpus is never rescanned. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int,
-              bitsPerTable: Int = 8, nTables: Int = 4): DataFrame = {
-    val scored = lshScoredPairs(corpus, queries, idCol, vecCol, dim,
-      bitsPerTable, nTables)
+              bitsPerTable: Int = 0, nTables: Int = 6,
+              targetBucketSize: Int = 32, bucketCap: Int = 256): DataFrame = {
+    val bits = if (bitsPerTable > 0) bitsPerTable
+               else adaptiveBits(corpus.count(), targetBucketSize)
+    val sigC = bucketRows(corpus, idCol, vecCol, "neighbor_id",
+      dim, bits, nTables, bucketCap)
+    // probe set: identity + single-bit flips of each query signature
+    val sigQ = queries
+      .select(col(idCol).as("query_id"),
+        posexplode(lshSignatures(col(vecCol), dim, bits, nTables))
+          .as(Seq("tbl", "sig0")))
+      .select(col("query_id"), col("tbl"),
+        explode(array(col("sig0") +:
+          (0 until bits).map(i => col("sig0").bitwiseXOR(lit(1 << i))): _*))
+          .as("sig"))
+    val pairs = sigC.join(broadcast(sigQ), Seq("tbl", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = scorePairs(pairs, corpus, queries, idCol, vecCol)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

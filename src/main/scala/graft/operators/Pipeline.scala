@@ -78,15 +78,14 @@ object Pipeline {
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 50)
-    Vectors.lshTopK(emb, queries, "vec_id", "embedding", dim = 64, k = 5,
-      bitsPerTable = 6, nTables = 6)
+    Vectors.lshTopK(emb, queries, "vec_id", "embedding", dim = 64, k = 5)
   }
 
   /** Embedding-cosine near-duplicate pairs (LSH candidates + exact refine;
     * rows-only: recall is bucket-dependent by design). */
   def embeddingDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables.embeddings(spark, dir), "vec_id",
-        "embedding", dim = 64, threshold = 0.2, bitsPerTable = 6, nTables = 6)
+        "embedding", dim = 64, threshold = 0.2)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Documents as an opaque-binary media table (payload = utf-8 bytes here;

@@ -132,6 +132,48 @@ class FunctionsSpec extends SparkSuite {
     assert(dups.forall(_.getDouble(2) >= 0.9))
   }
 
+  test("lshSignatures: deterministic, scale-invariant, sign-flips under negation") {
+    import spark.implicits._
+    val v = Array(0.3f, -1.2f, 0.7f, 2.1f)
+    val df = Seq(("v", v), ("v2", v), ("scaled", v.map(_ * 7f)),
+      ("neg", v.map(-_))).toDF("name", "vec")
+    val sigs = df.select(col("name"),
+        Vectors.lshSignatures(col("vec"), dim = 4, bitsPerTable = 5, nTables = 3).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(sigs("v") == sigs("v2"))       // deterministic
+    assert(sigs("v") == sigs("scaled"))   // cosine LSH ignores magnitude
+    // negating the vector flips every projection's sign (none lands on 0)
+    val mask = (1 << 5) - 1
+    assert(sigs("neg") == sigs("v").map(s => ~s & mask))
+  }
+
+  test("adaptiveBits tracks corpus size and clamps") {
+    assert(Vectors.adaptiveBits(500) == 4)
+    assert(Vectors.adaptiveBits(2000) == 6)
+    assert(Vectors.adaptiveBits(200000) == 13)
+    assert(Vectors.adaptiveBits(1) == 4)                    // min clamp
+    assert(Vectors.adaptiveBits(1000000000L) == 25)
+    assert(Vectors.adaptiveBits(Long.MaxValue / 2) == 26)   // max clamp
+    // monotone non-decreasing over a sweep
+    val bits = (1 to 30).map(i => Vectors.adaptiveBits(1L << i))
+    assert(bits == bits.sorted)
+  }
+
+  test("LSH candidate count grows ~O(n), not O(n²), across scale factors") {
+    // n=500 (sf0.01) vs n=2000 (sf0.1): with adaptive bits the expected
+    // bucket size is constant, so candidates should scale ~4× (linear),
+    // far below the 16× a fixed bucket count would produce.
+    val small = Vectors.lshSelfPairs(
+      graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01"),
+      "vec_id", "embedding", dim = 64).count()
+    val large = Vectors.lshSelfPairs(
+      graft.core.Tables.embeddings(spark, "/root/testdata/sf0.1"),
+      "vec_id", "embedding", dim = 64).count()
+    assert(small > 0 && large > 0)
+    val ratio = large.toDouble / small.toDouble
+    assert(ratio < 8.0, s"candidate growth $ratio looks super-linear (small=$small large=$large)")
+  }
+
   test("bruteForceTopK returns k ranked neighbors excluding self") {
     import spark.implicits._
     val vecs = Seq(
