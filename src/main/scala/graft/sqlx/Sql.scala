@@ -20,6 +20,7 @@ object Sql {
     val cur = new StringBuilder
     var i = 0
     var state: Char = 'n' // n=normal, '\''=single, '"'=double, '`'=backtick, '-'=line comment, '*'=block comment
+    var commentOpen = -1 // index of the '/' that opened the current block comment
     val n = script.length
     while (i < n) {
       val c = script.charAt(i)
@@ -29,7 +30,7 @@ object Sql {
           else {
             if (c == '\'' || c == '"' || c == '`') state = c
             else if (c == '-' && i + 1 < n && script.charAt(i + 1) == '-') state = '-'
-            else if (c == '/' && i + 1 < n && script.charAt(i + 1) == '*') state = '*'
+            else if (c == '/' && i + 1 < n && script.charAt(i + 1) == '*') { state = '*'; commentOpen = i }
             cur += c
           }
         case '\'' | '"' | '`' =>
@@ -44,7 +45,9 @@ object Sql {
           if (c == '\n') state = 'n'
         case '*' =>
           cur += c
-          if (c == '/' && cur.length >= 2 && script.charAt(i - 1) == '*') state = 'n'
+          // the closing '*' must come AFTER the opening "/*" — otherwise the
+          // 3-char input "/*/" would close using the opening '*' itself
+          if (c == '/' && i - commentOpen >= 3 && script.charAt(i - 1) == '*') state = 'n'
       }
       i += 1
     }
@@ -96,6 +99,18 @@ object Sql {
     * Runs against the session catalog; returns the refreshed target. */
   def truncateAndLoad(spark: SparkSession, source: String, target: String): DataFrame = {
     if (!spark.catalog.tableExists(target)) {
+      // A managed-table DIRECTORY can survive from a previous JVM (the
+      // warehouse dir persists, the in-memory catalog does not); CREATE then
+      // throws LOCATION_ALREADY_EXISTS — overwrite mode doesn't help because
+      // it only drops catalog-known tables. Truncate-and-load OWNS its
+      // target (the reference clobbers it every run), so delete the stale
+      // location before creating. (r1: this silently dropped q28 from the
+      // correctness report.)
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(
+        warehouse, target.toLowerCase.replace('.', '/'))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       spark.table(source).limit(0).write.saveAsTable(target)
     }
     runScript(spark,

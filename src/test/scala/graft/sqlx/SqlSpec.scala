@@ -34,6 +34,18 @@ class SqlSpec extends SparkSuite {
       Seq("SELECT /* a;b */ 1", "SELECT 2"))
   }
 
+  test("splitter: '/*/' does not close the comment it opens") {
+    // the '*' of the opening '/*' must not double as the '*' of a closing
+    // '*/' — "/*/" leaves the comment open, so the ';' after it is hidden
+    assert(Sql.splitStatements("SELECT 1 /*/ ; 2") == Seq("SELECT 1 /*/ ; 2"))
+    // a genuinely closed comment right after still works
+    assert(Sql.splitStatements("SELECT 1 /**/; SELECT 2") ==
+      Seq("SELECT 1 /**/", "SELECT 2"))
+    // '/*/' inside a longer comment that later closes properly
+    assert(Sql.splitStatements("SELECT /*/ ; */ 1; SELECT 2") ==
+      Seq("SELECT /*/ ; */ 1", "SELECT 2"))
+  }
+
   test("classifier: SELECT/WITH/SHOW are queries, DML/DDL are not") {
     assert(Sql.isQuery("select 1"))
     assert(Sql.isQuery("  WITH t AS (SELECT 1) SELECT * FROM t"))
@@ -61,5 +73,21 @@ class SqlSpec extends SparkSuite {
     val out2 = Sql.truncateAndLoad(spark, "src_tl", "tgt_tl_spec")
     assert(out2.count() == 3)
     spark.sql("DROP TABLE tgt_tl_spec")
+  }
+
+  test("truncateAndLoad survives a stale warehouse directory (fresh catalog)") {
+    // Simulates a restart: the warehouse dir persists on disk but the
+    // in-memory catalog is empty — CREATE would throw
+    // LOCATION_ALREADY_EXISTS without the stale-dir cleanup (this is how
+    // q28 silently dropped out of the round-1 correctness report).
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("src_tl2")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, "tgt_tl_stale")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc) // stale managed-table dir from a "previous JVM"
+    val out = Sql.truncateAndLoad(spark, "src_tl2", "tgt_tl_stale")
+    assert(out.count() == 2)
+    spark.sql("DROP TABLE tgt_tl_stale")
   }
 }
