@@ -1,0 +1,178 @@
+package graft.sources
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.catalog.Model.DbConfig
+import graft.sqlx.Sql
+
+/** Real JDBC source/sink layer — the reference's external-database execution
+  * fabric (web_scheduler.py:896-1026 per-dialect connect/execute;
+  * excel_to_db/excel_to_db.py:41-70 engine factory, :95 `to_sql`) expressed
+  * through Spark's `format("jdbc")` reader/writer so scans and loads
+  * distribute across executors.
+  *
+  * Dialect coverage mirrors the reference's `db_type` column (mysql /
+  * postgresql / sqlite) plus `derby`, the embedded database available in
+  * this container (`/opt/spark/jars/derby*.jar`) — used by the tests to
+  * exercise the real code path without network access. Spark ships a
+  * `DerbyDialect`, so type mapping and identifier quoting are handled the
+  * same way they would be for the reference's production dialects.
+  */
+object Jdbc {
+
+  // swap the built-in Derby dialect for the case-insensitive one
+  // (graftshim.GraftDerbyDialect), once, before any JDBC read/write —
+  // every public entry point builds a Target, so both hit this
+  private def dialectReady: Unit = org.apache.spark.sql.jdbc.DerbyShim.install
+
+  /** A resolved JDBC target: url + connection properties. */
+  final case class Target(url: String, props: Properties) {
+    def withProp(k: String, v: String): Target = {
+      val p = new Properties(); p.putAll(props); p.setProperty(k, v); Target(url, p)
+    }
+  }
+
+  /** S2 — connection factory from a catalog [[DbConfig]] row: the
+    * reference's per-dialect engine construction
+    * (excel_to_db/excel_to_db.py:41-70). */
+  def target(cfg: DbConfig): Target = {
+    dialectReady
+    val url = cfg.dbType match {
+      case "mysql" =>
+        s"jdbc:mysql://${cfg.host}:${cfg.port}/${cfg.database.getOrElse("")}"
+      case "postgresql" =>
+        s"jdbc:postgresql://${cfg.host}:${cfg.port}/${cfg.database.getOrElse("")}"
+      case "sqlite" =>
+        s"jdbc:sqlite:${cfg.database.getOrElse("")}"
+      case "derby" => // embedded: `database` is the on-disk path
+        s"jdbc:derby:${cfg.database.getOrElse("")};create=true"
+      case other => throw new IllegalArgumentException(s"unsupported db_type: $other")
+    }
+    val p = new Properties()
+    if (cfg.username.nonEmpty) p.setProperty("user", cfg.username)
+    if (cfg.password.nonEmpty) p.setProperty("password", cfg.password)
+    if (cfg.dbType == "derby")
+      p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    Target(url, p)
+  }
+
+  /** Embedded-Derby convenience target for tests and local runs. */
+  def derby(dbPath: String): Target = {
+    dialectReady
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    Target(s"jdbc:derby:$dbPath;create=true", p)
+  }
+
+  /** Distributed JDBC table scan. `partitionColumn`+`numPartitions` splits
+    * the scan into parallel range reads — at scale every executor pulls its
+    * own slice instead of one task streaming the whole table. */
+  def read(spark: SparkSession, t: Target, table: String,
+           partitionColumn: Option[String] = None,
+           numPartitions: Int = 1,
+           lowerBound: Long = 0L, upperBound: Long = Long.MaxValue): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", t.url).option("dbtable", table)
+    val withPart = partitionColumn match {
+      case Some(c) if numPartitions > 1 => base
+        .option("partitionColumn", c)
+        .option("numPartitions", numPartitions)
+        .option("lowerBound", lowerBound)
+        .option("upperBound", upperBound)
+      case _ => base
+    }
+    t.props.stringPropertyNames().toArray(Array.empty[String])
+      .foldLeft(withPart)((r, k) => r.option(k, t.props.getProperty(k))).load()
+  }
+
+  /** Push an arbitrary SELECT down to the remote database (the reference
+    * runs user SQL server-side, web_scheduler.py:931-967). */
+  def readQuery(spark: SparkSession, t: Target, query: String): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", t.url).option("query", query)
+    t.props.stringPropertyNames().toArray(Array.empty[String])
+      .foldLeft(base)((r, k) => r.option(k, t.props.getProperty(k))).load()
+  }
+
+  /** S3 — truncate-and-load to an external table (reference
+    * excel_to_db/excel_to_db.py:72-100: create if missing, else truncate,
+    * then bulk insert). `truncate=true` keeps the remote table's DDL
+    * (indexes, grants) instead of drop/recreate; the insert itself runs one
+    * batch per Spark partition, in parallel. */
+  def truncateLoad(df: DataFrame, t: Target, table: String): Long = {
+    val writer = df.write.format("jdbc")
+      .option("url", t.url).option("dbtable", table)
+      .option("truncate", "true")
+      .mode(SaveMode.Overwrite)
+    t.props.stringPropertyNames().toArray(Array.empty[String])
+      .foldLeft(writer)((w, k) => w.option(k, t.props.getProperty(k))).save()
+    read(df.sparkSession, t, table).count()
+  }
+
+  /** S4 — record-batch append (first-record column contract,
+    * web_scheduler.py:4410; missing-key error 4485-4487), landing in the
+    * external database via the JDBC writer. */
+  def insertRecords(spark: SparkSession, t: Target, table: String,
+                    records: Seq[Map[String, Any]]): Either[String, Long] = {
+    if (records.isEmpty) return Left("no records provided")
+    val cols = records.head.keys.toSeq.sorted
+    val missing = records.zipWithIndex.collectFirst {
+      case (r, i) if !cols.forall(r.contains) =>
+        s"record $i missing column(s): ${cols.filterNot(r.contains).mkString(",")}"
+    }
+    missing.toLeft(()).map { _ =>
+      val schema = read(spark, t, table).schema
+      // remote engines report folded (e.g. uppercase) names — match
+      // case-insensitively but write with the caller's spelling
+      val byLower = schema.fields.map(f => f.name.toLowerCase -> f).toMap
+      val ordered = org.apache.spark.sql.types.StructType(
+        cols.map(c => byLower(c.toLowerCase).copy(name = c)))
+      val rows = records.map(r =>
+        org.apache.spark.sql.Row.fromSeq(cols.map(c => r(c))))
+      val writer = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toList), ordered)
+        .write.format("jdbc")
+        .option("url", t.url).option("dbtable", table)
+        .mode(SaveMode.Append)
+      t.props.stringPropertyNames().toArray(Array.empty[String])
+        .foldLeft(writer)((w, k) => w.option(k, t.props.getProperty(k))).save()
+      records.size.toLong
+    }
+  }
+
+  /** S6 against a REAL external database: the reference's multi-statement
+    * executor (web_scheduler.py:896-1026) — split, classify, then run
+    * SELECTs through the distributed JDBC reader and DML over a direct
+    * connection, returning per-statement affected-row counts. DML runs on
+    * the driver (it's a metadata-sized control operation, like the
+    * reference's `cursor.execute`); bulk data movement belongs to
+    * [[truncateLoad]]/[[insertRecords]] which distribute. */
+  def runScript(spark: SparkSession, t: Target,
+                script: String): Seq[Sql.StatementResult] = {
+    Sql.splitStatements(script).map { stmt =>
+      if (Sql.isQuery(stmt)) {
+        // Statement-order semantics: the reference fetches each SELECT at
+        // cursor-execution time, so a later DML in the same script must not
+        // retro-mutate an earlier result. A lazy DataFrame would re-read the
+        // remote table at consumption time — snapshot it NOW via the
+        // distributed cache (executor blocks, not a driver collect).
+        val df = readQuery(spark, t, stmt)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        Sql.StatementResult(stmt, isQuery = true, Some(df), -1L)
+      } else {
+        val conn = DriverManager.getConnection(t.url, t.props)
+        try {
+          val st = conn.createStatement()
+          try {
+            val affected = st.executeUpdate(stmt).toLong
+            Sql.StatementResult(stmt, isQuery = false, None, affected)
+          } finally st.close()
+        } finally conn.close()
+      }
+    }
+  }
+}
