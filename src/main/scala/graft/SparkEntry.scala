@@ -78,6 +78,17 @@ object SparkEntry {
     "q45_aliased_projection" -> Relational.aliasedProjection _,
     "q46_window_suite"       -> Relational.windowSuite _,
     "q47_correlated_subq"    -> Relational.aboveNationAverage _,
+    // production streaming shape: append + watermark → parquet file sink
+    // (rows-only: emits closed windows only, by design — batch parity for
+    // those is asserted in StreamsSpec; q35 stays the oracle-checkable path)
+    "q48_stream_append"      -> ((s: SparkSession, dir: String) => {
+      val work = java.nio.file.Files.createTempDirectory("graft-q48").toString
+      // 4 chunks: enough micro-batches to exercise watermark advancement +
+      // incremental arrival; emitted windows are identical from 2..8 chunks
+      // (the trailing no-data batch flushes to global-max − watermark),
+      // while per-batch state-commit overhead scales with chunk count
+      graft.streaming.Streams.streamWindowedAppendFromParquet(s, dir, work, chunks = 4)
+    }),
   )
 
   /** q42 oracle: per-column profile as UNION ALL (DuckDB lacks stack()). */

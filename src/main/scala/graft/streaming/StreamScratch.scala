@@ -1,0 +1,25 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev scratch: time the append-mode streaming path at varying chunk counts
+  * (not part of the API). */
+object StreamScratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    args.drop(1).map(_.toInt).foreach { chunks =>
+      val work = java.nio.file.Files.createTempDirectory(s"ss-$chunks").toString
+      val t0 = System.nanoTime()
+      val n = Streams.streamWindowedAppendFromParquet(spark, dir, work, chunks).count()
+      println(f"[scratch] chunks=$chunks: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -94,6 +94,56 @@ object Streams {
     runToMemory(agg, "graft_stream_events", outputMode = "complete")
   }
 
+  /** The PRODUCTION streaming shape: the same windowed aggregation in
+    * APPEND mode with a watermark, writing a parquet file sink with a
+    * checkpoint. Only closed windows (watermark passed) are emitted, so
+    * state is bounded and the sink is distributed + exactly-once
+    * (checkpoint offsets + sink manifest) — unlike the complete-mode memory
+    * sink used for the oracle compare, which materializes all state on the
+    * driver and exists only because it is batch-equivalent and therefore
+    * DuckDB-checkable.
+    *
+    * The batch events file is staged into `chunks` time-ordered files and
+    * streamed with `maxFilesPerTrigger=1`: watermarks only advance BETWEEN
+    * micro-batches, so a single-file source would process everything in one
+    * batch and append mode could emit nothing by design. In production data
+    * arrives incrementally and this staging step does not exist. Windows
+    * newer than the final watermark correctly remain in state (they'd flush
+    * when the next day's data arrives). Returns the file-sink contents. */
+  def streamWindowedAppendFromParquet(spark: SparkSession, sfDir: String,
+                                      workDir: String, chunks: Int = 8): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = new StructType()
+      .add("event_id", "long").add("ts", "long").add("user_id", "long")
+      .add("event_type", "string").add("value", "double").add("props", "string")
+    val stage = s"$workDir/stage"; val out = s"$workDir/out"; val ckpt = s"$workDir/ckpt"
+    // time-ordered contiguous chunks → file order == event-time order, the
+    // arrival pattern a live stream would have
+    spark.read.schema(schema)
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .repartitionByRange(chunks, col("ts"))
+      .write.mode("overwrite").parquet(stage)
+    // the file source orders by modification time — stagger mtimes so the
+    // time-ordered chunks also ARRIVE in time order (ties are unstable)
+    val parts = new java.io.File(stage).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 60000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 60000L) }
+    val raw = spark.readStream.schema(
+        new StructType()
+          .add("event_id", "long").add("ts", "timestamp").add("user_id", "long")
+          .add("event_type", "string").add("value", "double").add("props", "string"))
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val agg = windowedEventCounts(raw)
+      .withColumn("sum_value", round(col("sum_value"), 2))
+    val q = agg.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out)
+  }
+
   /** Drive a streaming DataFrame synchronously into an in-memory table and
     * return the result — used by tests and the local smoke path (the guide's
     * `processAllAvailable` pattern). */

@@ -18,6 +18,32 @@ class StreamsSpec extends SparkSuite {
     assert(misaligned == 0)
   }
 
+  test("append-mode file-sink path matches batch for closed windows") {
+    val work = tmpDir("stream-append")
+    val emitted = Streams.streamWindowedAppendFromParquet(spark, sfDir, work)
+      .persist()
+    // batch equivalent, same rounding
+    val batch = Streams.windowedEventCounts(
+        graft.core.Tables.events(spark, sfDir))
+      .withColumn("sum_value", round(col("sum_value"), 2))
+      .persist()
+    val keys = Seq("window_start", "window_end", "event_type")
+    // 1) something was emitted (watermark advanced across chunks)
+    assert(emitted.count() > 0)
+    // 2) no spurious rows: every emitted row appears in the batch result
+    //    with identical aggregate values (join on keys + values)
+    val spurious = emitted.join(batch,
+      keys ++ Seq("n_events", "sum_value"), "left_anti").count()
+    assert(spurious == 0)
+    // 3) no duplicate windows in the sink (exactly-once append)
+    assert(emitted.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).count() == 0)
+    // 4) the earliest window is definitely closed → must be present
+    val first = batch.orderBy("window_start", "event_type").limit(1)
+    assert(emitted.join(first, keys, "left_semi").count() == 1)
+    emitted.unpersist(); batch.unpersist()
+  }
+
   test("consecutiveErrorAlerts fires at threshold and resets on success") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
