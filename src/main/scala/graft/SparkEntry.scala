@@ -89,6 +89,12 @@ object SparkEntry {
       // while per-batch state-commit overhead scales with chunk count
       graft.streaming.Streams.streamWindowedAppendFromParquet(s, dir, work, chunks = 4)
     }),
+    // sketch-accuracy probes: oracle-checked properties of the approximate
+    // operators (the sketches themselves are engine-specific; their error
+    // contracts and algebraic invariants are exact, deterministic facts)
+    "q49_minhash_accuracy"   -> Pipeline.minhashAccuracy _,
+    "q50_simhash_invariance" -> Pipeline.simhashInvariance _,
+    "q51_exact_nn"           -> Pipeline.exactNearestNeighbor _,
   )
 
   /** q42 oracle: per-column profile as UNION ALL (DuckDB lacks stack()). */
@@ -106,6 +112,36 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q42_profile" -> profileOracle,
+    // sketch error-contract rows: the exact columns are computed by DuckDB;
+    // the boolean property columns are literal `true` — the driver's
+    // hash-compare then asserts the Spark-side sketch met its contract
+    "q33_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | true AS approx_within_5pct
+        |FROM events GROUP BY 1""".stripMargin,
+    "q49_minhash_accuracy" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+        |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
+        |      FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard,
+        | true AS est_ok
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q50_simhash_invariance" ->
+      """SELECT doc_id, true AS order_invariant, true AS dup_invariant
+        |FROM documents""".stripMargin,
+    "q51_exact_nn" ->
+      """WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |        round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |                                     e.embedding::DOUBLE[]),6) AS cos_sim
+        |      FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+        |FROM (SELECT query_id, neighbor_id, cos_sim, row_number() OVER
+        |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rank
+        |      FROM s) WHERE rank <= 1""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -42,20 +42,18 @@ object Dedup {
     * @param df        input with `idCol` (unique long) and `textCol`
     * @return (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
     */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 32, bands: Int = 8,
-                        threshold: Double = 0.5): DataFrame = {
-    val r = k / bands
-    // Explode shingles then MIN-aggregate the k hash families. The
-    // aggregation is a hard optimizer barrier: the regex tokenize + shingle
-    // build runs once per document and the k-long signature becomes a real
-    // attribute. (A projection-staged variant is NOT safe here —
-    // CollapseProject inlines the interpreted higher-order transform into
-    // every band reference, re-evaluating the whole signature 8-9× per row:
-    // measured 20× slower at sf0.1.) The shuffle payload is k longs per doc.
-    // hash the variable-length shingle to a long ONCE; the k families then
-    // mix that fixed-width value (murmur over 2 words ≪ murmur over the
-    // string k times)
+  /** (id, sig) MinHash signatures for every row. Explode shingles then
+    * MIN-aggregate the k hash families. The aggregation is a hard optimizer
+    * barrier: the regex tokenize + shingle build runs once per document and
+    * the k-long signature becomes a real attribute. (A projection-staged
+    * variant is NOT safe here — CollapseProject inlines the interpreted
+    * higher-order transform into every band reference, re-evaluating the
+    * whole signature 8-9× per row: measured 20× slower at sf0.1.) The
+    * shuffle payload is k longs per doc. The variable-length shingle is
+    * hashed to a long ONCE; the k families then mix that fixed-width value
+    * (murmur over 2 words ≪ murmur over the string k times). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
         explode(array_distinct(shingles(Text.tokens(col(textCol))))).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("h"))
@@ -63,9 +61,16 @@ object Dedup {
     // re-measured slower — CollapseProject duplicates the interpreted
     // HOF into every downstream band reference)
     val minCols = (0 until k).map(i => min(hash(col("h"), lit(i))).as(s"m$i"))
-    val sig = exploded.groupBy("id")
+    exploded.groupBy("id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32, bands: Int = 8,
+                        threshold: Double = 0.5): DataFrame = {
+    val r = k / bands
+    val sig = minhashSignatures(df, idCol, textCol, k)
     val banded = sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bh")))

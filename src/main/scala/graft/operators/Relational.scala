@@ -296,13 +296,19 @@ object Relational {
 
   /** Approximate distinct (HyperLogLog++) per group — the sketch path for
     * 100 TB cardinalities (exact countDistinct forces a second shuffle;
-    * approx is single-pass mergeable). Rows-only check: sketch estimates
-    * are engine-specific. */
+    * approx is single-pass mergeable). The sketch estimate itself is
+    * engine-specific, so the oracle checks the exact column plus the
+    * sketch's ERROR CONTRACT as a boolean: HLL++ at rsd=0.02 is
+    * deterministic for fixed input, and its observed error here is ≪ the
+    * 5% bound, so the row is a stable driver-checkable fact. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
            countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("approx_within_5pct"))
 
   /** J6 — join back to a greatest-n-per-group: users whose LATEST event is an
     * error, with their lifetime event count (the reference's task-list
