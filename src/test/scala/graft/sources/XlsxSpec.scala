@@ -44,6 +44,27 @@ class XlsxSpec extends SparkSuite {
     spark.sql("DROP TABLE xlsx_tgt")
   }
 
+  test("multi-sheet workbook: select by name or index (excel_to_db.py:19-39)") {
+    import spark.implicits._
+    val sales = Seq((1L, "east", 100.0), (2L, "west", 250.0)).toDF("id", "region", "amt")
+    val staff = Seq((10L, "alice"), (11L, "bob"), (12L, "carol")).toDF("id", "name")
+    val path = tmpDir("xlsx") + "/book.xlsx"
+    Xlsx.writeSheets(Seq("Sales" -> sales, "Staff" -> staff), path)
+    assert(Xlsx.sheetNames(path) == Seq("Sales", "Staff"))
+    // by name
+    val byName = Xlsx.read(spark, path, sheetName = Some("Staff"))
+    assert(byName.columns.toSeq == Seq("id", "name") && byName.count() == 3)
+    // by index (pandas sheet_name=0 default → first sheet)
+    val first = Xlsx.read(spark, path)
+    assert(first.columns.toSeq == Seq("id", "region", "amt") && first.count() == 2)
+    val second = Xlsx.read(spark, path, sheetIndex = 1)
+    assert(second.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("alice", "bob", "carol"))
+    // errors, like pandas
+    intercept[IllegalArgumentException](Xlsx.read(spark, path, sheetName = Some("Nope")))
+    intercept[IllegalArgumentException](Xlsx.read(spark, path, sheetIndex = 2))
+  }
+
   test("empty cells become nulls and don't shift columns") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[String], 2.0), (2L, Some("x"), 3.0))
