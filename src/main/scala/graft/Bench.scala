@@ -1,6 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object Bench {
+
+  /** Synthesize a 10× documents + embeddings corpus (hash-generated: 5k-word
+    * vocabulary so shingle/bucket collision statistics resemble the real
+    * corpus, not degenerate copies that would plant artificial near-dup
+    * mass) and time the dedup/ANN family on it. Catches super-linear growth
+    * that the sf0.1 numbers alone cannot show. */
+  private def scaleProbe(spark: SparkSession, sfDir: String,
+                         factor: Int): Seq[(String, Double, Long)] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-probe").toString
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count() * factor
+    val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count() * factor
+    spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(
+          sequence(lit(1), lit(60) + pmod(col("id"), lit(60))),
+          j => concat(lit("w"), pmod(hash(col("id"), j), lit(5000))))).as("text"),
+        lit("en").as("lang"), lit("synth").as("source"), lit(0L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.range(nVecs).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          j => (pmod(hash(col("id"), j), lit(2000001)).cast("double") / 1000000.0
+                - 1.0).cast("float")).as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq("q22_exact_dup_groups", "q24_minhash_pairs", "q41_embedding_dups")
+      .map { name =>
+        val t0 = System.nanoTime()
+        val rows = try SparkEntry.queries(name)(spark, dir).count()
+                   catch { case _: Throwable => -1L }
+        (name, (System.nanoTime() - t0) / 1e9, rows)
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,7 +55,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // 10× scale probe for the dedup/ANN family (disable: SPARK_GRAFT_SCALE_PROBE=0)
+    val probeJson =
+      if (sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("0")) ""
+      else {
+        val p = scaleProbe(spark, sfDir, factor = 10)
+        val entries = p.map { case (k, sec, rows) =>
+          s"\"" + k + s"\":{\"sec\":$sec,\"rows\":$rows}"
+        }.mkString(",")
+        s""","scale_probe_10x":{$entries}"""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probeJson}""")
     spark.stop()
   }
 }

@@ -109,7 +109,20 @@ object Pipeline {
     * tool, not the production ANN path (that's lshTopK). */
   def exactNearestNeighbor(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Vectors.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+    // k=1 as a max-aggregation (partial map-side combine, no sort) instead
+    // of bruteForceTopK's row_number window, which would fully sort all n²
+    // scored pairs: measured 7.9 s → agg form ~halves it at sf0.1. The
+    // struct ordering (cos desc, then -id desc = id asc) matches the
+    // window's deterministic tie-break exactly.
+    val q = broadcast(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              round(Vectors.cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+      .groupBy("query_id")
+      .agg(max(struct(col("cos_sim"), (-col("neighbor_id")).as("neg_id"))).as("best"))
+      .select(col("query_id"), lit(1).cast("int").as("rank"),
+              (-col("best.neg_id")).as("neighbor_id"), col("best.cos_sim").as("cos_sim"))
   }
 
   /** Brute-force cosine top-5 neighbors for the first 5 vectors. */
