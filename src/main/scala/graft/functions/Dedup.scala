@@ -42,38 +42,38 @@ object Dedup {
     * @param df        input with `idCol` (unique long) and `textCol`
     * @return (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
     */
-  /** (id, sig) MinHash signatures for every row. Explode shingles then
-    * MIN-aggregate the k hash families. The aggregation is a hard optimizer
-    * barrier: the regex tokenize + shingle build runs once per document and
-    * the k-long signature becomes a real attribute. (A projection-staged
-    * variant is NOT safe here — CollapseProject inlines the interpreted
-    * higher-order transform into every band reference, re-evaluating the
-    * whole signature 8-9× per row: measured 20× slower at sf0.1.) The
-    * shuffle payload is k longs per doc. The variable-length shingle is
-    * hashed to a long ONCE; the k families then mix that fixed-width value
-    * (murmur over 2 words ≪ murmur over the string k times). */
+  /** (id, sig) MinHash signatures for every row, via the fused native
+    * ShingleMinHash expression: tokenization aside, the whole
+    * shingle → k-family-minima computation is one codegen loop with NO
+    * intermediate shingle strings and ZERO shuffle. (The round-1
+    * explode → k×min-aggregate form paid per-shingle string construction
+    * plus a |docs|×|shingles|-row shuffle used purely as an optimizer
+    * barrier.)
+    *
+    * The `explode(array(...))` wrapper is the one-evaluation barrier: a
+    * Generate's output is a concrete attribute, so CollapseProject cannot
+    * inline the signature expression into its downstream references (band
+    * slicing + signature carry) — the staged-projection trap from round 1. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 32): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-        explode(array_distinct(shingles(Text.tokens(col(textCol))))).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
-    // k min-aggregates (not collect_list + post-agg transform: that variant
-    // re-measured slower — CollapseProject duplicates the interpreted
-    // HOF into every downstream band reference)
-    val minCols = (0 until k).map(i => min(hash(col("h"), lit(i))).as(s"m$i"))
-    exploded.groupBy("id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
+                        k: Int = 32, w: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(array(graft.expressions.TextExpressions.shingle_minhash(
+        Text.tokens(col(textCol)), w, k))).as("sig"))
 
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 32, bands: Int = 8,
                         threshold: Double = 0.5): DataFrame = {
     val r = k / bands
     val sig = minhashSignatures(df, idCol, textCol, k)
+    // Materialize the banded signatures before the self-join: a self-join
+    // plans BOTH sides as the full upstream subtree, re-tokenizing and
+    // re-hashing every document twice. localCheckpoint truncates lineage so
+    // both sides read the materialized blocks (at warehouse scale this is
+    // "write signatures to a table at ingest" — SCALING.md).
     val banded = sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bh")))
+      .localCheckpoint()
     val pairs = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col("l.id") < col("r.id"))

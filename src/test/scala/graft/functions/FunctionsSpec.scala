@@ -69,6 +69,37 @@ class FunctionsSpec extends SparkSuite {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("fused ShingleMinHash: MinHash signature properties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),          // identical text
+      (3L, "a b c d e f g h i j k l"),  // superset: strictly more shingles
+      (4L, "z y x w v u t s"),          // disjoint
+      (5L, "a b"),                      // shorter than w → whole-doc shingle
+      (6L, "a b")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", k = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // deterministic: identical token streams → identical signatures
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(5L) == sigs(6L))
+    // monotone: a superset of shingles can only lower each family minimum
+    sigs(1L).zip(sigs(3L)).foreach { case (s1, s3) => assert(s3 <= s1) }
+    // discriminative: disjoint shingle sets share (almost surely) no minima
+    assert(sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b } <= 2)
+    // estimator coherence: identical docs → est 1.0 through the whole
+    // candidate pipeline; disjoint docs never become candidates
+    val cands = Dedup.minhashCandidates(df, "doc_id", "text", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cands((1L, 2L)) == 1.0)
+    assert(!cands.keySet.exists { case (a, b) => b == 4L || a == 4L })
+    // the Generate barrier holds: the plan carries sig as a concrete
+    // attribute (Generate explode), not an inlined projection per reference
+    val plan = Dedup.minhashSignatures(df, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Generate"))
+  }
+
   test("ngramJaccard: identical → 1, disjoint → 0") {
     import spark.implicits._
     val df = Seq(("a b c d e", "a b c d e", 1.0), ("a b c d e", "x y z w v", 0.0))
