@@ -125,11 +125,13 @@ object Model {
       passwordHash: String,
       createdAt: Timestamp)
 
-  /** user_tokens (web_scheduler.py:519-529). */
+  /** user_tokens (web_scheduler.py:519-529; `name` column used by the
+    * token-management endpoints, :4232). */
   final case class UserToken(
       id: Long,
       userId: Long,
       token: String,
       expiresAt: Timestamp,
-      createdAt: Timestamp)
+      createdAt: Timestamp,
+      name: Option[String] = None)
 }

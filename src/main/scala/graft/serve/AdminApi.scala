@@ -1,0 +1,346 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+import java.time.LocalDateTime
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.CatalogStore
+import graft.catalog.Model._
+import graft.sched.Cron
+
+/** The reference's MUTATING REST surface — task / db-config / sql-script /
+  * token CRUD plus run-now — over [[CatalogStore]] (web_scheduler.py routes;
+  * exact request fields, response messages, and status codes preserved).
+  * Complements [[HttpApi]] (the read/query surface). All handlers operate on
+  * catalog METADATA (driver-small by definition); task execution itself is
+  * dispatched through the pluggable executor, exactly like the scheduler's
+  * tick path, so the data plane stays distributed.
+  */
+final class AdminApi(
+    spark: SparkSession,
+    store: CatalogStore,
+    executor: Task => Either[String, String],
+    currentUserId: () => Long = () => 1L,
+    clock: () => LocalDateTime = () => LocalDateTime.now()) {
+
+  private var server: HttpServer = _
+
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/api/tasks", exchange(routeTasks))
+    server.createContext("/api/db-configs", exchange(routeDbConfigs))
+    server.createContext("/api/sql-scripts", exchange(routeSqlScripts))
+    server.createContext("/api/users/tokens", exchange(routeTokens))
+    server.createContext("/api/users/generate-token", exchange(routeGenerateToken))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ---- plumbing ---------------------------------------------------------
+
+  private def exchange(f: (HttpExchange, String, Seq[String]) => (Int, Any))
+                      (ex: HttpExchange): Unit = {
+    val (status, body) =
+      try {
+        val segs = ex.getRequestURI.getPath.split('/').toSeq.filter(_.nonEmpty)
+        f(ex, ex.getRequestMethod, segs)
+      } catch { case e: Throwable => (500, Json.obj("error" -> e.getMessage)) }
+    val bytes = Json.render(body).getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  private def jsonBody(ex: HttpExchange): Map[String, Any] =
+    Json.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8)) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => Map.empty
+    }
+
+  private def ts(t: LocalDateTime): Timestamp = Timestamp.valueOf(t)
+  private def nextId(ids: Seq[Long]): Long = if (ids.isEmpty) 1L else ids.max + 1
+
+  private def str(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).collect { case s: String if s.nonEmpty => s }
+  private def num(m: Map[String, Any], k: String): Option[Long] =
+    m.get(k).collect { case n: Long => n; case d: Double => d.toLong }
+
+  // ---- /api/tasks -------------------------------------------------------
+
+  private def routeTasks(ex: HttpExchange, method: String,
+                         segs: Seq[String]): (Int, Any) = (method, segs) match {
+    case ("POST", Seq("api", "tasks")) => createTask(jsonBody(ex))
+    case ("GET", Seq("api", "tasks", IdSeg(id))) => getTask(id)
+    case ("PUT", Seq("api", "tasks", IdSeg(id))) => updateTask(id, jsonBody(ex))
+    case ("DELETE", Seq("api", "tasks", IdSeg(id))) => deleteTask(id)
+    case ("POST", Seq("api", "tasks", IdSeg(id), "toggle")) => toggleTask(id)
+    case ("POST", Seq("api", "tasks", IdSeg(id), "run")) => runNow(id)
+    case _ => (404, Json.obj("error" -> "not found"))
+  }
+
+  private object IdSeg {
+    def unapply(s: String): Option[Long] = s.toLongOption
+  }
+
+  private def tasks(): Seq[Task] = store.read[Task]("tasks").collect().toSeq
+
+  /** POST /api/tasks (web_scheduler.py:4794-4864): name+task_type required;
+    * dependencies list → CSV; cron validated (400 on bad expression) and
+    * used for next_run, else now+interval. */
+  private def createTask(d: Map[String, Any]): (Int, Any) = {
+    if (str(d, "name").isEmpty || str(d, "task_type").isEmpty)
+      return (400, Json.obj("error" -> "缺少必要字段"))
+    val now = clock()
+    val cronExpr = str(d, "cron_expression")
+    val interval = if (cronExpr.isDefined) 0L
+                   else num(d, "schedule_interval").getOrElse(0L)
+    val nextRun = cronExpr match {
+      case Some(c) =>
+        try Cron.next(c, now)
+        catch { case e: Exception =>
+          return (400, Json.obj("error" -> s"无效的Cron表达式: ${e.getMessage}")) }
+      case None => now.plusSeconds(interval)
+    }
+    val deps = d.get("dependencies").collect {
+      case v: Vector[_] if v.nonEmpty => v.mkString(",")
+    }
+    val existing = tasks()
+    val id = nextId(existing.map(_.id))
+    store.upsert[Task]("tasks", Seq(Task(
+      id = id, name = str(d, "name").get, taskType = str(d, "task_type").get,
+      scriptPath = str(d, "script_path"),
+      sqlScriptId = num(d, "sql_script_id"),
+      scheduleInterval = interval,
+      lastRun = None, nextRun = Some(ts(nextRun)), isActive = true,
+      dependencies = deps,
+      maxRetries = num(d, "max_retries").getOrElse(0L).toInt,
+      retryDelay = num(d, "retry_delay").getOrElse(60L).toInt,
+      cronExpression = cronExpr, createdAt = ts(now))), _.id)
+    (200, Json.obj("id" -> id, "message" -> "任务创建成功"))
+  }
+
+  /** GET /api/tasks/{id} (web_scheduler.py:4735-4792). */
+  private def getTask(id: Long): (Int, Any) =
+    tasks().find(_.id == id) match {
+      case None => (404, Json.obj("error" -> "任务不存在"))
+      case Some(t) =>
+        val scriptName = t.sqlScriptId.flatMap(sid =>
+          store.read[SqlScript]("sql_scripts").collect().find(_.id == sid))
+          .filter(_ => t.taskType == "sql").map(_.name)
+        val deps = t.dependencies.getOrElse("").split(',')
+          .filter(_.nonEmpty).flatMap(_.trim.toLongOption).toSeq
+        (200, Json.obj(
+          "id" -> t.id, "name" -> t.name, "task_type" -> t.taskType,
+          "script_path" -> t.scriptPath.orNull,
+          "sql_script_id" -> t.sqlScriptId.orNull,
+          "sql_script_name" -> scriptName.orNull,
+          "schedule_interval" -> t.scheduleInterval,
+          "last_run" -> t.lastRun.orNull, "next_run" -> t.nextRun.orNull,
+          "is_active" -> t.isActive, "dependencies" -> deps,
+          "max_retries" -> t.maxRetries, "retry_delay" -> t.retryDelay,
+          "cron_expression" -> t.cronExpression.orNull))
+    }
+
+  /** PUT /api/tasks/{id} (web_scheduler.py:4866-4945): partial update;
+    * a VALID cron recomputes next_run, an invalid one leaves it alone. */
+  private def updateTask(id: Long, d: Map[String, Any]): (Int, Any) =
+    tasks().find(_.id == id) match {
+      case None => (404, Json.obj("error" -> "任务不存在"))
+      case Some(t) =>
+        val cronExpr = str(d, "cron_expression").orElse(t.cronExpression)
+        val nextRun = cronExpr.flatMap { c =>
+          try Some(ts(Cron.next(c, clock()))) catch { case _: Exception => None }
+        }.orElse(t.nextRun)
+        val deps = d.get("dependencies").collect {
+          case v: Vector[_] if v.nonEmpty => v.mkString(",")
+        }.orElse(t.dependencies)
+        store.upsert[Task]("tasks", Seq(t.copy(
+          name = str(d, "name").getOrElse(t.name),
+          taskType = str(d, "task_type").getOrElse(t.taskType),
+          scriptPath = str(d, "script_path").orElse(t.scriptPath),
+          sqlScriptId = num(d, "sql_script_id").orElse(t.sqlScriptId),
+          scheduleInterval = num(d, "schedule_interval").getOrElse(t.scheduleInterval),
+          dependencies = deps,
+          maxRetries = num(d, "max_retries").getOrElse(t.maxRetries.toLong).toInt,
+          retryDelay = num(d, "retry_delay").getOrElse(t.retryDelay.toLong).toInt,
+          cronExpression = cronExpr, nextRun = nextRun)), _.id)
+        (200, Json.obj("message" -> "任务更新成功"))
+    }
+
+  /** POST /api/tasks/{id}/toggle (web_scheduler.py:4947-4964) — F12. */
+  private def toggleTask(id: Long): (Int, Any) = {
+    tasks().find(_.id == id).foreach(t =>
+      store.upsert[Task]("tasks", Seq(t.copy(isActive = !t.isActive)), _.id))
+    (200, Json.obj("message" -> "任务状态已更新"))
+  }
+
+  /** DELETE /api/tasks/{id} (web_scheduler.py:4966-4992). */
+  private def deleteTask(id: Long): (Int, Any) =
+    if (tasks().forall(_.id != id)) (404, Json.obj("error" -> "任务不存在"))
+    else {
+      store.delete[Task]("tasks", _.id == id)
+      (200, Json.obj("message" -> "任务已删除"))
+    }
+
+  /** POST /api/tasks/{id}/run (web_scheduler.py:4994-5082): execute through
+    * the pluggable executor, append the run log, stamp last_run. */
+  private def runNow(id: Long): (Int, Any) =
+    tasks().find(_.id == id) match {
+      case None => (404, Json.obj("error" -> "任务不存在"))
+      case Some(t) if t.taskType == "python" && t.scriptPath.isEmpty =>
+        (400, Json.obj("error" -> "任务类型不支持或配置不完整"))
+      case Some(t) if t.taskType == "sql" && t.sqlScriptId.isEmpty =>
+        (400, Json.obj("error" -> "任务类型不支持或配置不完整"))
+      case Some(t) =>
+        val now = clock()
+        val (status, message) = executor(t) match {
+          case Right(_) => ("success", "任务执行成功")
+          case Left(err) => ("failed", s"任务执行失败: $err")
+        }
+        val logs = store.read[TaskLog]("task_logs").collect()
+        import spark.implicits._
+        store.append(Seq(TaskLog(nextId(logs.map(_.id).toSeq), t.id, status,
+          message, ts(now))).toDS(), "task_logs")
+        store.upsert[Task]("tasks", Seq(t.copy(lastRun = Some(ts(now)))), _.id)
+        (200, Json.obj("message" -> message))
+    }
+
+  // ---- /api/db-configs --------------------------------------------------
+
+  private def routeDbConfigs(ex: HttpExchange, method: String,
+                             segs: Seq[String]): (Int, Any) = (method, segs) match {
+    case ("GET", Seq("api", "db-configs")) =>
+      val list = store.read[DbConfig]("db_configs").collect().sortBy(-_.id).map(c =>
+        Json.obj("id" -> c.id, "name" -> c.name, "db_type" -> c.dbType,
+          "host" -> c.host, "port" -> c.port, "username" -> c.username,
+          "password" -> c.password, "created_at" -> c.createdAt))
+      (200, list.toSeq)
+    case ("POST", Seq("api", "db-configs")) =>
+      val d = jsonBody(ex)
+      val existing = store.read[DbConfig]("db_configs").collect().toSeq
+      val id = nextId(existing.map(_.id))
+      store.upsert[DbConfig]("db_configs", Seq(DbConfig(
+        id, str(d, "name").getOrElse(""), str(d, "db_type").getOrElse(""),
+        str(d, "host").getOrElse(""), num(d, "port").getOrElse(0L).toInt,
+        str(d, "username").getOrElse(""), str(d, "password").getOrElse(""),
+        str(d, "database"), ts(clock()))), _.id)
+      (200, Json.obj("message" -> "数据库配置创建成功", "id" -> id))
+    case ("PUT", Seq("api", "db-configs", IdSeg(id))) =>
+      val d = jsonBody(ex)
+      store.read[DbConfig]("db_configs").collect().find(_.id == id).foreach(c =>
+        store.upsert[DbConfig]("db_configs", Seq(c.copy(
+          name = str(d, "name").getOrElse(c.name),
+          dbType = str(d, "db_type").getOrElse(c.dbType),
+          host = str(d, "host").getOrElse(c.host),
+          port = num(d, "port").getOrElse(c.port.toLong).toInt,
+          username = str(d, "username").getOrElse(c.username),
+          password = str(d, "password").getOrElse(c.password))), _.id))
+      (200, Json.obj("message" -> "数据库配置更新成功"))
+    case ("DELETE", Seq("api", "db-configs", IdSeg(id))) =>
+      // FK guard: scripts still referencing this config block deletion
+      // (web_scheduler.py:3920-3938)
+      val inUse = store.read[SqlScript]("sql_scripts").collect()
+        .count(_.dbConfigId.contains(id))
+      if (inUse > 0)
+        (400, Json.obj("error" -> s"有${inUse}个SQL脚本正在使用此数据库配置，无法删除"))
+      else {
+        store.delete[DbConfig]("db_configs", _.id == id)
+        (200, Json.obj("message" -> "数据库配置删除成功"))
+      }
+    case _ => (404, Json.obj("error" -> "not found"))
+  }
+
+  // ---- /api/sql-scripts -------------------------------------------------
+
+  private def routeSqlScripts(ex: HttpExchange, method: String,
+                              segs: Seq[String]): (Int, Any) = {
+    def cfgName(s: SqlScript): Any = s.dbConfigId.flatMap(cid =>
+      store.read[DbConfig]("db_configs").collect().find(_.id == cid))
+      .map(_.name).orNull
+    def render(s: SqlScript) = Json.obj(
+      "id" -> s.id, "name" -> s.name, "db_config_id" -> s.dbConfigId.orNull,
+      "sql_content" -> s.sqlContent, "created_at" -> s.createdAt,
+      "db_config_name" -> cfgName(s))
+    (method, segs) match {
+      case ("GET", Seq("api", "sql-scripts")) =>
+        val list = store.read[SqlScript]("sql_scripts").collect()
+          .sortBy(-_.id).map(render)
+        (200, Json.obj("sql_scripts" -> list.toSeq))
+      case ("GET", Seq("api", "sql-scripts", IdSeg(id))) =>
+        store.read[SqlScript]("sql_scripts").collect().find(_.id == id) match {
+          case None => (404, Json.obj("error" -> "SQL脚本不存在"))
+          case Some(s) => (200, render(s))
+        }
+      case ("POST", Seq("api", "sql-scripts")) =>
+        val d = jsonBody(ex)
+        val existing = store.read[SqlScript]("sql_scripts").collect().toSeq
+        val id = nextId(existing.map(_.id))
+        store.upsert[SqlScript]("sql_scripts", Seq(SqlScript(
+          id, str(d, "name").getOrElse(""), num(d, "db_config_id"),
+          str(d, "sql_content").getOrElse(""), ts(clock()))), _.id)
+        (200, Json.obj("message" -> "SQL脚本创建成功", "id" -> id))
+      case ("PUT", Seq("api", "sql-scripts", IdSeg(id))) =>
+        val d = jsonBody(ex)
+        store.read[SqlScript]("sql_scripts").collect().find(_.id == id).foreach(s =>
+          store.upsert[SqlScript]("sql_scripts", Seq(s.copy(
+            name = str(d, "name").getOrElse(s.name),
+            dbConfigId = num(d, "db_config_id").orElse(s.dbConfigId),
+            sqlContent = str(d, "sql_content").getOrElse(s.sqlContent))), _.id))
+        (200, Json.obj("message" -> "SQL脚本更新成功"))
+      case ("DELETE", Seq("api", "sql-scripts", IdSeg(id))) =>
+        store.delete[SqlScript]("sql_scripts", _.id == id)
+        (200, Json.obj("message" -> "SQL脚本删除成功"))
+      case _ => (404, Json.obj("error" -> "not found"))
+    }
+  }
+
+  // ---- token management -------------------------------------------------
+
+  /** GET /api/users/tokens + DELETE /api/users/tokens/{id}
+    * (web_scheduler.py:4184-4259; delete is scoped to the current user). */
+  private def routeTokens(ex: HttpExchange, method: String,
+                          segs: Seq[String]): (Int, Any) = (method, segs) match {
+    case ("GET", Seq("api", "users", "tokens")) =>
+      val uid = currentUserId()
+      val list = store.read[UserToken]("user_tokens").collect()
+        .filter(_.userId == uid).sortBy(-_.id).map(t =>
+          Json.obj("id" -> t.id, "name" -> t.name.orNull,
+            "token" -> t.token, "expires_at" -> t.expiresAt,
+            "created_at" -> t.createdAt))
+      (200, Json.obj("tokens" -> list.toSeq))
+    case ("DELETE", Seq("api", "users", "tokens", IdSeg(id))) =>
+      val uid = currentUserId()
+      store.delete[UserToken]("user_tokens", t => t.id == id && t.userId == uid)
+      (200, Json.obj("message" -> "Token删除成功"))
+    case _ => (404, Json.obj("error" -> "not found"))
+  }
+
+  /** POST /api/users/generate-token (web_scheduler.py:4212-4245):
+    * secrets.token_urlsafe(32) equivalent, `days` expiry (default 30). */
+  private def routeGenerateToken(ex: HttpExchange, method: String,
+                                 segs: Seq[String]): (Int, Any) = {
+    if (method != "POST") return (405, Json.obj("error" -> "method not allowed"))
+    val d = jsonBody(ex)
+    str(d, "name") match {
+      case None => (400, Json.obj("error" -> "Token名称不能为空"))
+      case Some(name) =>
+        val days = num(d, "days").getOrElse(30L)
+        val token = Serve.Auth.newToken()
+        val expires = clock().plusDays(days)
+        val existing = store.read[UserToken]("user_tokens").collect().toSeq
+        val id = nextId(existing.map(_.id))
+        store.upsert[UserToken]("user_tokens", Seq(UserToken(
+          id, currentUserId(), token, ts(expires), ts(clock()), Some(name))), _.id)
+        (200, Json.obj("message" -> "Token生成成功", "token" -> token,
+          "expires_at" -> ts(expires), "id" -> id))
+    }
+  }
+}

@@ -1,0 +1,152 @@
+package graft.serve
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSuite
+import graft.catalog.CatalogStore
+import graft.catalog.Model._
+
+/** Golden request/response tests for the mutating REST surface — shapes from
+  * web_scheduler.py's CRUD routes (field names, messages, status codes). */
+class AdminApiSpec extends SparkSuite {
+
+  private val executed = scala.collection.mutable.ListBuffer.empty[Long]
+
+  private lazy val env: (AdminApi, Int, CatalogStore) = {
+    val store = new CatalogStore(spark, tmpDir("admin-cat"))
+    val exec: Task => Either[String, String] = t => {
+      executed += t.id
+      if (t.name.contains("doomed")) Left("boom") else Right("ok")
+    }
+    val api = new AdminApi(spark, store, exec,
+      currentUserId = () => 7L,
+      clock = () => java.time.LocalDateTime.of(2026, 1, 10, 12, 0, 0))
+    val port = api.start()
+    (api, port, store)
+  }
+
+  private val client = HttpClient.newHttpClient()
+
+  private def call(method: String, path: String, body: String = ""): (Int, Any) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${env._2}$path"))
+    val req = method match {
+      case "GET"    => b.GET()
+      case "DELETE" => b.DELETE()
+      case m        => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+    }
+    val r = client.send(req.build(), HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), Json.parse(r.body()))
+  }
+
+  private def asMap(v: Any) = v.asInstanceOf[Map[String, Any]]
+
+  test("task lifecycle: create → get → update → toggle → run → delete") {
+    // create: missing fields → 400 (web_scheduler.py:4801)
+    val (cBad, bBad) = call("POST", "/api/tasks", """{"name":"x"}""")
+    assert(cBad == 400 && asMap(bBad) == Map("error" -> "缺少必要字段"))
+    // create with cron: invalid → 400 with the reference's message prefix
+    val (cCron, bCron) = call("POST", "/api/tasks",
+      """{"name":"t","task_type":"sql","cron_expression":"not a cron"}""")
+    assert(cCron == 400)
+    assert(asMap(bCron)("error").toString.startsWith("无效的Cron表达式"))
+    // valid create with interval
+    val (c1, b1) = call("POST", "/api/tasks",
+      """{"name":"etl","task_type":"sql","sql_script_id":3,
+         "schedule_interval":3600,"dependencies":[1,2],"max_retries":2}""")
+    assert(c1 == 200)
+    assert(asMap(b1)("message") == "任务创建成功")
+    val id = asMap(b1)("id").asInstanceOf[Long]
+    // valid create with cron: next_run from the cron, interval forced 0
+    val (c2, b2) = call("POST", "/api/tasks",
+      """{"name":"nightly","task_type":"python","script_path":"s.py",
+         "cron_expression":"0 2 * * *"}""")
+    assert(c2 == 200)
+    val cronId = asMap(b2)("id").asInstanceOf[Long]
+    // get detail
+    val (cg, bg) = call("GET", s"/api/tasks/$id")
+    assert(cg == 200)
+    val t = asMap(bg)
+    assert(t("name") == "etl" && t("schedule_interval") == 3600L)
+    assert(t("dependencies") == Vector(1L, 2L) && t("max_retries") == 2L)
+    assert(t("next_run") == "2026-01-10 13:00:00") // now + interval
+    val (cg2, bg2) = call("GET", s"/api/tasks/$cronId")
+    assert(asMap(bg2)("next_run") == "2026-01-11 02:00:00") // cron next
+    assert(cg2 == 200)
+    assert(call("GET", "/api/tasks/999")._1 == 404)
+    // update recomputes next_run only on valid cron
+    val (cu, bu) = call("PUT", s"/api/tasks/$id",
+      """{"name":"etl2","cron_expression":"*/30 * * * *"}""")
+    assert(cu == 200 && asMap(bu)("message") == "任务更新成功")
+    assert(asMap(call("GET", s"/api/tasks/$id")._2)("next_run") == "2026-01-10 12:30:00")
+    // toggle flips isActive (F12)
+    assert(asMap(call("POST", s"/api/tasks/$id/toggle")._2)("message") == "任务状态已更新")
+    assert(asMap(call("GET", s"/api/tasks/$id")._2)("is_active") == false)
+    // run-now executes, logs, stamps last_run
+    val (cr, br) = call("POST", s"/api/tasks/$id/run")
+    assert(cr == 200 && asMap(br)("message") == "任务执行成功")
+    assert(executed.contains(id))
+    assert(env._3.read[TaskLog]("task_logs").collect()
+      .exists(l => l.taskId == id && l.status == "success"))
+    assert(asMap(call("GET", s"/api/tasks/$id")._2)("last_run") == "2026-01-10 12:00:00")
+    // failed execution reports the error in the message
+    val (c3, b3) = call("POST", "/api/tasks",
+      """{"name":"doomed","task_type":"sql","sql_script_id":1}""")
+    assert(c3 == 200)
+    val doomedId = asMap(b3)("id").asInstanceOf[Long]
+    val (cf, bf) = call("POST", s"/api/tasks/$doomedId/run")
+    assert(cf == 200 && asMap(bf)("message") == "任务执行失败: boom")
+    // incomplete config → 400 (web_scheduler.py:5058)
+    val (c4, b4) = call("POST", "/api/tasks", """{"name":"no-script","task_type":"python"}""")
+    val nsId = asMap(b4)("id").asInstanceOf[Long]
+    assert(c4 == 200)
+    assert(call("POST", s"/api/tasks/$nsId/run")._1 == 400)
+    // delete
+    assert(asMap(call("DELETE", s"/api/tasks/$id")._2)("message") == "任务已删除")
+    assert(call("DELETE", s"/api/tasks/$id")._1 == 404)
+  }
+
+  test("db-config CRUD with the FK delete guard") {
+    val (c1, b1) = call("POST", "/api/db-configs",
+      """{"name":"wh","db_type":"mysql","host":"h","port":3306,
+         "username":"u","password":"p"}""")
+    assert(c1 == 200 && asMap(b1)("message") == "数据库配置创建成功")
+    val cfgId = asMap(b1)("id").asInstanceOf[Long]
+    // a script referencing the config blocks deletion (web_scheduler.py:3927)
+    val (c2, b2) = call("POST", "/api/sql-scripts",
+      s"""{"name":"refresh","db_config_id":$cfgId,"sql_content":"SELECT 1"}""")
+    assert(c2 == 200 && asMap(b2)("message") == "SQL脚本创建成功")
+    val scriptId = asMap(b2)("id").asInstanceOf[Long]
+    val (cDel, bDel) = call("DELETE", s"/api/db-configs/$cfgId")
+    assert(cDel == 400)
+    assert(asMap(bDel)("error") == "有1个SQL脚本正在使用此数据库配置，无法删除")
+    // script list joins the config name
+    val scripts = asMap(call("GET", "/api/sql-scripts")._2)("sql_scripts")
+      .asInstanceOf[Vector[Any]].map(asMap)
+    assert(scripts.head("db_config_name") == "wh")
+    // delete script, then config deletion succeeds
+    assert(asMap(call("DELETE", s"/api/sql-scripts/$scriptId")._2)("message") == "SQL脚本删除成功")
+    assert(asMap(call("DELETE", s"/api/db-configs/$cfgId")._2)("message") == "数据库配置删除成功")
+    assert(call("GET", s"/api/sql-scripts/$scriptId")._1 == 404)
+  }
+
+  test("token management: generate, list (user-scoped), delete") {
+    // name required (web_scheduler.py:4221)
+    val (cBad, bBad) = call("POST", "/api/users/generate-token", """{}""")
+    assert(cBad == 400 && asMap(bBad) == Map("error" -> "Token名称不能为空"))
+    val (c1, b1) = call("POST", "/api/users/generate-token",
+      """{"name":"ci-token","days":7}""")
+    assert(c1 == 200)
+    val m = asMap(b1)
+    assert(m("message") == "Token生成成功")
+    assert(m("token").toString.length >= 40) // urlsafe 32 bytes ≈ 43 chars
+    assert(m("expires_at") == "2026-01-17 12:00:00") // now + 7 days
+    val tokId = m("id").asInstanceOf[Long]
+    val listed = asMap(call("GET", "/api/users/tokens")._2)("tokens")
+      .asInstanceOf[Vector[Any]].map(asMap)
+    assert(listed.exists(t => t("id") == tokId && t("name") == "ci-token"))
+    assert(asMap(call("DELETE", s"/api/users/tokens/$tokId")._2)("message") == "Token删除成功")
+    assert(!asMap(call("GET", "/api/users/tokens")._2)("tokens")
+      .asInstanceOf[Vector[Any]].map(asMap).exists(_("id") == tokId))
+  }
+}
