@@ -63,8 +63,14 @@ object SparkEntry {
     "q33_approx_distinct"    -> Relational.approxDistinct _,
     // multimodal + export adapters + streaming
     "q34_multimodal_stats"   -> Pipeline.multimodalStats _,
-    "q35_stream_window"      -> ((s: SparkSession, dir: String) =>
-      graft.streaming.Streams.streamWindowedFromParquet(s, dir)),
+    "q35_stream_window"      -> ((s: SparkSession, dir: String) => {
+      // single-batch complete-mode oracle run: same state-partition sizing
+      // rationale as q48 (state-store commit cost per partition per batch)
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.Streams.streamWindowedFromParquet(s, dir)
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
     "q36_media_features"     -> Pipeline.mediaFeatures _,
     "q37_export_roundtrip"   -> Pipeline.exportRoundtrip _,
     // advanced composition operators
@@ -86,8 +92,15 @@ object SparkEntry {
       // 4 chunks: enough micro-batches to exercise watermark advancement +
       // incremental arrival; emitted windows are identical from 2..8 chunks
       // (the trailing no-data batch flushes to global-max − watermark),
-      // while per-batch state-commit overhead scales with chunk count
-      graft.streaming.Streams.streamWindowedAppendFromParquet(s, dir, work, chunks = 4)
+      // while per-batch state-commit overhead scales with chunk count.
+      // State partitions are fixed at query start from shuffle.partitions:
+      // per-partition state-store commit cost dominates a local micro-batch
+      // (32 parts × 5 batches measured 12.5 s vs 3.6 s at 8) — production
+      // sizes this to the executor count, a bench-box sizes it down.
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.Streams.streamWindowedAppendFromParquet(s, dir, work, chunks = 4)
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
     // sketch-accuracy probes: oracle-checked properties of the approximate
     // operators (the sketches themselves are engine-specific; their error

@@ -133,7 +133,12 @@ object Vectors {
                    bucketCap: Int = 256): DataFrame = {
     val bits = if (bitsPerTable > 0) bitsPerTable
                else adaptiveBits(df.count(), targetBucketSize)
+    // materialize bucket rows before the self-join — both join sides would
+    // otherwise re-plan the full signature + bucket-cap window subtree
+    // (same pattern as Dedup.minhashCandidates; at warehouse scale the
+    // signatures are a written table)
     val b = bucketRows(df, idCol, vecCol, "id", dim, bits, nTables, bucketCap)
+      .localCheckpoint()
     val pairs = b.as("l").join(b.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.sig") === col("r.sig") &&
         col("l.id") < col("r.id"))

@@ -14,11 +14,13 @@ object StreamScratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    args.drop(1).map(_.toInt).foreach { chunks =>
+    args.drop(1).map(_.split(':')).foreach { case Array(c, p) =>
+      val chunks = c.toInt
+      spark.conf.set("spark.sql.shuffle.partitions", p.toInt)
       val work = java.nio.file.Files.createTempDirectory(s"ss-$chunks").toString
       val t0 = System.nanoTime()
       val n = Streams.streamWindowedAppendFromParquet(spark, dir, work, chunks).count()
-      println(f"[scratch] chunks=$chunks: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[scratch] chunks=$chunks parts=$p: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }
