@@ -24,8 +24,10 @@ final class AdminApi(
     spark: SparkSession,
     store: CatalogStore,
     executor: Task => Either[String, String],
+    alertService: Option[graft.alerts.AlertService] = None,
     currentUserId: () => Long = () => 1L,
-    clock: () => LocalDateTime = () => LocalDateTime.now()) {
+    clock: () => LocalDateTime = () => LocalDateTime.now(),
+    uploadsDir: String = "uploads") {
 
   private var server: HttpServer = _
 
@@ -34,8 +36,11 @@ final class AdminApi(
     server.createContext("/api/tasks", exchange(routeTasks))
     server.createContext("/api/db-configs", exchange(routeDbConfigs))
     server.createContext("/api/sql-scripts", exchange(routeSqlScripts))
+    server.createContext("/api/sql-alerts", exchange(routeSqlAlerts))
     server.createContext("/api/users/tokens", exchange(routeTokens))
     server.createContext("/api/users/generate-token", exchange(routeGenerateToken))
+    server.createContext("/api/upload", exchange(routeUpload))
+    server.createContext("/api/python-scripts", exchange(routePythonScripts))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2))
     server.start()
     server.getAddress.getPort
@@ -302,6 +307,119 @@ final class AdminApi(
     }
   }
 
+  // ---- /api/sql-alerts --------------------------------------------------
+
+  /** SQL-alert CRUD + manual check (web_scheduler.py:2714-3098 and the
+    * `_check_sql_alert_internal` lifecycle 3116-3613 via
+    * [[graft.alerts.AlertService]]). */
+  private def routeSqlAlerts(ex: HttpExchange, method: String,
+                             segs: Seq[String]): (Int, Any) = (method, segs) match {
+    case ("GET", Seq("api", "sql-alerts")) =>
+      val scripts = store.read[SqlScript]("sql_scripts").collect()
+      val cfgs = store.read[EmailConfig]("email_configs").collect()
+      val list = store.read[SqlAlert]("sql_alerts").collect().sortBy(-_.id).map { a =>
+        Json.obj(
+          "id" -> a.id, "name" -> a.name, "sql_script_id" -> a.sqlScriptId,
+          "email_config_id" -> a.emailConfigId.orNull,
+          "recipients" -> a.recipients, "condition_type" -> a.conditionType,
+          "threshold" -> a.threshold, "is_enabled" -> a.isEnabled,
+          "last_check" -> a.lastCheck.orNull,
+          "cron_expression" -> a.cronExpression.orNull,
+          "next_check" -> a.nextCheck.orNull,
+          // frontend-alias fields the reference adds (web_scheduler.py:2735-2742)
+          "emails" -> a.recipients, "enabled" -> a.isEnabled,
+          "script_name" -> scripts.find(_.id == a.sqlScriptId).map(_.name).orNull,
+          "email_config_name" -> a.emailConfigId
+            .flatMap(id => cfgs.find(_.id == id)).map(_.configName).orNull,
+          "condition" -> a.conditionType)
+      }
+      (200, Json.obj("alerts" -> list.toSeq))
+
+    case ("POST", Seq("api", "sql-alerts")) =>
+      val d = jsonBody(ex)
+      val name = str(d, "name")
+      val scriptId = num(d, "sql_script_id").orElse(num(d, "script_id"))
+      val recipients = str(d, "recipients").orElse(str(d, "emails"))
+      if (name.isEmpty || scriptId.isEmpty || recipients.isEmpty)
+        return (400, Json.obj("error" -> "缺少必要参数"))
+      val script = store.read[SqlScript]("sql_scripts").collect()
+        .find(s => scriptId.contains(s.id))
+      script match {
+        case None => (400, Json.obj("error" -> "SQL脚本不存在"))
+        case Some(s) if s.dbConfigId.isEmpty =>
+          (400, Json.obj("error" ->
+            "SQL脚本没有关联的数据库配置，请先编辑SQL脚本并选择数据库配置"))
+        case Some(_) =>
+          // email config fallback: explicit → default → first → error
+          val cfgs = store.read[EmailConfig]("email_configs").collect()
+          val emailCfg = num(d, "email_config_id")
+            .orElse(cfgs.find(_.isDefault).map(_.id))
+            .orElse(cfgs.sortBy(_.id).headOption.map(_.id))
+          if (emailCfg.isEmpty)
+            return (400, Json.obj("error" -> "请先配置邮件服务器"))
+          val cronExpr = str(d, "cron_expression")
+          val nextCheck = cronExpr match {
+            case Some(c) =>
+              try Some(ts(Cron.next(c, clock())))
+              catch { case _: Exception =>
+                return (400, Json.obj("error" -> s"无效的cron表达式: $c")) }
+            case None => None
+          }
+          val existing = store.read[SqlAlert]("sql_alerts").collect().toSeq
+          val id = nextId(existing.map(_.id))
+          store.upsert[SqlAlert]("sql_alerts", Seq(SqlAlert(
+            id, name.get, scriptId.get, emailCfg, recipients.get,
+            str(d, "condition_type").orElse(str(d, "condition"))
+              .getOrElse("not_empty"),
+            num(d, "threshold").getOrElse(1L),
+            d.get("is_enabled").orElse(d.get("enabled"))
+              .collect { case b: Boolean => b }.getOrElse(true),
+            None, cronExpr, nextCheck)), _.id)
+          (201, Json.obj("id" -> id, "message" -> "SQL预警创建成功"))
+      }
+
+    case ("DELETE", Seq("api", "sql-alerts", IdSeg(id))) =>
+      if (store.read[SqlAlert]("sql_alerts").collect().forall(_.id != id))
+        (404, Json.obj("error" -> "预警不存在"))
+      else {
+        store.delete[SqlAlert]("sql_alerts", _.id == id)
+        (200, Json.obj("success" -> true, "message" -> "SQL预警删除成功"))
+      }
+
+    case ("POST", Seq("api", "sql-alerts", IdSeg(id), "check")) =>
+      val svc = alertService.getOrElse(
+        return (500, Json.obj("error" -> "alert service not configured")))
+      store.read[SqlAlert]("sql_alerts").collect().find(_.id == id) match {
+        case None => (404, Json.obj("error" -> "预警不存在"))
+        case Some(a) if !a.isEnabled => (400, Json.obj("error" -> "预警已禁用"))
+        case Some(a) =>
+          svc.check(id) match {
+            case Left(err) => (500, Json.obj("error" -> s"检查SQL预警失败: $err"))
+            case Right(res) =>
+              // email outcome is recorded in the audit log by the service
+              val emailSent = store.read[SqlAlertLog]("sql_alert_logs").collect()
+                .filter(_.alertId == id)
+                .sortBy(_.executionTime.getTime).lastOption
+                .exists(_.status == "triggered")
+              if (res.triggered)
+                (200, Json.obj("success" -> true,
+                  "message" -> "SQL预警触发，已发送邮件通知",
+                  "result_count" -> res.rowCount, "triggered" -> true,
+                  "condition_text" -> graft.alerts.Condition
+                    .describe(a.conditionType, a.threshold),
+                  "email_sent" -> emailSent))
+              else
+                (200, Json.obj("success" -> true,
+                  "message" -> "SQL检查完成，未触发预警",
+                  "result_count" -> res.rowCount, "triggered" -> false,
+                  "condition_text" -> graft.alerts.Condition
+                    .describe(a.conditionType, a.threshold)))
+          }
+      }
+
+    case _ => (404, Json.obj("error" -> "not found"))
+  }
+
   // ---- token management -------------------------------------------------
 
   /** GET /api/users/tokens + DELETE /api/users/tokens/{id}
@@ -321,6 +439,51 @@ final class AdminApi(
       store.delete[UserToken]("user_tokens", t => t.id == id && t.userId == uid)
       (200, Json.obj("message" -> "Token删除成功"))
     case _ => (404, Json.obj("error" -> "not found"))
+  }
+
+  // ---- file upload (S10) ------------------------------------------------
+
+  /** POST /api/upload (web_scheduler.py:4262-4283): multipart upload of a
+    * .py script into the managed uploads dir — S10, the source S9's
+    * script-path mapper normalizes into. Single-file multipart parsing via
+    * the boundary from Content-Type (ISO-8859-1 keeps bytes 1:1). */
+  private def routeUpload(ex: HttpExchange, method: String,
+                          segs: Seq[String]): (Int, Any) = {
+    if (method != "POST") return (405, Json.obj("error" -> "method not allowed"))
+    val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    val boundary = ctype.split("boundary=").drop(1).headOption.map(_.trim)
+      .getOrElse(return (400, Json.obj("error" -> "没有文件")))
+    val body = new String(ex.getRequestBody.readAllBytes(),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val part = body.split(java.util.regex.Pattern.quote("--" + boundary))
+      .find(_.contains("name=\"file\""))
+      .getOrElse(return (400, Json.obj("error" -> "没有文件")))
+    val filename = "filename=\"([^\"]*)\"".r.findFirstMatchIn(part)
+      .map(_.group(1)).getOrElse("")
+    if (filename.isEmpty) return (400, Json.obj("error" -> "没有选择文件"))
+    if (!filename.endsWith(".py")) return (400, Json.obj("error" -> "只支持.py文件"))
+    val sep = part.indexOf("\r\n\r\n")
+    if (sep < 0) return (400, Json.obj("error" -> "没有文件"))
+    val payload = part.substring(sep + 4).stripSuffix("--").stripSuffix("\r\n")
+    val dir = new java.io.File(uploadsDir)
+    dir.mkdirs()
+    val target = new java.io.File(dir,
+      graft.sources.Ingest.sanitizeFilename(filename))
+    java.nio.file.Files.write(target.toPath,
+      payload.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    (200, Json.obj("message" -> "文件上传成功", "filepath" -> target.getPath))
+  }
+
+  /** GET /api/python-scripts (web_scheduler.py:4286-4309): list .py files in
+    * the managed uploads dir. */
+  private def routePythonScripts(ex: HttpExchange, method: String,
+                                 segs: Seq[String]): (Int, Any) = {
+    val dir = new java.io.File(uploadsDir)
+    dir.mkdirs()
+    val scripts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".py")).sortBy(_.getName)
+      .map(f => Json.obj("name" -> f.getName, "path" -> f.getPath))
+    (200, scripts.toSeq)
   }
 
   /** POST /api/users/generate-token (web_scheduler.py:4212-4245):

@@ -13,15 +13,21 @@ class AdminApiSpec extends SparkSuite {
 
   private val executed = scala.collection.mutable.ListBuffer.empty[Long]
 
+  private val notifier = new graft.alerts.InMemoryNotifier
+
   private lazy val env: (AdminApi, Int, CatalogStore) = {
     val store = new CatalogStore(spark, tmpDir("admin-cat"))
     val exec: Task => Either[String, String] = t => {
       executed += t.id
       if (t.name.contains("doomed")) Left("boom") else Right("ok")
     }
-    val api = new AdminApi(spark, store, exec,
-      currentUserId = () => 7L,
+    val alerts = new graft.alerts.AlertService(spark, store, notifier,
+      tmpDir("admin-export"),
       clock = () => java.time.LocalDateTime.of(2026, 1, 10, 12, 0, 0))
+    val api = new AdminApi(spark, store, exec, Some(alerts),
+      currentUserId = () => 7L,
+      clock = () => java.time.LocalDateTime.of(2026, 1, 10, 12, 0, 0),
+      uploadsDir = tmpDir("admin-uploads"))
     val port = api.start()
     (api, port, store)
   }
@@ -128,6 +134,97 @@ class AdminApiSpec extends SparkSuite {
     assert(asMap(call("DELETE", s"/api/sql-scripts/$scriptId")._2)("message") == "SQL脚本删除成功")
     assert(asMap(call("DELETE", s"/api/db-configs/$cfgId")._2)("message") == "数据库配置删除成功")
     assert(call("GET", s"/api/sql-scripts/$scriptId")._1 == 404)
+  }
+
+  test("sql-alert lifecycle: create validation chain, list aliases, check, delete") {
+    // prerequisites: an email config and a script WITH a db config
+    import spark.implicits._
+    env._3.overwrite(Seq(EmailConfig(1L, "ops", "smtp.local", 25, false, "u",
+      "p", "noreply@x", true, isDefault = true,
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).toDS(), "email_configs")
+    val (_, bCfg) = call("POST", "/api/db-configs",
+      """{"name":"adb","db_type":"mysql","host":"h","port":1,"username":"u","password":"p"}""")
+    val cfgId = asMap(bCfg)("id").asInstanceOf[Long]
+    val (_, bScr) = call("POST", "/api/sql-scripts",
+      s"""{"name":"probe","db_config_id":$cfgId,
+          "sql_content":"SELECT 1 AS one; SELECT 2 AS two"}""")
+    val scriptId = asMap(bScr)("id").asInstanceOf[Long]
+    val (_, bScrNoCfg) = call("POST", "/api/sql-scripts",
+      """{"name":"orphan","sql_content":"SELECT 1"}""")
+    val orphanId = asMap(bScrNoCfg)("id").asInstanceOf[Long]
+
+    // validation chain (web_scheduler.py:2805-2830)
+    assert(asMap(call("POST", "/api/sql-alerts", """{"name":"a"}""")._2) ==
+      Map("error" -> "缺少必要参数"))
+    assert(asMap(call("POST", "/api/sql-alerts",
+      """{"name":"a","sql_script_id":999,"recipients":"x@y"}""")._2) ==
+      Map("error" -> "SQL脚本不存在"))
+    assert(asMap(call("POST", "/api/sql-alerts",
+      s"""{"name":"a","sql_script_id":$orphanId,"recipients":"x@y"}""")._2)("error")
+      .toString.startsWith("SQL脚本没有关联的数据库配置"))
+    val (cBadCron, bBadCron) = call("POST", "/api/sql-alerts",
+      s"""{"name":"a","sql_script_id":$scriptId,"recipients":"x@y",
+          "cron_expression":"bogus"}""")
+    assert(cBadCron == 400)
+    assert(asMap(bBadCron)("error") == "无效的cron表达式: bogus")
+    // create (201), email config falls back to the default
+    val (cOk, bOk) = call("POST", "/api/sql-alerts",
+      s"""{"name":"rows-alert","sql_script_id":$scriptId,"recipients":"a@x,b@x",
+          "condition":"not_empty","cron_expression":"0 * * * *"}""")
+    assert(cOk == 201 && asMap(bOk)("message") == "SQL预警创建成功")
+    val alertId = asMap(bOk)("id").asInstanceOf[Long]
+    // list carries the reference's frontend alias fields
+    val listed = asMap(call("GET", "/api/sql-alerts")._2)("alerts")
+      .asInstanceOf[Vector[Any]].map(asMap)
+    val al = listed.find(_("id") == alertId).get
+    assert(al("script_name") == "probe" && al("email_config_name") == "ops")
+    assert(al("emails") == "a@x,b@x" && al("enabled") == true)
+    assert(al("next_check") == "2026-01-10 13:00:00") // cron next from clock
+    // manual check: SELECT 2 AS two → 1 row → not_empty triggers, email sent
+    val (cChk, bChk) = call("POST", s"/api/sql-alerts/$alertId/check")
+    assert(cChk == 200)
+    val chk = asMap(bChk)
+    assert(chk("triggered") == true && chk("result_count") == 1L)
+    assert(chk("message") == "SQL预警触发，已发送邮件通知")
+    assert(chk("email_sent") == true)
+    assert(notifier.sent.exists(_.subject == "[ALERT] rows-alert"))
+    assert(call("POST", "/api/sql-alerts/999/check")._1 == 404)
+    // disabled alerts refuse the check (web_scheduler.py:3180)
+    val a0 = env._3.read[SqlAlert]("sql_alerts").collect().find(_.id == alertId).get
+    env._3.upsert[SqlAlert]("sql_alerts", Seq(a0.copy(isEnabled = false)), _.id)
+    assert(asMap(call("POST", s"/api/sql-alerts/$alertId/check")._2) ==
+      Map("error" -> "预警已禁用"))
+    // delete
+    val (cDel, bDel) = call("DELETE", s"/api/sql-alerts/$alertId")
+    assert(cDel == 200 && asMap(bDel) ==
+      Map("success" -> true, "message" -> "SQL预警删除成功"))
+    assert(call("DELETE", s"/api/sql-alerts/$alertId")._1 == 404)
+  }
+
+  test("upload: multipart .py into managed dir, then listed (S10)") {
+    def multipart(filename: String, content: String): (Int, Any) = {
+      val boundary = "----graftform"
+      val body = s"--$boundary\r\n" +
+        s"""Content-Disposition: form-data; name="file"; filename="$filename"""" +
+        "\r\nContent-Type: text/x-python\r\n\r\n" + content + s"\r\n--$boundary--\r\n"
+      val req = java.net.http.HttpRequest
+        .newBuilder(URI.create(s"http://127.0.0.1:${env._2}/api/upload"))
+        .header("Content-Type", s"multipart/form-data; boundary=$boundary")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+      val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), Json.parse(r.body()))
+    }
+    // .py required (web_scheduler.py:4283)
+    assert(asMap(multipart("evil.sh", "x")._2) == Map("error" -> "只支持.py文件"))
+    assert(asMap(multipart("", "x")._2) == Map("error" -> "没有选择文件"))
+    val (c, b) = multipart("probe job.py", "print('hi')\n")
+    assert(c == 200 && asMap(b)("message") == "文件上传成功")
+    val path = asMap(b)("filepath").toString
+    assert(path.endsWith("probe_job.py")) // sanitized (F10)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(path)) == "print('hi')\n")
+    // listed by /api/python-scripts
+    val listed = call("GET", "/api/python-scripts")._2.asInstanceOf[Vector[Any]].map(asMap)
+    assert(listed.exists(_("name") == "probe_job.py"))
   }
 
   test("token management: generate, list (user-scoped), delete") {
