@@ -108,6 +108,7 @@ object SparkEntry {
     "q49_minhash_accuracy"   -> Pipeline.minhashAccuracy _,
     "q50_simhash_invariance" -> Pipeline.simhashInvariance _,
     "q51_exact_nn"           -> Pipeline.exactNearestNeighbor _,
+    "q52_ivf_topk"           -> Pipeline.ivfTopK _,
   )
 
   /** q42 oracle: per-column profile as UNION ALL (DuckDB lacks stack()). */
@@ -155,6 +156,18 @@ object SparkEntry {
         |FROM (SELECT query_id, neighbor_id, cos_sim, row_number() OVER
         |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rank
         |      FROM s) WHERE rank <= 1""".stripMargin,
+    // IVF at nprobe == nlist degenerates to exact brute force — the oracle
+    // therefore checks the full quantizer pipeline against plain top-k SQL
+    "q52_ivf_topk" ->
+      """WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |        round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |                                     e.embedding::DOUBLE[]),6) AS cos_sim
+        |      FROM embeddings q, embeddings e
+        |      WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+        |FROM (SELECT query_id, neighbor_id, cos_sim, row_number() OVER
+        |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rank
+        |      FROM s) WHERE rank <= 5""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale path
+  * the pipeline brief names alongside hyperplane LSH: a k-means coarse
+  * quantizer splits the corpus into `nlist` cells; each query probes only
+  * its `nprobe` nearest cells, so scan cost is ≈ corpus/nlist·nprobe
+  * instead of the full corpus.
+  *
+  * Everything is declarative DataFrame ops + the fused cosine expression —
+  * no MLlib, no UDFs: assignment is a broadcast join of the (tiny) centroid
+  * table against the corpus with `max_by(cid, cos)` aggregation; Lloyd
+  * updates are per-dimension `avg` aggregates. At 100 TB the assignment pass
+  * runs ONCE at ingest (cells become the partition/bucket key of the stored
+  * table) and training uses a driver-bounded sample; only the nprobe
+  * cell-probe join runs per query batch.
+  *
+  * Deterministic end-to-end: seeded sample, md5-ranked init, fixed
+  * iteration count — `nprobe == nlist` provably degenerates to exact
+  * brute-force top-k (asserted in FunctionsSpec).
+  */
+object Ivf {
+
+  final case class Model(centroids: Seq[(Int, Seq[Double])]) {
+    def df(spark: SparkSession): DataFrame = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("cid", IntegerType, false),
+        StructField("cvec", ArrayType(DoubleType, false), false)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          centroids.map { case (c, v) => Row(c, v) }.toList, 1), schema)
+    }
+  }
+
+  /** Nearest-centroid assignment: broadcast the centroid table, score every
+    * (row, centroid) pair with the fused cosine, keep the argmax. One
+    * codegen'd broadcast-nested-loop + hash-agg pass, n×nlist work. */
+  private def assign(df: DataFrame, cents: DataFrame, idCol: String,
+                     vecCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .join(broadcast(cents))
+      .groupBy("__id")
+      .agg(max(struct(Vectors.cosine(col("__v"), col("cvec")).as("cos"),
+                      col("cid"))).as("best"))
+      .select(col("__id").as(idCol), col("best.cid").as("cid"))
+
+  /** Train `nlist` centroids with `iters` Lloyd iterations over a seeded
+    * sample. Init: md5-rank spread over the sample (deterministic). */
+  def train(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+            nlist: Int, iters: Int = 3,
+            sampleFraction: Double = 1.0): Model = {
+    val spark = df.sparkSession
+    val sample = (if (sampleFraction >= 1.0) df
+                  else df.sample(withReplacement = false, sampleFraction, 42L))
+      .select(col(idCol).as("__id"),
+        org.apache.spark.sql.functions.transform(col(vecCol),
+          x => x.cast("double")).as("__v"))
+      .localCheckpoint() // iterated over; keep the lineage flat
+    var cents = sample
+      .withColumn("__rk", row_number().over(Window.orderBy(md5(col("__id").cast("string")))))
+      .filter(col("__rk") <= nlist)
+      .select((col("__rk") - 1).cast("int").as("cid"), col("__v").as("cvec"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val assigned = assign(sample, cents, "__id", "__v")
+        .join(sample, "__id")
+      // per-dimension means as plain aggregates (codegen'd, one shuffle)
+      val avgCols = (0 until dim).map(i => avg(col("__v")(i)).as(s"d$i"))
+      cents = assigned.groupBy("cid")
+        .agg(avgCols.head, avgCols.tail: _*)
+        .select(col("cid"), array((0 until dim).map(i => col(s"d$i")): _*).as("cvec"))
+        .localCheckpoint()
+    }
+    Model(cents.collect().toSeq // nlist × dim doubles — driver-tiny
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)))
+  }
+
+  /** IVF top-k search. `nprobe == nlist` ⇒ exact brute force (every cell
+    * scanned); smaller nprobe trades recall for a corpus/nlist·nprobe scan.
+    * Output schema matches `Vectors.bruteForceTopK`. */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+           vecCol: String, dim: Int, k: Int, model: Model,
+           nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = model.df(spark)
+    // one assignment pass over the corpus (at scale: done at write time,
+    // cells = storage partitions)
+    val cells = assign(corpus, cents, idCol, vecCol)
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col("cid"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // per-query probe list: the nprobe nearest centroids
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(cents))
+      .withColumn("__rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(Vectors.cosine(col("qv"), col("cvec")).desc, col("cid").asc)))
+      .filter(col("__rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    // scan only probed cells, exact-rescore, per-query top-k
+    val scored = cells.join(probes, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              round(Vectors.cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+      .dropDuplicates("query_id", "neighbor_id") // cells are disjoint, but stay safe
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+              col("neighbor_id"), col("cos_sim"))
+  }
+}

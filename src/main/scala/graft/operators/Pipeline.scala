@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{Dedup, Multimodal, Text, Vectors}
+import graft.functions.{Dedup, Ivf, Multimodal, Text, Vectors}
 import graft.sources.Ingest
 
 /** Training-data pipeline operators over the `documents` / `embeddings`
@@ -100,6 +100,19 @@ object Pipeline {
           .as("order_invariant"),
         (Dedup.simhash(concat(toks, toks)) === Dedup.simhash(toks))
           .as("dup_invariant"))
+  }
+
+  /** IVF ANN end-to-end (train → assign → probe → exact rescore), run at
+    * nprobe == nlist where it PROVABLY equals brute force (FunctionsSpec) —
+    * which makes the whole quantizer pipeline DuckDB-oracle-checkable. The
+    * production configuration probes a fraction of cells (see
+    * FunctionsSpec's partial-probe recall test and functions/Ivf.scala's
+    * 100 TB notes). */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = Ivf.train(emb, "vec_id", "embedding", dim = 64, nlist = 16)
+    Ivf.topK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      dim = 64, k = 5, model, nprobe = 16)
   }
 
   /** Exact nearest neighbor for EVERY vector — the brute-force ground truth

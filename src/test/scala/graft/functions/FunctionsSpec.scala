@@ -205,6 +205,56 @@ class FunctionsSpec extends SparkSuite {
     assert(ratio < 8.0, s"candidate growth $ratio looks super-linear (small=$small large=$large)")
   }
 
+  test("IVF: nprobe == nlist degenerates to exact brute-force top-k") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val model = Ivf.train(emb, "vec_id", "embedding", dim = 64, nlist = 8)
+    assert(model.centroids.length == 8)
+    assert(model.centroids.forall(_._2.length == 64))
+    val ivf = Ivf.topK(emb, queries, "vec_id", "embedding", 64, k = 5,
+        model, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val exact = Vectors.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(ivf.sortBy(t => (t._1, t._2)).toSeq == exact.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
+  test("IVF: partial probing keeps useful recall at a fraction of the scan") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val model = Ivf.train(emb, "vec_id", "embedding", dim = 64, nlist = 8)
+    val ivfTop1 = Ivf.topK(emb, queries, "vec_id", "embedding", 64, k = 1,
+        model, nprobe = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val exactTop1 = Vectors.bruteForceTopK(emb, queries, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every query answers from its probed cells…
+    assert(ivfTop1.keySet == exactTop1.keySet)
+    // …and ≥ half find the TRUE nearest neighbor while scanning 3/8 of the
+    // corpus (deterministic: seeded init, fixed iterations)
+    val recall = exactTop1.count { case (q, nn) => ivfTop1.get(q).contains(nn) }
+    assert(recall >= exactTop1.size / 2, s"top-1 recall $recall/${exactTop1.size}")
+  }
+
+  test("GraftExtensions: native expressions callable from SQL") {
+    graft.GraftExtensions.register(spark)
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(0.6D, 0.8D)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(cos - 0.6) < 1e-12)
+    val sig = spark.sql(
+      "SELECT shingle_minhash(split('a b c d e', ' '), 3, 16) AS s")
+      .collect().head.getSeq[Int](0)
+    assert(sig.length == 16)
+    // literal-argument contract is enforced
+    intercept[Exception] {
+      spark.sql("SELECT shingle_minhash(array('a'), 1 + 2, 16)").collect()
+    }
+    // the extensions class itself wires the same builders
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // must not throw
+  }
+
   test("bruteForceTopK returns k ranked neighbors excluding self") {
     import spark.implicits._
     val vecs = Seq(
