@@ -27,7 +27,9 @@ final class AdminApi(
     alertService: Option[graft.alerts.AlertService] = None,
     currentUserId: () => Long = () => 1L,
     clock: () => LocalDateTime = () => LocalDateTime.now(),
-    uploadsDir: String = "uploads") {
+    uploadsDir: String = "uploads",
+    testMailer: (EmailConfig, String) => Either[String, Unit] =
+      AdminApi.smtpTestMailer) {
 
   private var server: HttpServer = _
 
@@ -37,6 +39,9 @@ final class AdminApi(
     server.createContext("/api/db-configs", exchange(routeDbConfigs))
     server.createContext("/api/sql-scripts", exchange(routeSqlScripts))
     server.createContext("/api/sql-alerts", exchange(routeSqlAlerts))
+    server.createContext("/api/email-configs", exchange(routeEmailConfigs))
+    server.createContext("/api/task-alerts", exchange(routeTaskAlerts))
+    server.createContext("/api/users", exchange(routeUsers))
     server.createContext("/api/users/tokens", exchange(routeTokens))
     server.createContext("/api/users/generate-token", exchange(routeGenerateToken))
     server.createContext("/api/upload", exchange(routeUpload))
@@ -88,8 +93,28 @@ final class AdminApi(
     case ("DELETE", Seq("api", "tasks", IdSeg(id))) => deleteTask(id)
     case ("POST", Seq("api", "tasks", IdSeg(id), "toggle")) => toggleTask(id)
     case ("POST", Seq("api", "tasks", IdSeg(id), "run")) => runNow(id)
+    case ("GET", Seq("api", "tasks", IdSeg(id), "latest-log")) => latestLog(id)
     case _ => (404, Json.obj("error" -> "not found"))
   }
+
+  /** GET /api/tasks/{id}/latest-log (web_scheduler.py:5084-5135). */
+  private def latestLog(id: Long): (Int, Any) =
+    tasks().find(_.id == id) match {
+      case None => (404, Json.obj("message" -> "任务不存在"))
+      case Some(t) =>
+        val latest = store.read[TaskLog]("task_logs").collect()
+          .filter(_.taskId == id).sortBy(_.executionTime.getTime).lastOption
+        latest match {
+          case None if t.taskType == "sql" && t.sqlScriptId.isDefined =>
+            (200, Json.obj("message" -> s"暂无执行日志（SQL脚本ID: ${t.sqlScriptId.get}）"))
+          case None => (200, Json.obj("message" -> "暂无执行日志"))
+          case Some(l) =>
+            val msg = if (t.taskType == "sql" && t.sqlScriptId.isDefined)
+              s"[SQL脚本ID: ${t.sqlScriptId.get}] ${l.message}" else l.message
+            (200, Json.obj("task_name" -> t.name, "status" -> l.status,
+              "message" -> msg, "execution_time" -> l.executionTime))
+        }
+    }
 
   private object IdSeg {
     def unapply(s: String): Option[Long] = s.toLongOption
@@ -441,6 +466,235 @@ final class AdminApi(
     case _ => (404, Json.obj("error" -> "not found"))
   }
 
+  // ---- /api/email-configs -----------------------------------------------
+
+  /** Email-config CRUD + default handling + live test send
+    * (web_scheduler.py:1862-2377). Setting a default clears every other
+    * default; the default config cannot be deleted. */
+  private def routeEmailConfigs(ex: HttpExchange, method: String,
+                                segs: Seq[String]): (Int, Any) = {
+    def all(): Seq[EmailConfig] =
+      store.read[EmailConfig]("email_configs").collect().toSeq
+    (method, segs) match {
+      case ("GET", Seq("api", "email-configs")) =>
+        (200, all().sortBy(-_.id).map(c => Json.obj(
+          "id" -> c.id, "config_name" -> c.configName,
+          "mail_server" -> c.mailServer, "mail_port" -> c.mailPort,
+          "mail_use_tls" -> c.mailUseTls, "mail_username" -> c.mailUsername,
+          "mail_default_sender" -> c.mailDefaultSender,
+          "mail_notification_enabled" -> c.notificationEnabled,
+          "is_default" -> c.isDefault, "created_at" -> c.createdAt)))
+      case ("POST", Seq("api", "email-configs")) =>
+        val d = jsonBody(ex)
+        val asDefault = d.get("is_default").collect { case b: Boolean => b }.getOrElse(false)
+        val existing = all()
+        if (asDefault) // clear other defaults first (:2130)
+          store.upsert[EmailConfig]("email_configs",
+            existing.filter(_.isDefault).map(_.copy(isDefault = false)), _.id)
+        val id = nextId(existing.map(_.id))
+        store.upsert[EmailConfig]("email_configs", Seq(EmailConfig(
+          id, str(d, "config_name").getOrElse(""),
+          str(d, "mail_server").getOrElse(""),
+          num(d, "mail_port").getOrElse(25L).toInt,
+          d.get("mail_use_tls").collect { case b: Boolean => b }.getOrElse(false),
+          str(d, "mail_username").getOrElse(""),
+          str(d, "mail_password").getOrElse(""),
+          str(d, "mail_default_sender").getOrElse(""),
+          d.get("mail_notification_enabled").collect { case b: Boolean => b }
+            .getOrElse(true),
+          asDefault, ts(clock()))), _.id)
+        (200, Json.obj("message" -> "邮件配置创建成功"))
+      case ("PUT", Seq("api", "email-configs", IdSeg(id))) =>
+        val d = jsonBody(ex)
+        val existing = all()
+        existing.find(_.id == id).foreach { c =>
+          val asDefault = d.get("is_default").collect { case b: Boolean => b }
+          if (asDefault.contains(true))
+            store.upsert[EmailConfig]("email_configs",
+              existing.filter(e => e.isDefault && e.id != id)
+                .map(_.copy(isDefault = false)), _.id)
+          store.upsert[EmailConfig]("email_configs", Seq(c.copy(
+            configName = str(d, "config_name").getOrElse(c.configName),
+            mailServer = str(d, "mail_server").getOrElse(c.mailServer),
+            mailPort = num(d, "mail_port").getOrElse(c.mailPort.toLong).toInt,
+            mailUseTls = d.get("mail_use_tls").collect { case b: Boolean => b }
+              .getOrElse(c.mailUseTls),
+            mailUsername = str(d, "mail_username").getOrElse(c.mailUsername),
+            mailPassword = str(d, "mail_password").getOrElse(c.mailPassword),
+            mailDefaultSender = str(d, "mail_default_sender")
+              .getOrElse(c.mailDefaultSender),
+            notificationEnabled = d.get("mail_notification_enabled")
+              .collect { case b: Boolean => b }.getOrElse(c.notificationEnabled),
+            isDefault = asDefault.getOrElse(c.isDefault))), _.id)
+        }
+        (200, Json.obj("message" -> "邮件配置更新成功"))
+      case ("DELETE", Seq("api", "email-configs", IdSeg(id))) =>
+        all().find(_.id == id) match {
+          case None => (404, Json.obj("error" -> "找不到指定的邮件配置"))
+          case Some(c) if c.isDefault =>
+            (400, Json.obj("error" -> "不能删除默认邮件配置，请先设置其他配置为默认"))
+          case Some(_) =>
+            store.delete[EmailConfig]("email_configs", _.id == id)
+            (200, Json.obj("message" -> "邮件配置删除成功"))
+        }
+      case ("POST", Seq("api", "email-configs", IdSeg(id), "set-default")) =>
+        val existing = all()
+        existing.find(_.id == id) match {
+          case None => (404, Json.obj("error" -> "找不到指定的邮件配置"))
+          case Some(c) =>
+            store.upsert[EmailConfig]("email_configs",
+              existing.filter(e => e.isDefault && e.id != id)
+                .map(_.copy(isDefault = false)) :+ c.copy(isDefault = true), _.id)
+            (200, Json.obj("message" -> "默认邮件配置设置成功"))
+        }
+      case ("POST", Seq("api", "email-configs", IdSeg(id), "test")) =>
+        val recipient = str(jsonBody(ex), "recipient")
+        if (recipient.isEmpty)
+          return (400, Json.obj("error" -> "请提供收件人邮箱"))
+        all().find(_.id == id) match {
+          case None => (404, Json.obj("error" -> "找不到指定的邮件配置"))
+          case Some(c) if c.mailServer.isEmpty || c.mailUsername.isEmpty ||
+                          c.mailPassword.isEmpty =>
+            (400, Json.obj("error" -> "邮件配置不完整"))
+          case Some(c) =>
+            testMailer(c, recipient.get) match {
+              case Right(_) => (200, Json.obj("message" -> "测试邮件发送成功"))
+              case Left(e) => (500, Json.obj("error" -> s"测试邮件发送失败: $e"))
+            }
+        }
+      case _ => (404, Json.obj("error" -> "not found"))
+    }
+  }
+
+  // ---- /api/task-alerts -------------------------------------------------
+
+  /** Task-status alert CRUD (web_scheduler.py:2472-2712): email config
+    * falls back to default → first; alert_type constrained. */
+  private def routeTaskAlerts(ex: HttpExchange, method: String,
+                              segs: Seq[String]): (Int, Any) = {
+    def all(): Seq[TaskAlert] = store.read[TaskAlert]("task_alerts").collect().toSeq
+    def render(a: TaskAlert) = Json.obj(
+      "id" -> a.id, "name" -> a.name.orNull, "task_id" -> a.taskId.orNull,
+      "alert_type" -> a.alertType, "email_config_id" -> a.emailConfigId,
+      "recipients" -> a.recipients, "is_enabled" -> a.isEnabled,
+      "created_at" -> a.createdAt,
+      // frontend aliases, mirroring the sql-alert list shape
+      "emails" -> a.recipients, "enabled" -> a.isEnabled,
+      "condition" -> a.alertType)
+    (method, segs) match {
+      case ("GET", Seq("api", "task-alerts")) =>
+        (200, Json.obj("alerts" -> all().sortBy(-_.id).map(render)))
+      case ("GET", Seq("api", "task-alerts", IdSeg(id))) =>
+        all().find(_.id == id) match {
+          case None => (404, Json.obj("error" -> "预警不存在"))
+          case Some(a) => (200, render(a))
+        }
+      case ("POST", Seq("api", "task-alerts")) =>
+        val d = jsonBody(ex)
+        val alertType = str(d, "alert_type").orElse(str(d, "condition"))
+        val recipients = str(d, "recipients").orElse(str(d, "emails"))
+        val cfgs = store.read[EmailConfig]("email_configs").collect()
+        val emailCfg = num(d, "email_config_id")
+          .orElse(cfgs.find(_.isDefault).map(_.id))
+          .orElse(cfgs.sortBy(_.id).headOption.map(_.id))
+        if (emailCfg.isEmpty)
+          return (400, Json.obj("error" -> "请先配置邮件服务器"))
+        if (alertType.isEmpty || recipients.isEmpty)
+          return (400, Json.obj("error" -> "缺少必要参数"))
+        if (!Seq("success", "failure", "timeout").contains(alertType.get))
+          return (400, Json.obj("error" -> "预警类型必须是 success、failure 或 timeout"))
+        val existing = all()
+        val id = nextId(existing.map(_.id))
+        store.upsert[TaskAlert]("task_alerts", Seq(TaskAlert(
+          id, str(d, "name"), num(d, "task_id"), alertType.get, emailCfg.get,
+          recipients.get,
+          d.get("is_enabled").orElse(d.get("enabled"))
+            .collect { case b: Boolean => b }.getOrElse(true),
+          ts(clock()))), _.id)
+        (201, Json.obj("id" -> id, "message" -> "任务预警创建成功"))
+      case ("PUT", Seq("api", "task-alerts", IdSeg(id))) =>
+        val d = jsonBody(ex)
+        all().find(_.id == id) match {
+          case None => (404, Json.obj("error" -> "预警不存在"))
+          case Some(a) =>
+            store.upsert[TaskAlert]("task_alerts", Seq(a.copy(
+              name = str(d, "name").map(Option(_)).getOrElse(a.name),
+              taskId = num(d, "task_id").map(Option(_)).getOrElse(a.taskId),
+              alertType = str(d, "alert_type").orElse(str(d, "condition"))
+                .getOrElse(a.alertType),
+              emailConfigId = num(d, "email_config_id").getOrElse(a.emailConfigId),
+              recipients = str(d, "recipients").orElse(str(d, "emails"))
+                .getOrElse(a.recipients),
+              isEnabled = d.get("is_enabled").orElse(d.get("enabled"))
+                .collect { case b: Boolean => b }.getOrElse(a.isEnabled))), _.id)
+            (200, Json.obj("message" -> "任务预警更新成功"))
+        }
+      case ("DELETE", Seq("api", "task-alerts", IdSeg(id))) =>
+        if (all().forall(_.id != id)) (404, Json.obj("error" -> "预警不存在"))
+        else {
+          store.delete[TaskAlert]("task_alerts", _.id == id)
+          (200, Json.obj("message" -> "任务预警删除成功"))
+        }
+      case _ => (404, Json.obj("error" -> "not found"))
+    }
+  }
+
+  // ---- /api/users -------------------------------------------------------
+
+  /** User management (web_scheduler.py:4063-4182): create with salted hash
+    * (Serve.Auth — the public equivalent of werkzeug's), change-password
+    * with current-password check, delete with self-guard + token cascade. */
+  private def routeUsers(ex: HttpExchange, method: String,
+                         segs: Seq[String]): (Int, Any) = {
+    def all(): Seq[User] = store.read[User]("users").collect().toSeq
+    (method, segs) match {
+      case ("GET", Seq("api", "users")) =>
+        (200, Json.obj("users" -> all().sortBy(_.id).map(u => Json.obj(
+          "id" -> u.id, "username" -> u.username, "created_at" -> u.createdAt))))
+      case ("POST", Seq("api", "users")) =>
+        val d = jsonBody(ex)
+        (str(d, "username"), str(d, "password")) match {
+          case (Some(username), Some(password)) =>
+            if (all().exists(_.username == username))
+              (400, Json.obj("error" -> "用户名已存在"))
+            else {
+              val id = nextId(all().map(_.id))
+              store.upsert[User]("users", Seq(User(id, username,
+                Serve.Auth.hashPassword(password, Serve.Auth.newSalt()),
+                ts(clock()))), _.id)
+              (200, Json.obj("message" -> "用户创建成功", "id" -> id))
+            }
+          case _ => (400, Json.obj("error" -> "用户名和密码不能为空"))
+        }
+      case ("POST", Seq("api", "users", "change-password")) =>
+        val d = jsonBody(ex)
+        (str(d, "current_password"), str(d, "new_password")) match {
+          case (Some(cur), Some(nw)) =>
+            all().find(_.id == currentUserId()) match {
+              case None => (404, Json.obj("error" -> "用户不存在"))
+              case Some(u) if !Serve.Auth.verifyPassword(cur, u.passwordHash) =>
+                (400, Json.obj("error" -> "当前密码错误"))
+              case Some(u) =>
+                store.upsert[User]("users", Seq(u.copy(passwordHash =
+                  Serve.Auth.hashPassword(nw, Serve.Auth.newSalt()))), _.id)
+                (200, Json.obj("message" -> "密码修改成功"))
+            }
+          case _ => (400, Json.obj("error" -> "当前密码和新密码不能为空"))
+        }
+      case ("DELETE", Seq("api", "users", IdSeg(id))) =>
+        if (id == currentUserId())
+          (400, Json.obj("error" -> "不能删除当前登录用户"))
+        else all().find(_.id == id) match {
+          case None => (404, Json.obj("error" -> "用户不存在"))
+          case Some(u) =>
+            store.delete[UserToken]("user_tokens", _.userId == id) // cascade
+            store.delete[User]("users", _.id == id)
+            (200, Json.obj("message" -> s"用户 ${u.username} 删除成功"))
+        }
+      case _ => (404, Json.obj("error" -> "not found"))
+    }
+  }
+
   // ---- file upload (S10) ------------------------------------------------
 
   /** POST /api/upload (web_scheduler.py:4262-4283): multipart upload of a
@@ -506,4 +760,14 @@ final class AdminApi(
           "expires_at" -> ts(expires), "id" -> id))
     }
   }
+}
+
+object AdminApi {
+  /** Default test-send path: a real SMTP dialogue via [[graft.alerts.SmtpNotifier]]
+    * with the reference's fixed test subject/body (web_scheduler.py:2362-2368).
+    * Tests inject a recording mailer instead. */
+  def smtpTestMailer(cfg: EmailConfig, recipient: String): Either[String, Unit] =
+    new graft.alerts.SmtpNotifier(cfg.mailServer, cfg.mailPort, cfg.mailUseTls,
+        cfg.mailUsername, cfg.mailPassword, cfg.mailDefaultSender)
+      .send(Seq(recipient), "测试邮件", "这是一封测试邮件，用于验证邮件配置是否正确。")
 }

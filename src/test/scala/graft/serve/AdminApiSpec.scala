@@ -14,6 +14,7 @@ class AdminApiSpec extends SparkSuite {
   private val executed = scala.collection.mutable.ListBuffer.empty[Long]
 
   private val notifier = new graft.alerts.InMemoryNotifier
+  private val testSends = scala.collection.mutable.ListBuffer.empty[(String, String)]
 
   private lazy val env: (AdminApi, Int, CatalogStore) = {
     val store = new CatalogStore(spark, tmpDir("admin-cat"))
@@ -27,7 +28,11 @@ class AdminApiSpec extends SparkSuite {
     val api = new AdminApi(spark, store, exec, Some(alerts),
       currentUserId = () => 7L,
       clock = () => java.time.LocalDateTime.of(2026, 1, 10, 12, 0, 0),
-      uploadsDir = tmpDir("admin-uploads"))
+      uploadsDir = tmpDir("admin-uploads"),
+      testMailer = (cfg, rcpt) => {
+        testSends += (cfg.configName -> rcpt)
+        if (rcpt.contains("bounce")) Left("bounced") else Right(())
+      })
     val port = api.start()
     (api, port, store)
   }
@@ -225,6 +230,127 @@ class AdminApiSpec extends SparkSuite {
     // listed by /api/python-scripts
     val listed = call("GET", "/api/python-scripts")._2.asInstanceOf[Vector[Any]].map(asMap)
     assert(listed.exists(_("name") == "probe_job.py"))
+  }
+
+  test("email-config lifecycle: default exclusivity, delete guard, test send") {
+    // create two configs; the second claims default → first loses it
+    assert(asMap(call("POST", "/api/email-configs",
+      """{"config_name":"primary","mail_server":"smtp1","mail_port":25,
+         "mail_username":"u1","mail_password":"p1","is_default":true}""")._2)
+      ("message") == "邮件配置创建成功")
+    assert(asMap(call("POST", "/api/email-configs",
+      """{"config_name":"backup","mail_server":"smtp2","mail_port":25,
+         "mail_username":"u2","mail_password":"p2","is_default":true}""")._2)
+      ("message") == "邮件配置创建成功")
+    def cfgs() = call("GET", "/api/email-configs")._2.asInstanceOf[Vector[Any]].map(asMap)
+    val afterCreate = cfgs().filter(c =>
+      Seq("primary", "backup").contains(c("config_name")))
+    assert(afterCreate.count(_("is_default") == true) == 1)
+    assert(afterCreate.find(_("config_name") == "backup").get("is_default") == true)
+    val primaryId = afterCreate.find(_("config_name") == "primary").get("id").asInstanceOf[Long]
+    val backupId = afterCreate.find(_("config_name") == "backup").get("id").asInstanceOf[Long]
+    // set-default flips back (web_scheduler.py:1984)
+    assert(asMap(call("POST", s"/api/email-configs/$primaryId/set-default")._2)
+      ("message") == "默认邮件配置设置成功")
+    assert(cfgs().find(_("id") == primaryId).get("is_default") == true)
+    assert(cfgs().find(_("id") == backupId).get("is_default") == false)
+    // the default config cannot be deleted (web_scheduler.py:2297)
+    val (cDel, bDel) = call("DELETE", s"/api/email-configs/$primaryId")
+    assert(cDel == 400)
+    assert(asMap(bDel)("error") == "不能删除默认邮件配置，请先设置其他配置为默认")
+    assert(call("DELETE", "/api/email-configs/999")._1 == 404)
+    // test send through the injected mailer (web_scheduler.py:2320-2373)
+    assert(asMap(call("POST", s"/api/email-configs/$backupId/test", "{}")._2)
+      ("error") == "请提供收件人邮箱")
+    val (cT, bT) = call("POST", s"/api/email-configs/$backupId/test",
+      """{"recipient":"ops@x.com"}""")
+    assert(cT == 200 && asMap(bT)("message") == "测试邮件发送成功")
+    assert(testSends.contains("backup" -> "ops@x.com"))
+    val (cB, bB) = call("POST", s"/api/email-configs/$backupId/test",
+      """{"recipient":"bounce@x.com"}""")
+    assert(cB == 500 && asMap(bB)("error").toString.startsWith("测试邮件发送失败"))
+    // incomplete config refuses the test
+    val (_, bInc) = call("POST", "/api/email-configs",
+      """{"config_name":"incomplete","mail_server":"s"}""")
+    val incId = cfgs().find(_("config_name") == "incomplete").get("id").asInstanceOf[Long]
+    assert(asMap(call("POST", s"/api/email-configs/$incId/test",
+      """{"recipient":"a@x"}""")._2)("error") == "邮件配置不完整")
+    // delete the non-default works
+    assert(asMap(call("DELETE", s"/api/email-configs/$incId")._2)
+      ("message") == "邮件配置删除成功")
+  }
+
+  test("task-alert CRUD: type constraint, default email fallback") {
+    // ensure an email config exists (default fallback target)
+    call("POST", "/api/email-configs",
+      """{"config_name":"ta-cfg","mail_server":"s","mail_port":25,
+         "mail_username":"u","mail_password":"p","is_default":true}""")
+    assert(asMap(call("POST", "/api/task-alerts", """{"name":"a"}""")._2) ==
+      Map("error" -> "缺少必要参数"))
+    assert(asMap(call("POST", "/api/task-alerts",
+      """{"name":"a","alert_type":"explode","recipients":"x@y"}""")._2)
+      ("error") == "预警类型必须是 success、failure 或 timeout")
+    val (c1, b1) = call("POST", "/api/task-alerts",
+      """{"name":"fail-watch","task_id":1,"condition":"failure","emails":"x@y,z@y"}""")
+    assert(c1 == 201 && asMap(b1)("message") == "任务预警创建成功")
+    val id = asMap(b1)("id").asInstanceOf[Long]
+    val listed = asMap(call("GET", "/api/task-alerts")._2)("alerts")
+      .asInstanceOf[Vector[Any]].map(asMap)
+    val a = listed.find(_("id") == id).get
+    assert(a("alert_type") == "failure" && a("emails") == "x@y,z@y")
+    assert(a("email_config_id") != null) // fell back to the default config
+    assert(asMap(call("PUT", s"/api/task-alerts/$id",
+      """{"enabled":false}""")._2)("message") == "任务预警更新成功")
+    assert(asMap(call("GET", s"/api/task-alerts/$id")._2)("is_enabled") == false)
+    assert(asMap(call("DELETE", s"/api/task-alerts/$id")._2)("message") == "任务预警删除成功")
+    assert(call("DELETE", s"/api/task-alerts/$id")._1 == 404)
+  }
+
+  test("user management: create, duplicate guard, change-password, delete cascade") {
+    val (c1, b1) = call("POST", "/api/users",
+      """{"username":"alice","password":"pw1"}""")
+    assert(c1 == 200 && asMap(b1)("message") == "用户创建成功")
+    val aliceId = asMap(b1)("id").asInstanceOf[Long]
+    assert(asMap(call("POST", "/api/users",
+      """{"username":"alice","password":"other"}""")._2)("error") == "用户名已存在")
+    assert(asMap(call("POST", "/api/users", """{"username":"x"}""")._2)
+      ("error") == "用户名和密码不能为空")
+    // change-password for the CURRENT user (id 7) — create them first
+    env._3.upsert[User]("users", Seq(User(7L, "admin",
+      Serve.Auth.hashPassword("oldpw", Serve.Auth.newSalt()),
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))), _.id)
+    assert(asMap(call("POST", "/api/users/change-password",
+      """{"current_password":"wrong","new_password":"n"}""")._2)
+      ("error") == "当前密码错误")
+    assert(asMap(call("POST", "/api/users/change-password",
+      """{"current_password":"oldpw","new_password":"newpw"}""")._2)
+      ("message") == "密码修改成功")
+    val admin = env._3.read[User]("users").collect().find(_.id == 7L).get
+    assert(Serve.Auth.verifyPassword("newpw", admin.passwordHash))
+    // delete: self-guard, then cascade removes alice's tokens
+    assert(asMap(call("DELETE", "/api/users/7")._2)("error") == "不能删除当前登录用户")
+    env._3.upsert[UserToken]("user_tokens", Seq(UserToken(991L, aliceId, "tkn",
+      java.sql.Timestamp.valueOf("2099-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))), _.id)
+    assert(asMap(call("DELETE", s"/api/users/$aliceId")._2)
+      ("message") == "用户 alice 删除成功")
+    assert(!env._3.read[UserToken]("user_tokens").collect().exists(_.userId == aliceId))
+    assert(call("DELETE", s"/api/users/$aliceId")._1 == 404)
+  }
+
+  test("latest-log: task context prefixes and empty-log hints") {
+    val (_, bT) = call("POST", "/api/tasks",
+      """{"name":"ll-sql","task_type":"sql","sql_script_id":42}""")
+    val id = asMap(bT)("id").asInstanceOf[Long]
+    // no logs yet → sql-specific hint (web_scheduler.py:5117)
+    assert(asMap(call("GET", s"/api/tasks/$id/latest-log")._2)
+      ("message") == s"暂无执行日志（SQL脚本ID: 42）")
+    // run it (executor succeeds) → latest log with the sql prefix
+    call("POST", s"/api/tasks/$id/run")
+    val m = asMap(call("GET", s"/api/tasks/$id/latest-log")._2)
+    assert(m("task_name") == "ll-sql" && m("status") == "success")
+    assert(m("message").toString.startsWith("[SQL脚本ID: 42] "))
+    assert(call("GET", "/api/tasks/9999/latest-log")._1 == 404)
   }
 
   test("token management: generate, list (user-scoped), delete") {
