@@ -25,7 +25,8 @@ final class Scheduler(
     spark: SparkSession,
     store: CatalogStore,
     executor: Task => Either[String, String],
-    clock: () => LocalDateTime = () => LocalDateTime.now()) {
+    clock: () => LocalDateTime = () => LocalDateTime.now(),
+    taskNotifier: Option[graft.alerts.TaskNotifier] = None) {
 
   private val guard = new InFlightGuard
   @volatile private var logSeq = 0L
@@ -85,9 +86,12 @@ final class Scheduler(
     executor(task) match {
       case Right(msg) =>
         appendLog(task.id, "success", msg, now)
+        // status fan-out to matching task_alerts (web_scheduler.py:1438-1441)
+        taskNotifier.foreach(_.notify(task.id, "success", msg))
         TickResult(task.id, task.name, if (retry) "retried" else "executed", Some("success"))
       case Left(err) =>
         appendLog(task.id, "failed", err, now)
+        taskNotifier.foreach(_.notify(task.id, "failed", err))
         TickResult(task.id, task.name, if (retry) "retried" else "executed", Some("failed"))
     }
   }

@@ -29,7 +29,8 @@ final class AdminApi(
     clock: () => LocalDateTime = () => LocalDateTime.now(),
     uploadsDir: String = "uploads",
     testMailer: (EmailConfig, String) => Either[String, Unit] =
-      AdminApi.smtpTestMailer) {
+      AdminApi.smtpTestMailer,
+    taskNotifier: Option[graft.alerts.TaskNotifier] = None) {
 
   private var server: HttpServer = _
 
@@ -239,6 +240,8 @@ final class AdminApi(
         import spark.implicits._
         store.append(Seq(TaskLog(nextId(logs.map(_.id).toSeq), t.id, status,
           message, ts(now))).toDS(), "task_logs")
+        // the reference notifies on manual SQL runs too (web_scheduler.py:5050-5055)
+        if (t.taskType == "sql") taskNotifier.foreach(_.notify(t.id, status, message))
         store.upsert[Task]("tasks", Seq(t.copy(lastRun = Some(ts(now)))), _.id)
         (200, Json.obj("message" -> message))
     }
