@@ -37,7 +37,11 @@ object Ivf {
 
   /** Nearest-centroid assignment: broadcast the centroid table, score every
     * (row, centroid) pair with the fused cosine, keep the argmax. One
-    * codegen'd broadcast-nested-loop + hash-agg pass, n×nlist work. */
+    * codegen'd broadcast-nested-loop pass, n×nlist work. max(struct) plans
+    * as SortAggregate (struct buffers aren't hash-aggregable) but still
+    * partial-combines map-side, so the shuffle carries one row per id — the
+    * per-partition sort of n×nlist rows is the only extra cost, paid once
+    * at ingest time at scale. */
   private def assign(df: DataFrame, cents: DataFrame, idCol: String,
                      vecCol: String): DataFrame =
     df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
