@@ -40,7 +40,8 @@ object AutoResolve {
     * AnalysisException, probe the catalog for the referenced table and retry
     * once with the rewritten SQL. Returns the DataFrame and the SQL that
     * actually ran. */
-  def sqlWithResolve(spark: SparkSession, sql: String): (DataFrame, String) =
+  def sqlWithResolve(spark: SparkSession, rawSql: String): (DataFrame, String) = {
+    val sql = Sql.quoteNonAsciiIdentifiers(rawSql) // same dialect normalization as runScript
     try { (spark.sql(sql), sql) }
     catch {
       case e: AnalysisException if e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") =>
@@ -52,4 +53,5 @@ object AutoResolve {
           (spark.sql(fixed), fixed)
         }).getOrElse(throw e)
     }
+  }
 }

@@ -55,6 +55,52 @@ object Sql {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Dialect normalization: MySQL — the reference's production engine —
+    * accepts unquoted non-ASCII identifiers (`total_price 总价格`, real
+    * corpus script 33), Spark's lexer does not (INVALID_IDENTIFIER).
+    * Back-quote any identifier run containing non-ASCII characters, leaving
+    * string literals, quoted identifiers, and comments untouched. */
+  def quoteNonAsciiIdentifiers(stmt: String): String = {
+    val n = stmt.length
+    val out = new StringBuilder(n + 8)
+    var i = 0
+    var state: Char = 'n'
+    var commentOpen = -1
+    def isIdentChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < n) {
+      val c = stmt.charAt(i)
+      state match {
+        case 'n' =>
+          if (c == '\'' || c == '"' || c == '`') { state = c; out += c; i += 1 }
+          else if (c == '-' && i + 1 < n && stmt.charAt(i + 1) == '-') { state = '-'; out += c; i += 1 }
+          else if (c == '/' && i + 1 < n && stmt.charAt(i + 1) == '*') { state = '*'; commentOpen = i; out += c; i += 1 }
+          else if (isIdentChar(c)) {
+            val start = i
+            while (i < n && isIdentChar(stmt.charAt(i))) i += 1
+            val word = stmt.substring(start, i)
+            if (word.exists(_ > 127)) out.append('`').append(word).append('`')
+            else out.append(word)
+          } else { out += c; i += 1 }
+        case '\'' | '"' | '`' =>
+          out += c
+          if (c == state) {
+            if (i + 1 < n && stmt.charAt(i + 1) == state) { out += state; i += 1 }
+            else state = 'n'
+          }
+          i += 1
+        case '-' =>
+          out += c
+          if (c == '\n') state = 'n'
+          i += 1
+        case '*' =>
+          out += c
+          if (c == '/' && i - commentOpen >= 3 && stmt.charAt(i - 1) == '*') state = 'n'
+          i += 1
+      }
+    }
+    out.toString
+  }
+
   /** SELECT-vs-DML classification by prefix, matching the reference
     * (web_scheduler.py:931, 969, 1001). WITH/VALUES/SHOW/DESCRIBE also
     * produce result sets on Spark, so they classify as queries. */
@@ -78,7 +124,8 @@ object Sql {
     * Statement errors abort the script, mirroring the reference
     * (exception propagates from the per-statement execute, 1009-1026). */
   def runScript(spark: SparkSession, script: String): Seq[StatementResult] =
-    splitStatements(script).map { stmt =>
+    splitStatements(script).map { raw =>
+      val stmt = quoteNonAsciiIdentifiers(raw)
       if (isQuery(stmt)) {
         StatementResult(stmt, isQuery = true, Some(spark.sql(stmt)), -1L)
       } else {

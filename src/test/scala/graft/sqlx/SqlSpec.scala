@@ -46,6 +46,24 @@ class SqlSpec extends SparkSuite {
       Seq("SELECT /*/ ; */ 1", "SELECT 2"))
   }
 
+  test("quoteNonAsciiIdentifiers: quotes CJK identifiers, leaves literals alone") {
+    assert(Sql.quoteNonAsciiIdentifiers("SELECT total_price 总价格 FROM t") ==
+      "SELECT total_price `总价格` FROM t")
+    assert(Sql.quoteNonAsciiIdentifiers("SELECT a AS 订单号, b FROM db.t") ==
+      "SELECT a AS `订单号`, b FROM db.t")
+    // string literals and comments keep their content unquoted
+    assert(Sql.quoteNonAsciiIdentifiers("SELECT '总价格', \"总\" FROM t -- 注释") ==
+      "SELECT '总价格', \"总\" FROM t -- 注释")
+    assert(Sql.quoteNonAsciiIdentifiers("SELECT /* 总 */ x FROM t") ==
+      "SELECT /* 总 */ x FROM t")
+    // already-quoted identifiers pass through untouched
+    assert(Sql.quoteNonAsciiIdentifiers("SELECT `总价格` FROM t") ==
+      "SELECT `总价格` FROM t")
+    // pure-ASCII statements are unchanged
+    val ascii = "INSERT INTO a.b SELECT * FROM c WHERE x = 'y;z'"
+    assert(Sql.quoteNonAsciiIdentifiers(ascii) == ascii)
+  }
+
   test("classifier: SELECT/WITH/SHOW are queries, DML/DDL are not") {
     assert(Sql.isQuery("select 1"))
     assert(Sql.isQuery("  WITH t AS (SELECT 1) SELECT * FROM t"))
