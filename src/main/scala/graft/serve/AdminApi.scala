@@ -406,6 +406,80 @@ final class AdminApi(
           (201, Json.obj("id" -> id, "message" -> "SQL预警创建成功"))
       }
 
+    case ("PUT", Seq("api", "sql-alerts", IdSeg(id))) =>
+      // partial update (web_scheduler.py:2918-3071): a provided cron is
+      // validated and recomputes next_check; an EMPTY cron clears it
+      val d = jsonBody(ex)
+      store.read[SqlAlert]("sql_alerts").collect().find(_.id == id) match {
+        case None => (404, Json.obj("error" -> "SQL预警不存在"))
+        case Some(a) =>
+          val cronProvided = d.contains("cron_expression")
+          val cronExpr = str(d, "cron_expression")
+          val nextCheck: Option[Timestamp] =
+            if (!cronProvided) a.nextCheck
+            else cronExpr match {
+              case Some(c) =>
+                try Some(ts(Cron.next(c, clock())))
+                catch { case _: Exception =>
+                  return (400, Json.obj("error" -> s"无效的cron表达式: $c")) }
+              case None => None // empty cron clears next_check (:3023)
+            }
+          val updated = a.copy(
+            name = str(d, "name").getOrElse(a.name),
+            sqlScriptId = num(d, "sql_script_id").orElse(num(d, "script_id"))
+              .getOrElse(a.sqlScriptId),
+            emailConfigId = num(d, "email_config_id")
+              .map(Option(_)).getOrElse(a.emailConfigId),
+            recipients = str(d, "recipients").orElse(str(d, "emails"))
+              .getOrElse(a.recipients),
+            conditionType = str(d, "condition_type").orElse(str(d, "condition"))
+              .getOrElse(a.conditionType),
+            threshold = num(d, "threshold").getOrElse(a.threshold),
+            isEnabled = d.get("is_enabled").orElse(d.get("enabled"))
+              .collect { case b: Boolean => b }.getOrElse(a.isEnabled),
+            cronExpression = if (cronProvided) cronExpr else a.cronExpression,
+            nextCheck = nextCheck)
+          store.upsert[SqlAlert]("sql_alerts", Seq(updated), _.id)
+          (200, Json.obj("success" -> true, "message" -> "SQL预警更新成功",
+            "alert" -> Json.obj("id" -> updated.id, "name" -> updated.name,
+              "sql_script_id" -> updated.sqlScriptId,
+              "email_config_id" -> updated.emailConfigId.orNull,
+              "recipients" -> updated.recipients,
+              "condition_type" -> updated.conditionType,
+              "threshold" -> updated.threshold,
+              "is_enabled" -> updated.isEnabled,
+              "cron_expression" -> updated.cronExpression.orNull,
+              "next_check" -> updated.nextCheck.orNull)))
+      }
+
+    case ("GET", Seq("api", "sql-alerts", IdSeg(id), "latest-log")) =>
+      store.read[SqlAlert]("sql_alerts").collect().find(_.id == id) match {
+        case None => (404, Json.obj("message" -> "SQL预警不存在"))
+        case Some(a) =>
+          store.read[SqlAlertLog]("sql_alert_logs").collect()
+            .filter(_.alertId == id).sortBy(_.executionTime.getTime).lastOption match {
+            case None => (200, Json.obj("message" -> "暂无执行日志"))
+            case Some(l) => (200, Json.obj("alert_name" -> a.name,
+              "status" -> l.status, "message" -> l.message,
+              "execution_time" -> l.executionTime))
+          }
+      }
+
+    case ("GET", Seq("api", "sql-alerts", IdSeg(id), "latest-log-details")) =>
+      store.read[SqlAlert]("sql_alerts").collect().find(_.id == id) match {
+        case None => (404, Json.obj("message" -> "SQL预警不存在"))
+        case Some(a) =>
+          store.read[SqlAlertLog]("sql_alert_logs").collect()
+            .filter(l => l.alertId == id && l.details.exists(_.nonEmpty))
+            .sortBy(_.executionTime.getTime).lastOption match {
+            case None => (200, Json.obj("message" -> "暂无执行日志"))
+            case Some(l) => (200, Json.obj("alert_name" -> a.name,
+              "status" -> l.status, "message" -> l.message,
+              "execution_time" -> l.executionTime,
+              "details" -> l.details.orNull))
+          }
+      }
+
     case ("DELETE", Seq("api", "sql-alerts", IdSeg(id))) =>
       if (store.read[SqlAlert]("sql_alerts").collect().forall(_.id != id))
         (404, Json.obj("error" -> "预警不存在"))

@@ -194,6 +194,26 @@ class AdminApiSpec extends SparkSuite {
     assert(chk("email_sent") == true)
     assert(notifier.sent.exists(_.subject == "[ALERT] rows-alert"))
     assert(call("POST", "/api/sql-alerts/999/check")._1 == 404)
+    // latest-log reflects the check just run (web_scheduler.py:5137-5227)
+    val (cLl, bLl) = call("GET", s"/api/sql-alerts/$alertId/latest-log")
+    assert(cLl == 200)
+    assert(asMap(bLl)("alert_name") == "rows-alert")
+    assert(asMap(bLl)("status") == "triggered")
+    val (cLd, bLd) = call("GET", s"/api/sql-alerts/$alertId/latest-log-details")
+    assert(cLd == 200)
+    assert(asMap(bLd)("details").toString.contains("Row count: 1"))
+    assert(call("GET", "/api/sql-alerts/999/latest-log")._1 == 404)
+    // PUT: partial update; empty cron clears next_check (web_scheduler.py:3023)
+    val (cPut, bPut) = call("PUT", s"/api/sql-alerts/$alertId",
+      """{"name":"rows-alert-v2","threshold":5,"cron_expression":""}""")
+    assert(cPut == 200)
+    val putAlert = asMap(asMap(bPut)("alert"))
+    assert(asMap(bPut)("message") == "SQL预警更新成功")
+    assert(putAlert("name") == "rows-alert-v2" && putAlert("threshold") == 5L)
+    assert(putAlert("next_check") == null) // cleared
+    assert(asMap(call("PUT", s"/api/sql-alerts/$alertId",
+      """{"cron_expression":"junk"}""")._2)("error") == "无效的cron表达式: junk")
+    assert(call("PUT", "/api/sql-alerts/999", "{}")._1 == 404)
     // disabled alerts refuse the check (web_scheduler.py:3180)
     val a0 = env._3.read[SqlAlert]("sql_alerts").collect().find(_.id == alertId).get
     env._3.upsert[SqlAlert]("sql_alerts", Seq(a0.copy(isEnabled = false)), _.id)
