@@ -147,6 +147,12 @@ object SparkEntry {
     "q50_simhash_invariance" ->
       """SELECT doc_id, true AS order_invariant, true AS dup_invariant
         |FROM documents""".stripMargin,
+    // media contracts: exact byte length + cross-implementation CRC32
+    // agreement + stub feature range (see Pipeline.mediaFeatures)
+    "q36_media_features" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        | true AS crc_consistent, true AS f0_in_range
+        |FROM documents""".stripMargin,
     "q51_exact_nn" ->
       """WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
         |        round(list_cosine_similarity(q.embedding::DOUBLE[],

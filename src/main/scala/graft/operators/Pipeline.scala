@@ -175,13 +175,21 @@ object Pipeline {
       .select(col("media_id"), col("kind"), col("n_bytes"), col("digest"))
 
   /** Multimodal feature extraction through the partition-parallel decode
-    * stub (rows-only: the codec is a deterministic fake, SURVEY north-star). */
+    * stub — oracle-checked via contracts: `n_bytes` is exact (DuckDB
+    * octet_length); `crc_consistent` cross-checks the mapPartitions codec
+    * session's java.util.zip.CRC32 against Spark's independent codegen
+    * `crc32` expression (two implementations must agree byte-for-byte);
+    * `f0_in_range` pins the stub feature contract ([-1,1]). */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = mediaTable(spark, dir).as[Multimodal.MediaRow]
-    Multimodal.extractFeatures(media, dim = 16)
-      .select(col("media_id"), col("n_bytes"), col("checksum"),
-              round(element_at(col("features"), 1), 4).as("f0"))
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+    feats.join(mediaTable(spark, dir).select(col("media_id"), col("payload")),
+        Seq("media_id"))
+      .select(col("media_id"), col("n_bytes"),
+        (col("checksum") === crc32(col("payload"))).as("crc_consistent"),
+        (element_at(col("features"), 1) >= -1.0 &&
+         element_at(col("features"), 1) <= 1.0).as("f0_in_range"))
   }
 
   /** Column profiling — the data-quality pass a pipeline runs before

@@ -99,6 +99,10 @@ final class Scheduler(
   private def appendLog(taskId: Long, status: String, message: String,
                         now: LocalDateTime): Unit = {
     logSeq += 1
+    // nanoTime+seq is unique within ONE driver JVM — matching the catalog's
+    // single-writer discipline (one scheduler, like the reference's single
+    // thread + SQLite write lock). Multi-writer deployments would take ids
+    // from a sequence table or use (driverId, seq) composite keys.
     val row = TaskLog(System.nanoTime() + logSeq, taskId, status, message,
       java.sql.Timestamp.valueOf(now))
     import spark.implicits._
