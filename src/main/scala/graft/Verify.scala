@@ -27,7 +27,7 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         Some(name)
-      }
+      } finally graft.core.Mat.releaseAll()
     }
     // loud, stdout, unmissable: a query missing its parquet silently drops
     // out of the driver's correctness report (this is how r1 lost q28)

@@ -67,22 +67,27 @@ object Dedup {
     val sig = minhashSignatures(df, idCol, textCol, k)
     // Materialize the banded signatures before the self-join: a self-join
     // plans BOTH sides as the full upstream subtree, re-tokenizing and
-    // re-hashing every document twice. localCheckpoint truncates lineage so
-    // both sides read the materialized blocks (at warehouse scale this is
-    // "write signatures to a table at ingest" — SCALING.md).
-    val banded = sig.select(col("id"), col("sig"),
+    // re-hashing every document twice. The checkpoint is SCOPED — the
+    // (small) filtered pair result is eagerly materialized inside the scope
+    // and the banded blocks are released on exit, so a long-lived session
+    // holds nothing but the result until the owner's Mat.releaseAll (at
+    // warehouse scale this is "write signatures to a table at ingest").
+    graft.core.Mat.withMaterialized(
+      sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bh")))
-      .localCheckpoint()
-    val pairs = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-              col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-    pairs.select(col("id_a"), col("id_b"),
-        round(minhashJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+    ) { banded =>
+      val pairs = banded.as("l").join(banded.as("r"),
+          col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+                col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+        .dropDuplicates("id_a", "id_b")
+      graft.core.Mat.tracked(
+        pairs.select(col("id_a"), col("id_b"),
+            round(minhashJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
+          .filter(col("est_jaccard") >= threshold))
+    }
   }
 
   /** 64-bit SimHash over token hashes: per-bit majority vote of xxhash64

@@ -51,35 +51,55 @@ object Ivf {
                       col("cid"))).as("best"))
       .select(col("__id").as(idCol), col("best.cid").as("cid"))
 
-  /** Train `nlist` centroids with `iters` Lloyd iterations over a seeded
-    * sample. Init: md5-rank spread over the sample (deterministic). */
+  /** Train `nlist` centroids with `iters` Lloyd iterations over a
+    * DRIVER-BOUNDED deterministic sample (≤ `maxSample` rows, selected by
+    * hash-mod on the id — partition-layout-independent, so the same corpus
+    * always trains the same model). Init: the nlist lowest-md5 sample rows,
+    * planned as TakeOrdered (per-partition top-K + driver merge — never a
+    * global sort, never a single-partition window).
+    *
+    * Centroids live on the DRIVER between iterations (nlist × dim doubles):
+    * each Lloyd step collects the per-cell means and rebroadcasts them, so
+    * training pins exactly one storage block set (the sample), released
+    * before returning — a train call leaks nothing. */
   def train(df: DataFrame, idCol: String, vecCol: String, dim: Int,
             nlist: Int, iters: Int = 3,
-            sampleFraction: Double = 1.0): Model = {
+            maxSample: Int = 100000): Model = {
     val spark = df.sparkSession
-    val sample = (if (sampleFraction >= 1.0) df
-                  else df.sample(withReplacement = false, sampleFraction, 42L))
+    // hash-mod sampling: keep every m-th id by 64-bit hash. m is derived
+    // from one count() (metadata-cheap on parquet); at test SF m == 1 and
+    // the full corpus trains — at 100 TB the sample stays ≤ maxSample-ish.
+    val n = df.count()
+    val target = math.max(nlist.toLong, math.min(n, maxSample.toLong))
+    val m = math.max(1L, n / math.max(1L, target))
+    // iterated over → materialize once, SCOPED (training is pure driver
+    // output — a Model of nlist×dim doubles — so nothing escapes the scope)
+    graft.core.Mat.withMaterialized(df
+      .filter(pmod(xxhash64(col(idCol).cast("string")), lit(m)) === 0)
       .select(col(idCol).as("__id"),
         org.apache.spark.sql.functions.transform(col(vecCol),
           x => x.cast("double")).as("__v"))
-      .localCheckpoint() // iterated over; keep the lineage flat
-    var cents = sample
-      .withColumn("__rk", row_number().over(Window.orderBy(md5(col("__id").cast("string")))))
-      .filter(col("__rk") <= nlist)
-      .select((col("__rk") - 1).cast("int").as("cid"), col("__v").as("cvec"))
-      .localCheckpoint()
-    (1 to iters).foreach { _ =>
-      val assigned = assign(sample, cents, "__id", "__v")
-        .join(sample, "__id")
-      // per-dimension means as plain aggregates (codegen'd, one shuffle)
-      val avgCols = (0 until dim).map(i => avg(col("__v")(i)).as(s"d$i"))
-      cents = assigned.groupBy("cid")
-        .agg(avgCols.head, avgCols.tail: _*)
-        .select(col("cid"), array((0 until dim).map(i => col(s"d$i")): _*).as("cvec"))
-        .localCheckpoint()
+    ) { sample =>
+      val init = sample
+        .select(md5(col("__id").cast("string")).as("__k"), col("__v"))
+        .orderBy(col("__k")).limit(nlist) // TakeOrderedAndProject
+        .collect()
+      var cents: Seq[(Int, Seq[Double])] =
+        init.sortBy(_.getString(0)).zipWithIndex
+          .map { case (r, i) => i -> r.getSeq[Double](1) }.toSeq
+      (1 to iters).foreach { _ =>
+        val assigned = assign(sample, Model(cents).df(spark), "__id", "__v")
+          .join(sample, "__id")
+        // per-dimension means as plain aggregates (codegen'd, one shuffle)
+        val avgCols = (0 until dim).map(i => avg(col("__v")(i)).as(s"d$i"))
+        cents = assigned.groupBy("cid")
+          .agg(avgCols.head, avgCols.tail: _*)
+          .select(col("cid"), array((0 until dim).map(i => col(s"d$i")): _*).as("cvec"))
+          .collect().toSeq // nlist × dim doubles — driver-tiny
+          .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      }
+      Model(cents)
     }
-    Model(cents.collect().toSeq // nlist × dim doubles — driver-tiny
-      .map(r => r.getInt(0) -> r.getSeq[Double](1)))
   }
 
   /** IVF top-k search. `nprobe == nlist` ⇒ exact brute force (every cell

@@ -136,15 +136,18 @@ object Vectors {
     // materialize bucket rows before the self-join — both join sides would
     // otherwise re-plan the full signature + bucket-cap window subtree
     // (same pattern as Dedup.minhashCandidates; at warehouse scale the
-    // signatures are a written table)
-    val b = bucketRows(df, idCol, vecCol, "id", dim, bits, nTables, bucketCap)
-      .localCheckpoint()
-    val pairs = b.as("l").join(b.as("r"),
-        col("l.tbl") === col("r.tbl") && col("l.sig") === col("r.sig") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("query_id"), col("r.id").as("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-    scorePairs(pairs, df, df, idCol, vecCol)
+    // signatures are a written table). Scoped: the scored-pair result is
+    // materialized inside, the bucket blocks released on exit.
+    graft.core.Mat.withMaterialized(
+      bucketRows(df, idCol, vecCol, "id", dim, bits, nTables, bucketCap)
+    ) { b =>
+      val pairs = b.as("l").join(b.as("r"),
+          col("l.tbl") === col("r.tbl") && col("l.sig") === col("r.sig") &&
+          col("l.id") < col("r.id"))
+        .select(col("l.id").as("query_id"), col("r.id").as("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id")
+      graft.core.Mat.tracked(scorePairs(pairs, df, df, idCol, vecCol))
+    }
   }
 
   /** Exact-cosine scoring of candidate id-pairs: join the (tiny relative to

@@ -27,8 +27,17 @@ final class Orchestrator(
 
   final case class AlertTickResult(alertId: Long, action: String)
 
-  /** One combined tick: tasks first (reference order), then due alerts. */
-  def tick(): (Seq[Scheduler#TickResult], Seq[AlertTickResult]) = {
+  /** One combined tick: tasks first (reference order), then due alerts.
+    * Tick end is the daemon's materialization boundary: every snapshot the
+    * tick's SQL tasks tracked (Jdbc.runScript SELECTs, dedup results) is
+    * consumed by now, so release the blocks — the reference's daemon runs
+    * for days (web_scheduler.py:5486-5488) and must not creep to a
+    * storage-memory OOM. */
+  def tick(): (Seq[Scheduler#TickResult], Seq[AlertTickResult]) = try {
+    tickInner()
+  } finally graft.core.Mat.releaseAll()
+
+  private def tickInner(): (Seq[Scheduler#TickResult], Seq[AlertTickResult]) = {
     val taskResults = scheduler.tick()
     val now = clock()
     val alertResults = store.read[SqlAlert]("sql_alerts").collect()

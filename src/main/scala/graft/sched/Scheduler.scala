@@ -110,12 +110,16 @@ final class Scheduler(
   }
 
   /** ST1 — the 1 s poll loop (web_scheduler.py:1556). Runs until `stop`
-    * flips; exceptions are isolated per tick (ST7). */
+    * flips; exceptions are isolated per tick (ST7). Tick results (SQL
+    * snapshot counts) are consumed synchronously inside the tick, so each
+    * iteration releases the tick's tracked materializations — a days-long
+    * daemon holds zero accumulated storage blocks. */
   @volatile var stopped = false
   def runLoop(tickMillis: Long = 1000L): Unit =
     while (!stopped) {
       try tick()
       catch { case NonFatal(e) => System.err.println(s"[scheduler] tick failed: ${e.getMessage}") }
+      finally graft.core.Mat.releaseAll()
       Thread.sleep(tickMillis)
     }
 }

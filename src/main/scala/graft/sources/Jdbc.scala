@@ -157,11 +157,11 @@ object Jdbc {
         // Statement-order semantics: the reference fetches each SELECT at
         // cursor-execution time, so a later DML in the same script must not
         // retro-mutate an earlier result. A lazy DataFrame would re-read the
-        // remote table at consumption time — snapshot it NOW via the
-        // distributed cache (executor blocks, not a driver collect).
-        val df = readQuery(spark, t, stmt)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count()
+        // remote table at consumption time — snapshot it NOW via an eager
+        // tracked checkpoint (executor blocks, not a driver collect); the
+        // session owner releases all snapshots at its tick/query boundary
+        // (Mat.releaseAll), so a daemon never accumulates them.
+        val df = graft.core.Mat.tracked(readQuery(spark, t, stmt))
         Sql.StatementResult(stmt, isQuery = true, Some(df), -1L)
       } else {
         val conn = DriverManager.getConnection(t.url, t.props)

@@ -52,6 +52,15 @@ class OrchestratorSpec extends SparkSuite {
     val (tasks3, alerts3) = orch.tick()
     assert(tasks3.map(_.action) == Seq("not_due"))
     assert(alerts3 == Seq(orch.AlertTickResult(9L, "triggered")))
+
+    // Daemon-session storage hygiene: ticks ran SQL tasks (whose query
+    // snapshots are tracked materializations) — after N ticks, storage is
+    // back at baseline. The reference's daemon runs for days
+    // (web_scheduler.py:5486-5488); accumulated blocks would OOM it.
+    (1 to 5).foreach { i => now = now.plusSeconds(601); orch.tick() }
+    assert(graft.core.Mat.liveCount == 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"daemon leaked storage blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
 
   test("runLoop: daemon ticks until stopped (ST1)") {
