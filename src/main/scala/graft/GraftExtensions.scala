@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{CosineSim, ShingleMinHash}
+import graft.expressions.{CosineSim, ShingleMinHash, Simhash64}
 
 /** Session-extension entry point: registers the engine's native expressions
   * as SQL functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` works in
@@ -16,6 +16,7 @@ import graft.expressions.{CosineSim, ShingleMinHash}
   *  - `cosine_sim(vecA, vecB)` — fused codegen cosine (expressions/VectorExpressions.scala)
   *  - `shingle_minhash(tokens, w, k)` — fused w-gram MinHash signature
   *    (w and k must be integer literals; they size the generated loop)
+  *  - `simhash64(tokens)` — fused one-pass 64-bit SimHash
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -44,6 +45,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "shingle_minhash(tokens, w, k) takes 3 arguments")
         ShingleMinHash(args(0), intLit(args(1), "w"), intLit(args(2), "k"))
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(tokens) takes 1 argument")
+        Simhash64(args(0))
       }))
 
   /** Register the same functions on an already-running session (tests, REPLs

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
 /** Fused MinHash signature straight from the TOKEN array: w-gram shingle
@@ -108,9 +108,83 @@ case class ShingleMinHash(child: Expression, w: Int, k: Int)
     copy(child = newChild)
 }
 
+/** Fused 64-bit SimHash (Charikar 2002) straight from the token array: one
+  * pass over the tokens with all 64 majority-vote counters in registers.
+  *
+  * Replaces the composed form (64 separate `aggregate()` lambdas, each
+  * re-traversing the token-hash array — and invariance probes evaluating 4
+  * simhashes per row paid 256 traversals). Bit-identical to it: a token's
+  * vote for bit i is +1 if bit i of xxhash64(token, 42) is set else −1;
+  * output bit i is set iff the vote sum is > 0.
+  */
+case class Simhash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case dt =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash64 expects array<string> tokens, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val cnt = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = XXH64.hashUTF8String(v.getUTF8String(j), 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) cnt(i) += 1 else cnt(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (cnt(i) > 0) out |= (1L << i); i += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val n = ctx.freshName("n"); val cnt = ctx.freshName("cnt")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $v.numElements();
+         |int[] $cnt = new int[64];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $xxh.hashUTF8String($v.getUTF8String($j), 42L);
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    if ((($h >>> $i) & 1L) == 1L) $cnt[$i]++; else $cnt[$i]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $i = 0; $i < 64; $i++) {
+         |  if ($cnt[$i] > 0) $out |= (1L << $i);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column wrapper: fused tokens → w-gram shingles → k-family MinHash
     * signature, one codegen pass, no intermediate strings. */
   def shingle_minhash(tokens: Column, w: Int, k: Int): Column =
     ColumnShim.column(ShingleMinHash(ColumnShim.expression(tokens), w, k))
+
+  /** Column wrapper: fused tokens → 64-bit SimHash, one pass, counters in
+    * registers. */
+  def simhash64(tokens: Column): Column =
+    ColumnShim.column(Simhash64(ColumnShim.expression(tokens)))
 }

@@ -92,9 +92,17 @@ object Dedup {
 
   /** 64-bit SimHash over token hashes: per-bit majority vote of xxhash64
     * of each token. Returns one long per document; near-duplicates are
-    * documents within small Hamming distance. Pure expression — the 64
-    * per-bit counters live in a single projection, not 64 aggregations. */
-  def simhash(toks: Column): Column = {
+    * documents within small Hamming distance. Fused codegen expression —
+    * ONE traversal of the token array with all 64 counters in registers
+    * (the composed form below re-traversed per bit: 64 aggregate() lambdas,
+    * ×4 evaluations in the invariance probe = 256 walks per row). */
+  def simhash(toks: Column): Column =
+    graft.expressions.TextExpressions.simhash64(toks)
+
+  /** Reference composition of [[simhash]] from Spark built-ins — kept as
+    * the independent implementation the fused expression is asserted
+    * bit-identical against (FunctionsSpec). */
+  def simhashComposed(toks: Column): Column = {
     val hashes = transform(toks, t => xxhash64(t))
     val bits = (0 until 64).map { i =>
       val vote = aggregate(hashes, lit(0L),
