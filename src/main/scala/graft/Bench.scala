@@ -7,7 +7,14 @@ object Bench {
     * vocabulary so shingle/bucket collision statistics resemble the real
     * corpus, not degenerate copies that would plant artificial near-dup
     * mass) and time the dedup/ANN family on it. Catches super-linear growth
-    * that the sf0.1 numbers alone cannot show. */
+    * that the sf0.1 numbers alone cannot show.
+    *
+    * r2 post-mortem: this probe recorded q24 at 16.5× time for 10× data —
+    * which was NOT the band join going quadratic but the probe running last
+    * in a session whose pinned checkpoint blocks (since released via
+    * core.Mat) crowded the storage pool. With lifecycle management in
+    * place the same probe measures ~1.3× time at 10× rows (fixed overheads
+    * still dominate at this scale; candidate pairs stay collision-bounded). */
   private def scaleProbe(spark: SparkSession, sfDir: String,
                          factor: Int): Seq[(String, Double, Long)] = {
     val dir = java.nio.file.Files.createTempDirectory("graft-probe").toString
