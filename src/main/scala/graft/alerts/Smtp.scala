@@ -38,18 +38,39 @@ final class SmtpNotifier(
   // ---- SMTP dialogue ----------------------------------------------------
 
   private def transact(from: String, rcpt: String, message: String): Unit = {
-    val sock = new Socket(server, port)
+    var sock: Socket = new Socket(server, port)
     sock.setSoTimeout(10000)
-    val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
-    val out = new OutputStreamWriter(sock.getOutputStream, UTF_8)
+    var in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
+    var out = new OutputStreamWriter(sock.getOutputStream, UTF_8)
     def cmd(line: String, expect: Int): Seq[String] = {
       out.write(line + "\r\n"); out.flush(); reply(in, expect)
     }
     try {
       reply(in, 220) // greeting
-      val ehlo = cmd(s"EHLO ${java.net.InetAddress.getLocalHost.getHostName}", 250)
-      if (useTls && ehlo.exists(_.toUpperCase.contains("STARTTLS")))
-        cmd("STARTTLS", 220) // upgrade point; plaintext stub never advertises
+      val hostname = java.net.InetAddress.getLocalHost.getHostName
+      val ehlo = cmd(s"EHLO $hostname", 250)
+      val canTls = ehlo.exists(_.toUpperCase.contains("STARTTLS"))
+      if (useTls && canTls) {
+        cmd("STARTTLS", 220)
+        // actually upgrade: wrap the socket in TLS (the 220 alone changes
+        // nothing — the server now expects a ClientHello), then re-EHLO on
+        // the encrypted channel per RFC 3207 §4.2 with fresh streams
+        val tls = javax.net.ssl.SSLSocketFactory.getDefault
+          .asInstanceOf[javax.net.ssl.SSLSocketFactory]
+          .createSocket(sock, server, port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        tls.setSoTimeout(10000)
+        tls.startHandshake()
+        sock = tls
+        in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
+        out = new OutputStreamWriter(sock.getOutputStream, UTF_8)
+        cmd(s"EHLO $hostname", 250)
+      } else if (useTls && username.nonEmpty) {
+        // never send AUTH LOGIN (base64 ≠ encryption) in cleartext when the
+        // caller asked for TLS — matches smtplib's SMTPNotSupportedError
+        throw new RuntimeException(
+          "STARTTLS requested but not offered by server; refusing cleartext AUTH")
+      }
       if (username.nonEmpty) {
         cmd("AUTH LOGIN", 334)
         cmd(Base64.getEncoder.encodeToString(username.getBytes(UTF_8)), 334)

@@ -19,8 +19,25 @@ object GraftSession {
   def cluster(builder: SparkSession.Builder, totalCores: Int): SparkSession.Builder =
     configure(builder, shufflePartitions = totalCores * 3)
 
+  /** Scheduler-pool names: FAIR scheduling between pools keeps an API
+    * query responsive while a long task job runs (the reference serves 4
+    * gunicorn workers concurrently with the scheduler daemon). Pools are
+    * created on demand; callers tag their thread via [[usePool]]. */
+  val ServePool = "graft-serve"
+  val TasksPool = "graft-tasks"
+
+  /** Tag the CURRENT thread's Spark jobs with a FAIR pool (inherited by
+    * child threads; no-op scheduling-wise unless spark.scheduler.mode=FAIR,
+    * which [[configure]] sets). */
+  def usePool(spark: SparkSession, pool: String): Unit =
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+
   private def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b
     .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    // FAIR across pools: serving threads (ServePool) and the scheduler
+    // daemon (TasksPool) each get a fair share of executor slots instead of
+    // FIFO head-of-line blocking behind a long task job
+    .config("spark.scheduler.mode", "FAIR")
     .config("spark.sql.session.timeZone", "UTC")
     // AQE: runtime coalescing, skew-join splitting, dynamic join strategy —
     // the first line of defense at 100 TB before manual salting (SkewJoin)

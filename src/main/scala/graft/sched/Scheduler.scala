@@ -37,6 +37,9 @@ final class Scheduler(
   /** One scheduler tick — evaluates every active task once. Synchronous
     * within the tick (ST8, "同步执行，不使用线程"). */
   def tick(): Seq[TickResult] = {
+    // task jobs run in their own FAIR pool so API serving threads get a
+    // fair share of executor slots while a long task job is in flight
+    graft.core.GraftSession.usePool(spark, graft.core.GraftSession.TasksPool)
     val now = clock()
     val tasks = store.read[Task]("tasks").collect().filter(_.isActive).sortBy(_.id)
     val logs = store.read[TaskLog]("task_logs").collect()

@@ -34,8 +34,23 @@ final class AdminApi(
 
   private var server: HttpServer = _
 
+  /** Live browser sessions: sid → userId. The reference keeps these in
+    * flask_session/ files; an in-memory map matches its single-process
+    * deployment (sessions die with the server, like `session.permanent =
+    * False`, web_scheduler.py:1656). */
+  private val sessions = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val sessionUser = new ThreadLocal[Option[Long]] {
+    override def initialValue(): Option[Long] = None
+  }
+  /** Acting user: the session's owner, else the injected fallback (direct
+    * unit-test construction). */
+  private def uid(): Long = sessionUser.get().getOrElse(currentUserId())
+
   def start(port: Int = 0): Int = {
+    seedDefaultAdmin()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/api/login", exchange(routeLogin))
+    server.createContext("/api/logout", exchange(routeLogout))
     server.createContext("/api/tasks", exchange(routeTasks))
     server.createContext("/api/db-configs", exchange(routeDbConfigs))
     server.createContext("/api/sql-scripts", exchange(routeSqlScripts))
@@ -47,7 +62,10 @@ final class AdminApi(
     server.createContext("/api/users/generate-token", exchange(routeGenerateToken))
     server.createContext("/api/upload", exchange(routeUpload))
     server.createContext("/api/python-scripts", exchange(routePythonScripts))
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2))
+    // 4 handler threads — the reference's gunicorn worker count
+    // (gunicorn.conf.py:8). Safe under concurrency because catalog
+    // mutations serialize on `writeLock` below.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.start()
     server.getAddress.getPort
   }
@@ -56,12 +74,36 @@ final class AdminApi(
 
   // ---- plumbing ---------------------------------------------------------
 
+  /** Serializes catalog MUTATIONS: every id allocation is read-max-then-
+    * upsert, so two concurrent POSTs would mint the same id and the second
+    * upsert would silently overwrite the first row. The reference gets this
+    * for free from SQLite's write lock + AUTOINCREMENT; here the mutating
+    * request path holds this lock. Run-now is the exception — it executes
+    * a (possibly slow) task and must NOT starve other mutations, so it runs
+    * unlocked and takes the lock only around its own log-append/update. */
+  private val writeLock = new Object
+
   private def exchange(f: (HttpExchange, String, Seq[String]) => (Int, Any))
                       (ex: HttpExchange): Unit = {
     val (status, body) =
       try {
         val segs = ex.getRequestURI.getPath.split('/').toSeq.filter(_.nonEmpty)
-        f(ex, ex.getRequestMethod, segs)
+        // serving threads share the FAIR pool so a long scheduler job
+        // can't head-of-line-block an API query
+        graft.core.GraftSession.usePool(spark, graft.core.GraftSession.ServePool)
+        sessionUser.set(cookieSid(ex).flatMap(sessions.get))
+        val isAuthRoute =
+          segs == Seq("api", "login") || segs == Seq("api", "logout")
+        if (!isAuthRoute && sessionUser.get().isEmpty)
+          // login_required (web_scheduler.py:1741-1748): every mutating/
+          // admin route needs a session; only login/logout are open. The
+          // API-token surface (/api/database/insert) lives on HttpApi.
+          (401, Json.obj("error" -> "未授权访问"))
+        else {
+          val mutating = ex.getRequestMethod != "GET" && !segs.contains("run")
+          if (mutating) writeLock.synchronized { f(ex, ex.getRequestMethod, segs) }
+          else f(ex, ex.getRequestMethod, segs)
+        }
       } catch { case e: Throwable => (500, Json.obj("error" -> e.getMessage)) }
     val bytes = Json.render(body).getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -78,6 +120,53 @@ final class AdminApi(
 
   private def ts(t: LocalDateTime): Timestamp = Timestamp.valueOf(t)
   private def nextId(ids: Seq[Long]): Long = if (ids.isEmpty) 1L else ids.max + 1
+
+  // ---- session auth -----------------------------------------------------
+
+  private def cookieSid(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Cookie")).flatMap(
+      _.split(';').map(_.trim).collectFirst {
+        case c if c.startsWith("session=") => c.stripPrefix("session=")
+      }).filter(_.nonEmpty)
+
+  /** First boot with an empty users table seeds admin/admin123, exactly
+    * like the reference's init_db (web_scheduler.py:682-698). */
+  private def seedDefaultAdmin(): Unit = writeLock.synchronized {
+    val users = store.read[User]("users").collect()
+    if (users.isEmpty)
+      store.upsert[User]("users", Seq(User(1L, "admin",
+        Serve.Auth.hashPassword("admin123", Serve.Auth.newSalt()),
+        ts(clock()))), _.id)
+  }
+
+  /** POST /api/login (web_scheduler.py:1626-1673, JSON arm): verify
+    * credentials, mint a session id, set the cookie. Golden messages. */
+  private def routeLogin(ex: HttpExchange, method: String,
+                         segs: Seq[String]): (Int, Any) = {
+    if (method != "POST") return (405, Json.obj("error" -> "method not allowed"))
+    val d = jsonBody(ex)
+    val user = str(d, "username").flatMap(u =>
+      store.read[User]("users").collect().find(_.username == u))
+    user.filter(u => Serve.Auth.verifyPassword(
+        str(d, "password").getOrElse(""), u.passwordHash)) match {
+      case Some(u) =>
+        val sid = Serve.Auth.newToken()
+        sessions.put(sid, u.id)
+        ex.getResponseHeaders.add("Set-Cookie",
+          s"session=$sid; Path=/; HttpOnly")
+        (200, Json.obj("message" -> "登录成功", "redirect" -> "/"))
+      case None => (401, Json.obj("error" -> "用户名或密码错误"))
+    }
+  }
+
+  /** /api/logout (web_scheduler.py:1680-1685): clear the session. */
+  private def routeLogout(ex: HttpExchange, method: String,
+                          segs: Seq[String]): (Int, Any) = {
+    cookieSid(ex).foreach(sessions.remove)
+    ex.getResponseHeaders.add("Set-Cookie",
+      "session=; Path=/; HttpOnly; Max-Age=0")
+    (200, Json.obj("message" -> "已退出登录"))
+  }
 
   private def str(m: Map[String, Any], k: String): Option[String] =
     m.get(k).collect { case s: String if s.nonEmpty => s }
@@ -236,13 +325,15 @@ final class AdminApi(
           case Right(_) => ("success", "任务执行成功")
           case Left(err) => ("failed", s"任务执行失败: $err")
         }
-        val logs = store.read[TaskLog]("task_logs").collect()
-        import spark.implicits._
-        store.append(Seq(TaskLog(nextId(logs.map(_.id).toSeq), t.id, status,
-          message, ts(now))).toDS(), "task_logs")
-        // the reference notifies on manual SQL runs too (web_scheduler.py:5050-5055)
-        if (t.taskType == "sql") taskNotifier.foreach(_.notify(t.id, status, message))
-        store.upsert[Task]("tasks", Seq(t.copy(lastRun = Some(ts(now)))), _.id)
+        writeLock.synchronized {
+          val logs = store.read[TaskLog]("task_logs").collect()
+          import spark.implicits._
+          store.append(Seq(TaskLog(nextId(logs.map(_.id).toSeq), t.id, status,
+            message, ts(now))).toDS(), "task_logs")
+          // the reference notifies on manual SQL runs too (web_scheduler.py:5050-5055)
+          if (t.taskType == "sql") taskNotifier.foreach(_.notify(t.id, status, message))
+          store.upsert[Task]("tasks", Seq(t.copy(lastRun = Some(ts(now)))), _.id)
+        }
         (200, Json.obj("message" -> message))
     }
 
@@ -529,16 +620,16 @@ final class AdminApi(
   private def routeTokens(ex: HttpExchange, method: String,
                           segs: Seq[String]): (Int, Any) = (method, segs) match {
     case ("GET", Seq("api", "users", "tokens")) =>
-      val uid = currentUserId()
+      val u = uid()
       val list = store.read[UserToken]("user_tokens").collect()
-        .filter(_.userId == uid).sortBy(-_.id).map(t =>
+        .filter(_.userId == u).sortBy(-_.id).map(t =>
           Json.obj("id" -> t.id, "name" -> t.name.orNull,
             "token" -> t.token, "expires_at" -> t.expiresAt,
             "created_at" -> t.createdAt))
       (200, Json.obj("tokens" -> list.toSeq))
     case ("DELETE", Seq("api", "users", "tokens", IdSeg(id))) =>
-      val uid = currentUserId()
-      store.delete[UserToken]("user_tokens", t => t.id == id && t.userId == uid)
+      val u = uid()
+      store.delete[UserToken]("user_tokens", t => t.id == id && t.userId == u)
       (200, Json.obj("message" -> "Token删除成功"))
     case _ => (404, Json.obj("error" -> "not found"))
   }
@@ -747,7 +838,7 @@ final class AdminApi(
         val d = jsonBody(ex)
         (str(d, "current_password"), str(d, "new_password")) match {
           case (Some(cur), Some(nw)) =>
-            all().find(_.id == currentUserId()) match {
+            all().find(_.id == uid()) match {
               case None => (404, Json.obj("error" -> "用户不存在"))
               case Some(u) if !Serve.Auth.verifyPassword(cur, u.passwordHash) =>
                 (400, Json.obj("error" -> "当前密码错误"))
@@ -759,7 +850,7 @@ final class AdminApi(
           case _ => (400, Json.obj("error" -> "当前密码和新密码不能为空"))
         }
       case ("DELETE", Seq("api", "users", IdSeg(id))) =>
-        if (id == currentUserId())
+        if (id == uid())
           (400, Json.obj("error" -> "不能删除当前登录用户"))
         else all().find(_.id == id) match {
           case None => (404, Json.obj("error" -> "用户不存在"))
@@ -832,7 +923,7 @@ final class AdminApi(
         val existing = store.read[UserToken]("user_tokens").collect().toSeq
         val id = nextId(existing.map(_.id))
         store.upsert[UserToken]("user_tokens", Seq(UserToken(
-          id, currentUserId(), token, ts(expires), ts(clock()), Some(name))), _.id)
+          id, uid(), token, ts(expires), ts(clock()), Some(name))), _.id)
         (200, Json.obj("message" -> "Token生成成功", "token" -> token,
           "expires_at" -> ts(expires), "id" -> id))
     }

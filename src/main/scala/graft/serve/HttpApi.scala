@@ -70,7 +70,11 @@ final class HttpApi(spark: SparkSession, deps: HttpApi.Deps) {
 
   private def exchange(f: HttpExchange => (Int, Any))(ex: HttpExchange): Unit = {
     val (status, body) =
-      try f(ex)
+      try {
+        // FAIR serve pool: API reads stay responsive beside long task jobs
+        graft.core.GraftSession.usePool(spark, graft.core.GraftSession.ServePool)
+        f(ex)
+      }
       catch { case e: Throwable => (500, Json.obj("error" -> e.getMessage)) }
     val bytes = Json.render(body).getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -248,9 +252,13 @@ final class HttpApi(spark: SparkSession, deps: HttpApi.Deps) {
           "error" -> "缺少API Token，请在Authorization头中使用\"Bearer YOUR_TOKEN\"格式"))
       case Some(tok) =>
         val now = new java.sql.Timestamp(System.currentTimeMillis())
+        // bind the users frame ONCE: a second deps.users() call would build
+        // a fresh plan whose attribute ids don't resolve against the joined
+        // relation (works only if the supplier memoizes — not a contract)
+        val users = deps.users()
         val valid = deps.userTokens()
           .filter(col("token") === tok && col("expiresAt") > lit(now))
-          .join(deps.users(), col("userId") === deps.users()("id"))
+          .join(users, col("userId") === users("id"))
         if (valid.isEmpty)
           return (401, Json.obj("error" -> "无效或过期的API Token"))
     }

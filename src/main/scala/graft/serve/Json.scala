@@ -42,7 +42,12 @@ object Json {
     case ts: java.sql.Timestamp => quote(tsFmt.format(ts.toInstant))
     case d: java.sql.Date => quote(d.toString)
     case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
-    case d: Double => if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+    case d: Double =>
+      // JSON has no NaN/Infinity literals — a bare `NaN` would break every
+      // client parser. Python's json.dumps emits them (non-standard); the
+      // safe wire value is null.
+      if (d.isNaN || d.isInfinite) "null"
+      else if (d == d.floor) d.toLong.toString else d.toString
     case f: Float => render(f.toDouble)
     case bd: BigDecimal => bd.toString
     case bd: java.math.BigDecimal => bd.toString

@@ -154,8 +154,15 @@ object Sql {
       // location before creating. (r1: this silently dropped q28 from the
       // correctness report.)
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      val loc = new org.apache.hadoop.fs.Path(
-        warehouse, target.toLowerCase.replace('.', '/'))
+      // managed-table layout: default-db tables live at <warehouse>/<t>,
+      // qualified ones at <warehouse>/<db>.db/<t> — NOT <db>/<t> (a plain
+      // '.'→'/' rewrite made the qualified-target cleanup a no-op and
+      // CREATE still hit LOCATION_ALREADY_EXISTS)
+      val rel = target.toLowerCase.split('.') match {
+        case Array(db, t) => s"$db.db/$t"
+        case parts        => parts.mkString("/")
+      }
+      val loc = new org.apache.hadoop.fs.Path(warehouse, rel)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
       spark.table(source).limit(0).write.saveAsTable(target)

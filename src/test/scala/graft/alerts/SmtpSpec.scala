@@ -162,4 +162,19 @@ class SmtpSpec extends AnyFunSuite {
       assert(srv.transactions.map(_.rcpt) == Seq("good@x.com"))
     } finally srv.stop()
   }
+
+  test("useTls + credentials against a server without STARTTLS refuses cleartext AUTH") {
+    // the stub never advertises STARTTLS; sending AUTH LOGIN anyway would
+    // leak base64 credentials in cleartext — the client must refuse
+    // (smtplib raises SMTPNotSupportedError in the reference's path)
+    val srv = new StubSmtpServer()
+    try {
+      val n = new SmtpNotifier("127.0.0.1", srv.port, useTls = true,
+        "user", "secret", "s@x.com")
+      val out = n.send(Seq("a@x.com"), "s", "b")
+      assert(out.isLeft)
+      assert(out.left.exists(_.contains("refusing cleartext AUTH")))
+      assert(srv.transactions.isEmpty) // nothing was sent
+    } finally srv.stop()
+  }
 }

@@ -206,4 +206,14 @@ class HttpApiSpec extends SparkSuite {
     intercept[IllegalArgumentException](Json.parse("""{"a":}"""))
     intercept[IllegalArgumentException](Json.parse("""[1,2"""))
   }
+
+  test("JSON renders non-finite doubles as null (valid JSON, never bare NaN)") {
+    assert(Json.render(Double.NaN) == "null")
+    assert(Json.render(Double.PositiveInfinity) == "null")
+    assert(Json.render(Double.NegativeInfinity) == "null")
+    assert(Json.render(Float.NaN) == "null")
+    // a payload containing one stays parseable end-to-end
+    val rendered = Json.render(Json.obj("v" -> Double.NaN, "k" -> 1.5))
+    assert(Json.parse(rendered) == Map("v" -> null, "k" -> 1.5))
+  }
 }

@@ -108,4 +108,22 @@ class SqlSpec extends SparkSuite {
     assert(out.count() == 2)
     spark.sql("DROP TABLE tgt_tl_stale")
   }
+
+  test("truncateAndLoad survives a stale dir for a DB-QUALIFIED target") {
+    // qualified managed tables live at <warehouse>/<db>.db/<t> — the
+    // cleanup must target that layout, not <db>/<t> (which silently
+    // no-opped and left CREATE throwing LOCATION_ALREADY_EXISTS; the
+    // flagship corpus shape is db-qualified)
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("src_tl3")
+    spark.sql("CREATE DATABASE IF NOT EXISTS stale_db")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, "stale_db.db/tgt_q")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc) // stale qualified managed-table dir
+    val out = Sql.truncateAndLoad(spark, "src_tl3", "stale_db.tgt_q")
+    assert(out.count() == 1)
+    spark.sql("DROP TABLE stale_db.tgt_q")
+    spark.sql("DROP DATABASE stale_db")
+  }
 }
