@@ -68,6 +68,12 @@ object Vectors {
     graft.expressions.VectorExpressions.lsh_signatures(v,
       planesFlat(bitsPerTable * nTables, dim, seed), bitsPerTable, nTables)
 
+  /** Corpus size for adaptive sizing: the caller's known count when ≥ 0
+    * (at scale the catalog/statistics know it — no job), else one count()
+    * (metadata-only on an unfiltered parquet scan). */
+  private def knownCount(df: DataFrame, known: Long): Long =
+    if (known >= 0L) known else df.count()
+
   /** Bits per LSH table sized to the corpus: 2^b buckets ≈ n / target ⇒
     * expected bucket size stays ~`targetBucketSize` as n grows, so expected
     * candidate pairs grow O(n·target), not O(n²/2^b). At 100 TB (n ≈ 10^9)
@@ -110,9 +116,10 @@ object Vectors {
                      vecCol: String, dim: Int,
                      bitsPerTable: Int = 0, nTables: Int = 6,
                      targetBucketSize: Int = 32,
-                     bucketCap: Int = 256): DataFrame = {
+                     bucketCap: Int = 256,
+                     corpusCount: Long = -1L): DataFrame = {
     val bits = if (bitsPerTable > 0) bitsPerTable
-               else adaptiveBits(corpus.count(), targetBucketSize)
+               else adaptiveBits(knownCount(corpus, corpusCount), targetBucketSize)
     val sigC = bucketRows(corpus, idCol, vecCol, "neighbor_id",
       dim, bits, nTables, bucketCap)
     val sigQ = bucketRows(queries, idCol, vecCol, "query_id",
@@ -130,9 +137,10 @@ object Vectors {
   def lshSelfPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                    bitsPerTable: Int = 0, nTables: Int = 6,
                    targetBucketSize: Int = 32,
-                   bucketCap: Int = 256): DataFrame = {
+                   bucketCap: Int = 256,
+                   corpusCount: Long = -1L): DataFrame = {
     val bits = if (bitsPerTable > 0) bitsPerTable
-               else adaptiveBits(df.count(), targetBucketSize)
+               else adaptiveBits(knownCount(df, corpusCount), targetBucketSize)
     // materialize bucket rows before the self-join — both join sides would
     // otherwise re-plan the full signature + bucket-cap window subtree
     // (same pattern as Dedup.minhashCandidates; at warehouse scale the
@@ -174,9 +182,10 @@ object Vectors {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int,
               bitsPerTable: Int = 0, nTables: Int = 6,
-              targetBucketSize: Int = 32, bucketCap: Int = 256): DataFrame = {
+              targetBucketSize: Int = 32, bucketCap: Int = 256,
+              corpusCount: Long = -1L): DataFrame = {
     val bits = if (bitsPerTable > 0) bitsPerTable
-               else adaptiveBits(corpus.count(), targetBucketSize)
+               else adaptiveBits(knownCount(corpus, corpusCount), targetBucketSize)
     val sigC = bucketRows(corpus, idCol, vecCol, "neighbor_id",
       dim, bits, nTables, bucketCap)
     // probe set: identity + single-bit flips of each query signature
