@@ -109,6 +109,12 @@ object SparkEntry {
     "q50_simhash_invariance" -> Pipeline.simhashInvariance _,
     "q51_exact_nn"           -> Pipeline.exactNearestNeighbor _,
     "q52_ivf_topk"           -> Pipeline.ivfTopK _,
+    // round 3: pretraining-pipeline extensions (inverted index, quality
+    // rules, PII scrubbing, sequence packing) — all DuckDB-oracle-checked
+    "q53_tfidf_topterms"     -> Pipeline.tfidfTopTerms _,
+    "q54_quality_rules"      -> Pipeline.qualityRules _,
+    "q55_pii_scrub"          -> Pipeline.piiScrub _,
+    "q56_pack_sequences"     -> Pipeline.packSequences _,
   )
 
   /** q42 oracle: per-column profile as UNION ALL (DuckDB lacks stack()). */
@@ -174,6 +180,64 @@ object SparkEntry {
         |FROM (SELECT query_id, neighbor_id, cos_sim, row_number() OVER
         |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rank
         |      FROM s) WHERE rank <= 5""".stripMargin,
+    "q53_tfidf_topterms" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'\S+')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
+        |FROM (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |        CAST(tf.tf AS DOUBLE)/CAST(df.df AS DOUBLE) AS score,
+        |        row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY CAST(tf.tf AS DOUBLE)/CAST(df.df AS DOUBLE) DESC, tf.term ASC) rank
+        |      FROM tf JOIN df USING (term))
+        |WHERE rank <= 3""".stripMargin,
+    "q54_quality_rules" ->
+      """SELECT doc_id,
+        | CAST(n_tokens AS INT) AS n_tokens,
+        | CAST(sum_len AS DOUBLE)/greatest(CAST(n_tokens AS DOUBLE), 1.0) AS mean_word_len,
+        | CAST(n_lines AS INT) AS n_lines,
+        | CAST(bullet_lines AS INT) AS bullet_lines,
+        | CAST(hash_chars AS INT) AS hash_chars,
+        | (n_tokens >= 5 AND n_tokens <= 100000
+        |  AND CAST(sum_len AS DOUBLE)/greatest(CAST(n_tokens AS DOUBLE), 1.0) >= 2.0
+        |  AND CAST(sum_len AS DOUBLE)/greatest(CAST(n_tokens AS DOUBLE), 1.0) <= 12.0
+        |  AND CAST(hash_chars AS DOUBLE)/greatest(CAST(n_chars0 AS DOUBLE), 1.0) <= 0.1)
+        |   AS gopher_ok
+        |FROM (SELECT doc_id,
+        |        len(regexp_extract_all(lower(text),'\S+')) AS n_tokens,
+        |        coalesce(list_sum(list_transform(
+        |          regexp_extract_all(lower(text),'\S+'), t -> length(t))), 0) AS sum_len,
+        |        len(string_split(text, chr(10))) AS n_lines,
+        |        len(list_filter(string_split(text, chr(10)),
+        |          l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) AS bullet_lines,
+        |        length(text) - length(regexp_replace(text, '#', '', 'g')) AS hash_chars,
+        |        length(text) AS n_chars0
+        |      FROM documents)""".stripMargin,
+    "q55_pii_scrub" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\+?[0-9][0-9 -]{7,}[0-9]')) AS INT) AS n_phones,
+        | md5(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g')) AS scrub_fp,
+        | CAST(length(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g')) AS INT) AS n_chars_scrubbed
+        |FROM documents""".stripMargin,
+    "q56_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, source,
+        |        CAST(len(regexp_extract_all(lower(text),'\S+')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM d)
+        |SELECT source,
+        | CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+        | count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -229,6 +229,94 @@ object Pipeline {
            sum(Text.tokenCount(col("text"))).cast("bigint").as("n_tokens"))
   }
 
+  /** TF-IDF-style salient terms: inverted-index build (explode → per-doc
+    * term frequency), document frequency per term, relevance = tf/df
+    * (pure IEEE division — cross-engine deterministic, unlike libm ln),
+    * top-3 terms per doc. The explode shuffle is the standard inverted-
+    * index pattern: |tokens| rows of (doc_id, term), map-side combined by
+    * the tf aggregation; df is a second aggregation over the (doc, term)
+    * pairs, never over raw tokens. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+              (col("tf").cast("double") / col("df").cast("double")).as("score"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+              col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Gopher/C4-style structural quality heuristics — the rule family a
+    * pretraining filter applies before model-based scoring: token count,
+    * mean word length, bullet-line fraction inputs, symbol density, and
+    * the combined keep/drop verdict. Pure per-row expressions (one pass,
+    * no shuffle); all ratios are IEEE divisions for oracle parity. */
+  def qualityRules(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val nTok = size(toks)
+    val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      .cast("double") / greatest(nTok.cast("double"), lit(1.0))
+    val lines = split(col("text"), "\n")
+    val bulletLines = size(filter(lines,
+      l => trim(l).startsWith("-") || trim(l).startsWith("*")))
+    val hashChars = length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))
+    val symbolRatio = hashChars.cast("double") /
+      greatest(length(col("text")).cast("double"), lit(1.0))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      meanLen.as("mean_word_len"),
+      size(lines).as("n_lines"),
+      bulletLines.as("bullet_lines"),
+      hashChars.as("hash_chars"),
+      (nTok >= 5 && nTok <= 100000 &&
+       meanLen >= 2.0 && meanLen <= 12.0 &&
+       symbolRatio <= 0.1).as("gopher_ok"))
+  }
+
+  /** PII scrubbing: count + redact e-mail addresses and phone-number-like
+    * digit runs (regexes chosen to behave identically under Java regex and
+    * RE2). Emits the redaction counts and a fingerprint of the scrubbed
+    * text so the oracle verifies the actual rewrite, not just the counts.
+    * Narrow map — the 100 TB shape is scrub-at-ingest. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+?[0-9][0-9 -]{7,}[0-9]"
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).as("n_phones"),
+      md5(scrubbed).as("scrub_fp"),
+      length(scrubbed).as("n_chars_scrubbed"))
+  }
+
+  /** Greedy sequential sequence packing: within each source, docs in
+    * doc_id order are packed into ~2048-token bins (bin = starting token
+    * offset ÷ 2048) — the layout step before writing training shards.
+    * Deterministic integer arithmetic end-to-end; the window partitions by
+    * source so packing parallelizes across sources at scale. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val target = lit(2048.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+              Text.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / target).cast("bigint"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+  }
+
   /** Export round-trip: top orders → sanitized CSV artifact (S7) → re-read
     * (S1). Rows-only: exercises the ingest/export adapters end-to-end. */
   def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {
