@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Physical-plan audits for the driver-facing queries: the properties that
+  * make these plans survive a 100× scale-up are asserted, not assumed —
+  * pushdown reaching the scan, column pruning, broadcast (never shuffle or
+  * cartesian) joins for dim-sized sides, top-k as TakeOrdered (never a full
+  * sort), and whole-stage codegen on the hot paths. A regression in any of
+  * these is invisible to the correctness gate (same rows, 100× the cost at
+  * scale) — this spec is the guard.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  /** Final physical plan, post-AQE: collect() executes THIS dataset's plan
+    * (a count() would execute a derived one and leave AQE unfinalized),
+    * then render. Codegen stages print as `*(n) Operator`. */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    graft.core.Mat.releaseAll()
+    s
+  }
+
+  test("q02 filter/projection reach the parquet scan (pushdown + pruning)") {
+    val plan = executedPlan("q02_filter_project")
+    assert(plan.contains("PushedFilters:"), "no pushed filters in scan")
+    // both predicates are scan-level, not post-filter-only
+    assert(plan.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$plan")
+    assert(plan.contains("GreaterThan(l_discount"), "discount range not pushed")
+    // projection pruning: untouched columns never leave the reader
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_tax"),
+      s"scan reads columns the query never uses: $readSchema")
+  }
+
+  test("q03 dim joins broadcast (no shuffle join on region/nation)") {
+    val plan = executedPlan("q03_customers_region")
+    assert(plan.contains("BroadcastHashJoin"), "dim join did not broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "dim-sized join fell back to a shuffle join")
+  }
+
+  test("q09 top-k plans as TakeOrdered, never a global sort") {
+    val plan = executedPlan("q09_topk")
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+  }
+
+  test("q51 brute-force NN broadcasts; no cartesian shuffle anywhere") {
+    val plan = executedPlan("q51_exact_nn")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "query set should broadcast against the corpus scan")
+    assert(!plan.contains("CartesianProduct"),
+      "n×n pair generation must not shuffle-materialize the cross product")
+  }
+
+  test("q01 aggregation runs inside whole-stage codegen with partial aggs") {
+    val plan = executedPlan("q01_pricing_summary")
+    assert(plan.contains("*("), s"no whole-stage-codegen stage:\n$plan")
+    // two-phase agg: map-side partial before the exchange
+    assert(plan.contains("partial_sum"),
+      "no partial aggregation before the shuffle")
+  }
+
+  test("q53 inverted index: map-side combine before both shuffles") {
+    val plan = executedPlan("q53_tfidf_topterms")
+    // tf and df both hash-aggregate (partial+final); the explode output is
+    // combined map-side, so the shuffle carries (doc,term,count), not raw
+    // token rows
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
