@@ -115,6 +115,7 @@ object SparkEntry {
     "q54_quality_rules"      -> Pipeline.qualityRules _,
     "q55_pii_scrub"          -> Pipeline.piiScrub _,
     "q56_pack_sequences"     -> Pipeline.packSequences _,
+    "q57_dup_clusters"       -> Pipeline.dupClusters _,
   )
 
   /** q42 oracle: per-column profile as UNION ALL (DuckDB lacks stack()). */
@@ -238,6 +239,31 @@ object SparkEntry {
         | count(*) AS n_docs,
         | CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
+    // connected components by recursive reachability — min reachable id is
+    // the cluster id, exactly what Spark's min-label propagation converges to
+    "q57_dup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+        |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
+        |      FROM t),
+        |j AS (SELECT a.doc_id id_a, b.doc_id id_b,
+        |        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
+        |      FROM s a JOIN s b ON b.doc_id = a.doc_id + 1),
+        |fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) f FROM documents),
+        |mn AS (SELECT f, min(doc_id) m FROM fp GROUP BY 1),
+        |e AS (SELECT fp.doc_id a, mn.m b FROM fp JOIN mn USING (f) WHERE fp.doc_id <> mn.m
+        |      UNION SELECT id_a, id_b FROM j WHERE jac >= 0.35),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT sym.b, reach.label FROM reach JOIN sym ON sym.a = reach.id)
+        |SELECT id AS doc_id, min(label) AS cluster_id,
+        | (id = min(label)) AS is_canonical
+        |FROM reach GROUP BY id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -34,10 +34,15 @@ object Mat {
     * CacheManager entries, while `localCheckpoint()` pins blocks on the
     * UNDERLYING RDD (wrapped by the plan's LogicalRDD leaf) — the r2 leak
     * survived precisely because nothing released that RDD. */
-  private def release(df: DataFrame): Unit =
+  def release(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
+
+  /** Eagerly materialize WITHOUT registering — for iterative algorithms
+    * where each step's frame replaces the previous one: the caller pairs
+    * every materialize with a [[release]] as the iteration advances. */
+  def materialize(df: DataFrame): DataFrame = df.localCheckpoint()
 
   /** Eagerly materialize `df` and register it for [[releaseAll]]. The
     * returned frame reads from its own blocks — upstream intermediates can

@@ -317,6 +317,56 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
   }
 
+  /** Duplicate CLUSTERS: connected components over a deterministic
+    * duplicate-evidence graph — edges are (a) doc → min-doc sharing its
+    * content fingerprint and (b) adjacent-id pairs with n-gram Jaccard
+    * ≥ 0.35. Components computed by min-label propagation to fixpoint:
+    * each round is one key-partitioned join + aggregate, so a cluster
+    * converges in O(graph diameter) rounds (the classic pair-graph
+    * connected-components; alternating star operations would be the next
+    * refinement at extreme diameters). Every iteration materializes its
+    * label frame and releases the previous one (core.Mat) — bounded
+    * storage no matter how many rounds run. At 100 TB the edge set comes
+    * from the LSH candidate pairs; the propagation loop is unchanged.
+    * Oracle: a DuckDB recursive CTE computes the same reachability. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Mat
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("f"))
+    val star = fp.join(fp.groupBy("f").agg(min("doc_id").as("mn")), "f")
+      .filter(col("doc_id") =!= col("mn"))
+      .select(col("doc_id").as("a"), col("mn").as("b"))
+    val near = jaccardAdjacent(spark, dir).filter(col("jaccard") >= 0.35)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val edges = star.union(near)
+    Mat.withMaterialized(
+      edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    ) { sym =>
+      var labels = Mat.materialize(
+        docs.select(col("doc_id").as("id"), col("doc_id").as("label")))
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 25) {
+        val cand = sym.join(labels, sym("a") === labels("id"))
+          .select(sym("b").as("id"), labels("label").as("nl"))
+          .groupBy("id").agg(min("nl").as("nl"))
+        val next = Mat.materialize(labels.join(cand, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
+        changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.label") < col("o.label")).count()
+        Mat.release(labels)
+        labels = next
+        iter += 1
+      }
+      val out = Mat.tracked(labels.select(
+        col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_canonical")))
+      Mat.release(labels)
+      out
+    }
+  }
+
   /** Export round-trip: top orders → sanitized CSV artifact (S7) → re-read
     * (S1). Rows-only: exercises the ingest/export adapters end-to-end. */
   def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {
