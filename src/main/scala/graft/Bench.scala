@@ -20,11 +20,20 @@ object Bench {
     val dir = java.nio.file.Files.createTempDirectory("graft-probe").toString
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count() * factor
     val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count() * factor
+    // 2% of docs (id % 50 == 1) are MUTATIONS of their predecessor: same
+    // word stream with every 17th position re-hashed (~6% token churn →
+    // shingle Jaccard ≈ 0.7-0.8). Without planted near-dups the r3 probe
+    // returned 0 candidate pairs at 10× — it timed signature + band-join
+    // machinery but never pair SCORING at volume.
+    val base = when(pmod(col("id"), lit(50)) === 1 && col("id") > 0,
+      col("id") - 1).otherwise(col("id"))
     spark.range(nDocs).select(
         col("id").as("doc_id"),
         concat_ws(" ", transform(
-          sequence(lit(1), lit(60) + pmod(col("id"), lit(60))),
-          j => concat(lit("w"), pmod(hash(col("id"), j), lit(5000))))).as("text"),
+          sequence(lit(1), lit(60) + pmod(base, lit(60))),
+          j => concat(lit("w"), pmod(
+            when(col("id") =!= base && pmod(j, lit(17)) === 0, hash(col("id"), j))
+              .otherwise(hash(base, j)), lit(5000))))).as("text"),
         lit("en").as("lang"), lit("synth").as("source"), lit(0L).as("n_chars"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     spark.range(nVecs).select(
@@ -81,7 +90,16 @@ object Bench {
         }.mkString(",")
         s""","scale_probe_10x":{$entries}"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probeJson}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probeJson}"""
+    // r3 post-mortem: the metric line printed BEFORE spark.stop() was
+    // displaced out of the driver's 2000-char stdout tail by a shutdown
+    // stack-trace flood — non-blocking unpersist futures racing the
+    // stopping block manager ("Block rdd_N was not removed normally" +
+    // RejectedExecutionException). Order of record: drain every scope
+    // BLOCKING, stop the session, and print the metric line LAST.
+    graft.core.Mat.releaseAllScopes(blocking = true)
     spark.stop()
+    println(json)
   }
 }

@@ -116,6 +116,10 @@ object SparkEntry {
     "q55_pii_scrub"          -> Pipeline.piiScrub _,
     "q56_pack_sequences"     -> Pipeline.packSequences _,
     "q57_dup_clusters"       -> Pipeline.dupClusters _,
+    // round 4: LSH-edge clustering (the 100 TB edge source; rows-only —
+    // MinHash isn't expressible in DuckDB, the propagation core is
+    // CTE-oracle-checked via q57)
+    "q58_dup_clusters_lsh"   -> Pipeline.dupClustersLsh _,
   )
 
   /** q42 oracle: per-column profile as UNION ALL (DuckDB lacks stack()). */

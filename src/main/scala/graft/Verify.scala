@@ -49,6 +49,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // blocking drain before stop — same shutdown discipline as Bench: no
+    // unpersist future may race the stopping block manager
+    graft.core.Mat.releaseAllScopes(blocking = true)
     spark.stop()
   }
 }

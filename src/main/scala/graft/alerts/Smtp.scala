@@ -60,16 +60,27 @@ final class SmtpNotifier(
           .createSocket(sock, server, port, true)
           .asInstanceOf[javax.net.ssl.SSLSocket]
         tls.setSoTimeout(10000)
+        // endpoint identification: a bare SSLSocket accepts ANY valid
+        // certificate — an active MITM presenting its own cert would pass
+        // the handshake and harvest the AUTH LOGIN credentials TLS exists
+        // to protect. "HTTPS" enables RFC 2818/6125 hostname matching
+        // against `server` (what smtplib gets from ssl.create_default_context).
+        val params = tls.getSSLParameters
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        tls.setSSLParameters(params)
         tls.startHandshake()
         sock = tls
         in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
         out = new OutputStreamWriter(sock.getOutputStream, UTF_8)
         cmd(s"EHLO $hostname", 250)
-      } else if (useTls && username.nonEmpty) {
-        // never send AUTH LOGIN (base64 ≠ encryption) in cleartext when the
-        // caller asked for TLS — matches smtplib's SMTPNotSupportedError
+      } else if (useTls) {
+        // caller asked for TLS but the server doesn't offer STARTTLS:
+        // refuse REGARDLESS of credentials — silently continuing would put
+        // the message (and AUTH LOGIN, when configured) on the wire in
+        // cleartext. Matches smtplib, whose starttls() raises
+        // SMTPNotSupportedError unconditionally when the extension is absent.
         throw new RuntimeException(
-          "STARTTLS requested but not offered by server; refusing cleartext AUTH")
+          "STARTTLS requested but not offered by server; refusing cleartext send")
       }
       if (username.nonEmpty) {
         cmd("AUTH LOGIN", 334)

@@ -1,6 +1,6 @@
 package graft.core
 
-import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 
 import org.apache.spark.sql.DataFrame
 
@@ -18,38 +18,66 @@ import org.apache.spark.sql.DataFrame
   *    inside the function (blocks released on exit, even on failure);
   *  - [[tracked]]: eagerly materialize a RESULT frame handed back to a
   *    caller (driver writes it / counts it later), registered here so the
-  *    session owner — bench loop, verify loop, orchestrator tick — drains
-  *    all of them at its natural boundary via [[releaseAll]].
+  *    session owner — bench loop, verify loop, orchestrator tick, admin
+  *    request handler — drains all of them at its natural boundary via
+  *    [[releaseAll]].
   *
-  * Invariant: after `releaseAll()` at an owner boundary, the session holds
-  * ZERO graft-originated storage blocks (asserted in OrchestratorSpec /
+  * The registry is scoped PER OWNER THREAD, not JVM-global: the
+  * orchestrator daemon ticks every ~1 s on its own thread while AdminApi
+  * run-now executes tasks concurrently on 4 handler threads. With one
+  * global registry, a daemon tick's releaseAll would unpersist a snapshot
+  * tracked by an in-flight run-now on another thread BEFORE its result is
+  * counted — and since localCheckpoint truncates lineage, the released
+  * frame cannot be recomputed (lost-block failure). Each owner (scheduler
+  * loop, bench/verify loop, each HTTP handler thread) tracks into and
+  * drains only its own queue; [[releaseAllScopes]] is the JVM-shutdown
+  * boundary that drains everything before `SparkSession.stop()`.
+  *
+  * Invariant: after every owner has called `releaseAll()` at its boundary
+  * (or one `releaseAllScopes()` at shutdown), the session holds ZERO
+  * graft-originated storage blocks (asserted in OrchestratorSpec /
   * FunctionsSpec via `sparkContext.getPersistentRDDs`).
   */
 object Mat {
 
-  private val live = new ConcurrentLinkedQueue[DataFrame]()
+  /** Owner-thread → its tracked frames. Keyed by thread so a handler-pool
+    * thread (reused across requests) keeps one queue for its lifetime; a
+    * queue abandoned by a dead thread is drained by [[releaseAllScopes]]. */
+  private val scopes =
+    new ConcurrentHashMap[Thread, ConcurrentLinkedQueue[DataFrame]]()
+
+  private def myScope: ConcurrentLinkedQueue[DataFrame] =
+    scopes.computeIfAbsent(Thread.currentThread(),
+      _ => new ConcurrentLinkedQueue[DataFrame]())
 
   /** Unpersist the block set behind a checkpointed frame. NOTE
     * `Dataset.unpersist()` would be a silent no-op here: it only clears
     * CacheManager entries, while `localCheckpoint()` pins blocks on the
     * UNDERLYING RDD (wrapped by the plan's LogicalRDD leaf) — the r2 leak
-    * survived precisely because nothing released that RDD. */
-  def release(df: DataFrame): Unit =
+    * survived precisely because nothing released that RDD.
+    *
+    * `blocking = true` at boundaries that precede `SparkSession.stop()`:
+    * non-blocking unpersist futures racing the shutting-down block manager
+    * flood stderr with RejectedExecutionException / "not removed normally"
+    * noise (and displaced the r3 bench metric line out of the driver's
+    * capture window). */
+  def release(df: DataFrame, blocking: Boolean = false): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    }.foreach(_.unpersist(blocking))
 
   /** Eagerly materialize WITHOUT registering — for iterative algorithms
     * where each step's frame replaces the previous one: the caller pairs
     * every materialize with a [[release]] as the iteration advances. */
   def materialize(df: DataFrame): DataFrame = df.localCheckpoint()
 
-  /** Eagerly materialize `df` and register it for [[releaseAll]]. The
-    * returned frame reads from its own blocks — upstream intermediates can
-    * be unpersisted immediately after this call returns. */
+  /** Eagerly materialize `df` and register it in the CALLING THREAD's
+    * scope for [[releaseAll]]. The returned frame reads from its own
+    * blocks — upstream intermediates can be unpersisted immediately after
+    * this call returns. */
   def tracked(df: DataFrame): DataFrame = {
     val c = df.localCheckpoint() // eager
-    live.add(c)
+    myScope.add(c)
     c
   }
 
@@ -62,13 +90,40 @@ object Mat {
     try f(c) finally release(c)
   }
 
-  /** Drain the registry: called by the session owner once the results of
-    * the current unit of work (query, tick) are consumed. */
-  def releaseAll(): Unit = {
-    var d = live.poll()
-    while (d != null) { release(d); d = live.poll() }
+  private def drain(q: ConcurrentLinkedQueue[DataFrame], blocking: Boolean): Unit = {
+    var d = q.poll()
+    while (d != null) { release(d, blocking); d = q.poll() }
   }
 
-  /** Number of live tracked frames (diagnostics / tests). */
-  def liveCount: Int = live.size()
+  /** Drain the calling thread's scope: called by the owner once the
+    * results of its current unit of work (query, tick, HTTP request) are
+    * consumed. Frames tracked concurrently by OTHER owners are untouched. */
+  def releaseAll(blocking: Boolean = false): Unit = {
+    val q = scopes.remove(Thread.currentThread())
+    if (q != null) drain(q, blocking)
+  }
+
+  /** Drain EVERY owner's scope — the JVM-shutdown boundary (bench/verify
+    * end, test teardown), where no owner can still be mid-flight. Blocking
+    * by default: this runs right before `SparkSession.stop()`. */
+  def releaseAllScopes(blocking: Boolean = true): Unit = {
+    val it = scopes.keySet().iterator()
+    while (it.hasNext) {
+      val q = scopes.remove(it.next())
+      if (q != null) drain(q, blocking)
+    }
+  }
+
+  /** Live tracked frames in the calling thread's scope (diagnostics/tests). */
+  def liveCount: Int = {
+    val q = scopes.get(Thread.currentThread())
+    if (q == null) 0 else q.size()
+  }
+
+  /** Live tracked frames across ALL scopes (diagnostics/tests). */
+  def liveCountAllScopes: Int = {
+    var n = 0
+    scopes.forEach((_, q) => n += q.size())
+    n
+  }
 }

@@ -62,7 +62,8 @@ object Dedup {
 
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 32, bands: Int = 8,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5,
+                        bucketCap: Int = 256): DataFrame = {
     val r = k / bands
     val sig = minhashSignatures(df, idCol, textCol, k)
     // Materialize the banded signatures before the self-join: a self-join
@@ -72,10 +73,21 @@ object Dedup {
     // and the banded blocks are released on exit, so a long-lived session
     // holds nothing but the result until the owner's Mat.releaseAll (at
     // warehouse scale this is "write signatures to a table at ingest").
+    //
+    // Band buckets are CAPPED at `bucketCap` rows (deterministic: lowest
+    // ids survive), mirroring Vectors.bucketRows: a duplicate-heavy corpus
+    // — the NORMAL input to a dedup pass — collides in every band, and an
+    // uncapped bucket's pair count is quadratic in the duplicate family's
+    // size. The cap bounds the worst bucket at cap²/2 pairs; recall on
+    // capped buckets is best-effort by design (exact-dup by fingerprint
+    // belongs before MinHash in a composed pipeline and removes the mass).
+    val w = Window.partitionBy("band", "bh").orderBy(col("id").asc)
     graft.core.Mat.withMaterialized(
       sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bh")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= bucketCap).drop("rn")
     ) { banded =>
       val pairs = banded.as("l").join(banded.as("r"),
           col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&

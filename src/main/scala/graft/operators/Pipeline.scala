@@ -120,14 +120,34 @@ object Pipeline {
     * at bench SF (broadcast); at 100 TB ground truth is computed on a SAMPLE
     * of queries, never all-pairs — this operator is the recall-measurement
     * tool, not the production ANN path (that's lshTopK). */
-  def exactNearestNeighbor(spark: SparkSession, dir: String): DataFrame = {
+  def exactNearestNeighbor(spark: SparkSession, dir: String): DataFrame =
+    exactNearestNeighbor(spark, dir, maxQueries = 4096)
+
+  /** Sample-gated form: above `maxQueries` corpus vectors, ground truth is
+    * computed for a DETERMINISTIC hash-sample of queries (~maxQueries of
+    * them) instead of all — the documented 100 TB shape, now enforced in
+    * code: recall measurement needs a statistically sufficient query set,
+    * never corpus × corpus. The gate never fires at oracle SF (≤2000
+    * vectors), so q51's DuckDB compare is unchanged; FunctionsSpec forces a
+    * tiny threshold to assert the sample path. */
+  private[graft] def exactNearestNeighbor(spark: SparkSession, dir: String,
+                                          maxQueries: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    val n = emb.count() // metadata-only count on an unfiltered parquet scan
+    val allQ = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val sampled =
+      if (n <= maxQueries) allQ
+      else { // keep ids where xxhash64(id) % k == 0: deterministic across
+             // partition layouts, ~n/k ≈ maxQueries survivors
+        val k = math.max(2L, n / maxQueries)
+        allQ.filter(pmod(xxhash64(col("query_id")), lit(k)) === 0)
+      }
     // k=1 as a max-aggregation (partial map-side combine, no sort) instead
     // of bruteForceTopK's row_number window, which would fully sort all n²
     // scored pairs: measured 7.9 s → agg form ~halves it at sf0.1. The
     // struct ordering (cos desc, then -id desc = id asc) matches the
     // window's deterministic tie-break exactly.
-    val q = broadcast(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val q = broadcast(sampled)
     emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       .join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -330,7 +350,6 @@ object Pipeline {
     * from the LSH candidate pairs; the propagation loop is unchanged.
     * Oracle: a DuckDB recursive CTE computes the same reachability. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    import graft.core.Mat
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("f"))
     val star = fp.join(fp.groupBy("f").agg(min("doc_id").as("mn")), "f")
@@ -338,15 +357,41 @@ object Pipeline {
       .select(col("doc_id").as("a"), col("mn").as("b"))
     val near = jaccardAdjacent(spark, dir).filter(col("jaccard") >= 0.35)
       .select(col("id_a").as("a"), col("id_b").as("b"))
-    val edges = star.union(near)
+    connectedComponents(docs.select(col("doc_id")), star.union(near))
+  }
+
+  /** [[dupClusters]] with the MinHash-LSH candidate pairs as the edge
+    * source — the 100 TB shape: banded signatures find near-dup evidence
+    * across the WHOLE corpus (not just fingerprint-identical or
+    * adjacent-id docs), and the propagation loop is unchanged. Rows-only
+    * at the driver (MinHash isn't expressible in the DuckDB oracle); the
+    * clustering core stays CTE-oracle-checked through q57. */
+  def dupClustersLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val edges = graft.functions.Dedup
+      .minhashCandidates(docs, "doc_id", "text", threshold = 0.35)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    connectedComponents(docs.select(col("doc_id")), edges)
+  }
+
+  /** Connected components by min-label propagation to fixpoint over an
+    * undirected edge list (a, b). Each round is one key-partitioned join +
+    * aggregate ⇒ O(graph diameter) rounds; every iteration materializes
+    * its label frame and releases the previous one (core.Mat) — bounded
+    * storage no matter how many rounds run. Alternating star operations
+    * would be the next refinement at extreme diameters. */
+  private[graft] def connectedComponents(ids: DataFrame,
+                                         edges: DataFrame,
+                                         maxIter: Int = 25): DataFrame = {
+    import graft.core.Mat
     Mat.withMaterialized(
       edges.union(edges.select(col("b").as("a"), col("a").as("b")))
     ) { sym =>
       var labels = Mat.materialize(
-        docs.select(col("doc_id").as("id"), col("doc_id").as("label")))
+        ids.select(col("doc_id").as("id"), col("doc_id").as("label")))
       var changed = 1L
       var iter = 0
-      while (changed > 0 && iter < 25) {
+      while (changed > 0 && iter < maxIter) {
         val cand = sym.join(labels, sym("a") === labels("id"))
           .select(sym("b").as("id"), labels("label").as("nl"))
           .groupBy("id").agg(min("nl").as("nl"))
@@ -358,6 +403,17 @@ object Pipeline {
         Mat.release(labels)
         labels = next
         iter += 1
+      }
+      if (changed > 0) {
+        // an unconverged result has WRONG cluster ids (labels mid-flight):
+        // silently returning it would diverge from the reachability oracle
+        // only at scale, where nobody is looking. Fail loud instead —
+        // callers with genuinely extreme diameters raise maxIter (or move
+        // to star-contraction).
+        Mat.release(labels)
+        throw new IllegalStateException(
+          s"connectedComponents: not converged after $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter")
       }
       val out = Mat.tracked(labels.select(
         col("id").as("doc_id"), col("label").as("cluster_id"),

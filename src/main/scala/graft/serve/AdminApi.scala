@@ -65,12 +65,23 @@ final class AdminApi(
     // 4 handler threads — the reference's gunicorn worker count
     // (gunicorn.conf.py:8). Safe under concurrency because catalog
     // mutations serialize on `writeLock` below.
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  private var pool: java.util.concurrent.ExecutorService = _
+
+  /** Stop accepting, then DRAIN the handler pool: HttpServer.stop does not
+    * shut down a user-supplied executor, and live handler threads racing
+    * `SparkSession.stop()` at JVM exit flood stderr with
+    * RejectedExecutionException noise. */
+  def stop(): Unit = if (server != null) {
+    server.stop(0)
+    pool.shutdown()
+    pool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+  }
 
   // ---- plumbing ---------------------------------------------------------
 
@@ -104,7 +115,14 @@ final class AdminApi(
           if (mutating) writeLock.synchronized { f(ex, ex.getRequestMethod, segs) }
           else f(ex, ex.getRequestMethod, segs)
         }
-      } catch { case e: Throwable => (500, Json.obj("error" -> e.getMessage)) }
+      } catch { case e: Throwable => (500, Json.obj("error" -> e.getMessage))
+      // request end is this handler thread's materialization boundary:
+      // anything a run-now's executor tracked (Jdbc.runScript snapshots)
+      // was counted while computing the response — drain THIS thread's
+      // scope so serve-only deployments (no daemon loop in the JVM) don't
+      // accumulate blocks across requests. Per-owner scoping means a
+      // concurrent daemon tick can't touch these frames mid-request.
+      } finally graft.core.Mat.releaseAll()
     val bytes = Json.render(body).getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(status, bytes.length)

@@ -59,12 +59,22 @@ final class HttpApi(spark: SparkSession, deps: HttpApi.Deps) {
     server.createContext("/api/task-logs/", exchange(handleTaskLogs))
     server.createContext("/api/notification-logs", exchange(handleNotificationLogs))
     server.createContext("/api/database/insert", exchange(handleInsert))
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  private var pool: java.util.concurrent.ExecutorService = _
+
+  /** Stop accepting, then DRAIN the handler pool (HttpServer.stop does not
+    * shut down a user-supplied executor; stragglers racing session shutdown
+    * emit RejectedExecutionException floods). */
+  def stop(): Unit = if (server != null) {
+    server.stop(0)
+    pool.shutdown()
+    pool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+  }
 
   // ---- plumbing ---------------------------------------------------------
 
@@ -76,6 +86,9 @@ final class HttpApi(spark: SparkSession, deps: HttpApi.Deps) {
         f(ex)
       }
       catch { case e: Throwable => (500, Json.obj("error" -> e.getMessage)) }
+      // request-end boundary: drain THIS handler thread's tracked frames
+      // (see AdminApi.exchange — same per-owner discipline)
+      finally graft.core.Mat.releaseAll()
     val bytes = Json.render(body).getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(status, bytes.length)

@@ -173,8 +173,23 @@ class SmtpSpec extends AnyFunSuite {
         "user", "secret", "s@x.com")
       val out = n.send(Seq("a@x.com"), "s", "b")
       assert(out.isLeft)
-      assert(out.left.exists(_.contains("refusing cleartext AUTH")))
+      assert(out.left.exists(_.contains("refusing cleartext")))
       assert(srv.transactions.isEmpty) // nothing was sent
+    } finally srv.stop()
+  }
+
+  test("useTls WITHOUT credentials against a server without STARTTLS also refuses") {
+    // smtplib's starttls() raises regardless of whether AUTH follows —
+    // silently falling back to cleartext delivery would betray the
+    // caller's explicit TLS request even when no password is at stake
+    val srv = new StubSmtpServer()
+    try {
+      val n = new SmtpNotifier("127.0.0.1", srv.port, useTls = true,
+        "", "", "s@x.com")
+      val out = n.send(Seq("a@x.com"), "s", "b")
+      assert(out.isLeft)
+      assert(out.left.exists(_.contains("refusing cleartext")))
+      assert(srv.transactions.isEmpty)
     } finally srv.stop()
   }
 }

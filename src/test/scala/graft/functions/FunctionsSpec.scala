@@ -285,7 +285,7 @@ class FunctionsSpec extends SparkSuite {
     // released inside the operator; RESULT frames are tracked and drained
     // by the session owner at its boundary — after which the session holds
     // ZERO persistent RDDs.
-    graft.core.Mat.releaseAll() // clean slate regardless of test order
+    graft.core.Mat.releaseAllScopes(blocking = false) // clean slate regardless of test order/threads
     val docs = graft.core.Tables.documents(spark, sfDir)
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     assert(Dedup.minhashCandidates(docs, "doc_id", "text", threshold = 0.2).count() >= 0)
@@ -294,9 +294,28 @@ class FunctionsSpec extends SparkSuite {
     assert(model.centroids.length == 4)
     assert(graft.core.Mat.liveCount > 0) // results are tracked, not leaked anonymously
     graft.core.Mat.releaseAll()
-    assert(graft.core.Mat.liveCount == 0)
+    assert(graft.core.Mat.liveCountAllScopes == 0)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"leaked storage blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
+  test("minhash band buckets are capped: a duplicate-heavy corpus stays bounded") {
+    // duplicate-heavy input is the NORMAL case for a dedup pass: 5000
+    // identical docs collide in EVERY band. Uncapped, one bucket yields
+    // C(5000,2) ≈ 12.5M candidate pairs (quadratic in the family size);
+    // capped, the lowest `bucketCap` ids survive deterministically in every
+    // band and the pair count is exactly C(cap, 2).
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = spark.range(5000).select(col("id").as("doc_id"), lit(text).as("text"))
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+      threshold = 0.5, bucketCap = 32)
+    assert(pairs.count() == 32L * 31 / 2)
+    // deterministic lowest-id survivors — same ids in every band
+    val maxId = pairs.agg(max("id_b")).collect()(0).getLong(0)
+    assert(maxId == 31L)
+    // all survivors are exact dups of each other: estimated jaccard is 1
+    assert(pairs.filter(col("est_jaccard") < 1.0).count() == 0)
+    graft.core.Mat.releaseAll()
   }
 
   test("IVF hash-mod sampling bounds the training set and stays deterministic") {

@@ -46,4 +46,60 @@ class OperatorsSpec extends SparkSuite {
     val total = out.map(r => (1 to 5).map(r.getLong).sum).sum
     assert(total == graft.core.Tables.events(spark, sfDir).count())
   }
+
+  test("connectedComponents fails loud instead of returning unconverged labels") {
+    import spark.implicits._
+    // a 30-node path graph has diameter 29: min-label propagation moves
+    // labels one hop per round, so maxIter=3 CANNOT converge — silently
+    // returning would hand back wrong cluster ids
+    val ids = spark.range(30).select(col("id").as("doc_id"))
+    val edges = (0L until 29L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Pipeline.connectedComponents(ids, edges, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+    // and with enough rounds the same graph converges to one component
+    val ok = Pipeline.connectedComponents(ids, edges, maxIter = 30)
+    assert(ok.filter(col("cluster_id") === 0L).count() == 30)
+    graft.core.Mat.releaseAll()
+  }
+
+  test("dupClustersLsh clusters a planted multi-way near-dup family via LSH edges") {
+    import spark.implicits._
+    val dir = tmpDir("graft-lsh-clusters")
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    // each family member mutates ONE distinct token of the base doc —
+    // pairwise shingle Jaccard ≈ 0.88, found by the banded MinHash join
+    // (NOT by fingerprint identity, and ids are non-adjacent so the q57
+    // edge sources would miss them)
+    def mut(pos: Int) =
+      (1 to 50).map(i => if (i == pos) s"mut$pos" else s"w$i").mkString(" ")
+    val family = Seq(10L -> base, 20L -> mut(7), 30L -> mut(23), 40L -> mut(41))
+    val noise = (100L until 160L).map(i =>
+      i -> (1 to 50).map(j => s"n${i}x$j").mkString(" "))
+    (family ++ noise).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Pipeline.dupClustersLsh(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    for (id <- Seq(10L, 20L, 30L, 40L))
+      assert(out(id)._1 == 10L, s"doc $id not in family cluster: ${out(id)}")
+    assert(out(10L)._2 && !out(20L)._2)
+    // noise docs stay singletons
+    assert((100L until 160L).forall(i => out(i) == (i, true)))
+    graft.core.Mat.releaseAll()
+  }
+
+  test("exact-NN sample gate activates above the query-count threshold") {
+    // default threshold (4096) never fires at test SF: all vectors are queries
+    val full = Pipeline.exactNearestNeighbor(spark, sfDir)
+    val n = graft.core.Tables.embeddings(spark, sfDir).count()
+    assert(full.select("query_id").distinct().count() == n)
+    // forced low threshold: a deterministic hash-sample of ~maxQueries
+    // queries is ground-truthed, never corpus × corpus
+    val gated = Pipeline.exactNearestNeighbor(spark, sfDir, maxQueries = 100)
+    val sampled = gated.select("query_id").distinct().count()
+    assert(sampled > 0 && sampled < n, s"sample gate did not engage: $sampled of $n")
+    // deterministic: same sample on a re-run
+    assert(gated.select("query_id").distinct().count() == sampled)
+  }
 }
