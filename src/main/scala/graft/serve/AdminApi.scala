@@ -62,6 +62,11 @@ final class AdminApi(
     server.createContext("/api/users/generate-token", exchange(routeGenerateToken))
     server.createContext("/api/upload", exchange(routeUpload))
     server.createContext("/api/python-scripts", exchange(routePythonScripts))
+    server.createContext("/api/task-logs", exchange(routeTaskLogsRead))
+    // static dashboard — the reference's template layer (web_scheduler.py:
+    // 1585-1603 render_template routes) as ONE fetch-driven page; JDK
+    // HttpServer picks the longest context prefix, so /api/* always wins
+    server.createContext("/", serveUi _)
     // 4 handler threads — the reference's gunicorn worker count
     // (gunicorn.conf.py:8). Safe under concurrency because catalog
     // mutations serialize on `writeLock` below.
@@ -193,8 +198,41 @@ final class AdminApi(
 
   // ---- /api/tasks -------------------------------------------------------
 
+  private def serveUi(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    val (status, body) =
+      if (ex.getRequestMethod == "GET" && (path == "/" || path == "/index.html"))
+        (200, Ui.indexHtml)
+      else (404, "not found")
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type",
+      if (status == 200) "text/html; charset=utf-8" else "text/plain; charset=utf-8")
+    ex.sendResponseHeaders(status, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  /** GET /api/task-logs/{id} — session-authed read for the dashboard's log
+    * panel (the reference's web UI reads logs from the same session-authed
+    * app; the token-authed paginated variant lives on HttpApi). Most
+    * recent first, capped at 50 — catalog metadata, driver-small. */
+  private def routeTaskLogsRead(ex: HttpExchange, method: String,
+                                segs: Seq[String]): (Int, Any) = (method, segs) match {
+    case ("GET", Seq("api", "task-logs", IdSeg(id))) =>
+      if (tasks().forall(_.id != id)) (404, Json.obj("message" -> "任务不存在"))
+      else {
+        val logs = store.read[TaskLog]("task_logs").collect()
+          .filter(_.taskId == id).sortBy(-_.executionTime.getTime).take(50)
+          .map(l => Json.obj("status" -> l.status, "message" -> l.message,
+            "execution_time" -> l.executionTime))
+        (200, Json.obj("logs" -> logs.toSeq))
+      }
+    case _ => (404, Json.obj("error" -> "not found"))
+  }
+
   private def routeTasks(ex: HttpExchange, method: String,
                          segs: Seq[String]): (Int, Any) = (method, segs) match {
+    case ("GET", Seq("api", "tasks")) => listTasks()
     case ("POST", Seq("api", "tasks")) => createTask(jsonBody(ex))
     case ("GET", Seq("api", "tasks", IdSeg(id))) => getTask(id)
     case ("PUT", Seq("api", "tasks", IdSeg(id))) => updateTask(id, jsonBody(ex))
@@ -229,6 +267,27 @@ final class AdminApi(
   }
 
   private def tasks(): Seq[Task] = store.read[Task]("tasks").collect().toSeq
+
+  /** GET /api/tasks — session-authed list for the dashboard (the reference
+    * renders the same rows into templates/index.html; the token-authed
+    * filtered variant lives on HttpApi). Newest first, like the reference. */
+  private def listTasks(): (Int, Any) = {
+    val latest = store.read[TaskLog]("task_logs").collect()
+      .groupBy(_.taskId).map { case (k, v) =>
+        k -> v.maxBy(_.executionTime.getTime).status }
+    val list = tasks().sortBy(-_.id).map { t =>
+      Json.obj(
+        "id" -> t.id, "name" -> t.name, "task_type" -> t.taskType,
+        "script_path" -> t.scriptPath.orNull,
+        "sql_script_id" -> t.sqlScriptId.orNull,
+        "schedule_interval" -> t.scheduleInterval,
+        "cron_expression" -> t.cronExpression.orNull,
+        "last_run" -> t.lastRun.orNull, "next_run" -> t.nextRun.orNull,
+        "is_active" -> t.isActive,
+        "latest_status" -> latest.get(t.id).orNull)
+    }
+    (200, Json.obj("tasks" -> list))
+  }
 
   /** POST /api/tasks (web_scheduler.py:4794-4864): name+task_type required;
     * dependencies list → CSV; cron validated (400 on bad expression) and

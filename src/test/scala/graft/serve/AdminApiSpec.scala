@@ -481,4 +481,45 @@ class AdminApiSpec extends SparkSuite {
     val (rc, rb) = Await.result(runF, 60.seconds)
     assert(rc == 200 && asMap(rb)("message") == "任务执行成功")
   }
+
+  test("dashboard: static page open, task list + log panel session-authed") {
+    // the static page is reachable WITHOUT a session (it hosts the login
+    // form, like the reference's /login template route)
+    val req = HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:${env._2}/")).GET().build()
+    val page = client.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(page.statusCode() == 200)
+    assert(page.headers().firstValue("Content-Type").get.startsWith("text/html"))
+    assert(page.body().contains("graft 调度管理平台"))
+    assert(page.body().contains("/api/login")) // drives the JSON surface
+    // unknown static path → 404, /api prefix routing unaffected
+    val miss = client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:${env._2}/nope")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(miss.statusCode() == 404)
+    // the data routes the page drives are session-gated
+    val (unauth, ub, _) = rawCall("GET", "/api/tasks", "", None)
+    assert(unauth == 401 && asMap(ub) == Map("error" -> "未授权访问"))
+    // authed list: envelope {tasks:[...]} newest-first with schedule fields
+    val (cc, cb) = call("POST", "/api/tasks",
+      """{"name":"ui-seed","task_type":"sql","sql_script_id":1,
+         "schedule_interval":60}""")
+    assert(cc == 200)
+    val id = asMap(cb)("id").asInstanceOf[Long]
+    val (lc, lb) = call("GET", "/api/tasks")
+    assert(lc == 200)
+    val rows = asMap(lb)("tasks").asInstanceOf[Vector[Any]].map(asMap)
+    val mine = rows.find(_("id") == id).get
+    assert(mine("name") == "ui-seed" && mine("task_type") == "sql")
+    assert(mine("is_active") == true && mine("schedule_interval") == 60L)
+    // run it, then the log panel route returns the appended log row
+    val (rc2, _) = call("POST", s"/api/tasks/$id/run")
+    assert(rc2 == 200)
+    val (gc, gb) = call("GET", s"/api/task-logs/$id")
+    assert(gc == 200)
+    val logs = asMap(gb)("logs").asInstanceOf[Vector[Any]].map(asMap)
+    assert(logs.nonEmpty && logs.head("status") == "success")
+    val (nc, nb) = call("GET", "/api/task-logs/999999")
+    assert(nc == 404 && asMap(nb) == Map("message" -> "任务不存在"))
+  }
 }
