@@ -49,7 +49,10 @@ object Bench {
         val rows = try SparkEntry.queries(name)(spark, dir).count()
                    catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
-        graft.core.Mat.releaseAll() // result consumed — drop tracked blocks
+        // result consumed — drop tracked blocks. BLOCKING: a non-blocking
+        // unpersist future from the last probe query can outlive the final
+        // drain (its queue entry is already gone) and race spark.stop()
+        graft.core.Mat.releaseAll(blocking = true)
         (name, sec, rows)
       }
   }
@@ -73,8 +76,9 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       // the query's RESULT was just consumed (count) — release the blocks
       // its operators tracked, exactly like the scheduler daemon does at
-      // tick end. Untimed: lifecycle bookkeeping, not query work.
-      graft.core.Mat.releaseAll()
+      // tick end. Untimed lifecycle bookkeeping; blocking so no unpersist
+      // future can linger past its queue entry into session shutdown.
+      graft.core.Mat.releaseAll(blocking = true)
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

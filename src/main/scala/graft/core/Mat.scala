@@ -84,10 +84,16 @@ object Mat {
   /** Materialize `df`, run `f` on the materialized frame, release the
     * blocks. Whatever `f` returns must be fully computed inside the scope
     * (collected, written, or itself [[tracked]]) — the checkpoint's blocks
-    * are gone on exit and a truncated lineage cannot recompute. */
+    * are gone on exit and a truncated lineage cannot recompute.
+    *
+    * The exit release is BLOCKING (one bounded wait per operator call, not
+    * per iteration): a fire-and-forget future here has no queue entry for
+    * the shutdown drain to await, so a scope that closes in the session's
+    * final query races `SparkSession.stop()` and floods stderr. Iterative
+    * algorithms keep their mid-loop [[release]] calls non-blocking. */
   def withMaterialized[T](df: DataFrame)(f: DataFrame => T): T = {
     val c = df.localCheckpoint()
-    try f(c) finally release(c)
+    try f(c) finally release(c, blocking = true)
   }
 
   private def drain(q: ConcurrentLinkedQueue[DataFrame], blocking: Boolean): Unit = {

@@ -384,27 +384,39 @@ object Pipeline {
                                          edges: DataFrame,
                                          maxIter: Int = 25): DataFrame = {
     import graft.core.Mat
+    // convergence detection: label updates are least(current, min neighbor)
+    // — monotone non-increasing per row, strictly decreasing for any row
+    // that changed — so the label SUM strictly decreases iff ANY label
+    // changed. Comparing sums costs ONE aggregate over the (already
+    // materialized) next frame per round, vs the join+count form's extra
+    // key-partitioned join job (2 jobs/round → 1). decimal(38,0): 10^9
+    // rows × 10^18 ids stays far inside 38 digits — no silent Long overflow.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty input: converged at once
     Mat.withMaterialized(
       edges.union(edges.select(col("b").as("a"), col("a").as("b")))
     ) { sym =>
       var labels = Mat.materialize(
         ids.select(col("doc_id").as("id"), col("doc_id").as("label")))
-      var changed = 1L
+      var prevSum = labelSum(labels)
+      var changed = true
       var iter = 0
-      while (changed > 0 && iter < maxIter) {
+      while (changed && iter < maxIter) {
         val cand = sym.join(labels, sym("a") === labels("id"))
           .select(sym("b").as("id"), labels("label").as("nl"))
           .groupBy("id").agg(min("nl").as("nl"))
         val next = Mat.materialize(labels.join(cand, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
-        changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.label") < col("o.label")).count()
+        val nextSum = labelSum(next)
+        changed = nextSum.compareTo(prevSum) != 0
+        prevSum = nextSum
         Mat.release(labels)
         labels = next
         iter += 1
       }
-      if (changed > 0) {
+      if (changed) {
         // an unconverged result has WRONG cluster ids (labels mid-flight):
         // silently returning it would diverge from the reachability oracle
         // only at scale, where nobody is looking. Fail loud instead —
@@ -413,12 +425,12 @@ object Pipeline {
         Mat.release(labels)
         throw new IllegalStateException(
           s"connectedComponents: not converged after $maxIter rounds " +
-          s"($changed labels still changing); raise maxIter")
+          "(labels still changing); raise maxIter")
       }
       val out = Mat.tracked(labels.select(
         col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("is_canonical")))
-      Mat.release(labels)
+      Mat.release(labels, blocking = true) // last scope-exit before return
       out
     }
   }
