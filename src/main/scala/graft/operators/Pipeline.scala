@@ -47,12 +47,39 @@ object Pipeline {
     * linear-cost probe of the similarity kernel (the all-pairs version goes
     * through MinHash-LSH below). */
   def jaccardAdjacent(spark: SparkSession, dir: String): DataFrame = {
+    // Per-document DISTINCT shingle-HASH sets over pure long arithmetic.
+    // The original pairwise form (ngramJaccard(text_a, text_b)) built
+    // |toks| shingle STRINGS per doc per evaluation — and evaluated the
+    // whole expression once per join side plus once more when a
+    // downstream >= threshold filter (q57's edge source) inlined it into
+    // the predicate: measured 7.9 s vs <1 s at sf0.1 once values are
+    // consumed. Here each stage hides behind a Generate (explode(array))
+    // barrier — a concrete attribute CollapseProject cannot inline — so
+    // token hashes and w-gram hashes are computed once per doc per side,
+    // and the only per-pair work is long-array intersects. Token hashes
+    // are injective stand-ins for shingle strings (\s+-split tokens
+    // cannot contain the join space), so set equality — and the q23
+    // DuckDB string-shingle oracle — is preserved (64-bit collisions:
+    // ~|sh|²/2^65 per doc, negligible).
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
-    val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    val th = d.select(col("doc_id"),
+      explode(array(transform(Text.tokens(col("text")), t => xxhash64(t))))
+        .as("th"))
+    val sh = th.select(col("doc_id"), explode(array(array_distinct(
+        when(size(col("th")) < 3, // <w tokens: ONE whole-doc shingle (fold)
+          array(aggregate(col("th"), lit(42L), (a, h) => xxhash64(a, h))))
+        .otherwise(transform(sequence(lit(0), size(col("th")) - 3),
+          i => xxhash64(element_at(col("th"), i + 1),
+                        element_at(col("th"), i + 2),
+                        element_at(col("th"), i + 3))))))).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     a.join(b, col("id_b") === col("id_a") + 1)
       .select(col("id_a"), col("id_b"),
-              round(Dedup.ngramJaccard(col("text_a"), col("text_b")), 4).as("jaccard"))
+        round(inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"), 4)
+          .as("jaccard"))
   }
 
   /** MinHash+LSH near-duplicate candidate pairs (not SQL-expressible —
@@ -394,8 +421,15 @@ object Pipeline {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty input: converged at once
+    // one-pass symmetrization: union(edges, edges.swapped) plans the WHOLE
+    // edge subtree twice (fingerprint join + adjacent-Jaccard — the
+    // dominant q57 cost); a generator emits both directions from a single
+    // evaluation
     Mat.withMaterialized(
-      edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      edges.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
     ) { sym =>
       var labels = Mat.materialize(
         ids.select(col("doc_id").as("id"), col("doc_id").as("label")))
