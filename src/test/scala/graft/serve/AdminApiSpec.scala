@@ -21,6 +21,8 @@ class AdminApiSpec extends SparkSuite {
     val exec: Task => Either[String, String] = t => {
       executed += t.id
       if (t.name.contains("slow")) Thread.sleep(1500)
+      if (t.name.contains("tracker")) // a Jdbc.runScript-style snapshot
+        assert(graft.core.Mat.tracked(spark.range(100).toDF("id")).count() == 100)
       if (t.name.contains("doomed")) Left("boom") else Right("ok")
     }
     val alerts = new graft.alerts.AlertService(spark, store, notifier,
@@ -480,6 +482,24 @@ class AdminApiSpec extends SparkSuite {
       s"GET took ${getMs}ms — starved behind the in-flight run-now")
     val (rc, rb) = Await.result(runF, 60.seconds)
     assert(rc == 200 && asMap(rb)("message") == "任务执行成功")
+  }
+
+  test("run-now drains its tracked snapshots at request end (serve-only no-leak)") {
+    // ADVICE r3 medium: a serve-only deployment (no daemon loop in the
+    // JVM) must not accumulate run-now snapshots — the handler thread
+    // drains its OWN scope in the exchange finally, and per-owner scoping
+    // keeps a concurrent daemon from touching the frames mid-request
+    val (cc, cb) = call("POST", "/api/tasks",
+      """{"name":"tracker-task","task_type":"sql","sql_script_id":1,
+         "schedule_interval":3600}""")
+    assert(cc == 200)
+    val id = asMap(cb)("id").asInstanceOf[Long]
+    val (rc, rb) = call("POST", s"/api/tasks/$id/run")
+    assert(rc == 200 && asMap(rb)("message") == "任务执行成功")
+    assert(graft.core.Mat.liveCountAllScopes == 0,
+      "run-now's tracked snapshot survived the request-end drain")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
 
   test("dashboard: static page open, task list + log panel session-authed") {
