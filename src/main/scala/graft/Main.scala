@@ -31,10 +31,20 @@ object Main {
                   daemon: Thread) {
     def stop(): Unit = {
       orchestrator.stopped = true
-      daemon.join(10000)
-      adminApi.stop() // stops accepting, drains the 4 handler threads
-      httpApi.stop()
-      graft.core.Mat.releaseAllScopes(blocking = true)
+      daemon.join(15000)
+      val adminDrained = adminApi.stop() // stops accepting, drains handlers
+      val httpDrained = httpApi.stop()
+      // the global drain unpersists EVERY scope's frames — only safe once
+      // no owner is still mid-flight (a live tick/handler's checkpoint has
+      // truncated lineage and cannot be recomputed after release). A
+      // straggler — e.g. a python task inside its 300 s subprocess
+      // timeout — keeps its blocks; they fall with the session instead.
+      if (!daemon.isAlive && adminDrained && httpDrained)
+        graft.core.Mat.releaseAllScopes(blocking = true)
+      else
+        System.err.println("[graft] stop: an owner is still running after " +
+          "the grace period; skipped the global materialization drain " +
+          "(blocks are released when the session stops)")
     }
   }
 

@@ -103,10 +103,22 @@ object Mat {
 
   /** Drain the calling thread's scope: called by the owner once the
     * results of its current unit of work (query, tick, HTTP request) are
-    * consumed. Frames tracked concurrently by OTHER owners are untouched. */
+    * consumed. Frames tracked concurrently by LIVE owners are untouched;
+    * scopes abandoned by DEAD threads (a stray Future or worker that
+    * tracked and exited without draining) are reaped here, so a long-
+    * lived server's periodic boundary — the orchestrator tick — bounds
+    * the leak instead of pinning blocks until JVM shutdown. */
   def releaseAll(blocking: Boolean = false): Unit = {
     val q = scopes.remove(Thread.currentThread())
     if (q != null) drain(q, blocking)
+    val it = scopes.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getKey.isAlive) {
+        val dead = scopes.remove(e.getKey)
+        if (dead != null) drain(dead, blocking)
+      }
+    }
   }
 
   /** Drain EVERY owner's scope — the JVM-shutdown boundary (bench/verify

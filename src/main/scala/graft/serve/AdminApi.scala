@@ -81,8 +81,10 @@ final class AdminApi(
   /** Stop accepting, then DRAIN the handler pool: HttpServer.stop does not
     * shut down a user-supplied executor, and live handler threads racing
     * `SparkSession.stop()` at JVM exit flood stderr with
-    * RejectedExecutionException noise. */
-  def stop(): Unit = if (server != null) {
+    * RejectedExecutionException noise. Returns false if a handler was
+    * still running after the grace period (callers deciding whether a
+    * global materialization drain is safe must check). */
+  def stop(): Boolean = server == null || {
     server.stop(0)
     pool.shutdown()
     pool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
@@ -214,15 +216,21 @@ final class AdminApi(
 
   /** GET /api/task-logs/{id} — session-authed read for the dashboard's log
     * panel (the reference's web UI reads logs from the same session-authed
-    * app; the token-authed paginated variant lives on HttpApi). Most
-    * recent first, capped at 50 — catalog metadata, driver-small. */
+    * app; the token-authed paginated variant lives on HttpApi). task_logs
+    * grows unboundedly under a 1 s-tick daemon, so the id filter and the
+    * recent-50 window run IN SPARK (filter pushdown + TakeOrdered) — only
+    * the page reaches the driver. */
   private def routeTaskLogsRead(ex: HttpExchange, method: String,
                                 segs: Seq[String]): (Int, Any) = (method, segs) match {
     case ("GET", Seq("api", "task-logs", IdSeg(id))) =>
-      if (tasks().forall(_.id != id)) (404, Json.obj("message" -> "任务不存在"))
+      import org.apache.spark.sql.functions.col
+      if (store.read[Task]("tasks").filter(col("id") === id).isEmpty)
+        (404, Json.obj("message" -> "任务不存在"))
       else {
-        val logs = store.read[TaskLog]("task_logs").collect()
-          .filter(_.taskId == id).sortBy(-_.executionTime.getTime).take(50)
+        val logs = store.read[TaskLog]("task_logs")
+          .filter(col("taskId") === id)
+          .orderBy(col("executionTime").desc)
+          .limit(50).collect()
           .map(l => Json.obj("status" -> l.status, "message" -> l.message,
             "execution_time" -> l.executionTime))
         (200, Json.obj("logs" -> logs.toSeq))
@@ -270,11 +278,17 @@ final class AdminApi(
 
   /** GET /api/tasks — session-authed list for the dashboard (the reference
     * renders the same rows into templates/index.html; the token-authed
-    * filtered variant lives on HttpApi). Newest first, like the reference. */
+    * filtered variant lives on HttpApi). Newest first, like the reference.
+    * Latest status aggregates IN SPARK (one map-combined max-struct per
+    * task) — task_logs is the one catalog table that is NOT driver-small
+    * in a long-lived deployment. */
   private def listTasks(): (Int, Any) = {
-    val latest = store.read[TaskLog]("task_logs").collect()
-      .groupBy(_.taskId).map { case (k, v) =>
-        k -> v.maxBy(_.executionTime.getTime).status }
+    import org.apache.spark.sql.functions.{col, max, struct}
+    val latest = store.read[TaskLog]("task_logs")
+      .groupBy("taskId")
+      .agg(max(struct(col("executionTime"), col("status"))).as("m"))
+      .select(col("taskId"), col("m.status"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val list = tasks().sortBy(-_.id).map { t =>
       Json.obj(
         "id" -> t.id, "name" -> t.name, "task_type" -> t.taskType,

@@ -69,8 +69,9 @@ final class HttpApi(spark: SparkSession, deps: HttpApi.Deps) {
 
   /** Stop accepting, then DRAIN the handler pool (HttpServer.stop does not
     * shut down a user-supplied executor; stragglers racing session shutdown
-    * emit RejectedExecutionException floods). */
-  def stop(): Unit = if (server != null) {
+    * emit RejectedExecutionException floods). Returns false if a handler
+    * outlived the grace period (see AdminApi.stop). */
+  def stop(): Boolean = server == null || {
     server.stop(0)
     pool.shutdown()
     pool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)

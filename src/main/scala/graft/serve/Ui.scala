@@ -121,7 +121,9 @@ async function loadAll() {
   const tb = fill('#tasks', t.body.tasks || t.body,
     ['id', 'name', 'task_type',
      r => r.cron_expression || (r.schedule_interval ? r.schedule_interval + 's' : ''),
-     'last_run', 'next_run', r => r.is_active ? '启用' : '停用']);
+     'last_run', 'next_run',
+     r => (r.is_active ? '启用' : '停用') +
+          (r.latest_status ? ' / ' + r.latest_status : '')]);
   [...tb.rows].forEach(tr => {
     const td = document.createElement('td');
     const b = document.createElement('button'); b.textContent = '立即执行';

@@ -43,16 +43,21 @@ class MatScopeSpec extends SparkSuite {
       s"leaked storage blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
 
-  test("releaseAllScopes drains frames abandoned by other threads") {
+  test("frames abandoned by a dead thread are reaped at the next owner boundary") {
     Mat.releaseAllScopes(blocking = false)
     val t = new Thread(() => { Mat.tracked(spark.range(10).toDF("id")); () },
       "mat-abandoner")
     t.start(); t.join(30000)
-    assert(Mat.liveCountAllScopes == 1) // this thread's releaseAll can't see it
+    assert(!t.isAlive)
+    assert(Mat.liveCountAllScopes == 1) // abandoned: the thread never drained
+    // any live owner's periodic boundary (orchestrator tick, bench loop)
+    // reaps dead-thread scopes — a stray worker cannot pin blocks until
+    // JVM shutdown
     Mat.releaseAll()
-    assert(Mat.liveCountAllScopes == 1)
-    Mat.releaseAllScopes() // the shutdown boundary drains every scope, blocking
     assert(Mat.liveCountAllScopes == 0)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // and the shutdown boundary is a no-op on an already-clean registry
+    Mat.releaseAllScopes()
+    assert(Mat.liveCountAllScopes == 0)
   }
 }
