@@ -42,7 +42,24 @@ final class Scheduler(
     graft.core.GraftSession.usePool(spark, graft.core.GraftSession.TasksPool)
     val now = clock()
     val tasks = store.read[Task]("tasks").collect().filter(_.isActive).sortBy(_.id)
-    val logs = store.read[TaskLog]("task_logs").collect()
+    // task_logs grows by one row per execution, forever — a days-long
+    // daemon must NOT collect it whole every second. The policies only
+    // look at each task's most recent rows (latest status for dependency
+    // gating; up to maxRetries+1 consecutive outcomes for the retry
+    // window), so keep the top-K per task via a window — the collected
+    // set is bounded by |tasks| × K no matter how old the deployment is.
+    val keep = math.max(10, if (tasks.isEmpty) 0 else tasks.map(_.maxRetries).max + 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("taskId")
+      .orderBy(org.apache.spark.sql.functions.col("executionTime").desc,
+               org.apache.spark.sql.functions.col("id").desc)
+    val logs = {
+      import org.apache.spark.sql.functions.{col, row_number}
+      import spark.implicits._
+      store.read[TaskLog]("task_logs")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= keep).drop("rn").as[TaskLog].collect()
+    }
     val logsByTask = logs.groupBy(_.taskId).map { case (k, v) =>
       k -> v.sortBy(_.executionTime.getTime).reverse.toSeq
     }

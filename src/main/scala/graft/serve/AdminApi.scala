@@ -7,6 +7,7 @@ import java.time.LocalDateTime
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max, struct}
 
 import graft.catalog.CatalogStore
 import graft.catalog.Model._
@@ -223,7 +224,6 @@ final class AdminApi(
   private def routeTaskLogsRead(ex: HttpExchange, method: String,
                                 segs: Seq[String]): (Int, Any) = (method, segs) match {
     case ("GET", Seq("api", "task-logs", IdSeg(id))) =>
-      import org.apache.spark.sql.functions.col
       if (store.read[Task]("tasks").filter(col("id") === id).isEmpty)
         (404, Json.obj("message" -> "任务不存在"))
       else {
@@ -256,9 +256,7 @@ final class AdminApi(
     tasks().find(_.id == id) match {
       case None => (404, Json.obj("message" -> "任务不存在"))
       case Some(t) =>
-        val latest = store.read[TaskLog]("task_logs").collect()
-          .filter(_.taskId == id).sortBy(_.executionTime.getTime).lastOption
-        latest match {
+        latestTaskLog(id) match {
           case None if t.taskType == "sql" && t.sqlScriptId.isDefined =>
             (200, Json.obj("message" -> s"暂无执行日志（SQL脚本ID: ${t.sqlScriptId.get}）"))
           case None => (200, Json.obj("message" -> "暂无执行日志"))
@@ -276,6 +274,24 @@ final class AdminApi(
 
   private def tasks(): Seq[Task] = store.read[Task]("tasks").collect().toSeq
 
+  /** Most recent log row for a task — filter + TakeOrdered(1) in Spark:
+    * the log tables are the unbounded catalog tables under a days-long
+    * 1 s-tick daemon; only single rows may reach the driver. */
+  private def latestTaskLog(id: Long): Option[TaskLog] =
+    store.read[TaskLog]("task_logs").filter(col("taskId") === id)
+      .orderBy(col("executionTime").desc).limit(1).collect().headOption
+
+  /** Most recent alert audit row (optionally only rows carrying a details
+    * transcript) — same Spark-side shape as [[latestTaskLog]]. */
+  private def latestAlertLog(id: Long,
+                             withDetails: Boolean = false): Option[SqlAlertLog] = {
+    val logs = store.read[SqlAlertLog]("sql_alert_logs")
+      .filter(col("alertId") === id)
+    val wanted = if (withDetails)
+      logs.filter(col("details").isNotNull && col("details") =!= "") else logs
+    wanted.orderBy(col("executionTime").desc).limit(1).collect().headOption
+  }
+
   /** GET /api/tasks — session-authed list for the dashboard (the reference
     * renders the same rows into templates/index.html; the token-authed
     * filtered variant lives on HttpApi). Newest first, like the reference.
@@ -283,7 +299,6 @@ final class AdminApi(
     * task) — task_logs is the one catalog table that is NOT driver-small
     * in a long-lived deployment. */
   private def listTasks(): (Int, Any) = {
-    import org.apache.spark.sql.functions.{col, max, struct}
     val latest = store.read[TaskLog]("task_logs")
       .groupBy("taskId")
       .agg(max(struct(col("executionTime"), col("status"))).as("m"))
@@ -417,9 +432,12 @@ final class AdminApi(
           case Left(err) => ("failed", s"任务执行失败: $err")
         }
         writeLock.synchronized {
-          val logs = store.read[TaskLog]("task_logs").collect()
+          // id allocation needs only max(id) — an aggregate, never a
+          // full collect of the unbounded log table
+          val maxLogId = store.read[TaskLog]("task_logs").agg(max("id"))
+            .head().get(0) match { case null => 0L; case v => v.asInstanceOf[Long] }
           import spark.implicits._
-          store.append(Seq(TaskLog(nextId(logs.map(_.id).toSeq), t.id, status,
+          store.append(Seq(TaskLog(maxLogId + 1, t.id, status,
             message, ts(now))).toDS(), "task_logs")
           // the reference notifies on manual SQL runs too (web_scheduler.py:5050-5055)
           if (t.taskType == "sql") taskNotifier.foreach(_.notify(t.id, status, message))
@@ -638,8 +656,7 @@ final class AdminApi(
       store.read[SqlAlert]("sql_alerts").collect().find(_.id == id) match {
         case None => (404, Json.obj("message" -> "SQL预警不存在"))
         case Some(a) =>
-          store.read[SqlAlertLog]("sql_alert_logs").collect()
-            .filter(_.alertId == id).sortBy(_.executionTime.getTime).lastOption match {
+          latestAlertLog(id) match {
             case None => (200, Json.obj("message" -> "暂无执行日志"))
             case Some(l) => (200, Json.obj("alert_name" -> a.name,
               "status" -> l.status, "message" -> l.message,
@@ -651,9 +668,7 @@ final class AdminApi(
       store.read[SqlAlert]("sql_alerts").collect().find(_.id == id) match {
         case None => (404, Json.obj("message" -> "SQL预警不存在"))
         case Some(a) =>
-          store.read[SqlAlertLog]("sql_alert_logs").collect()
-            .filter(l => l.alertId == id && l.details.exists(_.nonEmpty))
-            .sortBy(_.executionTime.getTime).lastOption match {
+          latestAlertLog(id, withDetails = true) match {
             case None => (200, Json.obj("message" -> "暂无执行日志"))
             case Some(l) => (200, Json.obj("alert_name" -> a.name,
               "status" -> l.status, "message" -> l.message,
@@ -681,10 +696,7 @@ final class AdminApi(
             case Left(err) => (500, Json.obj("error" -> s"检查SQL预警失败: $err"))
             case Right(res) =>
               // email outcome is recorded in the audit log by the service
-              val emailSent = store.read[SqlAlertLog]("sql_alert_logs").collect()
-                .filter(_.alertId == id)
-                .sortBy(_.executionTime.getTime).lastOption
-                .exists(_.status == "triggered")
+              val emailSent = latestAlertLog(id).exists(_.status == "triggered")
               if (res.triggered)
                 (200, Json.obj("success" -> true,
                   "message" -> "SQL预警触发，已发送邮件通知",
