@@ -143,4 +143,33 @@ class SchedulerSpec extends SparkSuite {
     assert(spark.table("sched_tgt").count() == spark.table("sched_src").count())
     spark.sql("DROP TABLE sched_tgt")
   }
+
+  test("bounded per-task log collect still feeds the full retry window") {
+    // the tick keeps only the top max(10, maxRetries+2) log rows per task
+    // (task_logs is unbounded under a daemon) — the retry policy inspects
+    // maxRetries+1 rows, so truncation must never change its decision.
+    // 30 seeded logs >> keep=17: truncation is ACTIVE in both cases.
+    import spark.implicits._
+    def logs(nFail: Int): Seq[TaskLog] = (1 to 30).map { i => // i=30 newest
+      val status = if (i > 30 - nFail) "failed" else "success"
+      TaskLog(i.toLong, 1L, status, "m",
+        Timestamp.valueOf(t0.minusMinutes((31 - i).toLong)))
+    }
+    // 12 consecutive failures < maxRetries=15 → retry fires
+    val (store, sched, executed) = fixture(
+      Seq(mkTask(1, maxRetries = 15, retryDelay = 0,
+        nextRun = Some(t0.plusMinutes(5)))), Map(1L -> Right("ok")))
+    store.overwrite(spark.createDataset(logs(nFail = 12)), "task_logs")
+    assert(sched.tick().map(_.action) == Seq("retried"))
+    assert(executed.toSeq == Seq(1L))
+    // 16 consecutive failures > maxRetries → budget exhausted, no retry —
+    // distinguishing this from the 12-failure case requires seeing 16 rows,
+    // i.e. MORE than the default 10: keep = maxRetries+2 must win
+    val (store2, sched2, executed2) = fixture(
+      Seq(mkTask(1, maxRetries = 15, retryDelay = 0,
+        nextRun = Some(t0.plusMinutes(5)))), Map(1L -> Right("ok")))
+    store2.overwrite(spark.createDataset(logs(nFail = 16)), "task_logs")
+    assert(sched2.tick().map(_.action) == Seq("not_due"))
+    assert(executed2.isEmpty)
+  }
 }
