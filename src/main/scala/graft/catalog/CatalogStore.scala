@@ -53,6 +53,55 @@ final class CatalogStore(spark: SparkSession, root: String) {
   def append[T](ds: Dataset[T], table: String): Unit =
     ds.write.mode(SaveMode.Append).parquet(dir(table).toString)
 
+  private def parquetFiles(p: Path): Set[String] =
+    if (!Files.exists(p)) Set.empty
+    else {
+      val s = Files.list(p)
+      try s.filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .map[String](_.getFileName.toString).toArray.map(_.toString).toSet
+      finally s.close()
+    }
+
+  /** Compact a fragmented log table: append mode writes ONE parquet file
+    * per append, so a 1 s-tick daemon produces ~86k files/day and scan
+    * cost grows with the file count, not the row count (the classic
+    * small-files problem). When fragmentation exceeds `maxFiles`, rewrite
+    * the SNAPSHOTTED file set into `numPartitions` files and swap.
+    *
+    * Safe against the one concurrent writer log tables have (appends from
+    * a run-now handler while the daemon compacts): only files present in
+    * the pre-write snapshot are compacted; files that appear between
+    * snapshot and swap are carried over from the displaced directory into
+    * the new live one (append part-file names are unique). Crash-safety:
+    * same tmp/bak swap as [[overwrite]]. Returns true if a compaction ran.
+    *
+    * `beforeSwap` is a test seam: CatalogStoreSpec injects a concurrent
+    * append there to pin the carry-over path. */
+  def compactIfFragmented[T <: Product: TypeTag](
+      table: String, maxFiles: Int = 512, numPartitions: Int = 4,
+      beforeSwap: () => Unit = () => ()): Boolean = {
+    val live = dir(table)
+    val snapshot = parquetFiles(live)
+    if (snapshot.size <= maxFiles) return false
+    implicit val enc: Encoder[T] = Encoders.product[T]
+    val tmp = Paths.get(root, table + ".tmp")
+    val bak = Paths.get(root, table + ".bak")
+    deleteRecursively(tmp); deleteRecursively(bak)
+    spark.read.schema(enc.schema)
+      .parquet(snapshot.toSeq.map(f => live.resolve(f).toString): _*)
+      .repartition(numPartitions)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    beforeSwap()
+    Files.move(live, bak, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    // carry over appends that landed between snapshot and swap
+    parquetFiles(bak).diff(snapshot).foreach { f =>
+      Files.move(bak.resolve(f), live.resolve(f), StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteRecursively(bak)
+    true
+  }
+
   /** Row-level upsert by key: replaces rows whose key is present in `rows`,
     * keeps the rest (the reference's dynamic partial-UPDATE builders D7,
     * web_scheduler.py:2216-2271, as read-modify-overwrite). */

@@ -24,6 +24,14 @@ final class Orchestrator(
     clock: () => LocalDateTime = () => LocalDateTime.now()) {
 
   private val alertGuard = new InFlightGuard
+  private var tickCount = 0L
+
+  /** Every ~10 min of 1 s ticks, compact log tables whose append-file
+    * count exceeds the threshold (each append writes one parquet file —
+    * ~86k/day under this daemon; scan cost tracks file count). The
+    * compactor tolerates the one concurrent writer these tables have
+    * (run-now appends) — see CatalogStore.compactIfFragmented. */
+  private val CompactEvery = 600L
 
   final case class AlertTickResult(alertId: Long, action: String)
 
@@ -34,6 +42,12 @@ final class Orchestrator(
     * for days (web_scheduler.py:5486-5488) and must not creep to a
     * storage-memory OOM. */
   def tick(): (Seq[Scheduler#TickResult], Seq[AlertTickResult]) = try {
+    tickCount += 1
+    if (tickCount % CompactEvery == 0) {
+      store.compactIfFragmented[TaskLog]("task_logs")
+      store.compactIfFragmented[SqlAlertLog]("sql_alert_logs")
+      store.compactIfFragmented[NotificationLog]("notification_logs")
+    }
     tickInner()
   } finally graft.core.Mat.releaseAll()
 

@@ -52,4 +52,33 @@ class CatalogStoreSpec extends SparkSuite {
     store.append(spark.createDataset(Seq(l2)), "task_logs")
     assert(store.read[TaskLog]("task_logs").count() == 2)
   }
+
+  test("log compaction shrinks the file count, keeps every row, tolerates a concurrent append") {
+    val root = tmpDir("cat")
+    val store = new CatalogStore(spark, root)
+    import spark.implicits._
+    def log(i: Int) = TaskLog(i.toLong, 10, "success", s"m$i",
+      ts(f"2026-01-01 10:${i}%02d:00"))
+    (1 to 6).foreach(i => store.append(spark.createDataset(Seq(log(i))), "task_logs"))
+    def fileCount = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root, "task_logs"))
+      try s.filter(_.getFileName.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    assert(fileCount >= 6)
+    // under threshold: no-op
+    assert(!store.compactIfFragmented[TaskLog]("task_logs", maxFiles = 10))
+    // over threshold, with an append landing BETWEEN snapshot and swap
+    // (run-now handler racing the daemon's compaction): the straggler
+    // file must be carried into the new live directory, not lost
+    val ran = store.compactIfFragmented[TaskLog]("task_logs", maxFiles = 4,
+      numPartitions = 2,
+      beforeSwap = () =>
+        store.append(spark.createDataset(Seq(log(7))), "task_logs"))
+    assert(ran)
+    assert(fileCount <= 3) // 2 compacted + 1 carried over
+    val rows = store.read[TaskLog]("task_logs").collect()
+    assert(rows.length == 7)
+    assert(rows.map(_.id).sorted.toSeq == (1L to 7L))
+  }
 }
