@@ -120,6 +120,21 @@ object SparkEntry {
     // MinHash isn't expressible in DuckDB, the propagation core is
     // CTE-oracle-checked via q57)
     "q58_dup_clusters_lsh"   -> Pipeline.dupClustersLsh _,
+    // round 4 late additions: the data-release gate family — benchmark
+    // decontamination, domain mixing, repetition rules (all DuckDB-oracle-
+    // checked), semantic dedup (rows-only: k-means isn't DuckDB-
+    // expressible; planted-duplicate behavior in FunctionsSpec), and
+    // at-least-once streaming dedup (oracle: per-type counts must equal
+    // the batch counts over the ORIGINAL events — a broken dedup doubles
+    // every count)
+    "q59_decontaminate"      -> Pipeline.decontaminate _,
+    "q60_domain_mix"         -> Pipeline.domainMixSample _,
+    "q61_repetition"         -> Pipeline.repetitionMetrics _,
+    "q62_semantic_dedup"     -> Pipeline.semanticDedup _,
+    "q63_stream_dedup"       -> ((s: SparkSession, dir: String) => {
+      val work = java.nio.file.Files.createTempDirectory("graft-q63").toString
+      graft.streaming.Streams.streamDedupFromParquet(s, dir, work)
+    }),
   )
 
   /** q42 oracle: per-column profile as UNION ALL (DuckDB lacks stack()). */
@@ -268,6 +283,56 @@ object SparkEntry {
         |SELECT id AS doc_id, min(label) AS cluster_id,
         | (id = min(label)) AS is_canonical
         |FROM reach GROUP BY id""".stripMargin,
+    // the oracle joins on 8-token shingle STRINGS; the Spark side joins on
+    // their xxhash64 — identical modulo 64-bit collisions (~1e-10 here)
+    "q59_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7],' ') AS g
+        |       FROM toks, unnest(range(1, greatest(len(t)-6, 2))) AS u(i)),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 7),
+        |hits AS (SELECT s.doc_id, count(*) AS n_hits
+        |         FROM sh s JOIN ev USING (g) WHERE s.doc_id % 10 <> 7 GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 10 <> 7""".stripMargin,
+    "q60_domain_mix" ->
+      """WITH b AS (SELECT source,
+        |  CAST((CAST(substr(source, 4) AS INT) % 10) * 10 + 5 AS INT) AS rate_pct,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::INT % 100 AS bucket,
+        |  CAST(len(regexp_extract_all(lower(text),'\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT source, rate_pct, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN bucket < rate_pct THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    // top-bigram count via per-bigram group counting; the Spark side uses
+    // the sorted-hash longest-equal-run form (same number, zero shuffle)
+    "q61_repetition" ->
+      """WITH toks AS (SELECT doc_id, text, regexp_extract_all(lower(text),'\S+') AS t FROM documents),
+        |bg AS (SELECT doc_id, array_to_string(t[i:i+1],' ') AS g
+        |       FROM toks, unnest(range(1, greatest(len(t), 2))) AS u(i)),
+        |ba AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_bigrams,
+        |         CAST(max(c) AS INT) AS top_bigram_n,
+        |         CAST(count(*) AS INT) AS n_distinct
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |la AS (SELECT doc_id,
+        |         CAST(len(string_split(text, chr(10))) AS INT) AS n_lines,
+        |         CAST(len(list_distinct(string_split(text, chr(10)))) AS INT) AS d_lines
+        |       FROM documents)
+        |SELECT ba.doc_id, n_bigrams, top_bigram_n,
+        |  round(CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 4) AS top_bigram_frac,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 4) AS dup_bigram_frac,
+        |  n_lines,
+        |  round(CAST(n_lines - d_lines AS DOUBLE) / CAST(n_lines AS DOUBLE), 4) AS dup_line_frac,
+        |  (CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) <= 0.2
+        |   AND CAST(n_lines - d_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3) AS repetition_ok
+        |FROM ba JOIN la USING (doc_id)""".stripMargin,
+    // the streaming sink saw every event exactly once iff these counts
+    // match the batch counts over the original (un-replayed) events
+    "q63_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events FROM events GROUP BY 1""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

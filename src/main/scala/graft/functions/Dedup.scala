@@ -155,4 +155,45 @@ object Dedup {
     df.select(Text.fingerprint(col(textCol)).as("fp"), col(idCol).as("id"))
       .groupBy("fp")
       .agg(min("id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Semantic (embedding-space) dedup, SemDeDup-shaped (Abbas et al. 2023,
+    * arXiv:2303.09540): a k-means coarse quantizer partitions the corpus
+    * into `nlist` cells; only WITHIN a cell are pairs scored, and a row is
+    * dropped when any lower-id cell-mate sits at cosine ≥ `threshold`.
+    * Returns every row with its cell and the keep/drop verdict.
+    *
+    * Scale shape: the all-pairs problem is reduced to Σ|cell|² with
+    * |cell| ≈ n/nlist (nlist tracks n at ingest — cells are the stored
+    * partition key, the same [[Ivf]] layout the ANN path uses), and
+    * `clusterCap` bounds a degenerate cell the same way the LSH bucket caps
+    * do: deterministic lowest-id survivors, everything past the cap is kept
+    * un-scored rather than scanned quadratically. Identical vectors always
+    * co-locate (deterministic argmax assignment), so exact embedding
+    * duplicates are always caught. Only (id, cid) pairs and the in-cell
+    * vectors shuffle; the pair scoring is the fused codegen cosine. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    nlist: Int, threshold: Double,
+                    clusterCap: Int = 4096): DataFrame = {
+    val model = Ivf.train(df, idCol, vecCol, dim, nlist)
+    val cells = Ivf.assignCells(df, idCol, vecCol, model)
+    val w = Window.partitionBy("cid").orderBy(col("id").asc)
+    // in-cell self-join re-plans its whole input twice → materialize, scoped
+    graft.core.Mat.withMaterialized(
+      cells.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+        .select(col(idCol).as("id"), col("cid"), col(vecCol).as("v"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= clusterCap).drop("rn")
+    ) { c =>
+      val dominated = c.as("l").join(c.as("r"),
+          col("l.cid") === col("r.cid") && col("l.id") < col("r.id"))
+        .filter(Vectors.cosine(col("l.v"), col("r.v")) >= threshold)
+        .select(col("r.id").as("id")).distinct()
+        .withColumn("dom", lit(true))
+      graft.core.Mat.tracked(
+        cells.select(col(idCol), col("cid"))
+          .join(dominated.withColumnRenamed("id", idCol), Seq(idCol), "left")
+          .select(col(idCol), col("cid"),
+                  (!coalesce(col("dom"), lit(false))).as("keep")))
+    }
+  }
 }

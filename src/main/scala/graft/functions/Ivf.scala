@@ -134,4 +134,13 @@ object Ivf {
       .select(col("query_id"), col("rank").cast("int").as("rank"),
               col("neighbor_id"), col("cos_sim"))
   }
+
+  /** Public nearest-centroid assignment: (idCol, cid) for every row — the
+    * ingest-time cell map. Semantic dedup (Dedup.semanticDedup) and any
+    * other cluster-scoped pass reuse this instead of re-deriving their own
+    * quantizer. Identical vectors always land in the same cell (argmax with
+    * the max-struct tie-break is deterministic). */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                  model: Model): DataFrame =
+    assign(df, model.df(df.sparkSession), idCol, vecCol)
 }

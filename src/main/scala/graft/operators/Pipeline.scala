@@ -469,6 +469,120 @@ object Pipeline {
     }
   }
 
+  /** Benchmark decontamination: flag training documents that share any
+    * 8-token shingle with the held-out "eval" subset (here: doc_id ≡ 7
+    * mod 10 — in production a separate benchmark-suite table). The check
+    * every pretraining pipeline runs before a data release: n-gram overlap
+    * between corpus and evaluation sets (the methodology GPT-3 / PaLM /
+    * Llama data cards document).
+    *
+    * Scale shape: eval suites are tiny relative to the corpus (MBs vs
+    * 100 TB), so the eval shingle-hash set BROADCASTS — the corpus is
+    * scanned once, streamed through a broadcast-hash semi-join on 8-byte
+    * xxhash64 shingle hashes (never shingle strings), and map-side-combined
+    * into per-doc hit counts. No shuffle touches document bodies; the only
+    * wide exchange carries (doc_id, n_hits). The oracle joins on the
+    * shingle STRINGS — identical modulo 64-bit hash collisions
+    * (~10⁻¹⁰ at oracle SF). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def shingleHashes(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"),
+        explode(array_distinct(transform(
+          Dedup.shingles(Text.tokens(col("text")), 8),
+          g => xxhash64(g)))).as("gh"))
+    val evalSet = shingleHashes(docs.filter(pmod(col("doc_id"), lit(10)) === 7))
+      .select(col("gh")).distinct()
+    val hits = shingleHashes(docs.filter(pmod(col("doc_id"), lit(10)) =!= 7))
+      .join(broadcast(evalSet), "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Domain mixing: deterministic stratified sampling at per-source rates —
+    * the step that turns a raw crawl into a weighted training mixture
+    * (per-domain weights are the published pretraining-mix knob). The
+    * keep/drop decision is the q43 md5-bucket discipline — stable across
+    * engines, runs, partition layouts, and cluster sizes (never rand()),
+    * so the same corpus always yields the same mixture. Pure narrow map +
+    * one map-side-combined aggregate; rates here derive from the source
+    * name (src0..src19 → 5%..95%) so the query is self-contained. */
+  def domainMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val idx = substring(col("source"), 4, 10).cast("int")
+    val rate = ((idx % 10) * 10 + 5).cast("int")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    Tables.documents(spark, dir)
+      .select(col("source"), rate.as("rate_pct"),
+              (bucket < rate).as("kept"),
+              Text.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      .groupBy("source", "rate_pct")
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+  }
+
+  /** Gopher-style repetition metrics: top-bigram fraction and duplicate
+    * bigram/line fractions — the repetition rule family (Rae et al. 2021
+    * §A1.1) that catches boilerplate/template spam structural filters miss.
+    *
+    * Scale shape: ZERO shuffle. The top-bigram count is computed per row as
+    * the longest equal run of the SORTED bigram-hash array (one
+    * `aggregate()` pass with a 3-field struct accumulator in registers) —
+    * O(L log L) per doc instead of the explode → groupBy inverted-index
+    * shape, which would shuffle |corpus tokens| rows; at 100 TB that is the
+    * difference between a narrow map and the biggest exchange in the
+    * pipeline. Equal to the group-count form modulo 64-bit hash collisions
+    * (asserted against it in OperatorsSpec). */
+  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    // Generate barrier: `bg` is a concrete attribute, so the sort/hash work
+    // runs once per row no matter how many downstream columns reference it
+    // (CollapseProject would otherwise inline it per reference)
+    val staged = Tables.documents(spark, dir).select(
+      col("doc_id"), col("text"),
+      explode(array(sort_array(transform(
+        Dedup.shingles(Text.tokens(col("text")), 2),
+        g => xxhash64(g))))).as("bg"))
+    val nBg = size(col("bg"))
+    val top = aggregate(col("bg"),
+      struct(lit(Long.MinValue).as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, h) => {
+        val run = when(h === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(h.as("prev"), run.as("run"),
+               greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines)
+    val dupLineFrac = (nLines - size(array_distinct(lines))).cast("double") /
+      nLines.cast("double")
+    val topFrac = top.cast("double") / nBg.cast("double")
+    staged.select(
+      col("doc_id"),
+      nBg.as("n_bigrams"),
+      top.as("top_bigram_n"),
+      round(topFrac, 4).as("top_bigram_frac"),
+      round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") / nBg.cast("double"), 4)
+        .as("dup_bigram_frac"),
+      nLines.as("n_lines"),
+      round(dupLineFrac, 4).as("dup_line_frac"),
+      (topFrac <= 0.2 && dupLineFrac <= 0.3).as("repetition_ok"))
+  }
+
+  /** Semantic dedup over the embeddings table (SemDeDup shape): k-means
+    * cells via the shared IVF quantizer, in-cell cosine ≥ 0.97 ⇒ drop the
+    * higher id. Rows-only at the driver (k-means isn't DuckDB-expressible);
+    * the planted-duplicate behavior is spec-asserted in FunctionsSpec. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        dim = 64, nlist = 16, threshold = 0.97)
+      .orderBy("vec_id")
+
   /** Export round-trip: top orders → sanitized CSV artifact (S7) → re-read
     * (S1). Rows-only: exercises the ingest/export adapters end-to-end. */
   def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {

@@ -144,6 +144,61 @@ object Streams {
     spark.read.parquet(out)
   }
 
+  /** Streaming dedup of an at-least-once source: the events file is staged
+    * into time-ordered chunks and every chunk is delivered TWICE (a full
+    * redelivery pass after the originals — the replay shape of an
+    * at-least-once bus after a consumer restart); `dropDuplicates` keyed on
+    * (event_id, ts) under a watermark emits each event exactly once to an
+    * append parquet sink. Returns per-type counts of the sink contents,
+    * which must equal the batch counts over the ORIGINAL events — the
+    * DuckDB-oracle-checkable contract (a broken dedup doubles every count).
+    *
+    * State/scale shape: one state row per event inside the watermark
+    * horizon, partitioned by the dedup key; eviction is watermark-driven.
+    * The horizon here ("7 days") exceeds the dataset's span so the whole
+    * file dedups exactly; production sets it to the bus's redelivery bound
+    * (`dropDuplicatesWithinWatermark` relaxes this to per-key windows when
+    * redelivered timestamps can drift). The dedup key includes the
+    * watermark column, so state eviction applies — without it Spark would
+    * keep every key forever. */
+  def streamDedupFromParquet(spark: SparkSession, sfDir: String,
+                             workDir: String, chunks: Int = 4): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = new StructType()
+      .add("event_id", "long").add("ts", "long").add("user_id", "long")
+      .add("event_type", "string").add("value", "double").add("props", "string")
+    val stage = s"$workDir/stage"; val out = s"$workDir/out"; val ckpt = s"$workDir/ckpt"
+    spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .repartitionByRange(chunks, col("ts"))
+      .write.mode("overwrite").parquet(stage)
+    val parts = new java.io.File(stage).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    // redelivery pass: copy every chunk; mtimes order originals first, then
+    // the full replay, so replayed rows arrive in LATER micro-batches and
+    // the dedup is exercised across batches, not just within one
+    val base = System.currentTimeMillis() - parts.length * 2 * 60000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 60000L)
+      val dup = new java.io.File(stage, s"replay-${f.getName}")
+      java.nio.file.Files.copy(f.toPath, dup.toPath)
+      dup.setLastModified(base + (parts.length + i) * 60000L)
+    }
+    val raw = spark.readStream.schema(
+        new StructType()
+          .add("event_id", "long").add("ts", "timestamp").add("user_id", "long")
+          .add("event_type", "string").add("value", "double").add("props", "string"))
+      .option("maxFilesPerTrigger", chunks.toString).parquet(stage)
+    val deduped = raw.withWatermark("ts", "7 days")
+      .dropDuplicates("event_id", "ts")
+    val q = deduped.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out)
+      .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+  }
+
   /** Drive a streaming DataFrame synchronously into an in-memory table and
     * return the result — used by tests and the local smoke path (the guide's
     * `processAllAvailable` pattern). */

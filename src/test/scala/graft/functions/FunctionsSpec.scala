@@ -333,6 +333,41 @@ class FunctionsSpec extends SparkSuite {
     assert(ivf.sortBy(t => (t._1, t._2)).toSeq == exact.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("semanticDedup keeps the lowest id of each identical family, co-locates dups") {
+    import spark.implicits._
+    // 4 orthogonal directions, each planted 3×: whatever the quantizer does,
+    // identical vectors share a cell (deterministic argmax) and orthogonal
+    // pairs score cosine 0 < threshold — so the keep set is exactly the
+    // min id of each family, independent of cluster composition
+    val dirs = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+                   Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val rows = for (d <- 0 until 4; c <- 0 until 3) yield (d * 3L + c, dirs(d))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", dim = 4,
+      nlist = 4, threshold = 0.97)
+    val kept = out.filter(col("keep")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 3L, 6L, 9L))
+    val cells = out.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (d <- 0 until 4)
+      assert(cells(d * 3L) == cells(d * 3L + 1) && cells(d * 3L) == cells(d * 3L + 2))
+    graft.core.Mat.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("semanticDedup clusterCap bounds the scored set; past-cap rows are kept unscored") {
+    import spark.implicits._
+    val v = Array(1f, 0f)
+    val df = (0L until 5L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", dim = 2,
+      nlist = 1, threshold = 0.97, clusterCap = 2)
+    // ids 0,1 are scored (1 dominated by 0); 2,3,4 are past the cap —
+    // kept un-scored rather than scanned quadratically
+    val kept = out.filter(col("keep")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 2L, 3L, 4L))
+    graft.core.Mat.releaseAll()
+  }
+
   test("bruteForceTopK returns k ranked neighbors excluding self") {
     import spark.implicits._
     val vecs = Seq(

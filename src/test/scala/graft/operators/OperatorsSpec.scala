@@ -102,4 +102,57 @@ class OperatorsSpec extends SparkSuite {
     // deterministic: same sample on a re-run
     assert(gated.select("query_id").distinct().count() == sampled)
   }
+
+  test("decontaminate flags exactly the train docs sharing an 8-gram with the eval set") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val dir = tmpDir("decon")
+    Seq(
+      (7L, s"e1 e2 $shared", "en", "src0", 0L),            // eval doc (id % 10 == 7)
+      (0L, s"x1 x2 $shared x3", "en", "src0", 0L),         // train, contaminated
+      (1L, (1 to 12).map(i => s"c$i").mkString(" "), "en", "src1", 0L)) // train, clean
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Pipeline.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set(0L, 1L)) // eval docs excluded from the output
+    assert(out(0L) == (1L, true))     // one distinct shared shingle
+    assert(out(1L) == (0L, false))
+    // the eval shingle set joins as a BROADCAST (the 100 TB shape: eval
+    // suites are tiny vs the corpus — the corpus streams through one pass)
+    val plan = Pipeline.decontaminate(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("repetitionMetrics: sorted-run top-bigram equals the group-count form") {
+    import spark.implicits._
+    val dir = tmpDir("rep")
+    Seq(
+      (0L, "a b a b a b a b", "en", "src0", 0L),                    // top 'a b' ×4 of 7
+      (1L, (1 to 12).map(i => s"w$i").mkString(" "), "en", "src1", 0L), // all distinct
+      (2L, "x", "en", "src2", 0L),                                  // single token
+      (3L, "l1\nl2\nl1\nl1", "en", "src3", 0L))                     // duplicate lines
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = Pipeline.repetitionMetrics(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(0L).getAs[Int]("n_bigrams") == 7 && m(0L).getAs[Int]("top_bigram_n") == 4)
+    assert(!m(0L).getAs[Boolean]("repetition_ok")) // 4/7 > 0.2
+    assert(m(1L).getAs[Int]("top_bigram_n") == 1 && m(1L).getAs[Boolean]("repetition_ok"))
+    assert(m(2L).getAs[Int]("n_bigrams") == 1)     // short doc: whole-text shingle
+    assert(m(3L).getAs[Int]("n_lines") == 4 && m(3L).getAs[Double]("dup_line_frac") == 0.5)
+    // parity with the explode → groupBy inverted-index form on the real
+    // corpus: the zero-shuffle sorted-run trick computes the same number
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val groupForm = docs
+      .select(col("doc_id"),
+        explode(graft.functions.Dedup.shingles(
+          graft.functions.Text.tokens(col("text")), 2)).as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(max("count").as("top_group"))
+    val mismatch = Pipeline.repetitionMetrics(spark, sfDir)
+      .join(groupForm, "doc_id")
+      .filter(col("top_bigram_n") =!= col("top_group")).count()
+    assert(mismatch == 0)
+  }
 }

@@ -44,6 +44,20 @@ class StreamsSpec extends SparkSuite {
     emitted.unpersist(); batch.unpersist()
   }
 
+  test("streamDedupFromParquet: a full replay pass dedups to exactly the batch counts") {
+    val work = tmpDir("sdedup")
+    val out = Streams.streamDedupFromParquet(spark, sfDir, work)
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = graft.core.Tables.events(spark, sfDir)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"streaming dedup diverged: $got vs $want")
+    // the staged source really delivered every event twice — the dedup had
+    // real work to do (without it, every count above would be doubled)
+    val staged = spark.read.parquet(s"$work/stage").count()
+    assert(staged == 2 * graft.core.Tables.events(spark, sfDir).count())
+  }
+
   test("consecutiveErrorAlerts fires at threshold and resets on success") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
