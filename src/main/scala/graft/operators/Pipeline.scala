@@ -540,34 +540,52 @@ object Pipeline {
     * pipeline. Equal to the group-count form modulo 64-bit hash collisions
     * (asserted against it in OperatorsSpec). */
   def repetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
-    // Generate barrier: `bg` is a concrete attribute, so the sort/hash work
-    // runs once per row no matter how many downstream columns reference it
-    // (CollapseProject would otherwise inline it per reference)
-    val staged = Tables.documents(spark, dir).select(
-      col("doc_id"), col("text"),
-      explode(array(sort_array(transform(
-        Dedup.shingles(Text.tokens(col("text")), 2),
-        g => xxhash64(g))))).as("bg"))
-    val nBg = size(col("bg"))
-    val top = aggregate(col("bg"),
-      struct(lit(Long.MinValue).as("prev"), lit(0).as("run"), lit(0).as("best")),
+    // Each stage hides behind a Generate (explode(array)) barrier — a
+    // concrete attribute CollapseProject cannot inline — so the token
+    // hashes, the sorted bigram-hash array, and the fused run-scan each
+    // evaluate ONCE per row however many downstream columns reference
+    // them. Bigram hashes are pure long arithmetic (xxhash64 of the two
+    // token hashes — the q23 discipline): no bigram string construction.
+    // First cut (string bigrams, triple-evaluated interpreted aggregate)
+    // measured 3.6 s at sf0.1 vs ~0.15 s for sibling narrow maps; this
+    // form is ~0.3 s.
+    val s1 = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      explode(array(struct(
+        transform(Text.tokens(col("text")), t => xxhash64(t)).as("th"),
+        split(col("text"), "\n").as("lines")))).as("s1"))
+    val th = col("s1.th")
+    val s2 = s1.select(col("doc_id"), col("s1.lines").as("lines"),
+      explode(array(sort_array(
+        when(size(th) < 2, // <2 tokens: ONE whole-doc "bigram" (fold)
+          array(aggregate(th, lit(42L), (a, h) => xxhash64(a, h))))
+        .otherwise(transform(sequence(lit(0), size(th) - 2),
+          i => xxhash64(element_at(th, i + 1), element_at(th, i + 2))))))).as("bg"))
+    // one pass over the sorted array: longest equal run (= top bigram
+    // count) AND distinct count from the same struct accumulator
+    val stats = aggregate(col("bg"),
+      struct(lit(Long.MinValue).as("prev"), lit(0).as("run"),
+             lit(0).as("best"), lit(0).as("nd")),
       (acc, h) => {
         val run = when(h === acc("prev"), acc("run") + 1).otherwise(lit(1))
         struct(h.as("prev"), run.as("run"),
-               greatest(acc("best"), run).as("best"))
-      },
-      acc => acc("best"))
-    val lines = split(col("text"), "\n")
-    val nLines = size(lines)
-    val dupLineFrac = (nLines - size(array_distinct(lines))).cast("double") /
+               greatest(acc("best"), run).as("best"),
+               (acc("nd") + when(h === acc("prev"), 0).otherwise(1)).as("nd"))
+      })
+    val s3 = s2.select(col("doc_id"), col("lines"),
+      size(col("bg")).as("n_bigrams"), explode(array(stats)).as("st"))
+    val nBg = col("n_bigrams")
+    val top = col("st.best")
+    val nLines = size(col("lines"))
+    val dupLineFrac = (nLines - size(array_distinct(col("lines")))).cast("double") /
       nLines.cast("double")
     val topFrac = top.cast("double") / nBg.cast("double")
-    staged.select(
+    s3.select(
       col("doc_id"),
-      nBg.as("n_bigrams"),
+      nBg,
       top.as("top_bigram_n"),
       round(topFrac, 4).as("top_bigram_frac"),
-      round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") / nBg.cast("double"), 4)
+      round(lit(1.0) - col("st.nd").cast("double") / nBg.cast("double"), 4)
         .as("dup_bigram_frac"),
       nLines.as("n_lines"),
       round(dupLineFrac, 4).as("dup_line_frac"),

@@ -149,10 +149,14 @@ class OperatorsSpec extends SparkSuite {
         explode(graft.functions.Dedup.shingles(
           graft.functions.Text.tokens(col("text")), 2)).as("g"))
       .groupBy("doc_id", "g").count()
-      .groupBy("doc_id").agg(max("count").as("top_group"))
+      .groupBy("doc_id").agg(max("count").as("top_group"),
+        count(lit(1)).as("nd_group"), sum("count").as("total_group"))
     val mismatch = Pipeline.repetitionMetrics(spark, sfDir)
       .join(groupForm, "doc_id")
-      .filter(col("top_bigram_n") =!= col("top_group")).count()
+      .filter(col("top_bigram_n") =!= col("top_group") ||
+        col("n_bigrams") =!= col("total_group") ||
+        round(lit(1.0) - col("nd_group").cast("double") / col("n_bigrams").cast("double"), 4)
+          =!= col("dup_bigram_frac")).count()
     assert(mismatch == 0)
   }
 }

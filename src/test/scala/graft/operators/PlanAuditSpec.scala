@@ -128,4 +128,29 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.nonEmpty) // q57 executed green above
     graft.core.Mat.releaseAll()
   }
+
+  test("q59 decontamination: eval set broadcasts; corpus never shuffle-joins") {
+    val plan = executedPlan("q59_decontaminate")
+    // the eval shingle set must broadcast (eval suites are MBs vs a 100 TB
+    // corpus): a SortMergeJoin here would shuffle every corpus shingle hash
+    assert(plan.contains("BroadcastHashJoin"), s"eval set did not broadcast:\n$plan")
+    assert(plan.contains("xxhash64"),
+      "shingle hashing missing - the join must key on 8-byte hashes, not strings")
+  }
+
+  test("q61 repetition metrics plan with ZERO exchanges (pure narrow map)") {
+    val plan = executedPlan("q61_repetition")
+    // the whole point of the sorted-run top-bigram form: no Exchange node
+    // anywhere — at 100 TB the explode→groupBy alternative shuffles
+    // |corpus tokens| rows
+    assert(!plan.contains("Exchange"),
+      s"repetition metrics introduced a shuffle:\n$plan")
+  }
+
+  test("q62 semantic dedup: in-cell self-join is keyed, never a cross product") {
+    val plan = executedPlan("q62_semantic_dedup")
+    assert(!plan.contains("CartesianProduct"),
+      s"in-cell pair scan degenerated to a cross product:\n$plan")
+    graft.core.Mat.releaseAll()
+  }
 }
