@@ -135,6 +135,11 @@ object SparkEntry {
       val work = java.nio.file.Files.createTempDirectory("graft-q63").toString
       graft.streaming.Streams.streamDedupFromParquet(s, dir, work)
     }),
+    // incremental dedup (the production loop: increment vs standing
+    // corpus) and simhash banding complete the dedup family
+    "q64_incremental_exact"  -> Pipeline.incrementalExactDedup _,
+    "q65_incremental_minhash" -> Pipeline.incrementalMinhash _,
+    "q66_simhash_pairs"      -> Pipeline.simhashPairs _,
   )
 
   /** q42 oracle: per-column profile as UNION ALL (DuckDB lacks stack()). */
@@ -333,6 +338,15 @@ object SparkEntry {
     // match the batch counts over the original (un-replayed) events
     "q63_stream_dedup" ->
       """SELECT event_type, count(*) AS n_events FROM events GROUP BY 1""".stripMargin,
+    "q64_incremental_exact" ->
+      """WITH fp AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS f
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT f FROM fp WHERE doc_id % 5 <> 4)
+        |SELECT fp.doc_id, corpus.f IS NOT NULL AS is_exact_dup,
+        |  corpus.f IS NULL AS admit
+        |FROM fp LEFT JOIN corpus ON fp.f = corpus.f
+        |WHERE fp.doc_id % 5 = 4""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

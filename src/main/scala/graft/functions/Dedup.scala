@@ -60,6 +60,25 @@ object Dedup {
       explode(array(graft.expressions.TextExpressions.shingle_minhash(
         Text.tokens(col(textCol)), w, k))).as("sig"))
 
+  /** Banded form of an (id, sig) signature frame: one row per (band,
+    * bandHash), bucket-CAPPED at `bucketCap` rows per (band, bh)
+    * (deterministic: lowest ids survive), mirroring Vectors.bucketRows: a
+    * duplicate-heavy corpus — the NORMAL input to a dedup pass — collides
+    * in every band, and an uncapped bucket's pair count is quadratic in
+    * the duplicate family's size. The cap bounds the worst bucket at
+    * cap²/2 pairs; recall on capped buckets is best-effort by design
+    * (exact-dup by fingerprint belongs before MinHash in a composed
+    * pipeline and removes the mass). */
+  private def bandedSignatures(sig: DataFrame, bands: Int, r: Int,
+                               bucketCap: Int): DataFrame = {
+    val w = Window.partitionBy("band", "bh").orderBy(col("id").asc)
+    sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bh")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= bucketCap).drop("rn")
+  }
+
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 32, bands: Int = 8,
                         threshold: Double = 0.5,
@@ -73,21 +92,8 @@ object Dedup {
     // and the banded blocks are released on exit, so a long-lived session
     // holds nothing but the result until the owner's Mat.releaseAll (at
     // warehouse scale this is "write signatures to a table at ingest").
-    //
-    // Band buckets are CAPPED at `bucketCap` rows (deterministic: lowest
-    // ids survive), mirroring Vectors.bucketRows: a duplicate-heavy corpus
-    // — the NORMAL input to a dedup pass — collides in every band, and an
-    // uncapped bucket's pair count is quadratic in the duplicate family's
-    // size. The cap bounds the worst bucket at cap²/2 pairs; recall on
-    // capped buckets is best-effort by design (exact-dup by fingerprint
-    // belongs before MinHash in a composed pipeline and removes the mass).
-    val w = Window.partitionBy("band", "bh").orderBy(col("id").asc)
     graft.core.Mat.withMaterialized(
-      sig.select(col("id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bh")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= bucketCap).drop("rn")
+      bandedSignatures(sig, bands, r, bucketCap)
     ) { banded =>
       val pairs = banded.as("l").join(banded.as("r"),
           col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -99,6 +105,46 @@ object Dedup {
         pairs.select(col("id_a"), col("id_b"),
             round(minhashJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
           .filter(col("est_jaccard") >= threshold))
+    }
+  }
+
+  /** Incremental near-dup: MinHash-LSH candidate pairs BETWEEN an
+    * increment and an existing corpus — the production dedup shape at
+    * 100 TB: a daily increment is deduped against the standing corpus,
+    * never the whole corpus against itself. Both sides band with the same
+    * hash families, join on (band, bandHash), and score by
+    * full-signature agreement; only (inc_id, corpus_id) pairs whose
+    * estimated Jaccard clears `threshold` survive.
+    *
+    * Scale shape: the corpus side of this join is a SIGNATURE TABLE
+    * written once at ingest (bucketed by (band, bandHash), so the
+    * increment's banded rows shuffle against co-located corpus buckets);
+    * re-banding it per call here stands in for reading that table. Both
+    * sides bucket-cap. Returns (inc_id, corpus_id, est_jaccard). */
+  def minhashCandidatesAgainst(corpus: DataFrame, increment: DataFrame,
+                               idCol: String, textCol: String,
+                               k: Int = 32, bands: Int = 8,
+                               threshold: Double = 0.5,
+                               bucketCap: Int = 256): DataFrame = {
+    val r = k / bands
+    graft.core.Mat.withMaterialized(
+      bandedSignatures(minhashSignatures(corpus, idCol, textCol, k),
+        bands, r, bucketCap)
+    ) { cb =>
+      graft.core.Mat.withMaterialized(
+        bandedSignatures(minhashSignatures(increment, idCol, textCol, k),
+          bands, r, bucketCap)
+      ) { ib =>
+        val pairs = ib.as("l").join(cb.as("r"),
+            col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+          .select(col("l.id").as("inc_id"), col("r.id").as("corpus_id"),
+                  col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+          .dropDuplicates("inc_id", "corpus_id")
+        graft.core.Mat.tracked(
+          pairs.select(col("inc_id"), col("corpus_id"),
+              round(minhashJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
+            .filter(col("est_jaccard") >= threshold))
+      }
     }
   }
 
@@ -126,6 +172,43 @@ object Dedup {
 
   /** Hamming distance between two 64-bit SimHashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash candidate near-dup pairs via 16-bit banding: the 64-bit
+    * fingerprint splits into 4 bands; a pair within Hamming distance
+    * `maxHamming` ≤ 3 differs in ≤ 3 bits, so by pigeonhole at least ONE
+    * band matches EXACTLY — banding on band equality has GUARANTEED recall
+    * for the distance bound (unlike MinHash banding's probabilistic
+    * recall), then the fused `hamming` filter rejects the band-collision
+    * false positives.
+    *
+    * Scale shape: one codegen pass computes the fingerprint; 4 rows per
+    * doc shuffle (8-byte band key + 8-byte hash); buckets cap like every
+    * LSH path here (identical docs collide in all 4 bands). */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3,
+                        bucketCap: Int = 256): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding only guarantees recall to Hamming 3")
+    val w = Window.partitionBy("band", "bh").orderBy(col("id").asc)
+    graft.core.Mat.withMaterialized(
+      df.select(col(idCol).as("id"),
+          simhash(Text.tokens(col(textCol))).as("sh"))
+        .select(col("id"), col("sh"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*))
+            .as(Seq("band", "bh")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= bucketCap).drop("rn")
+    ) { banded =>
+      graft.core.Mat.tracked(
+        banded.as("l").join(banded.as("r"),
+            col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+            col("l.id") < col("r.id"))
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+                  hamming(col("l.sh"), col("r.sh")).as("hamming_dist"))
+          .dropDuplicates("id_a", "id_b")
+          .filter(col("hamming_dist") <= maxHamming))
+    }
+  }
 
   /** Exact n-gram Jaccard similarity between two texts (distinct word
     * w-shingle sets). */

@@ -601,6 +601,48 @@ object Pipeline {
         dim = 64, nlist = 16, threshold = 0.97)
       .orderBy("vec_id")
 
+  /** Incremental exact dedup: admit only increment docs (doc_id ≡ 4 mod 5
+    * here; the day's new partition in production) whose content
+    * fingerprint is NOT already in the standing corpus. The 100 TB dedup
+    * loop never re-dedups the corpus against itself — it joins the
+    * increment's fingerprints against the stored fingerprint table
+    * (key-partitioned shuffle on the 16-byte digest; NOT broadcast —
+    * unlike q59's eval set, the corpus side is as big as the corpus). */
+  def incrementalExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpusFp = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .select(Text.fingerprint(col("text")).as("fp")).distinct()
+      .withColumn("dup", lit(true))
+    docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .join(corpusFp, Seq("fp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup"), lit(false)).as("is_exact_dup"),
+        (!coalesce(col("dup"), lit(false))).as("admit"))
+  }
+
+  /** Incremental near-dup: MinHash-LSH candidates of the increment AGAINST
+    * the corpus (two-sided band join — the signature-table shape). Rows-
+    * only: MinHash isn't DuckDB-expressible; the planted-family behavior
+    * is spec-asserted in FunctionsSpec and the scoring core is oracle-
+    * checked via q49. */
+  def incrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    Dedup.minhashCandidatesAgainst(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 4),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 4),
+        "doc_id", "text", threshold = 0.2)
+      .orderBy("inc_id", "corpus_id")
+  }
+
+  /** SimHash banded candidate pairs over the corpus (guaranteed recall to
+    * Hamming ≤ 3 by 4×16-bit pigeonhole). Rows-only: the fingerprint is
+    * engine-specific; its algebraic invariants are oracle-checked via q50
+    * and the band guarantee is spec-asserted. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidates(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
   /** Export round-trip: top orders → sanitized CSV artifact (S7) → re-read
     * (S1). Rows-only: exercises the ingest/export adapters end-to-end. */
   def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {

@@ -368,6 +368,45 @@ class FunctionsSpec extends SparkSuite {
     graft.core.Mat.releaseAll()
   }
 
+  test("minhashCandidatesAgainst finds planted increment-vs-corpus near-dups only") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i")
+    val corpus = Seq(
+      (0L, base.mkString(" ")),
+      (1L, (1 to 40).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    // increment: id 4 duplicates corpus doc 0 exactly (every band matches —
+    // guaranteed candidate); id 14 is a 1-token mutation (bands match with
+    // high probability, deterministic for fixed hash seeds); id 9 is noise
+    val inc = Seq(
+      (4L, base.mkString(" ")),
+      (14L, base.updated(5, "mutA").mkString(" ")),
+      (9L, (1 to 40).map(i => s"noise$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatesAgainst(corpus, inc, "doc_id", "text",
+      threshold = 0.3).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((4L, 0L)), s"exact dup pair missing: ${pairs.toSeq}")
+    assert(pairs.toSet.subsetOf(Set((4L, 0L), (14L, 0L))),
+      s"noise produced pairs: ${pairs.toSeq}")
+    graft.core.Mat.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("simhashCandidates: token-reorder dups always pair (Hamming 0); bound respected") {
+    import spark.implicits._
+    val words = (1 to 40).map(i => s"w$i")
+    val docs = Seq(
+      (0L, words.mkString(" ")),
+      (1L, words.reverse.mkString(" ")),            // same multiset → Hamming 0
+      (2L, (1 to 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashCandidates(docs, "doc_id", "text").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // the reorder dup is guaranteed: all 4 bands match exactly
+    assert(got.get((0L, 1L)).contains(0), s"reorder dup not found: $got")
+    // every returned pair honors the Hamming bound
+    assert(got.values.forall(_ <= 3))
+    graft.core.Mat.releaseAll()
+  }
+
   test("bruteForceTopK returns k ranked neighbors excluding self") {
     import spark.implicits._
     val vecs = Seq(
