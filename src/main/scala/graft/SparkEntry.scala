@@ -140,7 +140,48 @@ object SparkEntry {
     "q64_incremental_exact"  -> Pipeline.incrementalExactDedup _,
     "q65_incremental_minhash" -> Pipeline.incrementalMinhash _,
     "q66_simhash_pairs"      -> Pipeline.simhashPairs _,
+    // the flagship composition: every release gate in canonical order,
+    // ONE corpus scan (per-doc flags + a single conditional aggregate),
+    // and the per-source manifest of what ships
+    "q67_release_funnel"     -> Pipeline.releaseFunnel _,
+    "q68_data_card"          -> Pipeline.dataCard _,
   )
+
+  /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
+    * `Pipeline.releaseFlags` (fingerprint-canonical exact dedup, the q54
+    * Gopher predicate, eval holdout, q59 shingle-hit decontamination, q60
+    * md5-bucket mixing), shared so the funnel and the data card check
+    * against the SAME flag definitions. */
+  private def releaseFlagsSql(finalSelect: String): String =
+    """WITH fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS f FROM documents),
+      |keep AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY f) AS keep_exact FROM fp),
+      |toksq AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') AS t FROM documents),
+      |shq AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7],' ') AS g
+      |        FROM toksq, unnest(range(1, greatest(len(t)-6, 2))) AS u(i)),
+      |evq AS (SELECT DISTINCT g FROM shq WHERE doc_id % 10 = 7),
+      |hitsq AS (SELECT s.doc_id, count(*) AS n_hits FROM shq s JOIN evq USING (g) GROUP BY 1),
+      |qual AS (SELECT doc_id,
+      |    len(regexp_extract_all(lower(text),'\S+')) AS n_toks,
+      |    coalesce(list_sum(list_transform(regexp_extract_all(lower(text),'\S+'), t -> length(t))), 0) AS sum_len,
+      |    length(text) - length(regexp_replace(text, '#', '', 'g')) AS hash_chars,
+      |    length(text) AS n_chars0
+      |  FROM documents),
+      |flags AS (SELECT d.doc_id, d.source, d.lang,
+      |    CAST(q.n_toks AS BIGINT) AS n_tokens,
+      |    k.keep_exact,
+      |    (q.n_toks >= 5 AND q.n_toks <= 100000
+      |     AND CAST(q.sum_len AS DOUBLE)/greatest(CAST(q.n_toks AS DOUBLE),1.0) >= 2.0
+      |     AND CAST(q.sum_len AS DOUBLE)/greatest(CAST(q.n_toks AS DOUBLE),1.0) <= 12.0
+      |     AND CAST(q.hash_chars AS DOUBLE)/greatest(CAST(q.n_chars0 AS DOUBLE),1.0) <= 0.1) AS q_ok,
+      |    d.doc_id % 10 <> 7 AS not_eval,
+      |    coalesce(h.n_hits, 0) = 0 AS clean,
+      |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,4))::INT % 100
+      |      < (CAST(substr(d.source, 4) AS INT) % 10) * 10 + 5 AS mixed
+      |  FROM documents d
+      |  JOIN keep k USING (doc_id)
+      |  JOIN qual q USING (doc_id)
+      |  LEFT JOIN hitsq h USING (doc_id))
+      |""".stripMargin + finalSelect
 
   /** q42 oracle: per-column profile as UNION ALL (DuckDB lacks stack()). */
   private val profileOracle: String = {
@@ -347,6 +388,32 @@ object SparkEntry {
         |  corpus.f IS NULL AS admit
         |FROM fp LEFT JOIN corpus ON fp.f = corpus.f
         |WHERE fp.doc_id % 5 = 4""".stripMargin,
+    "q67_release_funnel" -> releaseFlagsSql(
+      """SELECT 0 AS stage_id, 'raw' AS stage,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM flags
+        |UNION ALL SELECT 1, 'exact_dedup',
+        |  CAST(sum(CASE WHEN keep_exact THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN keep_exact THEN n_tokens END), 0) AS BIGINT) FROM flags
+        |UNION ALL SELECT 2, 'quality',
+        |  CAST(sum(CASE WHEN keep_exact AND q_ok THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN keep_exact AND q_ok THEN n_tokens END), 0) AS BIGINT) FROM flags
+        |UNION ALL SELECT 3, 'eval_holdout',
+        |  CAST(sum(CASE WHEN keep_exact AND q_ok AND not_eval THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN keep_exact AND q_ok AND not_eval THEN n_tokens END), 0) AS BIGINT) FROM flags
+        |UNION ALL SELECT 4, 'decontaminated',
+        |  CAST(sum(CASE WHEN keep_exact AND q_ok AND not_eval AND clean THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN keep_exact AND q_ok AND not_eval AND clean THEN n_tokens END), 0) AS BIGINT) FROM flags
+        |UNION ALL SELECT 5, 'domain_mix',
+        |  CAST(sum(CASE WHEN keep_exact AND q_ok AND not_eval AND clean AND mixed THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN keep_exact AND q_ok AND not_eval AND clean AND mixed THEN n_tokens END), 0) AS BIGINT) FROM flags""".stripMargin),
+    "q68_data_card" -> releaseFlagsSql(
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(avg(CAST(n_tokens AS DOUBLE)), 4) AS mean_tokens,
+        |  CAST(count(DISTINCT lang) AS INT) AS n_langs
+        |FROM flags
+        |WHERE keep_exact AND q_ok AND not_eval AND clean AND mixed
+        |GROUP BY source""".stripMargin),
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

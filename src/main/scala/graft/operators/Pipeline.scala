@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -313,8 +313,6 @@ object Pipeline {
       l => trim(l).startsWith("-") || trim(l).startsWith("*")))
     val hashChars = length(col("text")) -
       length(regexp_replace(col("text"), "#", ""))
-    val symbolRatio = hashChars.cast("double") /
-      greatest(length(col("text")).cast("double"), lit(1.0))
     Tables.documents(spark, dir).select(
       col("doc_id"),
       nTok.as("n_tokens"),
@@ -322,9 +320,7 @@ object Pipeline {
       size(lines).as("n_lines"),
       bulletLines.as("bullet_lines"),
       hashChars.as("hash_chars"),
-      (nTok >= 5 && nTok <= 100000 &&
-       meanLen >= 2.0 && meanLen <= 12.0 &&
-       symbolRatio <= 0.1).as("gopher_ok"))
+      gopherOk(col("text")).as("gopher_ok")) // shared predicate — q67 parity
   }
 
   /** PII scrubbing: count + redact e-mail addresses and phone-number-like
@@ -591,6 +587,98 @@ object Pipeline {
       round(dupLineFrac, 4).as("dup_line_frac"),
       (topFrac <= 0.2 && dupLineFrac <= 0.3).as("repetition_ok"))
   }
+
+  /** The combined Gopher/C4 keep verdict as a reusable predicate — the
+    * single source of truth shared by [[qualityRules]] (q54) and the
+    * release funnel (q67), so the two can never drift. */
+  private[graft] def gopherOk(text: Column): Column = {
+    val toks = Text.tokens(text)
+    val nTok = size(toks)
+    val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      .cast("double") / greatest(nTok.cast("double"), lit(1.0))
+    val hashChars = length(text) - length(regexp_replace(text, "#", ""))
+    val symbolRatio = hashChars.cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    nTok >= 5 && nTok <= 100000 &&
+      meanLen >= 2.0 && meanLen <= 12.0 && symbolRatio <= 0.1
+  }
+
+  /** Per-document release-gate flags, computed in ONE corpus scan plus two
+    * digest-keyed joins (canonical-id for exact dedup, eval-shingle hits
+    * for decontamination — the q59 broadcast shape). Shared by the funnel
+    * (q67) and the data card (q68). */
+  private def releaseFlags(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+    val canonical = fp.join(fp.groupBy("fp").agg(min("doc_id").as("keep_id")), "fp")
+      .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("keep_exact"))
+    def shingleHashes(d: DataFrame) =
+      d.select(col("doc_id"),
+        explode(array_distinct(transform(
+          Dedup.shingles(Text.tokens(col("text")), 8),
+          g => xxhash64(g)))).as("gh"))
+    val evalSet = shingleHashes(docs.filter(pmod(col("doc_id"), lit(10)) === 7))
+      .select(col("gh")).distinct()
+    val hits = shingleHashes(docs).join(broadcast(evalSet), "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    val idx = substring(col("source"), 4, 10).cast("int")
+    val rate = ((idx % 10) * 10 + 5).cast("int")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    docs.join(canonical, "doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("lang"),
+        Text.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        col("keep_exact"),
+        gopherOk(col("text")).as("q_ok"),
+        (pmod(col("doc_id"), lit(10)) =!= 7).as("not_eval"),
+        (coalesce(col("n_hits"), lit(0L)) === 0).as("clean"),
+        (bucket < rate).as("mixed"))
+  }
+
+  /** The end-to-end data-release funnel: the canonical gate order a
+    * pretraining corpus passes — exact dedup → Gopher/C4 quality →
+    * eval-set holdout → benchmark decontamination → domain mixing — with
+    * surviving doc/token counts after each cumulative stage. The staging
+    * adds NO passes: every per-doc flag is computed up front
+    * ([[releaseFlags]] — whose fingerprint/shingle joins read the corpus a
+    * few column-pruned times; at 100 TB the flags are a table written once
+    * at ingest) and all 6 stages are ONE conditional aggregate (map-side
+    * combined), never a filtered re-scan per stage. Near-dup stages
+    * (MinHash q65, semantic q62) compose the same way in production; they
+    * are kept out of this query so the funnel stays fully
+    * DuckDB-oracle-checkable. */
+  def releaseFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val f = releaseFlags(spark, dir)
+    val s1 = col("keep_exact")
+    val s2 = s1 && col("q_ok")
+    val s3 = s2 && col("not_eval")
+    val s4 = s3 && col("clean")
+    val s5 = s4 && col("mixed")
+    val stages = Seq(lit(true), s1, s2, s3, s4, s5)
+    val aggs = stages.zipWithIndex.flatMap { case (c, i) => Seq(
+      sum(when(c, 1L).otherwise(0L)).as(s"d$i"),
+      sum(when(c, col("n_tokens")).otherwise(0L)).as(s"t$i")) }
+    f.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("stack(6, " +
+        "0, 'raw', d0, t0, 1, 'exact_dedup', d1, t1, 2, 'quality', d2, t2, " +
+        "3, 'eval_holdout', d3, t3, 4, 'decontaminated', d4, t4, " +
+        "5, 'domain_mix', d5, t5) AS (stage_id, stage, n_docs, n_tokens)")
+  }
+
+  /** Data card for the RELEASED corpus (all funnel gates passed): the
+    * per-source manifest a data release ships — doc/token counts, mean
+    * document length, language spread. Narrow aggregate over the funnel
+    * flags; fully oracle-checked. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame =
+    releaseFlags(spark, dir)
+      .filter(col("keep_exact") && col("q_ok") && col("not_eval") &&
+              col("clean") && col("mixed"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").as("n_tokens"),
+           round(avg(col("n_tokens").cast("double")), 4).as("mean_tokens"),
+           countDistinct("lang").cast("int").as("n_langs"))
 
   /** Semantic dedup over the embeddings table (SemDeDup shape): k-means
     * cells via the shared IVF quantizer, in-cell cosine ≥ 0.97 ⇒ drop the
