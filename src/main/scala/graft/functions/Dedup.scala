@@ -22,6 +22,29 @@ object Dedup {
         sequence(lit(0), size(toks) - w),
         i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
 
+  /** (id, gh) rows of the DISTINCT w-gram shingle HASHES of each document —
+    * pure long arithmetic behind Generate barriers: token hashes once per
+    * doc, then each w-gram hash is xxhash64 over w token-hash longs. No
+    * shingle STRING is ever built (the [[shingles]]+hash composition
+    * constructs |toks| w-token strings per doc — measured ~10× this form
+    * at sf0.1, the q23 lesson). Token hashes are injective stand-ins for
+    * the joined shingle strings (\s+-split tokens cannot contain the join
+    * space), so hash-set membership and counts match a string-shingle
+    * oracle exactly, modulo 64-bit collisions (~|sh|²/2⁶⁵). Documents
+    * shorter than w tokens yield ONE whole-doc shingle (fold), matching
+    * [[shingles]]. */
+  def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
+                      w: Int): DataFrame = {
+    val th = df.select(col(idCol).as("id"),
+      explode(array(transform(Text.tokens(col(textCol)), t => xxhash64(t))))
+        .as("th"))
+    val grams = when(size(col("th")) < w,
+        array(aggregate(col("th"), lit(42L), (a, h) => xxhash64(a, h))))
+      .otherwise(transform(sequence(lit(0), size(col("th")) - w),
+        i => xxhash64((1 to w).map(j => element_at(col("th"), i + j)): _*)))
+    th.select(col("id"), explode(array_distinct(grams)).as("gh"))
+  }
+
   /** MinHash signature: k independent hash families h_i(s) = murmur3(s, i);
     * signature[i] = min over shingles. One pass, no shuffle. */
   def minhashSignature(shingleSet: Column, k: Int = 32): Column =

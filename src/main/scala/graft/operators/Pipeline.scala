@@ -483,10 +483,8 @@ object Pipeline {
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     def shingleHashes(d: org.apache.spark.sql.DataFrame) =
-      d.select(col("doc_id"),
-        explode(array_distinct(transform(
-          Dedup.shingles(Text.tokens(col("text")), 8),
-          g => xxhash64(g)))).as("gh"))
+      Dedup.shingleHashRows(d, "doc_id", "text", w = 8)
+        .withColumnRenamed("id", "doc_id")
     val evalSet = shingleHashes(docs.filter(pmod(col("doc_id"), lit(10)) === 7))
       .select(col("gh")).distinct()
     val hits = shingleHashes(docs.filter(pmod(col("doc_id"), lit(10)) =!= 7))
@@ -609,14 +607,18 @@ object Pipeline {
     * (q67) and the data card (q68). */
   private def releaseFlags(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
-    val canonical = fp.join(fp.groupBy("fp").agg(min("doc_id").as("keep_id")), "fp")
-      .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("keep_exact"))
+    // canonical-per-fingerprint via window-min over NARROW (doc_id, fp)
+    // pairs: one md5 evaluation, one ~48-byte-row shuffle — the
+    // fp-self-join alternative plans (and re-evaluates) the whole
+    // fingerprint subtree on both sides (measured: it dominated the first
+    // cut of this query at sf0.1)
+    val keep = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .withColumn("keep_exact", col("doc_id") ===
+        min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .select("doc_id", "keep_exact")
     def shingleHashes(d: DataFrame) =
-      d.select(col("doc_id"),
-        explode(array_distinct(transform(
-          Dedup.shingles(Text.tokens(col("text")), 8),
-          g => xxhash64(g)))).as("gh"))
+      Dedup.shingleHashRows(d, "doc_id", "text", w = 8)
+        .withColumnRenamed("id", "doc_id")
     val evalSet = shingleHashes(docs.filter(pmod(col("doc_id"), lit(10)) === 7))
       .select(col("gh")).distinct()
     val hits = shingleHashes(docs).join(broadcast(evalSet), "gh")
@@ -625,15 +627,18 @@ object Pipeline {
     val rate = ((idx % 10) * 10 + 5).cast("int")
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
       .cast("int") % 100
-    docs.join(canonical, "doc_id")
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"), col("lang"),
+    // every text-derived column is computed HERE, before any join, so no
+    // exchange ever carries document bodies — only the ~60-byte flag rows
+    docs.select(col("doc_id"), col("source"), col("lang"),
         Text.tokenCount(col("text")).cast("bigint").as("n_tokens"),
-        col("keep_exact"),
         gopherOk(col("text")).as("q_ok"),
         (pmod(col("doc_id"), lit(10)) =!= 7).as("not_eval"),
-        (coalesce(col("n_hits"), lit(0L)) === 0).as("clean"),
         (bucket < rate).as("mixed"))
+      .join(keep, "doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("keep_exact"), col("q_ok"), col("not_eval"),
+        (coalesce(col("n_hits"), lit(0L)) === 0).as("clean"), col("mixed"))
   }
 
   /** The end-to-end data-release funnel: the canonical gate order a

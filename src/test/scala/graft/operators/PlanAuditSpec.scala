@@ -153,4 +153,17 @@ class PlanAuditSpec extends SparkSuite {
       s"in-cell pair scan degenerated to a cross product:\n$plan")
     graft.core.Mat.releaseAll()
   }
+
+  test("q67 funnel: six stages fold into one aggregate, never re-scans per stage") {
+    val plan = executedPlan("q67_release_funnel")
+    // flags construction reads the corpus a bounded handful of times
+    // (fingerprint self-join + shingle hits + main); a per-stage filtered
+    // re-scan regression would multiply that by 6 cumulative stages.
+    // Count only the FINAL adaptive plan — the rendered string repeats
+    // every node again under "== Initial Plan ==".
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalPlan).size
+    assert(scans <= 8, s"funnel re-scans the corpus per stage ($scans scans):\n$plan")
+    assert(plan.contains("stack"), "single stacked conditional aggregate missing")
+  }
 }
