@@ -145,6 +145,10 @@ object SparkEntry {
     // and the per-source manifest of what ships
     "q67_release_funnel"     -> Pipeline.releaseFunnel _,
     "q68_data_card"          -> Pipeline.dataCard _,
+    // model-based scoring (unigram LM shape, exact-integer statistics) and
+    // tokenizer-aware counting
+    "q69_unigram_score"      -> Pipeline.unigramScore _,
+    "q70_bpe_tokens"         -> Pipeline.bpeTokenCounts _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -406,6 +410,26 @@ object SparkEntry {
         |UNION ALL SELECT 5, 'domain_mix',
         |  CAST(sum(CASE WHEN keep_exact AND q_ok AND not_eval AND clean AND mixed THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(coalesce(sum(CASE WHEN keep_exact AND q_ok AND not_eval AND clean AND mixed THEN n_tokens END), 0) AS BIGINT) FROM flags""".stripMargin),
+    "q69_unigram_score" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'\S+')) AS tok FROM documents),
+        |v AS (SELECT tok, count(*) AS tf FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM v),
+        |d AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |        CAST(sum(v.tf) AS BIGINT) AS sum_tf,
+        |        CAST(sum(CASE WHEN v.tf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rare_toks
+        |      FROM t JOIN v USING (tok) GROUP BY 1)
+        |SELECT doc_id, n_tokens, sum_tf,
+        |  CAST(sum_tf AS DOUBLE)/(CAST(n_tokens AS DOUBLE)*CAST(total AS DOUBLE)) AS mean_tok_freq,
+        |  CAST(rare_toks AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS rare_frac,
+        |  CAST(rare_toks AS DOUBLE)/CAST(n_tokens AS DOUBLE) <= 0.2 AS lm_ok
+        |FROM d, tot""".stripMargin,
+    "q70_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(lower(text),'\S+')) AS INT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS DOUBLE)
+        |   / greatest(CAST(len(regexp_extract_all(lower(text),'\S+')) AS DOUBLE), 1.0) AS tokens_per_word
+        |FROM documents""".stripMargin,
     "q68_data_card" -> releaseFlagsSql(
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,

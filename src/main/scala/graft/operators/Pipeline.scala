@@ -736,6 +736,56 @@ object Pipeline {
     Dedup.simhashCandidates(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("id_a", "id_b")
 
+  /** Unigram-LM quality scoring — the model-based step after the rule
+    * filters (q54): score each document by its tokens' corpus frequency
+    * (the explode → frequency-table join → per-doc aggregate shape every
+    * LM-scored pipeline runs; a real deployment swaps the unigram table
+    * for n-gram/model logprobs, same plan). All statistics are EXACT
+    * integer sums with one final IEEE division — no libm log anywhere, so
+    * the score is bit-identical across engines and the whole query
+    * DuckDB-oracle-checks (the q53 lesson: tf/df, not ln).
+    *
+    * Scale: the vocab aggregate map-side combines; the token→tf join keys
+    * on the token (vocab is Zipf-bounded — at 100 TB it broadcasts after
+    * a frequency cut, or bloom-prunes via the runtime filter). */
+  def unigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    toks.join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum("tf").as("sum_tf"),
+           sum(when(col("tf") <= 2, 1L).otherwise(0L)).as("rare_toks"))
+      .crossJoin(broadcast(vocab.agg(sum("tf").cast("bigint").as("total"))))
+      .select(col("doc_id"), col("n_tokens"), col("sum_tf"),
+        (col("sum_tf").cast("double") /
+          (col("n_tokens").cast("double") * col("total").cast("double")))
+          .as("mean_tok_freq"),
+        (col("rare_toks").cast("double") / col("n_tokens").cast("double"))
+          .as("rare_frac"),
+        (col("rare_toks").cast("double") / col("n_tokens").cast("double") <= 0.2)
+          .as("lm_ok"))
+  }
+
+  /** Tokenizer-aware token counting: whitespace tokens vs a BPE-ish regex
+    * (letter runs | single digits | single non-alnum chars — the GPT-2
+    * pre-tokenizer shape, restricted to a pattern Java regex and RE2
+    * evaluate identically). The bpe/ws ratio is the standard
+    * "tokens-per-word" cost estimate a training-data budget uses. Narrow
+    * map; exact integer counts, one IEEE division. */
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+    val nBpe = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+    val nWs = Text.tokenCount(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nWs.as("n_ws_tokens"),
+      nBpe.as("n_bpe_tokens"),
+      (nBpe.cast("double") / greatest(nWs.cast("double"), lit(1.0)))
+        .as("tokens_per_word"))
+  }
+
   /** Export round-trip: top orders → sanitized CSV artifact (S7) → re-read
     * (S1). Rows-only: exercises the ingest/export adapters end-to-end. */
   def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {
