@@ -144,6 +144,19 @@ object Dedup {
     * increment's banded rows shuffle against co-located corpus buckets);
     * re-banding it per call here stands in for reading that table. Both
     * sides bucket-cap. Returns (inc_id, corpus_id, est_jaccard). */
+  /** Band-join an increment's banded signatures against a corpus's and
+    * score survivors by full-signature agreement. */
+  private def scoreBandPairs(ib: DataFrame, cb: DataFrame,
+                             threshold: Double): DataFrame =
+    ib.as("l").join(cb.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+      .select(col("l.id").as("inc_id"), col("r.id").as("corpus_id"),
+              col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .dropDuplicates("inc_id", "corpus_id")
+      .select(col("inc_id"), col("corpus_id"),
+          round(minhashJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+
   def minhashCandidatesAgainst(corpus: DataFrame, increment: DataFrame,
                                idCol: String, textCol: String,
                                k: Int = 32, bands: Int = 8,
@@ -158,18 +171,42 @@ object Dedup {
         bandedSignatures(minhashSignatures(increment, idCol, textCol, k),
           bands, r, bucketCap)
       ) { ib =>
-        val pairs = ib.as("l").join(cb.as("r"),
-            col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
-          .select(col("l.id").as("inc_id"), col("r.id").as("corpus_id"),
-                  col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
-          .dropDuplicates("inc_id", "corpus_id")
-        graft.core.Mat.tracked(
-          pairs.select(col("inc_id"), col("corpus_id"),
-              round(minhashJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
-            .filter(col("est_jaccard") >= threshold))
+        graft.core.Mat.tracked(scoreBandPairs(ib, cb, threshold))
       }
     }
   }
+
+  /** Write the banded signature TABLE for a corpus — the ingest-time
+    * artifact every later incremental dedup joins against, bucketed (and
+    * bucket-sorted) by the band hash so the corpus side of the band join
+    * is read PRE-PARTITIONED: no exchange ever touches the corpus
+    * signatures again. HashPartitioning(bh) satisfies the join's
+    * ClusteredDistribution((band, bh)) — equal bh implies co-located —
+    * so only the (small) increment shuffles to align. */
+  def writeSignatureTable(df: DataFrame, idCol: String, textCol: String,
+                          table: String, k: Int = 32, bands: Int = 8,
+                          bucketCap: Int = 256, nBuckets: Int = 32): Unit =
+    bandedSignatures(minhashSignatures(df, idCol, textCol, k),
+        bands, k / bands, bucketCap)
+      .write.mode("overwrite").bucketBy(nBuckets, "bh").sortBy("bh")
+      .saveAsTable(table)
+
+  /** Incremental candidates against a STORED signature table
+    * ([[writeSignatureTable]]): the production shape at 100 TB — the
+    * corpus is never re-tokenized, re-hashed, or re-shuffled; its banded
+    * rows stream out of the bucketed table straight into the join. */
+  def minhashCandidatesAgainstTable(spark: org.apache.spark.sql.SparkSession,
+                                    table: String, increment: DataFrame,
+                                    idCol: String, textCol: String,
+                                    k: Int = 32, bands: Int = 8,
+                                    threshold: Double = 0.5,
+                                    bucketCap: Int = 256): DataFrame =
+    graft.core.Mat.withMaterialized(
+      bandedSignatures(minhashSignatures(increment, idCol, textCol, k),
+        bands, k / bands, bucketCap)
+    ) { ib =>
+      graft.core.Mat.tracked(scoreBandPairs(ib, spark.table(table), threshold))
+    }
 
   /** 64-bit SimHash over token hashes: per-bit majority vote of xxhash64
     * of each token. Returns one long per document; near-duplicates are
