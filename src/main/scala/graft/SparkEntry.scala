@@ -149,6 +149,12 @@ object SparkEntry {
     // tokenizer-aware counting
     "q69_unigram_score"      -> Pipeline.unigramScore _,
     "q70_bpe_tokens"         -> Pipeline.bpeTokenCounts _,
+    // stream-stream interval join (attribution): the emitted set equals
+    // the batch interval join — oracle-checked
+    "q71_stream_join"        -> ((s: SparkSession, dir: String) => {
+      val work = java.nio.file.Files.createTempDirectory("graft-q71").toString
+      graft.streaming.Streams.streamStreamJoinFromParquet(s, dir, work)
+    }),
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -423,6 +429,11 @@ object SparkEntry {
         |  CAST(rare_toks AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS rare_frac,
         |  CAST(rare_toks AS DOUBLE)/CAST(n_tokens AS DOUBLE) <= 0.2 AS lm_ok
         |FROM d, tot""".stripMargin,
+    "q71_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts""".stripMargin,
     "q70_bpe_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(lower(text),'\S+')) AS INT) AS n_ws_tokens,

@@ -199,6 +199,58 @@ object Streams {
       .groupBy("event_type").agg(count(lit(1)).as("n_events"))
   }
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * clicks within the preceding 10 minutes — both sides are live streams
+    * (the attribution query a 100 TB/day event bus runs continuously).
+    * Inner joins emit a match as soon as both rows have arrived; the
+    * watermarks + time-range condition bound the join STATE (a click is
+    * droppable once the watermark passes its ts + 10 min), so state size
+    * tracks the interval, not the stream. The staged time-ordered chunks
+    * make matches span micro-batches (a purchase in batch N joins clicks
+    * buffered from batch N-1), exercising cross-batch state. The emitted
+    * SET is deterministic and equals the batch interval join — the DuckDB
+    * oracle. */
+  def streamStreamJoinFromParquet(spark: SparkSession, sfDir: String,
+                                  workDir: String, chunks: Int = 4,
+                                  intervalMinutes: Int = 10): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = new StructType()
+      .add("event_id", "long").add("ts", "long").add("user_id", "long")
+      .add("event_type", "string").add("value", "double").add("props", "string")
+    val stage = s"$workDir/stage"; val out = s"$workDir/out"; val ckpt = s"$workDir/ckpt"
+    spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .repartitionByRange(chunks, col("ts"))
+      .write.mode("overwrite").parquet(stage)
+    val parts = new java.io.File(stage).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 60000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 60000L) }
+    val tsSchema = new StructType()
+      .add("event_id", "long").add("ts", "timestamp").add("user_id", "long")
+      .add("event_type", "string").add("value", "double").add("props", "string")
+    def read() = spark.readStream.schema(tsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val purchases = read().filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    val clicks = read().filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+      col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $intervalMinutes MINUTES") &&
+      col("click_ts") <= col("purchase_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+    val q = joined.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out)
+  }
+
   /** Drive a streaming DataFrame synchronously into an in-memory table and
     * return the result — used by tests and the local smoke path (the guide's
     * `processAllAvailable` pattern). */
