@@ -133,7 +133,13 @@ object SparkEntry {
     "q62_semantic_dedup"     -> Pipeline.semanticDedup _,
     "q63_stream_dedup"       -> ((s: SparkSession, dir: String) => {
       val work = java.nio.file.Files.createTempDirectory("graft-q63").toString
-      graft.streaming.Streams.streamDedupFromParquet(s, dir, work)
+      // state partitions sized down for the bench box like q48 (state-store
+      // commit cost per partition per micro-batch dominates locally;
+      // production sizes this to the executor count)
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.Streams.streamDedupFromParquet(s, dir, work)
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
     // incremental dedup (the production loop: increment vs standing
     // corpus) and simhash banding complete the dedup family
@@ -153,7 +159,10 @@ object SparkEntry {
     // the batch interval join — oracle-checked
     "q71_stream_join"        -> ((s: SparkSession, dir: String) => {
       val work = java.nio.file.Files.createTempDirectory("graft-q71").toString
-      graft.streaming.Streams.streamStreamJoinFromParquet(s, dir, work)
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.Streams.streamStreamJoinFromParquet(s, dir, work)
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
   )
 

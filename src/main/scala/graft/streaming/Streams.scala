@@ -229,8 +229,12 @@ object Streams {
     val tsSchema = new StructType()
       .add("event_id", "long").add("ts", "timestamp").add("user_id", "long")
       .add("event_type", "string").add("value", "double").add("props", "string")
+    // 2 files per trigger → 2 micro-batches over 4 chunks: batch 2's
+    // purchases must match batch 1's buffered clicks, so cross-batch join
+    // state is exercised, while per-batch state-commit cost stays halved
+    // (state-store commits dominate micro-batches on a bench box)
     def read() = spark.readStream.schema(tsSchema)
-      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .option("maxFilesPerTrigger", "2").parquet(stage)
     val purchases = read().filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
               col("ts").as("purchase_ts"))
