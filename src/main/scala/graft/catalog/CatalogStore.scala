@@ -25,9 +25,38 @@ final class CatalogStore(spark: SparkSession, root: String) {
 
   private def dir(table: String): Path = Paths.get(root, table)
 
-  def exists(table: String): Boolean = Files.exists(dir(table))
+  /** Per-table writer lock: appends (run-now handler threads), overwrites,
+    * and compaction all serialize per table. Without it, an append landing
+    * between compaction's two swap moves recreates the live dir and the
+    * second ATOMIC_MOVE fails — stranding the whole history in `.bak`
+    * until the next tmp/bak cleanup deletes it. Reentrant (synchronized),
+    * so the compaction test seam's same-thread append still works. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(table: String): Object =
+    tableLocks.computeIfAbsent(table, _ => new Object)
 
-  /** Read a table as a typed Dataset; empty if never written. */
+  /** Crash recovery: a JVM death between the swap's live→bak and tmp→live
+    * moves leaves no live dir but an intact `.bak`. Every entry path calls
+    * this first so the displaced data is restored instead of read() seeing
+    * an empty table forever (and the next cleanup deleting the history). */
+  private def recover(table: String): Unit = {
+    val live = dir(table)
+    val bak = Paths.get(root, table + ".bak")
+    if (!Files.exists(live) && Files.exists(bak)) lockFor(table).synchronized {
+      if (!Files.exists(live) && Files.exists(bak))
+        Files.move(bak, live, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  def exists(table: String): Boolean = { recover(table); Files.exists(dir(table)) }
+
+  /** Read a table as a typed Dataset; empty if never written. Reads are
+    * NOT serialized against compaction (a Spark action executes after this
+    * returns, outside any lock scope) — the session sets
+    * `spark.sql.files.ignoreMissingFiles` so a scan racing a compaction
+    * swap degrades to a transient partial read instead of failing the
+    * request; the next read sees the compacted table. */
   def read[T <: Product: TypeTag](table: String): Dataset[T] = {
     implicit val enc: Encoder[T] = Encoders.product[T]
     if (exists(table)) spark.read.schema(enc.schema).parquet(dir(table).toString).as[T]
@@ -37,7 +66,8 @@ final class CatalogStore(spark: SparkSession, root: String) {
   /** Overwrite a table with a crash-safe swap: write to `<table>.tmp`, then
     * rename old → `.bak`, tmp → live, drop `.bak`. A crash leaves either the
     * old or the new directory intact, never a half-written live dir. */
-  def overwrite[T](ds: Dataset[T], table: String): Unit = {
+  def overwrite[T](ds: Dataset[T], table: String): Unit = lockFor(table).synchronized {
+    recover(table)
     val live = dir(table)
     val tmp = Paths.get(root, table + ".tmp")
     val bak = Paths.get(root, table + ".bak")
@@ -49,9 +79,13 @@ final class CatalogStore(spark: SparkSession, root: String) {
   }
 
   /** Append rows (log tables — task_logs / sql_alert_logs / notification_logs
-    * are insert-only in the reference, S12). */
-  def append[T](ds: Dataset[T], table: String): Unit =
+    * are insert-only in the reference, S12). Serialized per table so an
+    * append can never interleave with a compaction swap (its committer
+    * renames into the directory being displaced). */
+  def append[T](ds: Dataset[T], table: String): Unit = lockFor(table).synchronized {
+    recover(table)
     ds.write.mode(SaveMode.Append).parquet(dir(table).toString)
+  }
 
   private def parquetFiles(p: Path): Set[String] =
     if (!Files.exists(p)) Set.empty
@@ -79,7 +113,8 @@ final class CatalogStore(spark: SparkSession, root: String) {
     * append there to pin the carry-over path. */
   def compactIfFragmented[T <: Product: TypeTag](
       table: String, maxFiles: Int = 512, numPartitions: Int = 4,
-      beforeSwap: () => Unit = () => ()): Boolean = {
+      beforeSwap: () => Unit = () => ()): Boolean = lockFor(table).synchronized {
+    recover(table)
     val live = dir(table)
     val snapshot = parquetFiles(live)
     if (snapshot.size <= maxFiles) return false
@@ -94,7 +129,10 @@ final class CatalogStore(spark: SparkSession, root: String) {
     beforeSwap()
     Files.move(live, bak, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-    // carry over appends that landed between snapshot and swap
+    // carry over appends that landed between snapshot and swap — with the
+    // per-table lock this covers only same-thread appends (the test seam)
+    // and any out-of-band writer; cross-thread appends now serialize
+    // before or after the whole compaction instead of racing the moves
     parquetFiles(bak).diff(snapshot).foreach { f =>
       Files.move(bak.resolve(f), live.resolve(f), StandardCopyOption.ATOMIC_MOVE)
     }
@@ -105,23 +143,25 @@ final class CatalogStore(spark: SparkSession, root: String) {
   /** Row-level upsert by key: replaces rows whose key is present in `rows`,
     * keeps the rest (the reference's dynamic partial-UPDATE builders D7,
     * web_scheduler.py:2216-2271, as read-modify-overwrite). */
-  def upsert[T <: Product: TypeTag](table: String, rows: Seq[T], key: T => Long): Unit = {
-    val existing = read[T](table).collect().toSeq
-    val keys = rows.map(key).toSet
-    val merged = existing.filterNot(r => keys.contains(key(r))) ++ rows
-    implicit val enc: Encoder[T] = Encoders.product[T]
-    overwrite(spark.createDataset(merged), table)
-  }
+  def upsert[T <: Product: TypeTag](table: String, rows: Seq[T], key: T => Long): Unit =
+    lockFor(table).synchronized { // atomic read-modify-write (lock is reentrant)
+      val existing = read[T](table).collect().toSeq
+      val keys = rows.map(key).toSet
+      val merged = existing.filterNot(r => keys.contains(key(r))) ++ rows
+      implicit val enc: Encoder[T] = Encoders.product[T]
+      overwrite(spark.createDataset(merged), table)
+    }
 
   /** Delete rows by key predicate (FK-guard checks live in callers,
     * web_scheduler.py:3920-3938). */
-  def delete[T <: Product: TypeTag](table: String, pred: T => Boolean): Long = {
-    val existing = read[T](table).collect()
-    val keep = existing.filterNot(pred)
-    implicit val enc: Encoder[T] = Encoders.product[T]
-    overwrite(spark.createDataset(keep.toSeq), table)
-    (existing.length - keep.length).toLong
-  }
+  def delete[T <: Product: TypeTag](table: String, pred: T => Boolean): Long =
+    lockFor(table).synchronized {
+      val existing = read[T](table).collect()
+      val keep = existing.filterNot(pred)
+      implicit val enc: Encoder[T] = Encoders.product[T]
+      overwrite(spark.createDataset(keep.toSeq), table)
+      (existing.length - keep.length).toLong
+    }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

@@ -200,13 +200,30 @@ object Dedup {
                                     idCol: String, textCol: String,
                                     k: Int = 32, bands: Int = 8,
                                     threshold: Double = 0.5,
-                                    bucketCap: Int = 256): DataFrame =
+                                    bucketCap: Int = 256): DataFrame = {
+    // config-drift guard: a stored table written with different k/bands
+    // would band-join over different signature slices and score nulls —
+    // silently meaningless candidates. A limit-1 scan checks k; the band
+    // check is an agg over one bucketed int column (parquet column
+    // pruning keeps it cheap relative to the join it protects).
+    val cb = spark.table(table)
+    cb.select(size(col("sig")).as("k"), col("band")).limit(1).collect()
+      .headOption.foreach { r =>
+        require(r.getInt(0) == k,
+          s"signature table '$table' stores k=${r.getInt(0)}, caller expects k=$k")
+      }
+    val storedBands = cb.agg(max("band")).head()
+    if (!storedBands.isNullAt(0))
+      require(storedBands.getInt(0) == bands - 1,
+        s"signature table '$table' stores ${storedBands.getInt(0) + 1} bands, " +
+        s"caller expects $bands")
     graft.core.Mat.withMaterialized(
       bandedSignatures(minhashSignatures(increment, idCol, textCol, k),
         bands, k / bands, bucketCap)
     ) { ib =>
-      graft.core.Mat.tracked(scoreBandPairs(ib, spark.table(table), threshold))
+      graft.core.Mat.tracked(scoreBandPairs(ib, cb, threshold))
     }
+  }
 
   /** 64-bit SimHash over token hashes: per-bit majority vote of xxhash64
     * of each token. Returns one long per document; near-duplicates are
@@ -318,22 +335,25 @@ object Dedup {
                     nlist: Int, threshold: Double,
                     clusterCap: Int = 4096): DataFrame = {
     val model = Ivf.train(df, idCol, vecCol, dim, nlist)
-    val cells = Ivf.assignCells(df, idCol, vecCol, model)
     val w = Window.partitionBy("cid").orderBy(col("id").asc)
-    // in-cell self-join re-plans its whole input twice → materialize, scoped
+    // ONE assignment pass, materialized and scoped: the capped self-join
+    // sides AND the final verdict join all read the checkpointed frame —
+    // referencing the raw assignment twice would re-run the n×nlist
+    // broadcast-cosine argmax (the most expensive narrow op here) per use
     graft.core.Mat.withMaterialized(
-      cells.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      Ivf.assignCells(df, idCol, vecCol, model)
+        .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
         .select(col(idCol).as("id"), col("cid"), col(vecCol).as("v"))
-        .withColumn("rn", row_number().over(w))
+    ) { cells =>
+      val c = cells.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= clusterCap).drop("rn")
-    ) { c =>
       val dominated = c.as("l").join(c.as("r"),
           col("l.cid") === col("r.cid") && col("l.id") < col("r.id"))
         .filter(Vectors.cosine(col("l.v"), col("r.v")) >= threshold)
         .select(col("r.id").as("id")).distinct()
         .withColumn("dom", lit(true))
       graft.core.Mat.tracked(
-        cells.select(col(idCol), col("cid"))
+        cells.select(col("id").as(idCol), col("cid"))
           .join(dominated.withColumnRenamed("id", idCol), Seq(idCol), "left")
           .select(col(idCol), col("cid"),
                   (!coalesce(col("dom"), lit(false))).as("keep")))

@@ -266,8 +266,7 @@ object Pipeline {
     * engines, runs, and cluster sizes — never rand()): bucket =
     * first-4-hex-digits(md5(id)) mod 100; <80 train, <90 valid, else test. */
   def trainSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("int") % 100
+    val bucket = md5Bucket(col("doc_id"))
     Tables.documents(spark, dir)
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
@@ -391,10 +390,21 @@ object Pipeline {
     * clustering core stays CTE-oracle-checked through q57. */
   def dupClustersLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val edges = graft.functions.Dedup
+    val lsh = graft.functions.Dedup
       .minhashCandidates(docs, "doc_id", "text", threshold = 0.35)
       .select(col("id_a").as("a"), col("id_b").as("b"))
-    connectedComponents(docs.select(col("doc_id")), edges)
+    // fingerprint star edges REQUIRED alongside LSH: the band-bucket cap
+    // deliberately drops members of a duplicate family past 256 per
+    // bucket, so capped-out exact dups get zero LSH edges and would
+    // emerge as singleton clusters. The star edge (doc → min doc of its
+    // fingerprint group) is exact, cheap (digest-only shuffle), and
+    // reattaches every capped member — the exact-dedup-first composition
+    // the cap's recall argument assumes, made explicit here.
+    val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("f"))
+    val star = fp.join(fp.groupBy("f").agg(min("doc_id").as("mn")), "f")
+      .filter(col("doc_id") =!= col("mn"))
+      .select(col("doc_id").as("a"), col("mn").as("b"))
+    connectedComponents(docs.select(col("doc_id")), lsh.union(star))
   }
 
   /** Connected components by min-label propagation to fixpoint over an
@@ -482,17 +492,9 @@ object Pipeline {
     * (~10⁻¹⁰ at oracle SF). */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    def shingleHashes(d: org.apache.spark.sql.DataFrame) =
-      Dedup.shingleHashRows(d, "doc_id", "text", w = 8)
-        .withColumnRenamed("id", "doc_id")
-    val evalSet = shingleHashes(docs.filter(pmod(col("doc_id"), lit(10)) === 7))
-      .select(col("gh")).distinct()
-    val hits = shingleHashes(docs.filter(pmod(col("doc_id"), lit(10)) =!= 7))
-      .join(broadcast(evalSet), "gh")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    docs.filter(!isEvalDoc)
       .select(col("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
+      .join(evalShingleHits(docs), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
@@ -507,10 +509,8 @@ object Pipeline {
     * one map-side-combined aggregate; rates here derive from the source
     * name (src0..src19 → 5%..95%) so the query is self-contained. */
   def domainMixSample(spark: SparkSession, dir: String): DataFrame = {
-    val idx = substring(col("source"), 4, 10).cast("int")
-    val rate = ((idx % 10) * 10 + 5).cast("int")
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("int") % 100
+    val rate = mixRate(col("source"))
+    val bucket = md5Bucket(col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("source"), rate.as("rate_pct"),
               (bucket < rate).as("kept"),
@@ -586,6 +586,34 @@ object Pipeline {
       (topFrac <= 0.2 && dupLineFrac <= 0.3).as("repetition_ok"))
   }
 
+  /** Deterministic md5 bucket in [0, 100) — the engine-stable sampling
+    * key shared by [[trainSplit]] (q43), [[domainMixSample]] (q60), and
+    * the release funnel flags, so the three can never drift. */
+  private[graft] def md5Bucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int") % 100
+
+  /** Per-source target mix rate (src0..src19 → 5..95%) — shared by q60
+    * and the funnel flags. */
+  private[graft] def mixRate(source: Column): Column =
+    ((substring(source, 4, 10).cast("int") % 10) * 10 + 5).cast("int")
+
+  /** Membership predicate of the held-out eval subset. */
+  private[graft] def isEvalDoc: Column = pmod(col("doc_id"), lit(10)) === 7
+
+  /** (doc_id, n_hits): training docs sharing ≥1 8-token shingle hash with
+    * the eval subset — the decontamination join shared verbatim by q59
+    * and the funnel flags. Eval docs are excluded from the probe side:
+    * they hit the broadcast set on every one of their own shingles (the
+    * heaviest possible rows) and no consumer reads a `clean` flag for
+    * them. */
+  private def evalShingleHits(docs: DataFrame): DataFrame = {
+    def sh(d: DataFrame) = Dedup.shingleHashRows(d, "doc_id", "text", w = 8)
+      .withColumnRenamed("id", "doc_id")
+    val evalSet = sh(docs.filter(isEvalDoc)).select(col("gh")).distinct()
+    sh(docs.filter(!isEvalDoc)).join(broadcast(evalSet), "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** The combined Gopher/C4 keep verdict as a reusable predicate — the
     * single source of truth shared by [[qualityRules]] (q54) and the
     * release funnel (q67), so the two can never drift. */
@@ -616,26 +644,15 @@ object Pipeline {
       .withColumn("keep_exact", col("doc_id") ===
         min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
       .select("doc_id", "keep_exact")
-    def shingleHashes(d: DataFrame) =
-      Dedup.shingleHashRows(d, "doc_id", "text", w = 8)
-        .withColumnRenamed("id", "doc_id")
-    val evalSet = shingleHashes(docs.filter(pmod(col("doc_id"), lit(10)) === 7))
-      .select(col("gh")).distinct()
-    val hits = shingleHashes(docs).join(broadcast(evalSet), "gh")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    val idx = substring(col("source"), 4, 10).cast("int")
-    val rate = ((idx % 10) * 10 + 5).cast("int")
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("int") % 100
     // every text-derived column is computed HERE, before any join, so no
     // exchange ever carries document bodies — only the ~60-byte flag rows
     docs.select(col("doc_id"), col("source"), col("lang"),
         Text.tokenCount(col("text")).cast("bigint").as("n_tokens"),
         gopherOk(col("text")).as("q_ok"),
-        (pmod(col("doc_id"), lit(10)) =!= 7).as("not_eval"),
-        (bucket < rate).as("mixed"))
+        (!isEvalDoc).as("not_eval"),
+        (md5Bucket(col("doc_id")) < mixRate(col("source"))).as("mixed"))
       .join(keep, "doc_id")
-      .join(hits, Seq("doc_id"), "left")
+      .join(evalShingleHits(docs), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
         col("keep_exact"), col("q_ok"), col("not_eval"),
         (coalesce(col("n_hits"), lit(0L)) === 0).as("clean"), col("mixed"))
