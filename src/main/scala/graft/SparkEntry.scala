@@ -164,6 +164,8 @@ object SparkEntry {
       try graft.streaming.Streams.streamStreamJoinFromParquet(s, dir, work)
       finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
+    // int8 vector quantization audit (the 4x ANN storage path)
+    "q72_quantize_embeddings" -> Pipeline.quantizeEmbeddings _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -443,6 +445,15 @@ object SparkEntry {
         |FROM events p JOIN events c ON p.user_id = c.user_id
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts""".stripMargin,
+    "q72_quantize_embeddings" ->
+      """WITH s AS (SELECT vec_id,
+        |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS m,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT vec_id, m AS scale,
+        |  list_max(list_transform(v, x -> abs(x - floor(x / m * 127.0 + 0.5) * m / 127.0))) AS max_abs_err,
+        |  list_max(list_transform(v, x -> abs(x - floor(x / m * 127.0 + 0.5) * m / 127.0))) <= m / 254.0 + 1e-12 AS within_bound
+        |FROM s""".stripMargin,
     "q70_bpe_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(lower(text),'\S+')) AS INT) AS n_ws_tokens,

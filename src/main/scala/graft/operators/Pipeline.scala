@@ -803,6 +803,32 @@ object Pipeline {
         .as("tokens_per_word"))
   }
 
+  /** Embedding int8 quantization with a per-vector max-abs scale — the
+    * storage path that makes billion-vector ANN fit memory (4× smaller
+    * than float32; IVF cells store int8 codes + one scale). Emits the
+    * reconstruction-error audit a quantization rollout gates on: the
+    * max-abs error must sit within the analytic bound scale/254 (half a
+    * quantization step). Every operation is IEEE floor/abs/×/÷ — no
+    * rounding-mode or libm dependence — so the audit is bit-identical
+    * across engines and fully DuckDB-oracle-checked. Narrow map. */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    // Generate barrier: vector + scale computed once per row
+    val staged = Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      explode(array(struct(
+        v.as("v"),
+        greatest(array_max(transform(v, x => abs(x))), lit(1e-30)).as("m")))).as("s"))
+    val m = col("s.m")
+    val err = array_max(transform(col("s.v"),
+      x => abs(x - floor(x / m * 127.0 + 0.5) * m / 127.0)))
+    staged.select(
+      col("vec_id"),
+      m.as("scale"),
+      err.as("max_abs_err"),
+      (err <= m / 254.0 + 1e-12).as("within_bound"))
+  }
+
   /** Export round-trip: top orders → sanitized CSV artifact (S7) → re-read
     * (S1). Rows-only: exercises the ingest/export adapters end-to-end. */
   def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {
