@@ -36,30 +36,60 @@ final class CatalogStore(spark: SparkSession, root: String) {
   private def lockFor(table: String): Object =
     tableLocks.computeIfAbsent(table, _ => new Object)
 
-  /** Crash recovery: a JVM death between the swap's live→bak and tmp→live
-    * moves leaves no live dir but an intact `.bak`. Every entry path calls
-    * this first so the displaced data is restored instead of read() seeing
-    * an empty table forever (and the next cleanup deleting the history). */
+  /** Crash recovery, called first on every entry path (under the table
+    * lock for mutators). Two windows exist:
+    *  - a JVM death between the swap's live→bak and tmp→live moves leaves
+    *    no live dir but an intact `.bak` → restore it, else read() sees an
+    *    empty table forever and the next cleanup deletes the history;
+    *  - a death between a COMPACTION swap and its carry-over loop leaves
+    *    live (compacted) + `.bak` holding straggler appends that landed
+    *    after the snapshot. The compaction manifest (written before the
+    *    swap, deleted after carry-over) records the snapshotted file set,
+    *    so the stragglers are identifiable and swept into live instead of
+    *    silently deleted with `.bak`. An overwrite's `.bak` (no manifest)
+    *    is old displaced data and must NOT be resurrected. */
   private def recover(table: String): Unit = {
     val live = dir(table)
     val bak = Paths.get(root, table + ".bak")
-    if (!Files.exists(live) && Files.exists(bak)) lockFor(table).synchronized {
+    val manifest = manifestPath(table)
+    if ((!Files.exists(live) && Files.exists(bak)) ||
+        Files.exists(manifest)) lockFor(table).synchronized {
       if (!Files.exists(live) && Files.exists(bak))
         Files.move(bak, live, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(manifest)) {
+        if (Files.exists(bak)) {
+          val snapshot = new String(Files.readAllBytes(manifest), "UTF-8")
+            .split("\n").toSet
+          parquetFiles(bak).diff(snapshot).foreach { f =>
+            if (!Files.exists(live.resolve(f)))
+              Files.move(bak.resolve(f), live.resolve(f),
+                StandardCopyOption.ATOMIC_MOVE)
+          }
+          deleteRecursively(bak)
+        }
+        Files.delete(manifest)
+      }
     }
   }
+
+  private def manifestPath(table: String): Path =
+    Paths.get(root, table + ".compact-manifest")
 
   def exists(table: String): Boolean = { recover(table); Files.exists(dir(table)) }
 
   /** Read a table as a typed Dataset; empty if never written. Reads are
     * NOT serialized against compaction (a Spark action executes after this
-    * returns, outside any lock scope) — the session sets
-    * `spark.sql.files.ignoreMissingFiles` so a scan racing a compaction
-    * swap degrades to a transient partial read instead of failing the
-    * request; the next read sees the compacted table. */
+    * returns, outside any lock scope) — `ignoreMissingFiles` is set PER
+    * READ here, so a catalog scan racing a compaction swap degrades to a
+    * transient partial read instead of failing the request (the next read
+    * sees the compacted table), while the engine's DATA path keeps strict
+    * missing-file semantics: a pipeline over real tables must fail loudly
+    * on incomplete input, never silently succeed on partial rows. */
   def read[T <: Product: TypeTag](table: String): Dataset[T] = {
     implicit val enc: Encoder[T] = Encoders.product[T]
-    if (exists(table)) spark.read.schema(enc.schema).parquet(dir(table).toString).as[T]
+    if (exists(table))
+      spark.read.option("ignoreMissingFiles", "true")
+        .schema(enc.schema).parquet(dir(table).toString).as[T]
     else spark.emptyDataset[T]
   }
 
@@ -102,41 +132,57 @@ final class CatalogStore(spark: SparkSession, root: String) {
     * small-files problem). When fragmentation exceeds `maxFiles`, rewrite
     * the SNAPSHOTTED file set into `numPartitions` files and swap.
     *
-    * Safe against the one concurrent writer log tables have (appends from
-    * a run-now handler while the daemon compacts): only files present in
-    * the pre-write snapshot are compacted; files that appear between
-    * snapshot and swap are carried over from the displaced directory into
-    * the new live one (append part-file names are unique). Crash-safety:
-    * same tmp/bak swap as [[overwrite]]. Returns true if a compaction ran.
+    * Concurrency: the expensive Spark rewrite runs OUTSIDE the table lock
+    * (appends proceed during it — snapshot files are immutable, appends
+    * only add files); only the swap + carry-over holds the lock, so an
+    * append either completes before the swap (carried over via the
+    * snapshot diff — part-file names are unique) or briefly waits and
+    * lands in the new live dir. Crash-safety: the tmp/bak swap of
+    * [[overwrite]] plus a manifest of the snapshotted file set written
+    * before the swap — recover() uses it to sweep straggler appends out
+    * of a `.bak` orphaned between the moves and the carry-over, instead
+    * of the next cleanup silently deleting them. Returns true if a
+    * compaction ran.
     *
-    * `beforeSwap` is a test seam: CatalogStoreSpec injects a concurrent
-    * append there to pin the carry-over path. */
+    * `beforeSwap` is a test seam: CatalogStoreSpec injects appends there
+    * (same-thread and cross-thread) to pin the carry-over path. */
   def compactIfFragmented[T <: Product: TypeTag](
       table: String, maxFiles: Int = 512, numPartitions: Int = 4,
-      beforeSwap: () => Unit = () => ()): Boolean = lockFor(table).synchronized {
-    recover(table)
+      beforeSwap: () => Unit = () => ()): Boolean = {
     val live = dir(table)
-    val snapshot = parquetFiles(live)
+    val ctmp = Paths.get(root, table + ".ctmp") // distinct from overwrite's .tmp
+    val bak = Paths.get(root, table + ".bak")
+    // snapshot + cleanup under a brief lock; the multi-second Spark
+    // rewrite below runs UNLOCKED so appends stay concurrent with it
+    // (snapshot files are immutable — append only adds files) and land in
+    // live, to be carried over after the swap
+    val snapshot = lockFor(table).synchronized {
+      recover(table)
+      deleteRecursively(ctmp)
+      parquetFiles(live)
+    }
     if (snapshot.size <= maxFiles) return false
     implicit val enc: Encoder[T] = Encoders.product[T]
-    val tmp = Paths.get(root, table + ".tmp")
-    val bak = Paths.get(root, table + ".bak")
-    deleteRecursively(tmp); deleteRecursively(bak)
     spark.read.schema(enc.schema)
       .parquet(snapshot.toSeq.map(f => live.resolve(f).toString): _*)
       .repartition(numPartitions)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      .write.mode(SaveMode.Overwrite).parquet(ctmp.toString)
     beforeSwap()
-    Files.move(live, bak, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-    // carry over appends that landed between snapshot and swap — with the
-    // per-table lock this covers only same-thread appends (the test seam)
-    // and any out-of-band writer; cross-thread appends now serialize
-    // before or after the whole compaction instead of racing the moves
-    parquetFiles(bak).diff(snapshot).foreach { f =>
-      Files.move(bak.resolve(f), live.resolve(f), StandardCopyOption.ATOMIC_MOVE)
+    // swap + carry-over under the lock: an append either completes before
+    // the swap acquires the lock (carried over via the snapshot diff) or
+    // waits and lands in the NEW live — never mid-swap. The manifest makes
+    // the carry-over crash-recoverable: a death between the moves and the
+    // diff loop leaves stragglers in .bak identifiable by recover().
+    lockFor(table).synchronized {
+      Files.write(manifestPath(table), snapshot.mkString("\n").getBytes("UTF-8"))
+      Files.move(live, bak, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(ctmp, live, StandardCopyOption.ATOMIC_MOVE)
+      parquetFiles(bak).diff(snapshot).foreach { f =>
+        Files.move(bak.resolve(f), live.resolve(f), StandardCopyOption.ATOMIC_MOVE)
+      }
+      deleteRecursively(bak)
+      Files.delete(manifestPath(table))
     }
-    deleteRecursively(bak)
     true
   }
 

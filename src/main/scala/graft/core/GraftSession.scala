@@ -52,11 +52,10 @@ object GraftSession {
     // where it matters most. Off by default in Spark; the threshold keeps
     // it to genuinely selective cases.
     .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    // a read racing a log-table compaction swap (files listed, then
-    // replaced) degrades to a transient partial read instead of failing
-    // the request; the next read sees the compacted table (CatalogStore
-    // serializes all WRITERS per table — this covers the lazy reader)
-    .config("spark.sql.files.ignoreMissingFiles", "true")
+    // NOTE: spark.sql.files.ignoreMissingFiles stays FALSE (default) for
+    // the data path — a pipeline must fail loudly on incomplete input.
+    // CatalogStore.read sets the option per read for catalog tables only,
+    // where a scan racing a log compaction should degrade, not 500.
     // parquet: µs timestamps for cross-engine parity; 128 MB splits keep
     // scan tasks uniform on large files
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -207,7 +207,7 @@ object Dedup {
     // check is an agg over one bucketed int column (parquet column
     // pruning keeps it cheap relative to the join it protects).
     val cb = spark.table(table)
-    cb.select(size(col("sig")).as("k"), col("band")).limit(1).collect()
+    cb.select(size(col("sig")).as("k")).limit(1).collect()
       .headOption.foreach { r =>
         require(r.getInt(0) == k,
           s"signature table '$table' stores k=${r.getInt(0)}, caller expects k=$k")

@@ -371,15 +371,22 @@ object Pipeline {
     * storage no matter how many rounds run. At 100 TB the edge set comes
     * from the LSH candidate pairs; the propagation loop is unchanged.
     * Oracle: a DuckDB recursive CTE computes the same reachability. */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+  /** Exact-duplicate evidence edges: doc → min doc of its content-
+    * fingerprint group (digest-only shuffle). The canonical-edge
+    * definition shared by both cluster queries, so they cannot drift. */
+  private def fingerprintStarEdges(docs: DataFrame): DataFrame = {
     val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("f"))
-    val star = fp.join(fp.groupBy("f").agg(min("doc_id").as("mn")), "f")
+    fp.join(fp.groupBy("f").agg(min("doc_id").as("mn")), "f")
       .filter(col("doc_id") =!= col("mn"))
       .select(col("doc_id").as("a"), col("mn").as("b"))
+  }
+
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val near = jaccardAdjacent(spark, dir).filter(col("jaccard") >= 0.35)
       .select(col("id_a").as("a"), col("id_b").as("b"))
-    connectedComponents(docs.select(col("doc_id")), star.union(near))
+    connectedComponents(docs.select(col("doc_id")),
+      fingerprintStarEdges(docs).union(near))
   }
 
   /** [[dupClusters]] with the MinHash-LSH candidate pairs as the edge
@@ -396,15 +403,11 @@ object Pipeline {
     // fingerprint star edges REQUIRED alongside LSH: the band-bucket cap
     // deliberately drops members of a duplicate family past 256 per
     // bucket, so capped-out exact dups get zero LSH edges and would
-    // emerge as singleton clusters. The star edge (doc → min doc of its
-    // fingerprint group) is exact, cheap (digest-only shuffle), and
+    // emerge as singleton clusters. The star edge is exact, cheap, and
     // reattaches every capped member — the exact-dedup-first composition
     // the cap's recall argument assumes, made explicit here.
-    val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("f"))
-    val star = fp.join(fp.groupBy("f").agg(min("doc_id").as("mn")), "f")
-      .filter(col("doc_id") =!= col("mn"))
-      .select(col("doc_id").as("a"), col("mn").as("b"))
-    connectedComponents(docs.select(col("doc_id")), lsh.union(star))
+    connectedComponents(docs.select(col("doc_id")),
+      lsh.union(fingerprintStarEdges(docs)))
   }
 
   /** Connected components by min-label propagation to fixpoint over an

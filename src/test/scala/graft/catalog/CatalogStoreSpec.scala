@@ -107,6 +107,43 @@ class CatalogStoreSpec extends SparkSuite {
     assert(rows.map(_.id).sorted.toSeq == (1L to 7L))
   }
 
+  test("crash between compaction swap and carry-over: manifest recovers stragglers") {
+    val root = tmpDir("cat")
+    val store = new CatalogStore(spark, root)
+    import spark.implicits._
+    def log(i: Int) = TaskLog(i.toLong, 10, "success", s"m$i",
+      ts(f"2026-01-01 10:${i}%02d:00"))
+    (1 to 3).foreach(i => store.append(spark.createDataset(Seq(log(i))), "task_logs"))
+    val liveP = java.nio.file.Paths.get(root, "task_logs")
+    val bakP = java.nio.file.Paths.get(root, "task_logs.bak")
+    // simulate: compaction snapshotted {files of rows 1-2}, straggler row 3
+    // landed after the snapshot, JVM died right after the two swap moves —
+    // live holds the compacted rows 1-2, .bak holds all three original
+    // files, the manifest lists the snapshotted two
+    val allFiles = java.nio.file.Files.list(liveP).toArray.map(_.toString)
+      .map(p => java.nio.file.Paths.get(p).getFileName.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    val straggler = allFiles.last
+    val snapshot = allFiles.init
+    java.nio.file.Files.move(liveP, bakP,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.createDirectories(liveP)
+    snapshot.foreach { f => // "compacted" stand-in: copy snapshot files
+      java.nio.file.Files.copy(bakP.resolve(f), liveP.resolve(f))
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "task_logs.compact-manifest"),
+      snapshot.mkString("\n").getBytes("UTF-8"))
+    // next access must sweep the straggler into live before any cleanup
+    // could delete .bak — no acknowledged row is lost
+    val rows = store.read[TaskLog]("task_logs").collect()
+    assert(rows.map(_.id).sorted.toSeq == Seq(1L, 2L, 3L),
+      s"straggler lost: ${rows.map(_.id).toSeq}")
+    assert(!java.nio.file.Files.exists(bakP))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "task_logs.compact-manifest")))
+  }
+
   test("crash between swap moves recovers from .bak on next access") {
     val root = tmpDir("cat")
     val store = new CatalogStore(spark, root)
