@@ -164,8 +164,10 @@ object SparkEntry {
       try graft.streaming.Streams.streamStreamJoinFromParquet(s, dir, work)
       finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
-    // int8 vector quantization audit (the 4x ANN storage path)
+    // int8 vector quantization audit (the 4x ANN storage path) and the
+    // retrieval-agreement audit gating a quantized rollout
     "q72_quantize_embeddings" -> Pipeline.quantizeEmbeddings _,
+    "q73_quantized_retrieval" -> Pipeline.quantizedRetrievalAgreement _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -454,6 +456,24 @@ object SparkEntry {
         |  list_max(list_transform(v, x -> abs(x - floor(x / m * 127.0 + 0.5) * m / 127.0))) AS max_abs_err,
         |  list_max(list_transform(v, x -> abs(x - floor(x / m * 127.0 + 0.5) * m / 127.0))) <= m / 254.0 + 1e-12 AS within_bound
         |FROM s""".stripMargin,
+    "q73_quantized_retrieval" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS fv,
+        |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS m
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, fv,
+        |    list_transform(fv, x -> floor(x / m * 127.0 + 0.5) * m / 127.0) AS qv FROM v),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS nid,
+        |    round(list_cosine_similarity(q.fv, c.fv), 6) AS cosf,
+        |    round(list_cosine_similarity(q.qv, c.qv), 6) AS cosq
+        |  FROM d q JOIN d c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, nid,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosf DESC, nid ASC) rf,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosq DESC, nid ASC) rq
+        |  FROM p)
+        |SELECT a.query_id, a.nid AS neighbor_full, b.nid AS neighbor_q8,
+        |  a.nid = b.nid AS agree
+        |FROM (SELECT query_id, nid FROM r WHERE rf = 1) a
+        |JOIN (SELECT query_id, nid FROM r WHERE rq = 1) b USING (query_id)""".stripMargin,
     "q70_bpe_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(lower(text),'\S+')) AS INT) AS n_ws_tokens,

@@ -832,6 +832,38 @@ object Pipeline {
       (err <= m / 254.0 + 1e-12).as("within_bound"))
   }
 
+  /** Quantized-retrieval agreement: for each probe query, the exact
+    * cosine top-1 neighbor over DEQUANTIZED int8 vectors vs over the
+    * original float32 — the audit that gates an int8 rollout on retrieval
+    * behavior, not just reconstruction error (q72). Every step is IEEE
+    * arithmetic (sqrt is correctly rounded by IEEE 754, unlike libm
+    * ln/exp), so both paths are bit-identical across engines and the
+    * whole audit DuckDB-oracle-checks. Queries broadcast; corpus scans
+    * once per path. */
+  def quantizedRetrievalAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    def vd(c: Column) = transform(c, x => x.cast("double"))
+    def deq(c: Column) = { // quantize → dequantize, q72 arithmetic
+      val m = greatest(array_max(transform(vd(c), x => abs(x))), lit(1e-30))
+      transform(vd(c), x => floor(x / m * 127.0 + 0.5) * m / 127.0)
+    }
+    def top1(vec: Column => Column, tag: String): DataFrame = {
+      val q = broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), vec(col("embedding")).as("qv")))
+      emb.select(col("vec_id").as("nid"), vec(col("embedding")).as("cv"))
+        .join(q, col("query_id") =!= col("nid"))
+        .select(col("query_id"), col("nid"),
+          round(Vectors.cosine(col("qv"), col("cv")), 6).as("cos"))
+        .groupBy("query_id")
+        .agg(max(struct(col("cos"), (-col("nid")).as("neg"))).as("b"))
+        .select(col("query_id"), (-col("b.neg")).as(s"neighbor_$tag"))
+    }
+    top1(vd, "full")
+      .join(top1(deq, "q8"), "query_id")
+      .select(col("query_id"), col("neighbor_full"), col("neighbor_q8"),
+              (col("neighbor_full") === col("neighbor_q8")).as("agree"))
+  }
+
   /** Export round-trip: top orders → sanitized CSV artifact (S7) → re-read
     * (S1). Rows-only: exercises the ingest/export adapters end-to-end. */
   def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {
