@@ -44,13 +44,13 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    // runtime bloom-filter pruning: for a selective shuffle join (the
-    // incremental-dedup fingerprint join, fact-fact joins after a pushed
-    // filter) the optimizer injects a bloom filter built from the small
-    // side's join keys into the big side's scan — rows that cannot match
-    // are dropped BEFORE the exchange, cutting shuffled bytes at 100 TB
-    // where it matters most. Off by default in Spark; the threshold keeps
-    // it to genuinely selective cases.
+    // runtime bloom-filter pruning: for a shuffle join whose small side
+    // is a selective filter-over-scan (filtered fact-fact joins) the
+    // optimizer injects a bloom filter built from that side's join keys
+    // into the big side's scan — rows that cannot match are dropped
+    // BEFORE the exchange, cutting shuffled bytes at 100 TB where it
+    // matters most. Off by default in Spark; the thresholds keep it to
+    // genuinely selective cases (injection fires — PlanAuditSpec).
     .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     // NOTE: spark.sql.files.ignoreMissingFiles stays FALSE (default) for
     // the data path — a pipeline must fail loudly on incomplete input.

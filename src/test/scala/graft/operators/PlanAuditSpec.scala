@@ -154,6 +154,42 @@ class PlanAuditSpec extends SparkSuite {
     graft.core.Mat.releaseAll()
   }
 
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    // substantiates the SCALING claim for the GraftSession conf: with the
+    // size thresholds met, the optimizer injects a bloom filter built from
+    // the selective (aggregated) small side into the big side's scan, so
+    // non-matching rows drop BEFORE the exchange. Thresholds are forced
+    // here because test-SF tables sit under the 10 GB production default.
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    // bloom injection targets SHUFFLE joins (a broadcast join already
+    // prunes via its hash relation); test-SF sides broadcast by default
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions._
+      val big = graft.core.Tables.lineitem(spark, sfDir)
+      // plain filter-over-scan creation side: InjectRuntimeFilter's
+      // pattern match rejects plans with intervening aggregates
+      val small = graft.core.Tables.orders(spark, sfDir)
+        .filter(col("o_totalprice") > 100000.0)
+        .select(col("o_orderkey"))
+      val joined = big.join(small, col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally restore.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("q67 funnel: six stages fold into one aggregate, never re-scans per stage") {
     val plan = executedPlan("q67_release_funnel")
     // flags construction reads the corpus a bounded handful of times
