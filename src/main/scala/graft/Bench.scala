@@ -20,21 +20,29 @@ object Bench {
     val dir = java.nio.file.Files.createTempDirectory("graft-probe").toString
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count() * factor
     val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count() * factor
-    // 2% of docs (id % 50 == 1) are MUTATIONS of their predecessor: same
-    // word stream with every 17th position re-hashed (~6% token churn →
-    // shingle Jaccard ≈ 0.7-0.8). Without planted near-dups the r3 probe
-    // returned 0 candidate pairs at 10× — it timed signature + band-join
-    // machinery but never pair SCORING at volume.
-    val base = when(pmod(col("id"), lit(50)) === 1 && col("id") > 0,
+    // planted duplicate families (4% of docs), matched to the VERIFIED
+    // q24 contract (exact Jaccard ≥ 0.9): id % 50 == 1 docs are NEAR-DUP
+    // mutations of their predecessor — same word stream with exactly ONE
+    // position (47) re-hashed, so shingle Jaccard = (n−3)/(n+3) ∈
+    // [0.90, 0.95] for the 60–119-token docs; id % 50 == 26 docs are
+    // EXACT copies of their predecessor (guaranteed banding recall).
+    // Without planted dups the r3 probe returned 0 pairs at 10× — it
+    // timed signature + band-join machinery but never pair SCORING.
+    val fam = pmod(col("id"), lit(50))
+    val base = when((fam === 1 || fam === 26) && col("id") > 0,
       col("id") - 1).otherwise(col("id"))
     spark.range(nDocs).select(
         col("id").as("doc_id"),
         concat_ws(" ", transform(
           sequence(lit(1), lit(60) + pmod(base, lit(60))),
           j => concat(lit("w"), pmod(
-            when(col("id") =!= base && pmod(j, lit(17)) === 0, hash(col("id"), j))
+            when(col("id") =!= base && fam === 1 && j === 47, hash(col("id"), j))
               .otherwise(hash(base, j)), lit(5000))))).as("text"),
-        lit("en").as("lang"), lit("synth").as("source"), lit(0L).as("n_chars"))
+        lit("en").as("lang"),
+        // srcN shape matches the real corpus: the release-funnel probe's
+        // domain-mix gate parses the digit suffix as its sampling rate
+        concat(lit("src"), pmod(col("id"), lit(10))).as("source"),
+        lit(0L).as("n_chars"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     spark.range(nVecs).select(
         col("id").as("vec_id"),
@@ -43,7 +51,9 @@ object Bench {
                 - 1.0).cast("float")).as("embedding"),
         lit(0).as("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    Seq("q22_exact_dup_groups", "q24_minhash_pairs", "q41_embedding_dups")
+    Seq("q22_exact_dup_groups", "q24_minhash_pairs", "q41_embedding_dups",
+        "q57_dup_clusters", "q58_dup_clusters_lsh", "q62_semantic_dedup",
+        "q67_release_funnel")
       .map { name =>
         val t0 = System.nanoTime()
         val rows = try SparkEntry.queries(name)(spark, dir).count()
@@ -94,16 +104,24 @@ object Bench {
         }.mkString(",")
         s""","scale_probe_10x":{$entries}"""
       }
-    val json =
+    val detailJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probeJson}"""
     // r3 post-mortem: the metric line printed BEFORE spark.stop() was
     // displaced out of the driver's 2000-char stdout tail by a shutdown
-    // stack-trace flood — non-blocking unpersist futures racing the
-    // stopping block manager ("Block rdd_N was not removed normally" +
-    // RejectedExecutionException). Order of record: drain every scope
-    // BLOCKING, stop the session, and print the metric line LAST.
+    // stack-trace flood. r4 post-mortem: with 73 queries the single metric
+    // line grew to ~3.1 kB and the tail capture clipped its HEAD, so
+    // nothing parsed. Order of record now: drain every scope BLOCKING,
+    // stop the session, print the FULL detail (per-query map + probe) to
+    // stdout and a file, then print a COMPACT summary (<500 bytes) as the
+    // very last stdout line so any tail window holds a parseable object.
     graft.core.Mat.releaseAllScopes(blocking = true)
     spark.stop()
-    println(json)
+    val detailPath = java.nio.file.Paths.get("bench_detail.json")
+    java.nio.file.Files.write(detailPath,
+      (detailJson + "\n").getBytes("UTF-8"))
+    println(detailJson)
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"${detailPath.toAbsolutePath}"}"""
+    println(compact)
   }
 }

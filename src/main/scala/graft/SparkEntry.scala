@@ -122,8 +122,8 @@ object SparkEntry {
     "q58_dup_clusters_lsh"   -> Pipeline.dupClustersLsh _,
     // round 4 late additions: the data-release gate family — benchmark
     // decontamination, domain mixing, repetition rules (all DuckDB-oracle-
-    // checked), semantic dedup (rows-only: k-means isn't DuckDB-
-    // expressible; planted-duplicate behavior in FunctionsSpec), and
+    // checked), semantic dedup (round 5: full value oracle via planted
+    // exact duplicates — keep is DuckDB-computable ground truth), and
     // at-least-once streaming dedup (oracle: per-type counts must equal
     // the batch counts over the ORIGINAL events — a broken dedup doubles
     // every count)
@@ -182,7 +182,8 @@ object SparkEntry {
       |shq AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7],' ') AS g
       |        FROM toksq, unnest(range(1, greatest(len(t)-6, 2))) AS u(i)),
       |evq AS (SELECT DISTINCT g FROM shq WHERE doc_id % 10 = 7),
-      |hitsq AS (SELECT s.doc_id, count(*) AS n_hits FROM shq s JOIN evq USING (g) GROUP BY 1),
+      |hitsq AS (SELECT s.doc_id, count(*) AS n_hits FROM shq s JOIN evq USING (g)
+      |          WHERE s.doc_id % 10 <> 7 GROUP BY 1),
       |qual AS (SELECT doc_id,
       |    len(regexp_extract_all(lower(text),'\S+')) AS n_toks,
       |    coalesce(list_sum(list_transform(regexp_extract_all(lower(text),'\S+'), t -> length(t))), 0) AS sum_len,
@@ -221,6 +222,61 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q42_profile" -> profileOracle,
+    // verified-LSH contract oracles: the Spark side emits candidates
+    // REFINED by exact shingle-set verification at j >= 0.9; DuckDB
+    // brute-forces the full pairwise Jaccard at the same bar, so the
+    // hash-compare checks precision AND recall of the banded path
+    "q24_minhash_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+        |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
+        |      FROM t),
+        |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) j
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.9""".stripMargin,
+    "q65_incremental_minhash" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+        |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
+        |      FROM t),
+        |p AS (SELECT i.doc_id inc_id, c.doc_id corpus_id,
+        |        CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE)
+        |          / (len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))) j
+        |      FROM s i JOIN s c ON i.doc_id % 5 = 4 AND c.doc_id % 5 <> 4)
+        |SELECT inc_id, corpus_id, round(j, 4) AS jaccard FROM p WHERE j >= 0.9""".stripMargin,
+    // simhash banding recall audit over the same verified row set: the
+    // pigeonhole guarantee (Hamming <= 3 => banded) is Spark-verified
+    // per pair; the oracle pins the row set + asserts the contract
+    "q66_simhash_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+        |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
+        |      FROM t),
+        |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) j
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard, true AS band_recall_ok
+        |FROM p WHERE j >= 0.9""".stripMargin,
+    // semantic dedup: planted exact duplicates (deterministic union both
+    // engines build identically) + the corpus's distinct vectors topping
+    // out at cosine ~0.51 make keep a DuckDB-computable VALUE:
+    // keep <=> no identical lower-id vector
+    "q62_semantic_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 25 = 0)
+        |SELECT b.vec_id,
+        |  NOT EXISTS (SELECT 1 FROM base c
+        |              WHERE c.vec_id < b.vec_id AND c.embedding = b.embedding) AS keep,
+        |  true AS drop_justified, true AS keep_justified
+        |FROM base b""".stripMargin,
     // sketch error-contract rows: the exact columns are computed by DuckDB;
     // the boolean property columns are literal `true` — the driver's
     // hash-compare then asserts the Spark-side sketch met its contract
@@ -239,6 +295,8 @@ object SparkEntry {
         |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard,
         | true AS est_ok
         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q25_simhash" ->
+      """SELECT doc_id, true AS fused_matches_composed FROM documents""".stripMargin,
     "q50_simhash_invariance" ->
       """SELECT doc_id, true AS order_invariant, true AS dup_invariant
         |FROM documents""".stripMargin,

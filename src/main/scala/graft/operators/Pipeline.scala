@@ -61,17 +61,7 @@ object Pipeline {
     // cannot contain the join space), so set equality — and the q23
     // DuckDB string-shingle oracle — is preserved (64-bit collisions:
     // ~|sh|²/2^65 per doc, negligible).
-    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val th = d.select(col("doc_id"),
-      explode(array(transform(Text.tokens(col("text")), t => xxhash64(t))))
-        .as("th"))
-    val sh = th.select(col("doc_id"), explode(array(array_distinct(
-        when(size(col("th")) < 3, // <w tokens: ONE whole-doc shingle (fold)
-          array(aggregate(col("th"), lit(42L), (a, h) => xxhash64(a, h))))
-        .otherwise(transform(sequence(lit(0), size(col("th")) - 3),
-          i => xxhash64(element_at(col("th"), i + 1),
-                        element_at(col("th"), i + 2),
-                        element_at(col("th"), i + 3))))))).as("sh"))
+    val sh = shingleSets(Tables.documents(spark, dir))
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
@@ -82,17 +72,80 @@ object Pipeline {
           .as("jaccard"))
   }
 
-  /** MinHash+LSH near-duplicate candidate pairs (not SQL-expressible —
-    * rows-only check; determinism guaranteed by seeded hash families). */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(Tables.documents(spark, dir), "doc_id", "text",
-      k = 32, bands = 8, threshold = 0.2)
-      .orderBy(col("id_a"), col("id_b"))
+  /** Per-document DISTINCT 3-gram shingle-HASH sets (doc_id, sh) — the
+    * long-arithmetic form (see [[jaccardAdjacent]]'s cost note): token
+    * hashes behind a Generate barrier, each 3-gram hash an xxhash64 of
+    * three token-hash longs, no shingle STRING ever built. Injective
+    * stand-in for string shingles, so intersect/union COUNTS — and any
+    * DuckDB string-shingle oracle — match exactly. */
+  private def shingleSets(docs: DataFrame): DataFrame = {
+    val th = docs.select(col("doc_id"),
+      explode(array(transform(Text.tokens(col("text")), t => xxhash64(t))))
+        .as("th"))
+    th.select(col("doc_id"), explode(array(array_distinct(
+        when(size(col("th")) < 3, // <w tokens: ONE whole-doc shingle (fold)
+          array(aggregate(col("th"), lit(42L), (a, h) => xxhash64(a, h))))
+        .otherwise(transform(sequence(lit(0), size(col("th")) - 3),
+          i => xxhash64(element_at(col("th"), i + 1),
+                        element_at(col("th"), i + 2),
+                        element_at(col("th"), i + 3))))))).as("sh"))
+  }
 
-  /** SimHash fingerprints + per-source Hamming-near-dup counts. */
-  def simhashBuckets(spark: SparkSession, dir: String): DataFrame =
+  /** Exact-Jaccard verification of candidate pairs: join each side to its
+    * distinct shingle-hash set, keep pairs whose EXACT Jaccard clears
+    * `theta`. The exact set arithmetic runs only on the (collision-
+    * bounded) candidate set — never all pairs — which is what makes the
+    * verify step affordable at 100 TB. The >= compare happens on the raw
+    * IEEE quotient (exact integer counts, ONE division — bit-identical
+    * cross-engine); only the reported value is rounded. */
+  private def verifyPairsExact(docs: DataFrame, pairs: DataFrame,
+                               aCol: String, bCol: String,
+                               theta: Double): DataFrame = {
+    val s = shingleSets(docs)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = inter.cast("double") /
+      (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double")
+    pairs
+      .join(s.select(col("doc_id").as(aCol), col("sh").as("sh_a")), Seq(aCol))
+      .join(s.select(col("doc_id").as(bCol), col("sh").as("sh_b")), Seq(bCol))
+      .withColumn("jac", jac)
+      .filter(col("jac") >= theta)
+      .select(col(aCol), col(bCol), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** Near-duplicate pairs in the production LSH shape: MinHash-banded
+    * candidate generation (est ≥ 0.2) REFINED by exact shingle-set
+    * verification (Jaccard ≥ 0.9). Fully DuckDB-oracle-checked: the
+    * oracle brute-forces pairwise Jaccard and filters at the same bar, so
+    * the driver checks PRECISION (nothing unverified survives — exact by
+    * construction) and RECALL (banding misses nothing at j ≥ 0.9; with
+    * k=32/8 bands the per-pair miss probability at j=0.9 is
+    * (1−0.9⁴)⁸ ≈ 2·10⁻⁴, and the seeded hash families make the outcome
+    * deterministic, verified at both gate SFs — exact duplicates are
+    * recalled with certainty). */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        k = 32, bands = 8, threshold = 0.2)
+      .select(col("id_a"), col("id_b"))
+    verifyPairsExact(docs, cand, "id_a", "id_b", theta = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash fingerprint audit: the fused single-pass codegen expression
+    * must agree BIT-FOR-BIT with the independent composed-builtins
+    * implementation on every document — the FunctionsSpec identity put
+    * under the driver's oracle (catches fused-codegen/algorithm drift on
+    * the full corpus). The fingerprint VALUE is engine-specific, so the
+    * oracle pins the row set and asserts the identity; the fingerprint's
+    * algebraic invariants are q50, its banding recall is q66. */
+  def simhashBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), Dedup.simhash(Text.tokens(col("text"))).as("simhash"))
+      .select(col("doc_id"),
+        (Dedup.simhash(toks) === Dedup.simhashComposed(toks))
+          .as("fused_matches_composed"))
+  }
 
   /** MinHash estimator accuracy probe (oracle-checked): adjacent-pair
     * estimated Jaccard (full signature pipeline) against the exact n-gram
@@ -705,14 +758,50 @@ object Pipeline {
            round(avg(col("n_tokens").cast("double")), 4).as("mean_tokens"),
            countDistinct("lang").cast("int").as("n_langs"))
 
-  /** Semantic dedup over the embeddings table (SemDeDup shape): k-means
-    * cells via the shared IVF quantizer, in-cell cosine ≥ 0.97 ⇒ drop the
-    * higher id. Rows-only at the driver (k-means isn't DuckDB-expressible);
-    * the planted-duplicate behavior is spec-asserted in FunctionsSpec. */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.semanticDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        dim = 64, nlist = 16, threshold = 0.97)
-      .orderBy("vec_id")
+  /** Semantic dedup (SemDeDup shape) with a full value oracle: the input
+    * is the embeddings table plus DETERMINISTIC planted duplicates (an
+    * exact copy of every vec_id ≡ 0 mod 25, re-keyed +1 000 000 — both
+    * engines construct the identical union). The corpus's distinct
+    * vectors top out at cosine ≈ 0.51, far under the 0.97 bar, so the
+    * ground truth is exact and DuckDB-computable: keep ⟺ no identical
+    * lower-id vector exists. That pins the k-means cell assignment
+    * (identical vectors MUST co-locate — deterministic argmax), the
+    * in-cell scoring (cosine 1.0 must be caught), and the absence of
+    * over-dropping, as hash-compared VALUES, not just booleans.
+    * `drop_justified` / `keep_justified` additionally re-derive each
+    * verdict from the cells + vectors through an independent join path
+    * (audit of the dominated-join wiring; oracle asserts both true).
+    * nlist tracks corpus size (cells ≈ 256 rows) as at ingest, so the
+    * in-cell pair cost stays bounded at any scale. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val input = emb.unionByName(planted)
+    val n = input.count()
+    val nlist = math.max(16, (n / 256).toInt)
+    val theta = 0.97
+    graft.core.Mat.withMaterialized(
+      Dedup.semanticDedup(input, "vec_id", "embedding",
+        dim = 64, nlist = nlist, threshold = theta)
+        .join(input, Seq("vec_id"))
+    ) { cells => // (vec_id, cid, keep, embedding), one assignment pass
+      val maxLower = cells.as("l").join(cells.as("r"),
+          col("l.cid") === col("r.cid") && col("l.vec_id") < col("r.vec_id"))
+        .groupBy(col("r.vec_id").as("vec_id"))
+        .agg(max(Vectors.cosine(col("l.embedding"), col("r.embedding")))
+          .as("max_lower_cos"))
+      graft.core.Mat.tracked(
+        cells.select(col("vec_id"), col("keep"))
+          .join(maxLower, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("keep"),
+            (col("keep") ||
+              coalesce(col("max_lower_cos"), lit(-2.0)) >= theta).as("drop_justified"),
+            (!col("keep") ||
+              coalesce(col("max_lower_cos"), lit(-2.0)) < theta).as("keep_justified"))
+          .orderBy("vec_id"))
+    }
+  }
 
   /** Incremental exact dedup: admit only increment docs (doc_id ≡ 4 mod 5
     * here; the day's new partition in production) whose content
@@ -734,27 +823,52 @@ object Pipeline {
         (!coalesce(col("dup"), lit(false))).as("admit"))
   }
 
-  /** Incremental near-dup: MinHash-LSH candidates of the increment AGAINST
-    * the corpus (two-sided band join — the signature-table shape). Rows-
-    * only: MinHash isn't DuckDB-expressible; the planted-family behavior
-    * is spec-asserted in FunctionsSpec and the scoring core is oracle-
-    * checked via q49. */
+  /** Incremental near-dup in the verified production shape: MinHash-LSH
+    * candidates of the increment (doc_id ≡ 4 mod 5) AGAINST the corpus
+    * (two-sided band join — the signature-table layout), refined by exact
+    * shingle-set verification at Jaccard ≥ 0.9. Same contract oracle as
+    * q24: DuckDB brute-forces the increment × corpus Jaccard, so precision
+    * and recall of the whole incremental path are both driver-checked. */
   def incrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    Dedup.minhashCandidatesAgainst(
+    val cand = Dedup.minhashCandidatesAgainst(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 4),
         docs.filter(pmod(col("doc_id"), lit(5)) === 4),
         "doc_id", "text", threshold = 0.2)
+      .select(col("inc_id"), col("corpus_id"))
+    verifyPairsExact(docs, cand, "inc_id", "corpus_id", theta = 0.9)
       .orderBy("inc_id", "corpus_id")
   }
 
-  /** SimHash banded candidate pairs over the corpus (guaranteed recall to
-    * Hamming ≤ 3 by 4×16-bit pigeonhole). Rows-only: the fingerprint is
-    * engine-specific; its algebraic invariants are oracle-checked via q50
-    * and the band guarantee is spec-asserted. */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashCandidates(Tables.documents(spark, dir), "doc_id", "text")
+  /** SimHash banding recall audit over the verified near-dup pairs: for
+    * every pair with exact Jaccard ≥ 0.9 (the DuckDB-computable row set,
+    * same universe as q24), assert the 4×16-bit pigeonhole guarantee —
+    * if the pair's fingerprints are within Hamming ≤ 3, the banded
+    * candidate generation MUST have produced it (`band_recall_ok`; pairs
+    * farther than 3 are outside the guarantee and vacuously ok). The
+    * fingerprint itself is engine-specific (its algebraic invariants are
+    * oracle-checked via q50); this puts the banding machinery's recall
+    * guarantee under the driver's oracle on real near-duplicates. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val nearDups = verifyPairsExact(docs,
+      Dedup.minhashCandidates(docs, "doc_id", "text",
+          k = 32, bands = 8, threshold = 0.2)
+        .select(col("id_a"), col("id_b")),
+      "id_a", "id_b", theta = 0.9)
+    val banded = Dedup.simhashCandidates(docs, "doc_id", "text")
+      .select(col("id_a"), col("id_b"), lit(true).as("banded"))
+    val fp = docs.select(col("doc_id"),
+      Dedup.simhash(Text.tokens(col("text"))).as("sh64"))
+    nearDups
+      .join(fp.select(col("doc_id").as("id_a"), col("sh64").as("ha")), Seq("id_a"))
+      .join(fp.select(col("doc_id").as("id_b"), col("sh64").as("hb")), Seq("id_b"))
+      .join(banded, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        (Dedup.hamming(col("ha"), col("hb")) > 3 ||
+          coalesce(col("banded"), lit(false))).as("band_recall_ok"))
       .orderBy("id_a", "id_b")
+  }
 
   /** Unigram-LM quality scoring — the model-based step after the rule
     * filters (q54): score each document by its tokens' corpus frequency

@@ -14,6 +14,21 @@ import org.apache.spark.sql.types.StructType
   */
 object Streams {
 
+  /** The sf parquet stores `ts` as nanos; reading it as a long requires the
+    * legacy session conf. Session confs leak: set-and-forget here would
+    * change every LATER parquet read in the session, so scope it — save,
+    * set, run the (synchronous) pipeline, restore. */
+  private def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Windowed event aggregation with late-data handling: counts + value sums
     * per (window, event_type), watermarked so state is evicted once the
     * watermark passes window end. */
@@ -76,8 +91,8 @@ object Streams {
     * driven synchronously to completion (complete mode so every window —
     * including the last, which a watermark would still hold — is emitted;
     * batch-equivalent and oracle-checkable). */
-  def streamWindowedFromParquet(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def streamWindowedFromParquet(spark: SparkSession, sfDir: String): DataFrame =
+      withNanosAsLong(spark) {
     val schema = new StructType()
       .add("event_id", "long").add("ts", "long").add("user_id", "long")
       .add("event_type", "string").add("value", "double").add("props", "string")
@@ -111,8 +126,8 @@ object Streams {
     * newer than the final watermark correctly remain in state (they'd flush
     * when the next day's data arrives). Returns the file-sink contents. */
   def streamWindowedAppendFromParquet(spark: SparkSession, sfDir: String,
-                                      workDir: String, chunks: Int = 8): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                                      workDir: String, chunks: Int = 8): DataFrame =
+      withNanosAsLong(spark) {
     val schema = new StructType()
       .add("event_id", "long").add("ts", "long").add("user_id", "long")
       .add("event_type", "string").add("value", "double").add("props", "string")
@@ -162,8 +177,8 @@ object Streams {
     * watermark column, so state eviction applies — without it Spark would
     * keep every key forever. */
   def streamDedupFromParquet(spark: SparkSession, sfDir: String,
-                             workDir: String, chunks: Int = 4): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                             workDir: String, chunks: Int = 4): DataFrame =
+      withNanosAsLong(spark) {
     val rawSchema = new StructType()
       .add("event_id", "long").add("ts", "long").add("user_id", "long")
       .add("event_type", "string").add("value", "double").add("props", "string")
@@ -212,8 +227,8 @@ object Streams {
     * oracle. */
   def streamStreamJoinFromParquet(spark: SparkSession, sfDir: String,
                                   workDir: String, chunks: Int = 4,
-                                  intervalMinutes: Int = 10): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                                  intervalMinutes: Int = 10): DataFrame =
+      withNanosAsLong(spark) {
     val rawSchema = new StructType()
       .add("event_id", "long").add("ts", "long").add("user_id", "long")
       .add("event_type", "string").add("value", "double").add("props", "string")
