@@ -335,7 +335,6 @@ object Dedup {
                     nlist: Int, threshold: Double,
                     clusterCap: Int = 4096): DataFrame = {
     val model = Ivf.train(df, idCol, vecCol, dim, nlist)
-    val w = Window.partitionBy("cid").orderBy(col("id").asc)
     // ONE assignment pass, materialized and scoped: the capped self-join
     // sides AND the final verdict join all read the checkpointed frame —
     // referencing the raw assignment twice would re-run the n×nlist
@@ -345,18 +344,41 @@ object Dedup {
         .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
         .select(col(idCol).as("id"), col("cid"), col(vecCol).as("v"))
     ) { cells =>
-      val c = cells.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= clusterCap).drop("rn")
-      val dominated = c.as("l").join(c.as("r"),
-          col("l.cid") === col("r.cid") && col("l.id") < col("r.id"))
-        .filter(Vectors.cosine(col("l.v"), col("r.v")) >= threshold)
-        .select(col("r.id").as("id")).distinct()
-        .withColumn("dom", lit(true))
       graft.core.Mat.tracked(
-        cells.select(col("id").as(idCol), col("cid"))
-          .join(dominated.withColumnRenamed("id", idCol), Seq(idCol), "left")
-          .select(col(idCol), col("cid"),
-                  (!coalesce(col("dom"), lit(false))).as("keep")))
+        semanticDedupCore(cells, threshold, clusterCap)
+          .withColumnRenamed("id", idCol))
     }
   }
+
+  /** The in-cell scoring core over an (id, cid, v) cell frame: capped
+    * self-join within each cell, drop any row with a lower-id cell-mate at
+    * cosine ≥ threshold. Shared by [[semanticDedup]] (on-the-fly cells)
+    * and [[semanticDedupFromCells]] (stored layout). */
+  private def semanticDedupCore(cells: DataFrame, threshold: Double,
+                                clusterCap: Int): DataFrame = {
+    val w = Window.partitionBy("cid").orderBy(col("id").asc)
+    val c = cells.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= clusterCap).drop("rn")
+    val dominated = c.as("l").join(c.as("r"),
+        col("l.cid") === col("r.cid") && col("l.id") < col("r.id"))
+      .filter(Vectors.cosine(col("l.v"), col("r.v")) >= threshold)
+      .select(col("r.id").as("id")).distinct()
+      .withColumn("dom", lit(true))
+    cells.select(col("id"), col("cid"))
+      .join(dominated, Seq("id"), "left")
+      .select(col("id"), col("cid"),
+              (!coalesce(col("dom"), lit(false))).as("keep"))
+  }
+
+  /** Semantic dedup against a STORED cell layout ([[Ivf.writeCellTable]]):
+    * the production loop — cells were assigned ONCE at ingest and live
+    * bucketed by cid, so the in-cell self-join reads both sides
+    * pre-partitioned (no exchange on cid) and no assignment aggregate
+    * appears anywhere in the query path. */
+  def semanticDedupFromCells(spark: org.apache.spark.sql.SparkSession,
+                             table: String, idCol: String,
+                             threshold: Double,
+                             clusterCap: Int = 4096): DataFrame =
+    semanticDedupCore(Ivf.cellsFromTable(spark, table), threshold, clusterCap)
+      .withColumnRenamed("id", idCol)
 }

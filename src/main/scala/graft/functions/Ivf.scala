@@ -102,28 +102,21 @@ object Ivf {
     }
   }
 
-  /** IVF top-k search. `nprobe == nlist` ⇒ exact brute force (every cell
-    * scanned); smaller nprobe trades recall for a corpus/nlist·nprobe scan.
-    * Output schema matches `Vectors.bruteForceTopK`. */
-  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
-           vecCol: String, dim: Int, k: Int, model: Model,
-           nprobe: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    val cents = model.df(spark)
-    // one assignment pass over the corpus (at scale: done at write time,
-    // cells = storage partitions)
-    val cells = assign(corpus, cents, idCol, vecCol)
-      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-      .select(col("cid"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // per-query probe list: the nprobe nearest centroids
+  /** Probe-and-rescore over an existing cell layout: per-query nprobe
+    * nearest centroids (broadcast centroid table), scan ONLY the probed
+    * cells, exact-rescore with the fused cosine, per-query top-k. The
+    * probes side is broadcast into the cell join, so the (big) cell table
+    * never shuffles here. */
+  private def probeCells(cells: DataFrame, cents: DataFrame,
+                         queries: DataFrame, idCol: String, vecCol: String,
+                         k: Int, nprobe: Int): DataFrame = {
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .join(broadcast(cents))
       .withColumn("__rk", row_number().over(Window.partitionBy("query_id")
         .orderBy(Vectors.cosine(col("qv"), col("cvec")).desc, col("cid").asc)))
       .filter(col("__rk") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid"))
-    // scan only probed cells, exact-rescore, per-query top-k
-    val scored = cells.join(probes, Seq("cid"))
+    val scored = cells.join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
               round(Vectors.cosine(col("qv"), col("cv")), 6).as("cos_sim"))
@@ -133,6 +126,58 @@ object Ivf {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
               col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** IVF top-k search. `nprobe == nlist` ⇒ exact brute force (every cell
+    * scanned); smaller nprobe trades recall for a corpus/nlist·nprobe scan.
+    * Output schema matches `Vectors.bruteForceTopK`. */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+           vecCol: String, dim: Int, k: Int, model: Model,
+           nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = model.df(spark)
+    // one assignment pass over the corpus (at scale: done at write time,
+    // cells = storage partitions — see [[writeCellTable]])
+    val cells = assign(corpus, cents, idCol, vecCol)
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col("cid"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    probeCells(cells, cents, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** INGEST-TIME cell layout (mirror of Dedup.writeSignatureTable): train
+    * the quantizer, assign every row ONCE, and store `(cid, id, v)`
+    * bucketed by cid — plus the centroid table as `<table>_centroids` —
+    * so every later [[topKFromTable]] / semantic-dedup call reads
+    * pre-partitioned cells with NO assignment pass in its query path.
+    * Returns the trained model. */
+  def writeCellTable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     nlist: Int, table: String, nBuckets: Int = 32): Model = {
+    val spark = df.sparkSession
+    val model = train(df, idCol, vecCol, dim, nlist)
+    assignCells(df, idCol, vecCol, model)
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col("cid"), col(idCol).as("id"), col(vecCol).as("v"))
+      .write.mode("overwrite").bucketBy(nBuckets, "cid").sortBy("cid")
+      .saveAsTable(table)
+    model.df(spark).write.mode("overwrite").saveAsTable(table + "_centroids")
+    model
+  }
+
+  /** (cid, id, v) cells of a stored layout ([[writeCellTable]]). */
+  def cellsFromTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** IVF top-k against a STORED cell layout: the corpus is never
+    * re-assigned — its cells stream out of the bucketed table straight
+    * into the probe join (the 100 TB query path; the n×nlist assignment
+    * aggregate exists only at ingest). */
+  def topKFromTable(spark: SparkSession, table: String, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    nprobe: Int): DataFrame = {
+    val cells = cellsFromTable(spark, table)
+      .select(col("cid"), col("id").as("neighbor_id"), col("v").as("cv"))
+    probeCells(cells, spark.table(table + "_centroids"), queries,
+      idCol, vecCol, k, nprobe)
   }
 
   /** Public nearest-centroid assignment: (idCol, cid) for every row — the

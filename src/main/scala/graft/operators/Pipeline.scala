@@ -188,11 +188,22 @@ object Pipeline {
     * production configuration probes a fraction of cells (see
     * FunctionsSpec's partial-probe recall test and functions/Ivf.scala's
     * 100 TB notes). */
+  /** Stable per-corpus table name for an ingest-time artifact (the sf dir
+    * IS the corpus identity here). */
+  private def cellTableName(prefix: String, dir: String): String =
+    prefix + "_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val model = Ivf.train(emb, "vec_id", "embedding", dim = 64, nlist = 16)
-    Ivf.topK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-      dim = 64, k = 5, model, nprobe = 16)
+    // ingest step: train + assign ONCE, store cells bucketed by cid (at
+    // 100 TB this runs at write time, not per query); the QUERY path below
+    // reads the stored layout — no assignment aggregate in its plan
+    // (machine-asserted in BucketingSpec)
+    val table = cellTableName("graft_ivf_cells", dir)
+    Ivf.writeCellTable(emb, "vec_id", "embedding", dim = 64, nlist = 16, table)
+    Ivf.topKFromTable(spark, table, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nprobe = 16)
   }
 
   /** Exact nearest neighbor for EVERY vector — the brute-force ground truth
@@ -781,26 +792,28 @@ object Pipeline {
     val n = input.count()
     val nlist = math.max(16, (n / 256).toInt)
     val theta = 0.97
-    graft.core.Mat.withMaterialized(
-      Dedup.semanticDedup(input, "vec_id", "embedding",
-        dim = 64, nlist = nlist, threshold = theta)
-        .join(input, Seq("vec_id"))
-    ) { cells => // (vec_id, cid, keep, embedding), one assignment pass
-      val maxLower = cells.as("l").join(cells.as("r"),
-          col("l.cid") === col("r.cid") && col("l.vec_id") < col("r.vec_id"))
-        .groupBy(col("r.vec_id").as("vec_id"))
-        .agg(max(Vectors.cosine(col("l.embedding"), col("r.embedding")))
-          .as("max_lower_cos"))
-      graft.core.Mat.tracked(
-        cells.select(col("vec_id"), col("keep"))
-          .join(maxLower, Seq("vec_id"), "left")
-          .select(col("vec_id"), col("keep"),
-            (col("keep") ||
-              coalesce(col("max_lower_cos"), lit(-2.0)) >= theta).as("drop_justified"),
-            (!col("keep") ||
-              coalesce(col("max_lower_cos"), lit(-2.0)) < theta).as("keep_justified"))
-          .orderBy("vec_id"))
-    }
+    // ingest step: quantizer trained + every row assigned ONCE, cells
+    // stored bucketed by cid ([[Ivf.writeCellTable]]); dedup AND the
+    // justification audit both read the stored layout — the in-cell
+    // self-joins see pre-partitioned sides and no assignment aggregate
+    // appears in any query-path plan
+    val table = cellTableName("graft_semdedup_cells", dir)
+    Ivf.writeCellTable(input, "vec_id", "embedding", dim = 64,
+      nlist = nlist, table = table)
+    val verdicts = Dedup.semanticDedupFromCells(spark, table, "vec_id", theta)
+    val cells = Ivf.cellsFromTable(spark, table)
+    val maxLower = cells.as("l").join(cells.as("r"),
+        col("l.cid") === col("r.cid") && col("l.id") < col("r.id"))
+      .groupBy(col("r.id").as("vec_id"))
+      .agg(max(Vectors.cosine(col("l.v"), col("r.v"))).as("max_lower_cos"))
+    verdicts.select(col("vec_id"), col("keep"))
+      .join(maxLower, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("keep"),
+        (col("keep") ||
+          coalesce(col("max_lower_cos"), lit(-2.0)) >= theta).as("drop_justified"),
+        (!col("keep") ||
+          coalesce(col("max_lower_cos"), lit(-2.0)) < theta).as("keep_justified"))
+      .orderBy("vec_id")
   }
 
   /** Incremental exact dedup: admit only increment docs (doc_id ≡ 4 mod 5

@@ -56,4 +56,64 @@ class BucketingSpec extends SparkSuite {
       assert(spark.sparkContext.getPersistentRDDs.isEmpty)
     } finally spark.sql("DROP TABLE sig_corpus")
   }
+
+  test("stored IVF cell table: no assignment aggregate in the top-k query path, results identical") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS ivf_cells")
+    spark.sql("DROP TABLE IF EXISTS ivf_cells_centroids")
+    val model = graft.functions.Ivf.writeCellTable(
+      emb, "vec_id", "embedding", dim = 64, nlist = 8, table = "ivf_cells")
+    try {
+      val q = emb.filter(col("vec_id") < 5)
+      val viaTable = graft.functions.Ivf.topKFromTable(
+        spark, "ivf_cells", q, "vec_id", "embedding", k = 3, nprobe = 8)
+      val direct = graft.functions.Ivf.topK(
+        emb, q, "vec_id", "embedding", dim = 64, k = 3, model, nprobe = 8)
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sorted.toSeq
+      assert(key(viaTable) == key(direct))
+      // the stored-layout query path must contain NO n×nlist assignment
+      // aggregate (the max-struct argmax exists only at ingest) — the
+      // promise Ivf's scaladoc makes about the 100 TB shape
+      val plan = viaTable.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("max(struct"),
+        s"assignment aggregate in query path:\n$plan")
+      graft.core.Mat.releaseAll()
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    } finally {
+      spark.sql("DROP TABLE ivf_cells")
+      spark.sql("DROP TABLE ivf_cells_centroids")
+    }
+  }
+
+  test("stored cells: semantic dedup from the table matches on-the-fly verdicts, assignment-free plan") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    spark.sql("DROP TABLE IF EXISTS sem_cells")
+    spark.sql("DROP TABLE IF EXISTS sem_cells_centroids")
+    graft.functions.Ivf.writeCellTable(
+      emb, "vec_id", "embedding", dim = 64, nlist = 8, table = "sem_cells")
+    try {
+      val viaTable = graft.functions.Dedup.semanticDedupFromCells(
+        spark, "sem_cells", "vec_id", threshold = 0.97)
+      val onTheFly = graft.functions.Dedup.semanticDedup(
+        emb, "vec_id", "embedding", dim = 64, nlist = 8, threshold = 0.97)
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sorted.toSeq
+      assert(key(viaTable) == key(onTheFly))
+      val plan = viaTable.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("max(struct"),
+        s"assignment aggregate in dedup query path:\n$plan")
+      graft.core.Mat.releaseAll()
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    } finally {
+      spark.sql("DROP TABLE sem_cells")
+      spark.sql("DROP TABLE sem_cells_centroids")
+    }
+  }
 }
