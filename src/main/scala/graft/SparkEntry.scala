@@ -532,13 +532,31 @@ object SparkEntry {
         |  a.nid = b.nid AS agree
         |FROM (SELECT query_id, nid FROM r WHERE rf = 1) a
         |JOIN (SELECT query_id, nid FROM r WHERE rq = 1) b USING (query_id)""".stripMargin,
+    // the merged count is recomputed by an INDEPENDENT encoder: staged
+    // rank-ordered merges as nested string replaces over a |-delimited
+    // symbol string (generated from the same offline-trained merges table
+    // the Spark mapPartitions encoder broadcasts)
     "q70_bpe_tokens" ->
-      """SELECT doc_id,
+      """WITH pt AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]') AS toks
+        |            FROM documents),
+        |alpha AS (SELECT doc_id, lower(t) AS w FROM pt, unnest(toks) AS u(t)
+        |          WHERE regexp_full_match(t, '[A-Za-z]+')),
+        |dw AS (SELECT DISTINCT w FROM alpha),
+        |enc AS (SELECT w, CAST(len(string_split(__BPE_ENC__, '||')) AS BIGINT) AS n_sym FROM dw),
+        |ac AS (SELECT a.doc_id, CAST(sum(e.n_sym) AS BIGINT) AS alpha_syms
+        |       FROM alpha a JOIN enc e USING (w) GROUP BY 1),
+        |oth AS (SELECT doc_id,
+        |          CAST(len(list_filter(toks, t -> NOT regexp_full_match(t, '[A-Za-z]+'))) AS BIGINT) AS n_other
+        |        FROM pt)
+        |SELECT d.doc_id,
         | CAST(len(regexp_extract_all(lower(text),'\S+')) AS INT) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS DOUBLE)
-        |   / greatest(CAST(len(regexp_extract_all(lower(text),'\S+')) AS DOUBLE), 1.0) AS tokens_per_word
-        |FROM documents""".stripMargin,
+        |   / greatest(CAST(len(regexp_extract_all(lower(text),'\S+')) AS DOUBLE), 1.0) AS tokens_per_word,
+        | CAST(coalesce(ac.alpha_syms, 0) + oth.n_other AS BIGINT) AS n_bpe_merged
+        |FROM documents d LEFT JOIN ac ON d.doc_id = ac.doc_id
+        |JOIN oth ON d.doc_id = oth.doc_id""".stripMargin
+        .replace("__BPE_ENC__", graft.functions.Bpe.duckdbNestedReplace("w")),
     "q68_data_card" -> releaseFlagsSql(
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,

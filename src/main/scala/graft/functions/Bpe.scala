@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Byte-pair-encoding tokenizer (Sennrich et al. 2016, arXiv:1508.07909)
+  * with a real merges table — the tokenizer-aware counting behind q70's
+  * packing/mixing/data-card numbers.
+  *
+  * Encoding is STAGED RANK-ORDERED application: each merge in rank order is
+  * folded over the symbol list once, left-to-right, non-overlapping. This
+  * equals classic best-pair-loop BPE whenever merge products are unambiguous
+  * strings (a pair's components are products of strictly earlier merges, and
+  * a merge never creates an adjacency of two pre-existing symbols), and —
+  * unlike the loop — it is expressible as a FIXED pipeline of string
+  * replaces, which is what lets the DuckDB oracle reproduce the count
+  * independently (nested `replace` over a `|`-delimited symbol string).
+  *
+  * Scale shape: merges are a broadcast-sized constant (tiny vocab); encoding
+  * runs in mapPartitions with per-partition word memoization — the corpus
+  * vocabulary is Zipf-bounded, so each partition encodes each distinct word
+  * once, and only (doc_id, count) rows come back. No shuffle anywhere.
+  */
+object Bpe {
+
+  /** Offline-trained merges table (tools/train_bpe.py over the sf0.01
+    * documents corpus, 24 merges; classic highest-pair-frequency training,
+    * ties to the lexicographically smallest pair). Rank = position. */
+  val merges: Seq[(String, String)] = Seq(
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("o", "r"),
+    ("s", "t"),
+    ("m", "er"),
+    ("a", "t"),
+    ("l", "u"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("j", "o"),
+    ("jo", "in"),
+    ("a", "s"),
+    ("as", "h"),
+    ("h", "ash"),
+    ("r", "ow"),
+    ("at", "c"),
+    ("atc", "h"),
+    ("b", "atch"),
+    ("a", "n"),
+    ("c", "an"),
+    ("s", "can"),
+    ("c", "o"),
+    ("c", "u"),
+  )
+
+  /** The q70 pre-tokenizer: letter runs, single digits, single symbols —
+    * identical to the regex the SQL expressions and the DuckDB oracle use. */
+  private val preTok = java.util.regex.Pattern.compile(
+    "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")
+  private val alpha = java.util.regex.Pattern.compile("[a-z]+")
+
+  /** One merge folded over a symbol list: left-to-right, non-overlapping —
+    * the exact semantics of a string `replace` on the `|`-delimited form. */
+  private[functions] def applyMerge(syms: List[String], a: String,
+                                    b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  /** Encode one (lowercase) word: chars → staged merges in rank order. */
+  def encode(word: String,
+             table: Seq[(String, String)] = merges): List[String] =
+    table.foldLeft(word.map(_.toString).toList) {
+      case (s, (a, b)) => applyMerge(s, a, b)
+    }
+
+  /** Classic BPE training over word frequencies — the Scala twin of
+    * tools/train_bpe.py (same deterministic tie-break), kept so a corpus
+    * owner can retrain without leaving the library. */
+  def train(wordFreqs: Map[String, Long], nMerges: Int): Seq[(String, String)] = {
+    var vocab: Map[List[String], Long] =
+      wordFreqs.map { case (w, f) => w.map(_.toString).toList -> f }
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && out.length < nMerges) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          pairs(p) = pairs.getOrElse(p, 0L) + f
+        }
+      }
+      if (pairs.isEmpty) continue = false
+      else {
+        val best = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        out += best
+        vocab = vocab.groupMapReduce {
+          case (syms, _) => applyMerge(syms, best._1, best._2)
+        } (_._2)(_ + _)
+      }
+    }
+    out.toList
+  }
+
+  /** (idCol, n_bpe_merged) for every document: Σ |encode(word)| over
+    * lowercased alphabetic pre-tokens, +1 per non-alphabetic pre-token.
+    * mapPartitions + broadcast merges + per-partition word memoization. */
+  def mergedTokenCounts(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(merges)
+    val input = df.select(idCol, textCol)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_bpe_merged", LongType, nullable = false)))
+    val rdd = input.rdd.mapPartitions { rows =>
+      val table = bc.value
+      val memo = scala.collection.mutable.Map.empty[String, Int]
+      rows.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        var n = 0L
+        val m = preTok.matcher(text)
+        while (m.find()) {
+          val t = m.group()
+          val w = t.toLowerCase
+          if (alpha.matcher(w).matches())
+            n += memo.getOrElseUpdate(w, encode(w, table).length)
+          else n += 1
+        }
+        Row(id, n)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** The oracle-side encoding as generated SQL: the `|`-delimited symbol
+    * string folded through one `replace` per merge, in rank order — the
+    * independent DuckDB implementation of [[encode]] (symbols are
+    * lowercase letters, so `|` can never occur inside one). `col` is the
+    * word column name in scope. */
+  def duckdbNestedReplace(col: String): String = {
+    val init =
+      s"'|' || array_to_string(regexp_extract_all($col, '.'), '||') || '|'"
+    merges.foldLeft(init) { case (e, (a, b)) =>
+      s"replace($e, '|$a||$b|', '|$a$b|')"
+    }
+  }
+}

@@ -921,16 +921,27 @@ object Pipeline {
     * evaluate identically). The bpe/ws ratio is the standard
     * "tokens-per-word" cost estimate a training-data budget uses. Narrow
     * map; exact integer counts, one IEEE division. */
+  /** Tokenizer-aware counting: whitespace tokens, regex pre-tokens, and a
+    * REAL merges-table BPE count (graft.functions.Bpe — offline-trained
+    * merges applied via mapPartitions + broadcast, per-partition word
+    * memoization). The DuckDB oracle recomputes the merged count through
+    * an INDEPENDENT implementation — the staged merges as nested string
+    * `replace`s over a delimited symbol string — so the encoder itself is
+    * driver-oracle-checked, not just bounded. */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
     val pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
     val nBpe = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
     val nWs = Text.tokenCount(col("text"))
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      nWs.as("n_ws_tokens"),
-      nBpe.as("n_bpe_tokens"),
-      (nBpe.cast("double") / greatest(nWs.cast("double"), lit(1.0)))
-        .as("tokens_per_word"))
+    val docs = Tables.documents(spark, dir)
+    docs.select(
+        col("doc_id"),
+        nWs.as("n_ws_tokens"),
+        nBpe.as("n_bpe_tokens"),
+        (nBpe.cast("double") / greatest(nWs.cast("double"), lit(1.0)))
+          .as("tokens_per_word"))
+      .join(graft.functions.Bpe.mergedTokenCounts(docs, "doc_id", "text"),
+        Seq("doc_id"))
+      .orderBy("doc_id")
   }
 
   /** Embedding int8 quantization with a per-vector max-abs scale — the
