@@ -6,8 +6,9 @@ package graft.serve
   * reference renders server-side; here ONE static page drives the existing
   * REST endpoints with `fetch` (session cookie set by POST /api/login), so
   * the whole UI layer adds zero server logic beyond serving this string.
-  * Covers the workflows a reference user touches daily: login, task list
-  * with run-now, per-task run logs, SQL scripts, alerts, db-configs.
+  * Covers every page the reference templates ship: login, task list with
+  * run-now, per-task run logs, SQL scripts, alerts, db-configs, email
+  * configs (with set-default), notification logs, and users.
   */
 object Ui {
 
@@ -82,6 +83,22 @@ object Ui {
       <table id="dbs"><thead><tr><th>ID</th><th>名称</th><th>类型</th>
         <th>主机</th><th>端口</th></tr></thead><tbody></tbody></table>
     </section>
+    <section>
+      <h2>邮件配置</h2>
+      <table id="emails"><thead><tr><th>ID</th><th>名称</th><th>服务器</th>
+        <th>端口</th><th>发件人</th><th>默认</th><th>通知</th><th>操作</th>
+      </tr></thead><tbody></tbody></table>
+    </section>
+    <section>
+      <h2>通知日志</h2>
+      <table id="nlogs"><thead><tr><th>ID</th><th>任务</th><th>类型</th>
+        <th>收件人</th><th>状态</th><th>发送时间</th></tr></thead><tbody></tbody></table>
+    </section>
+    <section>
+      <h2>用户管理</h2>
+      <table id="users"><thead><tr><th>ID</th><th>用户名</th><th>创建时间</th>
+      </tr></thead><tbody></tbody></table>
+    </section>
   </div>
 </main>
 <script>
@@ -142,6 +159,25 @@ async function loadAll() {
   const d = await api('/api/db-configs');
   fill('#dbs', Array.isArray(d.body) ? d.body : (d.body.configs || []),
     ['id', 'name', 'db_type', 'host', 'port']);
+  const e = await api('/api/email-configs');
+  const eb = fill('#emails', Array.isArray(e.body) ? e.body : [],
+    ['id', 'config_name', 'mail_server', 'mail_port', 'mail_default_sender',
+     r => r.is_default ? '是' : '', r => r.mail_notification_enabled ? '开' : '关']);
+  [...eb.rows].forEach(tr => {
+    const td = document.createElement('td');
+    const b = document.createElement('button'); b.className = 'ghost';
+    b.textContent = '设为默认';
+    b.onclick = async () => {
+      const r = await api('/api/email-configs/' + tr.dataset.id + '/set-default',
+        {method: 'POST'});
+      alert(r.body.message || r.body.error); loadAll(); };
+    td.appendChild(b); tr.appendChild(td);
+  });
+  const n = await api('/api/notification-logs?per_page=20');
+  fill('#nlogs', n.body.logs || [],
+    ['id', 'task_name', 'alert_type', 'recipients', 'status', 'sent_time']);
+  const us = await api('/api/users');
+  fill('#users', us.body.users || [], ['id', 'username', 'created_at']);
 }
 async function showLogs(id) {
   const r = await api('/api/task-logs/' + id);

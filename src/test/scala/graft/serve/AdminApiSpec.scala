@@ -512,6 +512,14 @@ class AdminApiSpec extends SparkSuite {
     assert(page.headers().firstValue("Content-Type").get.startsWith("text/html"))
     assert(page.body().contains("graft 调度管理平台"))
     assert(page.body().contains("/api/login")) // drives the JSON surface
+    // every reference template page has a section: tasks, logs, scripts,
+    // alerts, db-configs, email-configs, notification logs, users
+    Seq("任务管理", "运行日志", "SQL 脚本", "SQL 告警", "数据库配置",
+        "邮件配置", "通知日志", "用户管理").foreach { h =>
+      assert(page.body().contains(h), s"missing section $h")
+    }
+    Seq("/api/email-configs", "/api/notification-logs", "/api/users")
+      .foreach(r => assert(page.body().contains(r), s"page does not drive $r"))
     // unknown static path → 404, /api prefix routing unaffected
     val miss = client.send(HttpRequest.newBuilder(
       URI.create(s"http://127.0.0.1:${env._2}/nope")).GET().build(),
