@@ -168,6 +168,10 @@ object SparkEntry {
     // retrieval-agreement audit gating a quantized rollout
     "q72_quantize_embeddings" -> Pipeline.quantizeEmbeddings _,
     "q73_quantized_retrieval" -> Pipeline.quantizedRetrievalAgreement _,
+    // round 5: the stored-signature-table incremental loop and the ANN
+    // recall audit, both under the driver's oracle
+    "q74_incremental_stored" -> Pipeline.incrementalMinhashStored _,
+    "q75_ann_recall"         -> Pipeline.annRecallAudit _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -248,6 +252,22 @@ object SparkEntry {
         |          / (len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))) j
         |      FROM s i JOIN s c ON i.doc_id % 5 = 4 AND c.doc_id % 5 <> 4)
         |SELECT inc_id, corpus_id, round(j, 4) AS jaccard FROM p WHERE j >= 0.9""".stripMargin,
+    // the stored-signature production loop must emit the SAME verified
+    // pair set as the two-sided q65 form — one oracle, two query paths
+    "q74_incremental_stored" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+        |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
+        |      FROM t),
+        |p AS (SELECT i.doc_id inc_id, c.doc_id corpus_id,
+        |        CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE)
+        |          / (len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))) j
+        |      FROM s i JOIN s c ON i.doc_id % 5 = 4 AND c.doc_id % 5 <> 4)
+        |SELECT inc_id, corpus_id, round(j, 4) AS jaccard FROM p WHERE j >= 0.9""".stripMargin,
+    "q75_ann_recall" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
     // simhash banding recall audit over the same verified row set: the
     // pigeonhole guarantee (Hamming <= 3 => banded) is Spark-verified
     // per pair; the oracle pins the row set + asserts the contract

@@ -853,6 +853,52 @@ object Pipeline {
       .orderBy("inc_id", "corpus_id")
   }
 
+  /** The PRODUCTION incremental loop under the driver gate: the standing
+    * corpus's banded MinHash signatures are written ONCE as a bucketed
+    * signature table (the ingest artifact — Dedup.writeSignatureTable),
+    * then the increment band-joins against the stored layout with no
+    * corpus re-shuffle (plan-asserted in BucketingSpec) and survivors are
+    * exact-verified at Jaccard ≥ 0.9. Same contract oracle as q65 — the
+    * stored-table path must produce the identical verified pair set. */
+  def incrementalMinhashStored(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val table = cellTableName("graft_sig_corpus", dir)
+    Dedup.writeSignatureTable(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 4), "doc_id", "text", table)
+    val cand = Dedup.minhashCandidatesAgainstTable(spark, table,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 4),
+        "doc_id", "text", threshold = 0.2)
+      .select(col("inc_id"), col("corpus_id"))
+    verifyPairsExact(docs, cand, "inc_id", "corpus_id", theta = 0.9)
+      .orderBy("inc_id", "corpus_id")
+  }
+
+  /** ANN quality audit: recall@k of the hyperplane-LSH top-k against the
+    * exact brute-force top-k, per query, as a driver-checked CONTRACT
+    * (the oracle pins the row set — the query ids — and asserts
+    * `recall_ok`). The bar (≥ 0.4) is far under the measured recall but
+    * refutes a broken bucketing, whose recall collapses toward 0; seeded
+    * hyperplanes make the outcome deterministic per corpus. q27 stays the
+    * raw top-k surface (recall is bucket-dependent by design); this query
+    * makes its QUALITY a machine-checked fact instead of a claim. */
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 50)
+    val k = 5
+    val exact = Vectors.bruteForceTopK(emb, queries, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Vectors.lshTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = k)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg((sum(when(col("hit"), 1).otherwise(0)).cast("double") / k)
+        .as("recall"))
+      .select(col("query_id"),
+        (col("recall") >= 0.4).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
   /** SimHash banding recall audit over the verified near-dup pairs: for
     * every pair with exact Jaccard ≥ 0.9 (the DuckDB-computable row set,
     * same universe as q24), assert the 4×16-bit pigeonhole guarantee —
