@@ -224,6 +224,35 @@ object SparkEntry {
     }.mkString(" UNION ALL ")
   }
 
+  /** Shared brute-force verified-pair oracle CTEs (q24/q65/q66/q74):
+    * distinct 3-gram shingle sets per doc, pairwise EXACT Jaccard as the
+    * raw IEEE quotient (exact integer counts, one division — bit-identical
+    * to the Spark side, so NO per-row rounding anywhere), filtered at the
+    * same j >= 0.9 bar the Spark verification applies. One definition,
+    * four oracles — the q74-equals-q65 claim tests one text, not copies. */
+  private val verifiedAllPairsCte: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+        |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
+        |      FROM t),
+        |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) j
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |""".stripMargin
+  private val verifiedIncPairsSql: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+        |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
+        |      FROM t),
+        |p AS (SELECT i.doc_id inc_id, c.doc_id corpus_id,
+        |        CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE)
+        |          / (len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))) j
+        |      FROM s i JOIN s c ON i.doc_id % 5 = 4 AND c.doc_id % 5 <> 4)
+      |SELECT inc_id, corpus_id, j AS jaccard FROM p WHERE j >= 0.9""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q42_profile" -> profileOracle,
     // verified-LSH contract oracles: the Spark side emits candidates
@@ -231,40 +260,12 @@ object SparkEntry {
     // brute-forces the full pairwise Jaccard at the same bar, so the
     // hash-compare checks precision AND recall of the banded path
     "q24_minhash_pairs" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
-        |s AS (SELECT doc_id, list_distinct(
-        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
-        |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
-        |      FROM t),
-        |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
-        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) j
-        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.9""".stripMargin,
-    "q65_incremental_minhash" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
-        |s AS (SELECT doc_id, list_distinct(
-        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
-        |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
-        |      FROM t),
-        |p AS (SELECT i.doc_id inc_id, c.doc_id corpus_id,
-        |        CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE)
-        |          / (len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))) j
-        |      FROM s i JOIN s c ON i.doc_id % 5 = 4 AND c.doc_id % 5 <> 4)
-        |SELECT inc_id, corpus_id, round(j, 4) AS jaccard FROM p WHERE j >= 0.9""".stripMargin,
+      (verifiedAllPairsCte +
+        "SELECT id_a, id_b, j AS jaccard FROM p WHERE j >= 0.9"),
+    "q65_incremental_minhash" -> verifiedIncPairsSql,
     // the stored-signature production loop must emit the SAME verified
     // pair set as the two-sided q65 form — one oracle, two query paths
-    "q74_incremental_stored" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
-        |s AS (SELECT doc_id, list_distinct(
-        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
-        |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
-        |      FROM t),
-        |p AS (SELECT i.doc_id inc_id, c.doc_id corpus_id,
-        |        CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE)
-        |          / (len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))) j
-        |      FROM s i JOIN s c ON i.doc_id % 5 = 4 AND c.doc_id % 5 <> 4)
-        |SELECT inc_id, corpus_id, round(j, 4) AS jaccard FROM p WHERE j >= 0.9""".stripMargin,
+    "q74_incremental_stored" -> verifiedIncPairsSql,
     "q75_ann_recall" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 50""".stripMargin,
@@ -272,17 +273,8 @@ object SparkEntry {
     // pigeonhole guarantee (Hamming <= 3 => banded) is Spark-verified
     // per pair; the oracle pins the row set + asserts the contract
     "q66_simhash_pairs" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
-        |s AS (SELECT doc_id, list_distinct(
-        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
-        |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
-        |      FROM t),
-        |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
-        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) j
-        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, round(j, 4) AS jaccard, true AS band_recall_ok
-        |FROM p WHERE j >= 0.9""".stripMargin,
+      (verifiedAllPairsCte +
+        "SELECT id_a, id_b, j AS jaccard, true AS band_recall_ok FROM p WHERE j >= 0.9"),
     // semantic dedup: planted exact duplicates (deterministic union both
     // engines build identically) + the corpus's distinct vectors topping
     // out at cosine ~0.51 make keep a DuckDB-computable VALUE:

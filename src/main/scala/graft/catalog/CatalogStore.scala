@@ -88,19 +88,25 @@ final class CatalogStore(spark: SparkSession, root: String) {
     * on incomplete input, never silently succeed on partial rows. */
   def read[T <: Product: TypeTag](table: String): Dataset[T] = {
     implicit val enc: Encoder[T] = Encoders.product[T]
-    // Plan construction (root existence check + file-index build) runs
-    // under the table lock: during a compaction/overwrite swap the live
-    // dir is briefly ABSENT between the two ATOMIC_MOVEs, and
-    // ignoreMissingFiles does not cover a missing root path — unlocked,
-    // a read landing in that window throws "Path does not exist".
-    // Only the (cheap, metadata-sized) index build is locked; the Spark
-    // action still executes after return, outside any lock scope.
-    lockFor(table).synchronized {
-      recover(table)
+    def build(): Dataset[T] =
       if (Files.exists(dir(table)))
         spark.read.option("ignoreMissingFiles", "true")
           .schema(enc.schema).parquet(dir(table).toString).as[T]
       else spark.emptyDataset[T]
+    // Fast path is LOCK-FREE (a read must not tail-latency behind a
+    // writer's multi-second Spark job — appends/upserts hold the table
+    // lock across whole writes). The one hazard is the swap window:
+    // during a compaction/overwrite swap the live dir is briefly ABSENT
+    // between the two ATOMIC_MOVEs, and ignoreMissingFiles does not
+    // cover a missing root path — that read throws path-not-found. Catch
+    // it and retry ONCE under the lock, which waits out the in-flight
+    // swap; displaced files after return degrade to a transient partial
+    // read via ignoreMissingFiles as before.
+    recover(table)
+    try build()
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        lockFor(table).synchronized { recover(table); build() }
     }
   }
 

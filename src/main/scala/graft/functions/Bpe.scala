@@ -117,23 +117,28 @@ object Bpe {
     val input = df.select(idCol, textCol)
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
-      StructField("n_bpe_merged", LongType, nullable = false)))
+      StructField("n_bpe_merged", LongType, nullable = true)))
     val rdd = input.rdd.mapPartitions { rows =>
       val table = bc.value
       val memo = scala.collection.mutable.Map.empty[String, Int]
       rows.map { r =>
         val id = r.getLong(0)
-        val text = r.getString(1)
-        var n = 0L
-        val m = preTok.matcher(text)
-        while (m.find()) {
-          val t = m.group()
-          val w = t.toLowerCase
-          if (alpha.matcher(w).matches())
-            n += memo.getOrElseUpdate(w, encode(w, table).length)
-          else n += 1
+        if (r.isNullAt(1)) Row(id, null) // mirror SQL: null text → null count
+        else {
+          val text = r.getString(1)
+          var n = 0L
+          val m = preTok.matcher(text)
+          while (m.find()) {
+            val t = m.group()
+            // Locale.ROOT: the default locale's folding (e.g. Turkish
+            // dotless ı) would diverge from the oracle's ASCII lower()
+            val w = t.toLowerCase(java.util.Locale.ROOT)
+            if (alpha.matcher(w).matches())
+              n += memo.getOrElseUpdate(w, encode(w, table).length)
+            else n += 1
+          }
+          Row(id, n)
         }
-        Row(id, n)
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -95,22 +95,35 @@ object Pipeline {
     * distinct shingle-hash set, keep pairs whose EXACT Jaccard clears
     * `theta`. The exact set arithmetic runs only on the (collision-
     * bounded) candidate set — never all pairs — which is what makes the
-    * verify step affordable at 100 TB. The >= compare happens on the raw
-    * IEEE quotient (exact integer counts, ONE division — bit-identical
-    * cross-engine); only the reported value is rounded. */
+    * verify step affordable at 100 TB. Both the compare AND the emitted
+    * value are the raw IEEE quotient (exact integer counts, ONE
+    * division): bit-identical cross-engine, so the oracle hash-compares
+    * doubles directly with no per-row rounding (whose half-way semantics
+    * differ between engines). The shingle-set frame is materialized once
+    * and scoped — referenced twice (both join sides), an unmaterialized
+    * frame would re-tokenize and re-shingle the corpus per side. */
   private def verifyPairsExact(docs: DataFrame, pairs: DataFrame,
                                aCol: String, bCol: String,
-                               theta: Double): DataFrame = {
-    val s = shingleSets(docs)
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val jac = inter.cast("double") /
-      (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double")
-    pairs
-      .join(s.select(col("doc_id").as(aCol), col("sh").as("sh_a")), Seq(aCol))
-      .join(s.select(col("doc_id").as(bCol), col("sh").as("sh_b")), Seq(bCol))
-      .withColumn("jac", jac)
-      .filter(col("jac") >= theta)
-      .select(col(aCol), col(bCol), round(col("jac"), 4).as("jaccard"))
+                               theta: Double): DataFrame =
+    graft.core.Mat.withMaterialized(shingleSets(docs)) { s =>
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val jac = inter.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double")
+      graft.core.Mat.tracked(
+        pairs
+          .join(s.select(col("doc_id").as(aCol), col("sh").as("sh_a")), Seq(aCol))
+          .join(s.select(col("doc_id").as(bCol), col("sh").as("sh_b")), Seq(bCol))
+          .withColumn("jaccard", jac)
+          .filter(col("jaccard") >= theta)
+          .select(col(aCol), col(bCol), col("jaccard")))
+    }
+
+  /** Candidates → exact-verified near-dup pairs shared by q24 and q66. */
+  private def verifiedNearDupPairs(docs: DataFrame): DataFrame = {
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        k = 32, bands = 8, threshold = 0.2)
+      .select(col("id_a"), col("id_b"))
+    verifyPairsExact(docs, cand, "id_a", "id_b", theta = 0.9)
   }
 
   /** Near-duplicate pairs in the production LSH shape: MinHash-banded
@@ -122,14 +135,18 @@ object Pipeline {
     * k=32/8 bands the per-pair miss probability at j=0.9 is
     * (1−0.9⁴)⁸ ≈ 2·10⁻⁴, and the seeded hash families make the outcome
     * deterministic, verified at both gate SFs — exact duplicates are
-    * recalled with certainty). */
+    * recalled with certainty).
+    *
+    * Contract domain: the brute-force oracle emits ALL C(f,2) pairs of a
+    * duplicate family, so its row count is inherently quadratic in
+    * duplicate mass; the banded path bucket-caps at 256 per (band, hash).
+    * The contract therefore assumes duplicate families ≤ cap — the
+    * composed-pipeline invariant (exact dedup runs BEFORE near-dup and
+    * removes larger families; see Dedup.bandedSignatures) that holds for
+    * every gate corpus. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
-        k = 32, bands = 8, threshold = 0.2)
-      .select(col("id_a"), col("id_b"))
-    verifyPairsExact(docs, cand, "id_a", "id_b", theta = 0.9)
-      .orderBy(col("id_a"), col("id_b"))
+    verifiedNearDupPairs(docs).orderBy(col("id_a"), col("id_b"))
   }
 
   /** SimHash fingerprint audit: the fused single-pass codegen expression
@@ -782,16 +799,27 @@ object Pipeline {
     * `drop_justified` / `keep_justified` additionally re-derive each
     * verdict from the cells + vectors through an independent join path
     * (audit of the dominated-join wiring; oracle asserts both true).
-    * nlist tracks corpus size (cells ≈ 256 rows) as at ingest, so the
-    * in-cell pair cost stays bounded at any scale. */
+    * nlist grows with √corpus (as at ingest), so assignment (n×nlist)
+    * and in-cell scoring (n²/nlist) both stay O(n^1.5). */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val planted = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     val input = emb.unionByName(planted)
-    val n = input.count()
-    val nlist = math.max(16, (n / 256).toInt)
+    // one stats pass over the base table: n sizes the quantizer; max id
+    // guards the planted re-key offset (ids ≥ 1e6 would collide with the
+    // +1 000 000 planted keys and fan the vec_id joins out)
+    val st = emb.agg(count(lit(1)), max("vec_id")).head()
+    val n = st.getLong(0)
+    require(st.isNullAt(1) || st.getLong(1) < 1000000L,
+      s"vec_id ${st.getLong(1)} collides with the planted-duplicate key space (+1e6)")
+    // nlist ∝ √n balances the two scale costs: assignment is n×nlist and
+    // in-cell scoring is Σ|cell|² ≈ n²/nlist — both O(n^1.5) at √n (a
+    // LINEAR nlist makes ingest assignment quadratic; constant nlist
+    // makes scoring quadratic). 16 at the gate SFs (unchanged behavior).
+    val nlist = math.max(16, math.sqrt(n / 4.0).toInt)
     val theta = 0.97
+    val clusterCap = 4096
     // ingest step: quantizer trained + every row assigned ONCE, cells
     // stored bucketed by cid ([[Ivf.writeCellTable]]); dedup AND the
     // justification audit both read the stored layout — the in-cell
@@ -800,9 +828,18 @@ object Pipeline {
     val table = cellTableName("graft_semdedup_cells", dir)
     Ivf.writeCellTable(input, "vec_id", "embedding", dim = 64,
       nlist = nlist, table = table)
-    val verdicts = Dedup.semanticDedupFromCells(spark, table, "vec_id", theta)
-    val cells = Ivf.cellsFromTable(spark, table)
-    val maxLower = cells.as("l").join(cells.as("r"),
+    val verdicts = Dedup.semanticDedupFromCells(spark, table, "vec_id", theta,
+      clusterCap = clusterCap)
+    // the audit mirrors the core's clusterCap EXACTLY (both join sides
+    // capped): an uncapped audit would flag a past-cap row — kept
+    // UNSCORED by design — as unjustified whenever a close lower-id mate
+    // exists, diverging from the verdict on skewed cells
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(col("id").asc)
+    val capped = Ivf.cellsFromTable(spark, table)
+      .withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= clusterCap).drop("rn")
+    val maxLower = capped.as("l").join(capped.as("r"),
         col("l.cid") === col("r.cid") && col("l.id") < col("r.id"))
       .groupBy(col("r.id").as("vec_id"))
       .agg(max(Vectors.cosine(col("l.v"), col("r.v"))).as("max_lower_cos"))
@@ -910,11 +947,7 @@ object Pipeline {
     * guarantee under the driver's oracle on real near-duplicates. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val nearDups = verifyPairsExact(docs,
-      Dedup.minhashCandidates(docs, "doc_id", "text",
-          k = 32, bands = 8, threshold = 0.2)
-        .select(col("id_a"), col("id_b")),
-      "id_a", "id_b", theta = 0.9)
+    val nearDups = verifiedNearDupPairs(docs)
     val banded = Dedup.simhashCandidates(docs, "doc_id", "text")
       .select(col("id_a"), col("id_b"), lit(true).as("banded"))
     val fp = docs.select(col("doc_id"),
