@@ -118,10 +118,15 @@ object Pipeline {
           .select(col(aCol), col(bCol), col("jaccard")))
     }
 
-  /** Candidates → exact-verified near-dup pairs shared by q24 and q66. */
+  /** Candidates → exact-verified near-dup pairs shared by q24 and q66.
+    * k=48/12 bands (r=4): vs the 8-band default, recall at the j=0.9
+    * verification bar improves from 1−(1−0.9⁴)⁸ ≈ 1−2·10⁻⁴ to
+    * 1−(1−0.9⁴)¹² ≈ 1−2.7·10⁻⁶ per pair — the oracle asserts
+    * unconditional recall, so the banding is sized for it — while r=4
+    * keeps low-similarity band collisions (∝ j⁴) bounded. */
   private def verifiedNearDupPairs(docs: DataFrame): DataFrame = {
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
-        k = 32, bands = 8, threshold = 0.2)
+        k = 48, bands = 12, threshold = 0.2)
       .select(col("id_a"), col("id_b"))
     verifyPairsExact(docs, cand, "id_a", "id_b", theta = 0.9)
   }
@@ -132,10 +137,10 @@ object Pipeline {
     * oracle brute-forces pairwise Jaccard and filters at the same bar, so
     * the driver checks PRECISION (nothing unverified survives — exact by
     * construction) and RECALL (banding misses nothing at j ≥ 0.9; with
-    * k=32/8 bands the per-pair miss probability at j=0.9 is
-    * (1−0.9⁴)⁸ ≈ 2·10⁻⁴, and the seeded hash families make the outcome
-    * deterministic, verified at both gate SFs — exact duplicates are
-    * recalled with certainty).
+    * k=48/12 bands the per-pair miss probability at j=0.9 is
+    * (1−0.9⁴)¹² ≈ 2.7·10⁻⁶, and the seeded hash families make the
+    * outcome deterministic, verified at both gate SFs — exact duplicates
+    * are recalled with certainty).
     *
     * Contract domain: the brute-force oracle emits ALL C(f,2) pairs of a
     * duplicate family, so its row count is inherently quadratic in
@@ -884,7 +889,7 @@ object Pipeline {
     val cand = Dedup.minhashCandidatesAgainst(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 4),
         docs.filter(pmod(col("doc_id"), lit(5)) === 4),
-        "doc_id", "text", threshold = 0.2)
+        "doc_id", "text", k = 48, bands = 12, threshold = 0.2)
       .select(col("inc_id"), col("corpus_id"))
     verifyPairsExact(docs, cand, "inc_id", "corpus_id", theta = 0.9)
       .orderBy("inc_id", "corpus_id")
@@ -901,10 +906,11 @@ object Pipeline {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val table = cellTableName("graft_sig_corpus", dir)
     Dedup.writeSignatureTable(
-      docs.filter(pmod(col("doc_id"), lit(5)) =!= 4), "doc_id", "text", table)
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 4), "doc_id", "text", table,
+      k = 48, bands = 12)
     val cand = Dedup.minhashCandidatesAgainstTable(spark, table,
         docs.filter(pmod(col("doc_id"), lit(5)) === 4),
-        "doc_id", "text", threshold = 0.2)
+        "doc_id", "text", k = 48, bands = 12, threshold = 0.2)
       .select(col("inc_id"), col("corpus_id"))
     verifyPairsExact(docs, cand, "inc_id", "corpus_id", theta = 0.9)
       .orderBy("inc_id", "corpus_id")
