@@ -172,6 +172,9 @@ object SparkEntry {
     // recall audit, both under the driver's oracle
     "q74_incremental_stored" -> Pipeline.incrementalMinhashStored _,
     "q75_ann_recall"         -> Pipeline.annRecallAudit _,
+    // span-level decontamination: remove contaminated 8-gram spans
+    // instead of flagging whole documents (q59's surgical sibling)
+    "q76_decontaminate_spans" -> Pipeline.decontaminateSpans _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -269,6 +272,28 @@ object SparkEntry {
     "q75_ann_recall" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 50""".stripMargin,
+    // span removal verified down to the md5 of the cleaned text: DuckDB
+    // recomputes positions and coverage over string grams (the Spark side
+    // uses position-keyed gram hashes — injective stand-in)
+    "q76_decontaminate_spans" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') AS t FROM documents),
+        |sh AS (SELECT doc_id, i, array_to_string(t[i:i+7],' ') AS g
+        |       FROM toks, unnest(range(1, greatest(len(t)-6, 2))) AS u(i)),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 7),
+        |bad AS (SELECT DISTINCT s.doc_id, s.i FROM sh s JOIN ev USING (g)
+        |        WHERE s.doc_id % 10 <> 7),
+        |badl AS (SELECT doc_id, list(i) AS bi FROM bad GROUP BY 1),
+        |k AS (SELECT t.doc_id, t.t, coalesce(b.bi, []) AS bi
+        |      FROM toks t LEFT JOIN badl b USING (doc_id) WHERE t.doc_id % 10 <> 7),
+        |cl AS (SELECT doc_id,
+        |   CAST(len(t) AS INT) AS n_tokens,
+        |   list_transform(list_filter(range(1, len(t)+1),
+        |     j -> len(list_filter(bi, i -> i <= j AND j <= i + 7)) = 0), j -> t[j]) AS kept
+        | FROM k)
+        |SELECT doc_id, n_tokens,
+        |  CAST(n_tokens - len(kept) AS INT) AS n_removed,
+        |  md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_fp
+        |FROM cl""".stripMargin,
     // simhash banding recall audit over the same verified row set: the
     // pigeonhole guarantee (Hamming <= 3 => banded) is Spark-verified
     // per pair; the oracle pins the row set + asserts the contract

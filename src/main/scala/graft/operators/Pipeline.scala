@@ -916,6 +916,54 @@ object Pipeline {
       .orderBy("inc_id", "corpus_id")
   }
 
+  /** Span-level decontamination: where q59 FLAGS contaminated documents,
+    * this REMOVES the contamination — every token covered by an 8-gram
+    * that appears in the eval holdout is dropped, and the document keeps
+    * the rest (the production middle ground between "ship contaminated"
+    * and "discard the whole document"). Gram definition and eval set are
+    * exactly q59's (position-keyed instead of distinct); membership goes
+    * through the same broadcast eval hash set; the per-token coverage
+    * test is codegen HOFs (exists over the doc's contaminated-position
+    * array). Fully oracle-checked: DuckDB recomputes positions, coverage,
+    * and the md5 of the cleaned text (string grams vs hash grams — the
+    * injective stand-in argument again).
+    *
+    * Scale shape: one narrow gram pass, an explode bounded by doc length,
+    * a broadcast semi-join, and a per-doc array rebuild — no corpus
+    * self-join anywhere. */
+  def decontaminateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val isEval = pmod(col("doc_id"), lit(10)) === 7
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+    // positional 8-gram hashes: (doc_id, pos [1-based], gh); docs shorter
+    // than 8 tokens yield ONE whole-doc gram at pos 1 (q59's fold shape)
+    val th = toks.select(col("doc_id"),
+      explode(array(transform(col("t"), x => xxhash64(x)))).as("th"))
+    val grams = th.select(col("doc_id"),
+      posexplode(when(size(col("th")) < 8,
+          array(aggregate(col("th"), lit(42L), (a, h) => xxhash64(a, h))))
+        .otherwise(transform(sequence(lit(0), size(col("th")) - 8),
+          i => xxhash64((1 to 8).map(j => element_at(col("th"), i + j)): _*))))
+        .as(Seq("pos0", "gh")))
+      .select(col("doc_id"), (col("pos0") + 1).as("i"), col("gh"))
+    val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
+    val badPos = grams.filter(!isEval)
+      .join(broadcast(evalGrams), Seq("gh"))
+      .groupBy("doc_id").agg(collect_set(col("i")).as("bi"))
+    val kept = transform(
+      filter(sequence(lit(1), size(col("t"))),
+        j => !exists(col("bi"), i => i <= j && j <= i + 7)),
+      j => element_at(col("t"), j))
+    toks.filter(!isEval)
+      .join(badPos, Seq("doc_id"), "left")
+      .withColumn("bi", coalesce(col("bi"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        (size(col("t")) - size(kept)).as("n_removed"),
+        md5(concat_ws(" ", kept)).as("cleaned_fp"))
+      .orderBy("doc_id")
+  }
+
   /** ANN quality audit: recall@k of the hyperplane-LSH top-k against the
     * exact brute-force top-k, per query, as a driver-checked CONTRACT
     * (the oracle pins the row set — the query ids — and asserts
