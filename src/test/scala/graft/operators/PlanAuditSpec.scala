@@ -138,6 +138,16 @@ class PlanAuditSpec extends SparkSuite {
       "shingle hashing missing - the join must key on 8-byte hashes, not strings")
   }
 
+  test("q76 span decontamination: eval set broadcasts, coverage is a narrow rebuild") {
+    val plan = executedPlan("q76_decontaminate_spans")
+    // same scale argument as q59: the positional gram join must broadcast
+    // the (MB-sized) eval hash set, never shuffle the corpus's grams
+    assert(plan.contains("BroadcastHashJoin"), s"eval set did not broadcast:\n$plan")
+    assert(plan.contains("xxhash64"),
+      "gram hashing missing - the join must key on 8-byte hashes, not strings")
+    assert(!plan.contains("CartesianProduct"), s"cross product:\n$plan")
+  }
+
   test("q61 repetition metrics plan with ZERO exchanges (pure narrow map)") {
     val plan = executedPlan("q61_repetition")
     // the whole point of the sorted-run top-bigram form: no Exchange node
