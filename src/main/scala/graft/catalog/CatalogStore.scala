@@ -62,9 +62,7 @@ final class CatalogStore(spark: SparkSession, root: String) {
           val snapshot = new String(Files.readAllBytes(manifest), "UTF-8")
             .split("\n").toSet
           parquetFiles(bak).diff(snapshot).foreach { f =>
-            if (!Files.exists(live.resolve(f)))
-              Files.move(bak.resolve(f), live.resolve(f),
-                StandardCopyOption.ATOMIC_MOVE)
+            if (!Files.exists(live.resolve(f))) moveWithCrc(bak, live, f)
           }
           deleteRecursively(bak)
         }
@@ -90,7 +88,13 @@ final class CatalogStore(spark: SparkSession, root: String) {
     implicit val enc: Encoder[T] = Encoders.product[T]
     def build(): Dataset[T] =
       if (Files.exists(dir(table)))
+        // both options scope the documented swap-race degradation (a
+        // transient partial read) to CATALOG reads only: missing files
+        // for data displaced after planning, corrupt/IOException for a
+        // checksum sibling vanishing between list and open — neither is
+        // surfaced as a 500, and the next read sees the settled table
         spark.read.option("ignoreMissingFiles", "true")
+          .option("ignoreCorruptFiles", "true")
           .schema(enc.schema).parquet(dir(table).toString).as[T]
       else spark.emptyDataset[T]
     // Fast path is LOCK-FREE (a read must not tail-latency behind a
@@ -132,6 +136,18 @@ final class CatalogStore(spark: SparkSession, root: String) {
   def append[T](ds: Dataset[T], table: String): Unit = lockFor(table).synchronized {
     recover(table)
     ds.write.mode(SaveMode.Append).parquet(dir(table).toString)
+  }
+
+  /** Move a part file AND its hidden ChecksumFileSystem `.crc` sibling —
+    * a straggler carried over without its checksum leaves a reader that
+    * just listed the `.crc` opening a vanished file (NoSuchFileException,
+    * which is NOT the FileNotFoundException ignoreMissingFiles covers). */
+  private def moveWithCrc(from: Path, to: Path, f: String): Unit = {
+    Files.move(from.resolve(f), to.resolve(f), StandardCopyOption.ATOMIC_MOVE)
+    val crc = "." + f + ".crc"
+    if (Files.exists(from.resolve(crc)))
+      Files.move(from.resolve(crc), to.resolve(crc),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def parquetFiles(p: Path): Set[String] =
@@ -207,9 +223,7 @@ final class CatalogStore(spark: SparkSession, root: String) {
       Files.write(manifestPath(table), snapshot.mkString("\n").getBytes("UTF-8"))
       Files.move(live, bak, StandardCopyOption.ATOMIC_MOVE)
       Files.move(ctmp, live, StandardCopyOption.ATOMIC_MOVE)
-      parquetFiles(bak).diff(snapshot).foreach { f =>
-        Files.move(bak.resolve(f), live.resolve(f), StandardCopyOption.ATOMIC_MOVE)
-      }
+      parquetFiles(bak).diff(snapshot).foreach(f => moveWithCrc(bak, live, f))
       deleteRecursively(bak)
       Files.delete(manifestPath(table))
     }
