@@ -175,6 +175,11 @@ object SparkEntry {
     // span-level decontamination: remove contaminated 8-gram spans
     // instead of flagging whole documents (q59's surgical sibling)
     "q76_decontaminate_spans" -> Pipeline.decontaminateSpans _,
+    // quality-aware canonical per duplicate cluster + the release shard
+    // manifest (the packaging step after the q67 funnel)
+    "q77_cluster_best"       -> Pipeline.clusterBestRepresentative _,
+    "q78_release_shards"     -> ((s: SparkSession, dir: String) =>
+      Pipeline.releaseShards(s, dir)),
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -255,6 +260,32 @@ object SparkEntry {
         |          / (len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))) j
         |      FROM s i JOIN s c ON i.doc_id % 5 = 4 AND c.doc_id % 5 <> 4)
       |SELECT inc_id, corpus_id, j AS jaccard FROM p WHERE j >= 0.9""".stripMargin
+
+  /** Shared duplicate-cluster oracle CTE (q57/q77): fingerprint star +
+    * adjacent-Jaccard edges, symmetrized, clusters as min reachable id by
+    * recursive reachability — exactly what min-label propagation
+    * converges to. */
+  private val dupClusterCte: String =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
+      |s AS (SELECT doc_id, list_distinct(
+      |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+      |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
+      |      FROM t),
+      |j AS (SELECT a.doc_id id_a, b.doc_id id_b,
+      |        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
+      |      FROM s a JOIN s b ON b.doc_id = a.doc_id + 1),
+      |fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) f FROM documents),
+      |mn AS (SELECT f, min(doc_id) m FROM fp GROUP BY 1),
+      |e AS (SELECT fp.doc_id a, mn.m b FROM fp JOIN mn USING (f) WHERE fp.doc_id <> mn.m
+      |      UNION SELECT id_a, id_b FROM j WHERE jac >= 0.35),
+      |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      |reach(id, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT sym.b, reach.label FROM reach JOIN sym ON sym.a = reach.id)
+      |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q42_profile" -> profileOracle,
@@ -425,28 +456,28 @@ object SparkEntry {
     // connected components by recursive reachability — min reachable id is
     // the cluster id, exactly what Spark's min-label propagation converges to
     "q57_dup_clusters" ->
-      """WITH RECURSIVE
-        |t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
-        |s AS (SELECT doc_id, list_distinct(
-        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
-        |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
-        |      FROM t),
-        |j AS (SELECT a.doc_id id_a, b.doc_id id_b,
-        |        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
-        |      FROM s a JOIN s b ON b.doc_id = a.doc_id + 1),
-        |fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) f FROM documents),
-        |mn AS (SELECT f, min(doc_id) m FROM fp GROUP BY 1),
-        |e AS (SELECT fp.doc_id a, mn.m b FROM fp JOIN mn USING (f) WHERE fp.doc_id <> mn.m
-        |      UNION SELECT id_a, id_b FROM j WHERE jac >= 0.35),
-        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-        |reach(id, label) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT sym.b, reach.label FROM reach JOIN sym ON sym.a = reach.id)
-        |SELECT id AS doc_id, min(label) AS cluster_id,
-        | (id = min(label)) AS is_canonical
-        |FROM reach GROUP BY id""".stripMargin,
+      (dupClusterCte +
+        """SELECT id AS doc_id, min(label) AS cluster_id,
+          | (id = min(label)) AS is_canonical
+          |FROM reach GROUP BY id""".stripMargin),
+    // quality-aware canonical: per-cluster argmax of the q20 quality
+    // score (ties to the lower id) over the same cluster CTE
+    "q77_cluster_best" ->
+      (dupClusterCte +
+        """, cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+          |qual AS (SELECT doc_id,
+          |    round(least(1.0, (CAST(stop_hits AS DOUBLE)/greatest(CAST(n_tokens AS DOUBLE),1.0))*4.0)
+          |      * (1.0 - least(1.0, (CAST(n_punct AS DOUBLE)/greatest(CAST(n_chars AS DOUBLE),1.0))*10.0)), 4) AS quality
+          |  FROM (SELECT doc_id,
+          |      len(regexp_extract_all(lower(text),'\b(the|a|an|and|or|of|to|in|is)\b')) AS stop_hits,
+          |      length(regexp_replace(text,'[^.,;:!?]','','g')) AS n_punct,
+          |      len(regexp_extract_all(lower(text),'\S+')) AS n_tokens,
+          |      length(text) AS n_chars
+          |    FROM documents))
+          |SELECT c.doc_id, c.cluster_id, q.quality,
+          |  (row_number() OVER (PARTITION BY c.cluster_id
+          |     ORDER BY q.quality DESC, c.doc_id ASC) = 1) AS keep_best
+          |FROM cl c JOIN qual q USING (doc_id)""".stripMargin),
     // the oracle joins on 8-token shingle STRINGS; the Spark side joins on
     // their xxhash64 — identical modulo 64-bit collisions (~1e-10 here)
     "q59_decontaminate" ->
@@ -594,6 +625,17 @@ object SparkEntry {
         |FROM documents d LEFT JOIN ac ON d.doc_id = ac.doc_id
         |JOIN oth ON d.doc_id = oth.doc_id""".stripMargin
         .replace("__BPE_ENC__", graft.functions.Bpe.duckdbNestedReplace("w")),
+    // the release shard manifest: per-source fixed-token-budget layout of
+    // the released corpus (cumsum window per source, q56's shape)
+    "q78_release_shards" -> releaseFlagsSql(
+      """, rel AS (SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM flags WHERE keep_exact AND q_ok AND not_eval AND clean AND mixed)
+        |SELECT source, CAST(floor((cum - n_tokens) / 20000.0) AS BIGINT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM rel GROUP BY 1, 2""".stripMargin),
     "q68_data_card" -> releaseFlagsSql(
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,

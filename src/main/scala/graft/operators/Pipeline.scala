@@ -916,6 +916,56 @@ object Pipeline {
       .orderBy("inc_id", "corpus_id")
   }
 
+  /** Quality-aware canonical selection: within each duplicate cluster
+    * (q57's connected components), keep the HIGHEST-QUALITY member
+    * instead of the lowest id — the production choice when near-dup
+    * families mix a clean original with truncated/boilerplated copies.
+    * Ties break on the lower id, so the verdict is deterministic. Fully
+    * oracle-checked: DuckDB re-derives the clusters (recursive CTE), the
+    * q20 quality score, and the per-cluster argmax. */
+  def clusterBestRepresentative(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    clusters.join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("rn") === 1).as("keep_best"))
+      .orderBy("doc_id")
+  }
+
+  /** Release sharding: the physical packaging step after the q67 funnel —
+    * released documents (all gates passed) are laid into fixed token-
+    * budget shards per source, in doc_id order, and the query emits the
+    * shard MANIFEST (doc/token counts + id range per shard) that a
+    * webdataset-style writer would ship alongside the shards. The cumsum
+    * runs per source (q56's window shape) so the plan stays parallel —
+    * no global single-partition window. */
+  def releaseShards(spark: SparkSession, dir: String,
+                    shardTokens: Long = 20000L): DataFrame = {
+    val released = releaseFlags(spark, dir)
+      .filter(col("keep_exact") && col("q_ok") && col("not_eval") &&
+              col("clean") && col("mixed"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    released
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("shard",
+        floor((col("cum") - col("n_tokens")) / lit(shardTokens.toDouble)))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").as("shard_tokens"),
+           min("doc_id").as("first_doc"),
+           max("doc_id").as("last_doc"))
+      .orderBy("source", "shard")
+  }
+
   /** Span-level decontamination: where q59 FLAGS contaminated documents,
     * this REMOVES the contamination — every token covered by an 8-gram
     * that appears in the eval holdout is dropped, and the document keeps
