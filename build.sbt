@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the LAST stdout line as JSON. sbt's
+// default LoggedOutput prefixes every forked-process line with "[info] "
+// and appends its own "[success] Total time" footer — four rounds of
+// BENCH_r{N}.json had parsed:null because of exactly that. StdoutOutput
+// inherits the child's stdout verbatim (no prefix); showSuccess drops the
+// footer, so graft.Bench's compact metric line is the literal last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
