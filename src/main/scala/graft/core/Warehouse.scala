@@ -1,0 +1,95 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+/** Cross-session reuse of ingest-time warehouse artifacts (IVF cell
+  * layouts, MinHash signature tables — the "write once at ingest, read
+  * forever" side of the 100 TB design).
+  *
+  * Spark's default in-memory catalog forgets table METADATA at JVM exit
+  * while the managed table FILES persist under `spark.sql.warehouse.dir`.
+  * An ingest artifact is only worth its name if a later session reuses it
+  * instead of re-running ingest, so: the writer drops a `_graft_meta.json`
+  * (config fingerprint) into the table directory, and [[ensureRegistered]]
+  * re-attaches a later session to the same files by creating an EXTERNAL
+  * bucketed table over them — bucket metadata intact, zero Spark jobs.
+  * Underscore-prefixed files are invisible to Spark's file index, so the
+  * meta file never pollutes reads.
+  *
+  * Staleness: the fingerprint carries every layout-affecting parameter
+  * (k/bands/nlist/dim/bucket count) plus the corpus identity the caller
+  * encodes in the table NAME (md5 of the source dir). A mismatch — or a
+  * directory without a fingerprint — clears the artifact and reports
+  * "not reusable", so the caller rebuilds. Concurrent FIRST builds of the
+  * same corpus can still race on the directory (saveAsTable overwrite is
+  * not atomic on a local FS); after the one-time build every caller is a
+  * reader, which is the point of the artifact.
+  */
+object Warehouse {
+
+  private def dirOf(spark: SparkSession, table: String): Path = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = if (wh.startsWith("file:")) java.net.URI.create(wh).getPath else wh
+    Paths.get(p, table.toLowerCase(java.util.Locale.ROOT))
+  }
+
+  private def metaPath(spark: SparkSession, table: String): Path =
+    dirOf(spark, table).resolve("_graft_meta.json")
+
+  private def metaOf(spark: SparkSession, table: String): Option[String] = {
+    val p = metaPath(spark, table)
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
+  /** Record the artifact's config fingerprint — call right after the
+    * ingest write succeeds, so a torn build (crash between table and meta)
+    * reads as "no fingerprint" and gets rebuilt, never trusted. */
+  def writeMeta(spark: SparkSession, table: String, meta: String): Unit = {
+    val p = metaPath(spark, table)
+    Files.createDirectories(p.getParent)
+    Files.write(p, (meta + "\n").getBytes("UTF-8"))
+  }
+
+  /** Make `table` queryable in THIS session if a valid on-disk artifact
+    * with the given fingerprint exists; otherwise clear any stale leftover
+    * (catalog entry and directory) and return false so the caller runs
+    * ingest. `bucketCol == null` registers a plain (un-bucketed) external
+    * parquet table. */
+  def ensureRegistered(spark: SparkSession, table: String, meta: String,
+                       bucketCol: String, nBuckets: Int): Boolean = {
+    val valid = metaOf(spark, table).contains(meta)
+    if (spark.catalog.tableExists(table)) {
+      if (valid) return true
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    }
+    val d = dirOf(spark, table)
+    if (valid) {
+      val schema = spark.read.parquet(d.toString).schema.toDDL
+      val bucketSpec =
+        if (bucketCol == null) ""
+        else s"CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) " +
+             s"INTO $nBuckets BUCKETS "
+      spark.sql(s"CREATE TABLE `$table` ($schema) USING parquet " +
+                bucketSpec + s"LOCATION '$d'")
+      true
+    } else {
+      clear(spark, table)
+      false
+    }
+  }
+
+  /** Drop the catalog entry AND the directory (managed saveAsTable refuses
+    * a pre-existing non-empty location, so a rebuild must start clean). */
+  def clear(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val d = dirOf(spark, table)
+    if (Files.exists(d)) {
+      Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+}

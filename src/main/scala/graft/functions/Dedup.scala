@@ -188,8 +188,27 @@ object Dedup {
                           bucketCap: Int = 256, nBuckets: Int = 32): Unit =
     bandedSignatures(minhashSignatures(df, idCol, textCol, k),
         bands, k / bands, bucketCap)
+      // one file per bucket (write tasks aligned with the bucket hash) —
+      // see Ivf.writeCellTable; unaligned, this table committed 256 tiny
+      // files and every later read paid for them
+      .repartition(nBuckets, col("bh"))
       .write.mode("overwrite").bucketBy(nBuckets, "bh").sortBy("bh")
       .saveAsTable(table)
+
+  /** Idempotent form of [[writeSignatureTable]] (mirror of
+    * Ivf.ensureCellTable): ingest only when no valid stored artifact for
+    * this (corpus, config) exists; otherwise re-attach — possibly across
+    * JVM sessions — with zero Spark jobs. */
+  def ensureSignatureTable(df: DataFrame, idCol: String, textCol: String,
+                           table: String, k: Int = 32, bands: Int = 8,
+                           bucketCap: Int = 256, nBuckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    val meta = s"minhash-sig k=$k bands=$bands bucketCap=$bucketCap nBuckets=$nBuckets"
+    if (!graft.core.Warehouse.ensureRegistered(spark, table, meta, "bh", nBuckets)) {
+      writeSignatureTable(df, idCol, textCol, table, k, bands, bucketCap, nBuckets)
+      graft.core.Warehouse.writeMeta(spark, table, meta)
+    }
+  }
 
   /** Incremental candidates against a STORED signature table
     * ([[writeSignatureTable]]): the production shape at 100 TB — the

@@ -223,7 +223,7 @@ object Pipeline {
     // reads the stored layout — no assignment aggregate in its plan
     // (machine-asserted in BucketingSpec)
     val table = cellTableName("graft_ivf_cells", dir)
-    Ivf.writeCellTable(emb, "vec_id", "embedding", dim = 64, nlist = 16, table)
+    Ivf.ensureCellTable(emb, "vec_id", "embedding", dim = 64, nlist = 16, table)
     Ivf.topKFromTable(spark, table, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, nprobe = 16)
   }
@@ -831,7 +831,7 @@ object Pipeline {
     // self-joins see pre-partitioned sides and no assignment aggregate
     // appears in any query-path plan
     val table = cellTableName("graft_semdedup_cells", dir)
-    Ivf.writeCellTable(input, "vec_id", "embedding", dim = 64,
+    Ivf.ensureCellTable(input, "vec_id", "embedding", dim = 64,
       nlist = nlist, table = table)
     val verdicts = Dedup.semanticDedupFromCells(spark, table, "vec_id", theta,
       clusterCap = clusterCap)
@@ -905,7 +905,7 @@ object Pipeline {
   def incrementalMinhashStored(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val table = cellTableName("graft_sig_corpus", dir)
-    Dedup.writeSignatureTable(
+    Dedup.ensureSignatureTable(
       docs.filter(pmod(col("doc_id"), lit(5)) =!= 4), "doc_id", "text", table,
       k = 48, bands = 12)
     val cand = Dedup.minhashCandidatesAgainstTable(spark, table,

@@ -89,6 +89,75 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("ensure: a prior session's artifact re-attaches with zero ingest; a config change rebuilds") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths, Path}
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    graft.core.Warehouse.clear(spark, "ens_cells")
+    graft.core.Warehouse.clear(spark, "ens_cells_centroids")
+    graft.core.Warehouse.clear(spark, "ens_cells2")
+    graft.core.Warehouse.clear(spark, "ens_cells2_centroids")
+    try {
+      graft.functions.Ivf.ensureCellTable(
+        emb, "vec_id", "embedding", dim = 64, nlist = 8, table = "ens_cells")
+      val built = spark.table("ens_cells").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+      // Simulate the next JVM — the in-memory catalog forgets tables, the
+      // warehouse files persist. Copy the artifact (meta included) to a
+      // name this session's catalog has never seen, then ensure on it.
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val whPath = if (wh.startsWith("file:"))
+        java.net.URI.create(wh).getPath else wh
+      def copyDir(from: String, to: String): Unit = {
+        val src = Paths.get(whPath, from); val dst = Paths.get(whPath, to)
+        Files.walk(src).forEach { p: Path =>
+          val q = dst.resolve(src.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(q)
+          else Files.copy(p, q)
+        }
+      }
+      copyDir("ens_cells", "ens_cells2")
+      copyDir("ens_cells_centroids", "ens_cells2_centroids")
+      def fileState(t: String): Seq[(String, Long)] = {
+        val d = Paths.get(whPath, t)
+        Files.walk(d).filter(Files.isRegularFile(_)).toArray.map(_.asInstanceOf[Path])
+          .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+          .sortBy(_._1).toSeq
+      }
+      val before = fileState("ens_cells2")
+      val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      graft.functions.Ivf.ensureCellTable(
+        emb, "vec_id", "embedding", dim = 64, nlist = 8, table = "ens_cells2")
+      val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      // re-attach is DDL + a parquet-footer schema read per table — never
+      // the ingest pipeline (train/assign/bucketed write ≈ dozens of jobs)
+      assert(jobsAfter - jobsBefore <= 4,
+        s"re-attach ran ${jobsAfter - jobsBefore} Spark jobs; ingest must not re-run")
+      assert(fileState("ens_cells2") == before,
+        "re-attach rewrote the stored artifact's files")
+      val reused = spark.table("ens_cells2").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+      assert(reused == built)
+      // the re-attached table keeps its bucket spec (layout survives)
+      val buckets = spark.sql("DESCRIBE TABLE EXTENDED ens_cells2").collect()
+        .find(_.getString(0) == "Num Buckets").map(_.getString(1))
+      assert(buckets.contains("32"), s"bucket spec lost: $buckets")
+      // a DIFFERENT nlist is a different artifact: ensure must rebuild,
+      // not silently reuse the stale layout
+      graft.functions.Ivf.ensureCellTable(
+        emb, "vec_id", "embedding", dim = 64, nlist = 4, table = "ens_cells2")
+      val rebuiltCells = spark.table("ens_cells2")
+        .select(max("cid")).head().getInt(0)
+      assert(rebuiltCells < 4, s"expected nlist=4 cells, saw cid max $rebuiltCells")
+    } finally {
+      graft.core.Warehouse.clear(spark, "ens_cells")
+      graft.core.Warehouse.clear(spark, "ens_cells_centroids")
+      graft.core.Warehouse.clear(spark, "ens_cells2")
+      graft.core.Warehouse.clear(spark, "ens_cells2_centroids")
+    }
+  }
+
   test("stored cells: semantic dedup from the table matches on-the-fly verdicts, assignment-free plan") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Tables.embeddings(spark, sfDir)
