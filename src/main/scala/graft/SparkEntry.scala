@@ -339,7 +339,8 @@ object SparkEntry {
       """WITH base AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 25 = 0)
+        |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings), embedding
+        |  FROM embeddings WHERE vec_id % 25 = 0)
         |SELECT b.vec_id,
         |  NOT EXISTS (SELECT 1 FROM base c
         |              WHERE c.vec_id < b.vec_id AND c.embedding = b.embedding) AS keep,

@@ -101,17 +101,78 @@ final class CatalogStore(spark: SparkSession, root: String) {
     // writer's multi-second Spark job — appends/upserts hold the table
     // lock across whole writes). The one hazard is the swap window:
     // during a compaction/overwrite swap the live dir is briefly ABSENT
-    // between the two ATOMIC_MOVEs, and ignoreMissingFiles does not
-    // cover a missing root path — that read throws path-not-found. Catch
-    // it and retry ONCE under the lock, which waits out the in-flight
-    // swap; displaced files after return degrade to a transient partial
-    // read via ignoreMissingFiles as before.
+    // between the two ATOMIC_MOVEs. That absence surfaces two ways and
+    // BOTH retry once under the lock (which waits out the in-flight
+    // swap): build() throwing path-not-found after its own existence
+    // check passed, and — subtler — the fast path's Files.exists itself
+    // returning false, which without the locked re-check would return a
+    // silently EMPTY catalog for a table that has data (a wrong read, not
+    // a failed one). Displaced files after return still degrade to a
+    // transient partial read via ignoreMissingFiles as before.
     recover(table)
-    try build()
-    catch {
+    quarantineTorn(table)
+    try {
+      if (!Files.exists(dir(table)))
+        lockFor(table).synchronized { recover(table); build() }
+      else build()
+    } catch {
       case _: org.apache.spark.sql.AnalysisException =>
         lockFor(table).synchronized { recover(table); build() }
     }
+  }
+
+  /** [[read]] sets ignoreCorruptFiles for the transient vanished-`.crc`
+    * swap race — but that option would ALSO permanently and silently hide
+    * a torn parquet file left by a crash mid-append (append is not
+    * atomic), dropping its rows from every future read with no signal.
+    * So each part file is structurally validated ONCE (parquet magic
+    * `PAR1` at head and tail — a torn write can't have both) and a file
+    * that fails is moved to `<table>.quarantine/` with a loud warning:
+    * permanent corruption is surfaced and preserved for inspection, never
+    * silently skipped forever. Validated names are memoized, so the
+    * steady-state cost is one directory listing per read. */
+  private val validatedParts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
+  private def quarantineTorn(table: String): Unit = {
+    val d = dir(table)
+    if (!Files.exists(d)) return
+    val seen = validatedParts.computeIfAbsent(
+      table, _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+    parquetFiles(d).foreach { f =>
+      if (!seen.contains(f)) {
+        if (hasParquetMagic(d.resolve(f))) seen.add(f)
+        else {
+          val q = Paths.get(root, table + ".quarantine")
+          Files.createDirectories(q)
+          try {
+            moveWithCrc(d, q, f)
+            System.err.println(s"[graft] catalog table '$table': part file " +
+              s"'$f' is structurally torn (missing parquet magic) — " +
+              s"quarantined to $q for inspection")
+          } catch { // concurrent reader quarantined it first — same outcome
+            case _: java.nio.file.NoSuchFileException => ()
+          }
+        }
+      }
+    }
+  }
+
+  private def hasParquetMagic(p: Path): Boolean = {
+    val magic = "PAR1".getBytes("US-ASCII")
+    var ch: java.nio.channels.SeekableByteChannel = null
+    try {
+      ch = Files.newByteChannel(p)
+      if (ch.size < 8) return false
+      def readAt(pos: Long): Array[Byte] = {
+        val buf = java.nio.ByteBuffer.allocate(4)
+        ch.position(pos)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        buf.array()
+      }
+      java.util.Arrays.equals(readAt(0), magic) &&
+        java.util.Arrays.equals(readAt(ch.size - 4), magic)
+    } catch { case _: java.io.IOException => false }
+    finally if (ch != null) ch.close()
   }
 
   /** Overwrite a table with a crash-safe swap: write to `<table>.tmp`, then

@@ -176,9 +176,13 @@ object Ivf {
     * jobs). This is the call sites' production semantics: ingest once,
     * query forever; re-invoking a query must not re-pay its ingest. */
   def ensureCellTable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                      nlist: Int, table: String, nBuckets: Int = 32): Unit = {
+                      nlist: Int, table: String, nBuckets: Int = 32,
+                      tag: String = ""): Unit = {
     val spark = df.sparkSession
-    val meta = s"ivf-cells dim=$dim nlist=$nlist nBuckets=$nBuckets"
+    // `tag` carries any INPUT-shaping parameter beyond the quantizer
+    // config (e.g. q62's planted-key offset) — a tag change is a
+    // different artifact and must rebuild, not reuse
+    val meta = s"ivf-cells dim=$dim nlist=$nlist nBuckets=$nBuckets $tag".trim
     val reused =
       graft.core.Warehouse.ensureRegistered(spark, table, meta, "cid", nBuckets) &&
       graft.core.Warehouse.ensureRegistered(spark, table + "_centroids", meta,

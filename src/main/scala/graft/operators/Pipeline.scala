@@ -808,16 +808,17 @@ object Pipeline {
     * and in-cell scoring (n²/nlist) both stay O(n^1.5). */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val planted = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-    val input = emb.unionByName(planted)
-    // one stats pass over the base table: n sizes the quantizer; max id
-    // guards the planted re-key offset (ids ≥ 1e6 would collide with the
-    // +1 000 000 planted keys and fan the vec_id joins out)
+    // one stats pass over the base table: n sizes the quantizer, and
+    // max(vec_id)+1 is the planted re-key offset — derived from the data
+    // (not a fixed 1e6) so NO corpus id space can collide with the
+    // planted keys; the oracle derives the identical offset with a
+    // scalar subquery over the same table
     val st = emb.agg(count(lit(1)), max("vec_id")).head()
     val n = st.getLong(0)
-    require(st.isNullAt(1) || st.getLong(1) < 1000000L,
-      s"vec_id ${st.getLong(1)} collides with the planted-duplicate key space (+1e6)")
+    val offset = if (st.isNullAt(1)) 1L else st.getLong(1) + 1L
+    val planted = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+    val input = emb.unionByName(planted)
     // nlist ∝ √n balances the two scale costs: assignment is n×nlist and
     // in-cell scoring is Σ|cell|² ≈ n²/nlist — both O(n^1.5) at √n (a
     // LINEAR nlist makes ingest assignment quadratic; constant nlist
@@ -832,7 +833,18 @@ object Pipeline {
     // appears in any query-path plan
     val table = cellTableName("graft_semdedup_cells", dir)
     Ivf.ensureCellTable(input, "vec_id", "embedding", dim = 64,
-      nlist = nlist, table = table)
+      nlist = nlist, table = table, tag = s"offset=$offset")
+    // contract-domain check: the oracle's keep⟺no-identical-lower-id
+    // semantics hold for rows the capped self-join SCORES — rows past
+    // clusterCap in a skewed cell are kept unscored by design. Flag
+    // loudly when any cell overflows so a diverging run is attributable
+    // (zero at every gate SF; the count is one metadata-cheap aggregate).
+    val overCap = Ivf.cellsFromTable(spark, table)
+      .groupBy("cid").count().filter(col("count") > clusterCap).count()
+    if (overCap > 0)
+      System.err.println(s"[graft] semanticDedup: $overCap cell(s) exceed " +
+        s"clusterCap=$clusterCap — rows past the cap are kept unscored " +
+        "(oracle contract domain exceeded)")
     val verdicts = Dedup.semanticDedupFromCells(spark, table, "vec_id", theta,
       clusterCap = clusterCap)
     // the audit mirrors the core's clusterCap EXACTLY (both join sides

@@ -53,6 +53,31 @@ class CatalogStoreSpec extends SparkSuite {
     assert(store.read[TaskLog]("task_logs").count() == 2)
   }
 
+  test("torn part file (crash mid-append) is quarantined loudly, not silently dropped forever") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("cat")
+    val store = new CatalogStore(spark, root)
+    import spark.implicits._
+    store.append(spark.createDataset(Seq(
+      TaskLog(1, 10, "success", "ok", ts("2026-01-01 10:00:00")))), "task_logs")
+    store.append(spark.createDataset(Seq(
+      TaskLog(2, 10, "failed", "boom", ts("2026-01-01 11:00:00")))), "task_logs")
+    // simulate a crash mid-append: a .parquet part with a valid head magic
+    // but no footer (the torn shape ignoreCorruptFiles would hide forever)
+    val torn = Paths.get(root, "task_logs", "part-torn-crash.snappy.parquet")
+    Files.write(torn, ("PAR1" + "x" * 64).getBytes("US-ASCII"))
+    val rows = store.read[TaskLog]("task_logs").collect()
+    assert(rows.map(_.id).sorted.toSeq == Seq(1L, 2L), "intact rows survive")
+    assert(!Files.exists(torn), "torn file removed from the live dir")
+    val quarantined = Paths.get(root, "task_logs.quarantine")
+      .resolve("part-torn-crash.snappy.parquet")
+    assert(Files.exists(quarantined), "torn file preserved for inspection")
+    // and the table keeps working for both reads and appends afterwards
+    store.append(spark.createDataset(Seq(
+      TaskLog(3, 10, "success", "again", ts("2026-01-01 12:00:00")))), "task_logs")
+    assert(store.read[TaskLog]("task_logs").count() == 3)
+  }
+
   test("log compaction shrinks the file count, keeps every row, tolerates a concurrent append") {
     val root = tmpDir("cat")
     val store = new CatalogStore(spark, root)
