@@ -180,6 +180,12 @@ object SparkEntry {
     "q77_cluster_best"       -> Pipeline.clusterBestRepresentative _,
     "q78_release_shards"     -> ((s: SparkSession, dir: String) =>
       Pipeline.releaseShards(s, dir)),
+    // round 6: release-hygiene trio — cluster-atomic splits (evaluation
+    // leakage guard), token-budget corpus drafting, and the shared-span
+    // boilerplate detector
+    "q79_leakage_safe_split" -> Pipeline.leakageSafeSplit _,
+    "q80_token_budget_sample" -> Pipeline.tokenBudgetSample _,
+    "q81_duplicated_spans"   -> Pipeline.duplicatedSpans _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -479,6 +485,53 @@ object SparkEntry {
           |  (row_number() OVER (PARTITION BY c.cluster_id
           |     ORDER BY q.quality DESC, c.doc_id ASC) = 1) AS keep_best
           |FROM cl c JOIN qual q USING (doc_id)""".stripMargin),
+    // cluster-atomic split over the same cluster CTE: the md5-bucket rule
+    // applied to the CLUSTER id; naive_leaks marks clusters the per-doc
+    // rule (q43) would tear across splits
+    "q79_leakage_safe_split" ->
+      (dupClusterCte +
+        """, cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+          |sp AS (SELECT doc_id, cluster_id,
+          |  CASE WHEN ('0x'||substr(md5(CAST(cluster_id AS VARCHAR)),1,4))::INT % 100 < 80 THEN 'train'
+          |       WHEN ('0x'||substr(md5(CAST(cluster_id AS VARCHAR)),1,4))::INT % 100 < 90 THEN 'valid'
+          |       ELSE 'test' END AS split,
+          |  CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4))::INT % 100 < 80 THEN 'train'
+          |       WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4))::INT % 100 < 90 THEN 'valid'
+          |       ELSE 'test' END AS naive
+          |  FROM cl),
+          |lk AS (SELECT cluster_id, count(DISTINCT naive) AS nsp FROM sp GROUP BY 1)
+          |SELECT sp.doc_id, sp.cluster_id, sp.split, lk.nsp > 1 AS naive_leaks
+          |FROM sp JOIN lk USING (cluster_id)""".stripMargin),
+    // deterministic priority (md5 hex string — identical lowercase-hex
+    // ordering in both engines), per-source running token total, keep
+    // while under budget
+    "q80_token_budget_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text),'\S+')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS priority
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY priority, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY priority, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) <= 4096 AS kept
+        |FROM d""".stripMargin,
+    // the oracle counts DISTINCT 8-token gram STRINGS per doc and their
+    // cross-document frequency; the Spark side counts their xxhash64
+    // stand-ins — identical modulo 64-bit collisions. The fraction is one
+    // raw IEEE quotient on both sides (never round per-row floats).
+    "q81_duplicated_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7],' ') AS g
+        |       FROM t, unnest(range(1, greatest(len(toks)-6, 2))) AS u(i)),
+        |df AS (SELECT g, count(*) AS nd FROM sh GROUP BY 1),
+        |per AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |        CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+        |        FROM sh s JOIN df USING (g) GROUP BY 1)
+        |SELECT doc_id, n_grams, n_dup_grams,
+        |  CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_fraction,
+        |  (CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)) > 0.5 AS boilerplate
+        |FROM per""".stripMargin,
     // the oracle joins on 8-token shingle STRINGS; the Spark side joins on
     // their xxhash64 — identical modulo 64-bit collisions (~1e-10 here)
     "q59_decontaminate" ->

@@ -1197,6 +1197,77 @@ object Pipeline {
               (col("neighbor_full") === col("neighbor_q8")).as("agree"))
   }
 
+  /** Leakage-safe train/valid/test split: the split key is the DUPLICATE
+    * CLUSTER, not the document — md5-bucket the cluster id (q57's
+    * connected components) so every near-dup family lands in ONE split.
+    * The per-doc md5 rule (q43) tears clusters across splits — a test
+    * document with a train-set near-duplicate is evaluation leakage, the
+    * classic contaminated-benchmark failure. `naive_leaks` flags exactly
+    * the docs whose cluster the per-doc rule would have torn (cluster
+    * spans >1 naive split). At 100 TB the cluster map comes from the LSH
+    * pass (q58) and this is a narrow map plus one tiny per-cluster
+    * aggregate joined back — the split itself adds no quadratic work. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dupClusters(spark, dir).select(col("doc_id"), col("cluster_id"))
+    def splitOf(b: Column) =
+      when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    val s = cl.select(col("doc_id"), col("cluster_id"),
+      splitOf(md5Bucket(col("cluster_id"))).as("split"),
+      splitOf(md5Bucket(col("doc_id"))).as("naive"))
+    val torn = s.groupBy("cluster_id")
+      .agg(countDistinct(col("naive")).as("nsp"))
+    s.join(torn, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("split"),
+              (col("nsp") > 1).as("naive_leaks"))
+  }
+
+  /** Per-source token-budget sampling: deterministic priority order (md5
+    * of the id — engine-stable, never rand()) within each source, keep
+    * documents while the running token total stays under the budget. The
+    * shape of "give me ~N tokens per domain" corpus drafting. One window
+    * per source partition: at 100 TB this is a partition-local sort of
+    * each source shard — no global sort, no shuffle beyond the source
+    * hash partitioning. */
+  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 4096L
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      Text.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+      md5(col("doc_id").cast("string")).as("priority"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("priority").asc, col("doc_id").asc)
+    d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+              col("cum_tokens"),
+              (col("cum_tokens") <= budget).as("kept"))
+  }
+
+  /** Duplicated-n-gram span detector (boilerplate finder): for every
+    * document, how many of its DISTINCT 8-token n-grams occur in at least
+    * one OTHER document — headers, footers, navigation chrome, and
+    * licence blocks shared across a crawl light up here even when whole
+    * documents are unique. Long-arithmetic gram hashes
+    * ([[Dedup.shingleHashRows]] — no gram strings ever materialize), one
+    * document-frequency aggregate, one per-doc aggregate: the inverted-
+    * index shuffle shape of TF-IDF (q53), linear in corpus grams. The
+    * fraction is ONE raw IEEE quotient for cross-engine parity. */
+  def duplicatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    graft.core.Mat.withMaterialized(
+      Dedup.shingleHashRows(docs, "doc_id", "text", w = 8)
+    ) { grams =>
+      val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("nd"))
+      graft.core.Mat.tracked(grams.join(dfreq, "gh")
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+             sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+          (col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+            .as("dup_fraction"),
+          (col("n_dup_grams").cast("double") / col("n_grams").cast("double")
+            > 0.5).as("boilerplate")))
+    }
+  }
+
   /** Export round-trip: top orders → sanitized CSV artifact (S7) → re-read
     * (S1). Rows-only: exercises the ingest/export adapters end-to-end. */
   def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {

@@ -124,6 +124,82 @@ class OperatorsSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
 
+  test("leakageSafeSplit: cluster-atomic on the corpus; planted families match md5 ground truth") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // THE guarantee on the real corpus: no cluster spans two splits
+    val out = Pipeline.leakageSafeSplit(spark, sfDir)
+    val spans = out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(spans == 0L, s"$spans clusters span >1 split")
+    // planted fixture: 20 exact-duplicate pairs (2i, 2i+1). Ground truth
+    // recomputed here from first principles (plain MessageDigest md5),
+    // independent of the operator's Spark expressions.
+    // family tokens fully disjoint across families, so the adjacent-
+    // Jaccard edge source can never bridge two families (pair members are
+    // exact copies; cross-family Jaccard is 0)
+    val fixture = (0L until 40L)
+      .map(id => (id, (1 to 12).map(j => s"fam${id / 2}tok$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tmp = tmpDir("leak")
+    fixture.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def bucket(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      Integer.parseInt(hex, 16) % 100
+    }
+    def splitOf(b: Int) = if (b < 80) "train" else if (b < 90) "valid" else "test"
+    val got = Pipeline.leakageSafeSplit(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getBoolean(3)))
+      .toMap
+    (0L until 40L).foreach { id =>
+      val cid = (id / 2) * 2
+      val expectSplit = splitOf(bucket(cid))
+      val expectLeak = splitOf(bucket(cid)) != splitOf(bucket(cid + 1))
+      assert(got(id) == ((cid, expectSplit, expectLeak)),
+        s"doc $id: got ${got(id)}, expected ($cid, $expectSplit, $expectLeak)")
+    }
+    // sanity on the fixture itself: md5 over 20 pairs virtually always
+    // tears at least one pair under the per-doc rule
+    assert((0L until 40L by 2).exists(c =>
+      splitOf(bucket(c)) != splitOf(bucket(c + 1))))
+  }
+
+  test("tokenBudgetSample: kept set is the maximal budget-respecting prefix per source") {
+    import org.apache.spark.sql.functions._
+    val out = Pipeline.tokenBudgetSample(spark, sfDir)
+    // every kept doc fits; every dropped doc's running total overflows
+    assert(out.filter(col("kept") && col("cum_tokens") > 4096).count() == 0)
+    assert(out.filter(!col("kept") && col("cum_tokens") <= 4096).count() == 0)
+    // prefix property: a kept doc never has a larger cum than a dropped
+    // one within the same source
+    val bad = out.filter(col("kept")).as("k")
+      .join(out.filter(!col("kept")).as("d"), Seq("source"))
+      .filter(col("k.cum_tokens") > col("d.cum_tokens")).count()
+    assert(bad == 0L, "kept/dropped sets are not a cum-ordered prefix split")
+  }
+
+  test("duplicatedSpans: planted shared 8-gram block lights up both docs, unique docs stay dark") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val block = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"iota kappa lambda mu nu xi omicron pi $block"),
+      (3L, "solo tokens only here nothing shared across documents at all"))
+      .toDF("doc_id", "text")
+    val tmp = tmpDir("spans")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Pipeline.duplicatedSpans(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._2 == 1L && out(2L)._2 == 1L,
+      s"each planted doc shares exactly the one 8-gram block: $out")
+    assert(out(3L)._2 == 0L, "unique doc reported shared grams")
+    assert(out(1L)._1 == 9L, s"doc 1 has 16 tokens -> 9 distinct 8-grams: $out")
+  }
+
   test("repetitionMetrics: sorted-run top-bigram equals the group-count form") {
     import spark.implicits._
     val dir = tmpDir("rep")
