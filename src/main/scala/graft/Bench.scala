@@ -53,7 +53,7 @@ object Bench {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     Seq("q22_exact_dup_groups", "q24_minhash_pairs", "q41_embedding_dups",
         "q57_dup_clusters", "q58_dup_clusters_lsh", "q62_semantic_dedup",
-        "q67_release_funnel")
+        "q67_release_funnel", "q81_duplicated_spans")
       .map { name =>
         val t0 = System.nanoTime()
         val rows = try SparkEntry.queries(name)(spark, dir).count()

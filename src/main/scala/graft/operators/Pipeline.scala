@@ -1252,20 +1252,23 @@ object Pipeline {
     * fraction is ONE raw IEEE quotient for cross-engine parity. */
   def duplicatedSpans(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    graft.core.Mat.withMaterialized(
-      Dedup.shingleHashRows(docs, "doc_id", "text", w = 8)
-    ) { grams =>
-      val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("nd"))
-      graft.core.Mat.tracked(grams.join(dfreq, "gh")
-        .groupBy(col("id").as("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-             sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
-        .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
-          (col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
-            .as("dup_fraction"),
-          (col("n_dup_grams").cast("double") / col("n_grams").cast("double")
-            > 0.5).as("boilerplate")))
-    }
+    // grams appears on both sides of the join (per-doc rows + the df
+    // aggregate) but is NOT materialized: unlike the minhash-signature
+    // frames, it's one cheap codegen pass (tokenize + hash + explode) —
+    // double-planning it costs a second narrow scan, the q53 inverted-
+    // index tradeoff — and the plan stays visible to PlanAuditSpec
+    // (a localCheckpoint would hide everything behind an ExistingRDD)
+    val grams = Dedup.shingleHashRows(docs, "doc_id", "text", w = 8)
+    val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("nd"))
+    grams.join(dfreq, "gh")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        (col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+          .as("dup_fraction"),
+        (col("n_dup_grams").cast("double") / col("n_grams").cast("double")
+          > 0.5).as("boilerplate"))
   }
 
   /** Export round-trip: top orders → sanitized CSV artifact (S7) → re-read

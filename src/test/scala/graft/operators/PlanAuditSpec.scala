@@ -97,6 +97,35 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q81 duplicated spans: long-arithmetic grams, map-side combine, keyed join only") {
+    val plan = executedPlan("q81_duplicated_spans")
+    // same contract as q23: gram STRINGS must never materialize
+    assert(!plan.contains("concat_ws"),
+      s"gram string construction in the hot path:\n$plan")
+    assert(plan.contains("xxhash64"), "token-hash stage missing")
+    // inverted-index shape: partial aggregation before each shuffle, and
+    // the gram-frequency join stays hash-keyed
+    assert(plan.contains("partial_count"), "df aggregate not map-side combined")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q80 token budget: ONE exchange (the source window), scan-level pruning") {
+    val plan = executedPlan("q80_token_budget_sample")
+      .split("== Initial Plan ==").head // AQE echoes the pre-adaptive plan
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"budget window should shuffle once on source:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang"),
+      s"scan reads columns the query never uses: $readSchema")
+  }
+
+  test("q79 leakage-safe split: no cartesian anywhere in the cluster+split composition") {
+    val plan = executedPlan("q79_leakage_safe_split")
+    assert(!plan.contains("CartesianProduct"),
+      s"cluster/split join degenerated to a cross product:\n$plan")
+  }
+
   test("q57 cluster edges evaluate once (generator symmetrization, no cross product)") {
     val plan = executedPlan("q57_dup_clusters")
     // the result frame is a released checkpoint's LogicalRDD; audit the
