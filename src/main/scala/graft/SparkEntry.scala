@@ -186,6 +186,10 @@ object SparkEntry {
     "q79_leakage_safe_split" -> Pipeline.leakageSafeSplit _,
     "q80_token_budget_sample" -> Pipeline.tokenBudgetSample _,
     "q81_duplicated_spans"   -> Pipeline.duplicatedSpans _,
+    // the incremental-dedup loop as a stream: foreachBatch over staged
+    // increment files vs the stored signature table — same verified pair
+    // set (and the same oracle) as the batch forms q65/q74
+    "q82_stream_incremental_dedup" -> Pipeline.streamIncrementalDedup _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -306,6 +310,7 @@ object SparkEntry {
     // the stored-signature production loop must emit the SAME verified
     // pair set as the two-sided q65 form — one oracle, two query paths
     "q74_incremental_stored" -> verifiedIncPairsSql,
+    "q82_stream_incremental_dedup" -> verifiedIncPairsSql,
     "q75_ann_recall" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 50""".stripMargin,

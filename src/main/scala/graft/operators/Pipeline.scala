@@ -928,6 +928,52 @@ object Pipeline {
       .orderBy("inc_id", "corpus_id")
   }
 
+  /** The incremental-dedup loop as a STREAM — the production shape of
+    * "dedup the firehose against the standing corpus". The increment
+    * arrives as files (staged into micro-batches); each micro-batch runs
+    * the SAME batch machinery q74 gates — banded MinHash candidates
+    * against the STORED bucketed signature table (ingest artifact,
+    * shared with q74 via ensureSignatureTable), refined by exact
+    * shingle-set verification at Jaccard ≥ 0.9 — inside `foreachBatch`,
+    * appending verified pairs to a parquet sink. foreachBatch is the
+    * canonical Structured-Streaming pattern for reusing batch logic
+    * per micro-batch; the pipeline is STATELESS (the signature table is
+    * the state, on disk), so no watermark or state store is involved and
+    * restart recovery is offset tracking alone. The emitted pair SET is
+    * batch-deterministic and equals q65/q74's — all three share one
+    * DuckDB brute-force oracle. */
+  def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val table = cellTableName("graft_sig_corpus", dir)
+    Dedup.ensureSignatureTable(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 4), "doc_id", "text", table,
+      k = 48, bands = 12)
+    val work = java.nio.file.Files.createTempDirectory("graft-q82").toString
+    val stage = s"$work/stage"; val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .repartition(4).write.mode("overwrite").parquet(stage)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    // 2 files/trigger over 4 staged files → 2 genuine micro-batches, both
+    // reading the same static signature table (the stream-side banding
+    // caps apply per batch — strictly more permissive than the global
+    // cap, so recall vs the oracle is preserved)
+    val inc = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(stage)
+    val q = inc.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cand = Dedup.minhashCandidatesAgainstTable(spark, table,
+            batch, "doc_id", "text", k = 48, bands = 12, threshold = 0.2)
+          .select(col("inc_id"), col("corpus_id"))
+        verifyPairsExact(docs, cand, "inc_id", "corpus_id", theta = 0.9)
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out).orderBy("inc_id", "corpus_id")
+  }
+
   /** Quality-aware canonical selection: within each duplicate cluster
     * (q57's connected components), keep the HIGHEST-QUALITY member
     * instead of the lowest id — the production choice when near-dup

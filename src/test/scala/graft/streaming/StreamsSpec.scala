@@ -58,6 +58,17 @@ class StreamsSpec extends SparkSuite {
     assert(staged == 2 * graft.core.Tables.events(spark, sfDir).count())
   }
 
+  test("streaming incremental dedup emits exactly the batch verified pair set (q65/q74 parity)") {
+    val streamed = graft.operators.Pipeline.streamIncrementalDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val batch = graft.operators.Pipeline.incrementalMinhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed ${streamed.length} pairs != batch ${batch.length}")
+    assert(streamed.nonEmpty, "fixture corpus should contain verified pairs")
+    graft.core.Mat.releaseAll()
+  }
+
   test("stream-stream interval join emits exactly the batch interval join") {
     val work = tmpDir("ssjoin")
     // 120-minute window: the sf0.001 event spacing (~tens of minutes)
