@@ -190,6 +190,9 @@ object SparkEntry {
     // increment files vs the stored signature table — same verified pair
     // set (and the same oracle) as the batch forms q65/q74
     "q82_stream_incremental_dedup" -> Pipeline.streamIncrementalDedup _,
+    // hard-negative mining: top-3 most-similar OTHER-label vectors per
+    // query — the contrastive-training data-prep step
+    "q83_hard_negatives"     -> Pipeline.hardNegatives _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -854,6 +857,20 @@ object SparkEntry {
         | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    // q26's pattern + the label-mismatch predicate; ties broken on the
+    // ROUNDED similarity then neighbor id, identically on both sides
+    "q83_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+        |             embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 25),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+        |        round(list_cosine_similarity(qv, e.embedding::DOUBLE[]),6) AS cos_sim
+        |      FROM q, embeddings e
+        |      WHERE e.vec_id <> q.query_id AND e.label <> q.q_label)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, neg_label, cos_sim
+        |FROM (SELECT query_id, neighbor_id, neg_label, cos_sim, row_number() OVER
+        |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rank
+        |      FROM s) WHERE rank <= 3""".stripMargin,
     "q26_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 5),

@@ -974,6 +974,32 @@ object Pipeline {
     spark.read.parquet(out).orderBy("inc_id", "corpus_id")
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-3 most-similar vectors with a DIFFERENT label — the
+    * "looks alike, isn't" examples an embedding model trains against.
+    * Brute-force here (queries broadcast, corpus scanned once, per-query
+    * top-k window over the scored pairs — q26's audited shape plus the
+    * label-mismatch predicate); at 100 TB the same query runs against
+    * the stored IVF cell layout per label shard (q52's path) — mining is
+    * embarrassingly parallel over queries either way. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = broadcast(emb.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+              col("embedding").as("qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    emb.select(col("vec_id").as("neighbor_id"), col("label").as("neg_label"),
+               col("embedding").as("cv"))
+      .join(q, col("query_id") =!= col("neighbor_id") &&
+               col("q_label") =!= col("neg_label"))
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+              round(Vectors.cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+              col("neighbor_id"), col("neg_label"), col("cos_sim"))
+  }
+
   /** Quality-aware canonical selection: within each duplicate cluster
     * (q57's connected components), keep the HIGHEST-QUALITY member
     * instead of the lowest id — the production choice when near-dup

@@ -126,6 +126,14 @@ class PlanAuditSpec extends SparkSuite {
       s"cluster/split join degenerated to a cross product:\n$plan")
   }
 
+  test("q83 hard negatives: queries broadcast against one corpus scan, never a shuffle cartesian") {
+    val plan = executedPlan("q83_hard_negatives")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "query set should broadcast against the corpus scan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair scoring must not shuffle-materialize the cross product:\n$plan")
+  }
+
   test("q57 cluster edges evaluate once (generator symmetrization, no cross product)") {
     val plan = executedPlan("q57_dup_clusters")
     // the result frame is a released checkpoint's LogicalRDD; audit the
