@@ -76,6 +76,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // q52/q62/q74/q82 ensure their ingest artifact instead of rebuilding
+    // per call, so their timings are bimodal on warehouse state: record
+    // which mode THIS run measured, or round-over-round comparisons
+    // conflate code changes with artifact-cache hits
+    val warehouseWarm = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = if (wh.startsWith("file:")) java.net.URI.create(wh).getPath else wh
+      val d = java.nio.file.Paths.get(p)
+      java.nio.file.Files.exists(d) && {
+        val s = java.nio.file.Files.list(d)
+        try s.anyMatch(f => f.getFileName.toString.startsWith("graft_"))
+        finally s.close()
+      }
+    }
     // session warmup: JIT/codegen/scheduler paths + parquet reader init
     // (region is 5 rows — engine machinery, not query data)
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -105,7 +119,7 @@ object Bench {
         s""","scale_probe_10x":{$entries}"""
       }
     val detailJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probeJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warehouse_warm":$warehouseWarm$probeJson}"""
     // r3 post-mortem: the metric line printed BEFORE spark.stop() was
     // displaced out of the driver's 2000-char stdout tail by a shutdown
     // stack-trace flood. r4 post-mortem: with 73 queries the single metric
@@ -121,7 +135,7 @@ object Bench {
       (detailJson + "\n").getBytes("UTF-8"))
     println(detailJson)
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"${detailPath.toAbsolutePath}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","warehouse_warm":$warehouseWarm,"detail":"${detailPath.toAbsolutePath}"}"""
     println(compact)
   }
 }

@@ -27,35 +27,45 @@ object IngestScratch {
     spark.range(1000).selectExpr("sum(id)").collect() // warmup
 
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val n = emb.count()
+    val st = emb.agg(count(lit(1)), max("vec_id")).head()
+    val n = st.getLong(0)
+    val offset = if (st.isNullAt(1)) 1L else st.getLong(1) + 1L
     val nlist = math.max(16, math.sqrt(n / 4.0).toInt)
+    // corpus-keyed artifact names + source stamp, mirroring the production
+    // call sites — fixed names silently re-attach another corpus's
+    // artifact and the "ingest" timings become a no-op re-attach
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val stamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
+    val docStamp = graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet")
 
     // --- q52 components (fixed nlist=16) ---
     val model52 = t("q52 train(nlist=16)") {
       Ivf.train(emb, "vec_id", "embedding", dim = 64, nlist = 16)
     }
     t("q52 ensureCellTable") {
-      Ivf.ensureCellTable(emb, "vec_id", "embedding", 64, 16, "prof_ivf")
+      Ivf.ensureCellTable(emb, "vec_id", "embedding", 64, 16, s"prof_ivf_$sfx", tag = stamp)
     }
     t("q52 topKFromTable") {
-      Ivf.topKFromTable(spark, "prof_ivf", emb.filter(col("vec_id") < 10),
+      Ivf.topKFromTable(spark, s"prof_ivf_$sfx", emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nprobe = 16).count()
     }
 
     // --- q62 components (nlist=sqrt(n/4)) ---
     val planted = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
     val input = emb.unionByName(planted)
     t(s"q62 ensureCellTable(nlist=$nlist)") {
-      Ivf.ensureCellTable(input, "vec_id", "embedding", 64, nlist, "prof_sem")
+      Ivf.ensureCellTable(input, "vec_id", "embedding", 64, nlist,
+        s"prof_sem_$sfx", tag = s"offset=$offset $stamp")
     }
     t("q62 verdicts(fromCells)") {
-      Dedup.semanticDedupFromCells(spark, "prof_sem", "vec_id", 0.97).count()
+      Dedup.semanticDedupFromCells(spark, s"prof_sem_$sfx", "vec_id", 0.97).count()
     }
     t("q62 audit joins") {
       val capW = org.apache.spark.sql.expressions.Window
         .partitionBy("cid").orderBy(col("id").asc)
-      val capped = Ivf.cellsFromTable(spark, "prof_sem")
+      val capped = Ivf.cellsFromTable(spark, s"prof_sem_$sfx")
         .withColumn("rn", row_number().over(capW))
         .filter(col("rn") <= 4096).drop("rn")
       capped.as("l").join(capped.as("r"),
@@ -70,10 +80,10 @@ object IngestScratch {
     t("q74 ensureSignatureTable") {
       Dedup.ensureSignatureTable(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 4), "doc_id", "text",
-        "prof_sig", k = 48, bands = 12)
+        s"prof_sig_$sfx", k = 48, bands = 12, tag = docStamp)
     }
     t("q74 candidates (unverified)") {
-      Dedup.minhashCandidatesAgainstTable(spark, "prof_sig",
+      Dedup.minhashCandidatesAgainstTable(spark, s"prof_sig_$sfx",
           docs.filter(pmod(col("doc_id"), lit(5)) === 4),
           "doc_id", "text", k = 48, bands = 12, threshold = 0.2)
         .select(col("inc_id"), col("corpus_id")).count()

@@ -140,38 +140,46 @@ final class CatalogStore(spark: SparkSession, root: String) {
       table, _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
     parquetFiles(d).foreach { f =>
       if (!seen.contains(f)) {
-        if (hasParquetMagic(d.resolve(f))) seen.add(f)
-        else {
-          val q = Paths.get(root, table + ".quarantine")
-          Files.createDirectories(q)
-          try {
-            moveWithCrc(d, q, f)
-            System.err.println(s"[graft] catalog table '$table': part file " +
-              s"'$f' is structurally torn (missing parquet magic) — " +
-              s"quarantined to $q for inspection")
-          } catch { // concurrent reader quarantined it first — same outcome
-            case _: java.nio.file.NoSuchFileException => ()
-          }
+        hasParquetMagic(d.resolve(f)) match {
+          case Some(true) => seen.add(f)
+          case Some(false) => // read SUCCEEDED and the magic is absent —
+            // structurally torn for sure; only this case may quarantine
+            val q = Paths.get(root, table + ".quarantine")
+            Files.createDirectories(q)
+            try {
+              moveWithCrc(d, q, f)
+              System.err.println(s"[graft] catalog table '$table': part file " +
+                s"'$f' is structurally torn (missing parquet magic) — " +
+                s"quarantined to $q for inspection")
+            } catch { // concurrent reader quarantined it first — same outcome
+              case _: java.nio.file.NoSuchFileException => ()
+            }
+          case None => () // could NOT read (fd pressure, permissions, a
+            // concurrent move) — never quarantine on a failed check: a
+            // transient IOException on a VALID committed file must not
+            // permanently drop its rows. Not memoized; re-checked next read.
         }
       }
     }
   }
 
-  private def hasParquetMagic(p: Path): Boolean = {
+  /** Some(true)=valid, Some(false)=definitively torn (successful read,
+    * magic absent), None=unreadable right now (verdict withheld). */
+  private def hasParquetMagic(p: Path): Option[Boolean] = {
     val magic = "PAR1".getBytes("US-ASCII")
     var ch: java.nio.channels.SeekableByteChannel = null
     try {
       ch = Files.newByteChannel(p)
-      if (ch.size < 8) return false
+      if (ch.size < 8) return Some(false)
       def readAt(pos: Long): Array[Byte] = {
         val buf = java.nio.ByteBuffer.allocate(4)
         ch.position(pos)
         while (buf.hasRemaining && ch.read(buf) >= 0) {}
         buf.array()
       }
-      java.util.Arrays.equals(readAt(0), magic) &&
-        java.util.Arrays.equals(readAt(ch.size - 4), magic)
-    } catch { case _: java.io.IOException => false }
+      Some(java.util.Arrays.equals(readAt(0), magic) &&
+           java.util.Arrays.equals(readAt(ch.size - 4), magic))
+    } catch { case _: java.io.IOException => None }
     finally if (ch != null) ch.close()
   }
 

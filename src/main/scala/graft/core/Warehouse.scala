@@ -82,6 +82,25 @@ object Warehouse {
     }
   }
 
+  /** Content-sensitive stamp of a source parquet path (file or directory):
+    * total byte size + max mtime of its data files. Callers fold this into
+    * the artifact fingerprint so REGENERATING a corpus in place (same
+    * path, new rows) invalidates the stored layout — path+config alone
+    * would silently serve the old corpus's cells/signatures. Pure
+    * driver-side listing, no Spark job. */
+  def sourceStamp(path: String): String = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return "absent"
+    val files: Seq[Path] =
+      if (Files.isDirectory(p))
+        Files.walk(p).filter(Files.isRegularFile(_))
+          .toArray.map(_.asInstanceOf[Path]).toSeq
+      else Seq(p)
+    val size = files.map(Files.size(_)).sum
+    val mtime = files.map(Files.getLastModifiedTime(_).toMillis).max
+    s"src=$size:$mtime"
+  }
+
   /** Drop the catalog entry AND the directory (managed saveAsTable refuses
     * a pre-existing non-empty location, so a rebuild must start clean). */
   def clear(spark: SparkSession, table: String): Unit = {

@@ -201,9 +201,13 @@ object Dedup {
     * JVM sessions — with zero Spark jobs. */
   def ensureSignatureTable(df: DataFrame, idCol: String, textCol: String,
                            table: String, k: Int = 32, bands: Int = 8,
-                           bucketCap: Int = 256, nBuckets: Int = 32): Unit = {
+                           bucketCap: Int = 256, nBuckets: Int = 32,
+                           tag: String = ""): Unit = {
     val spark = df.sparkSession
-    val meta = s"minhash-sig k=$k bands=$bands bucketCap=$bucketCap nBuckets=$nBuckets"
+    // `tag` carries input identity beyond the config (e.g. the source
+    // stamp) — a tag change is a different artifact and must rebuild
+    val meta = (s"minhash-sig k=$k bands=$bands bucketCap=$bucketCap " +
+      s"nBuckets=$nBuckets $tag").trim
     if (!graft.core.Warehouse.ensureRegistered(spark, table, meta, "bh", nBuckets)) {
       writeSignatureTable(df, idCol, textCol, table, k, bands, bucketCap, nBuckets)
       graft.core.Warehouse.writeMeta(spark, table, meta)

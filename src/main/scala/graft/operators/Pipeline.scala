@@ -223,7 +223,8 @@ object Pipeline {
     // reads the stored layout — no assignment aggregate in its plan
     // (machine-asserted in BucketingSpec)
     val table = cellTableName("graft_ivf_cells", dir)
-    Ivf.ensureCellTable(emb, "vec_id", "embedding", dim = 64, nlist = 16, table)
+    Ivf.ensureCellTable(emb, "vec_id", "embedding", dim = 64, nlist = 16, table,
+      tag = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet"))
     Ivf.topKFromTable(spark, table, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, nprobe = 16)
   }
@@ -833,7 +834,8 @@ object Pipeline {
     // appears in any query-path plan
     val table = cellTableName("graft_semdedup_cells", dir)
     Ivf.ensureCellTable(input, "vec_id", "embedding", dim = 64,
-      nlist = nlist, table = table, tag = s"offset=$offset")
+      nlist = nlist, table = table, tag = s"offset=$offset " +
+        graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet"))
     // contract-domain check: the oracle's keep⟺no-identical-lower-id
     // semantics hold for rows the capped self-join SCORES — rows past
     // clusterCap in a skewed cell are kept unscored by design. Flag
@@ -919,7 +921,8 @@ object Pipeline {
     val table = cellTableName("graft_sig_corpus", dir)
     Dedup.ensureSignatureTable(
       docs.filter(pmod(col("doc_id"), lit(5)) =!= 4), "doc_id", "text", table,
-      k = 48, bands = 12)
+      k = 48, bands = 12,
+      tag = graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet"))
     val cand = Dedup.minhashCandidatesAgainstTable(spark, table,
         docs.filter(pmod(col("doc_id"), lit(5)) === 4),
         "doc_id", "text", k = 48, bands = 12, threshold = 0.2)
@@ -947,7 +950,8 @@ object Pipeline {
     val table = cellTableName("graft_sig_corpus", dir)
     Dedup.ensureSignatureTable(
       docs.filter(pmod(col("doc_id"), lit(5)) =!= 4), "doc_id", "text", table,
-      k = 48, bands = 12)
+      k = 48, bands = 12,
+      tag = graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet"))
     val work = java.nio.file.Files.createTempDirectory("graft-q82").toString
     val stage = s"$work/stage"; val out = s"$work/out"; val ckpt = s"$work/ckpt"
     docs.filter(pmod(col("doc_id"), lit(5)) === 4)

@@ -167,18 +167,34 @@ class OperatorsSpec extends SparkSuite {
       splitOf(bucket(c)) != splitOf(bucket(c + 1))))
   }
 
-  test("tokenBudgetSample: kept set is the maximal budget-respecting prefix per source") {
+  test("tokenBudgetSample matches a from-first-principles recomputation (md5 order, cumsum, budget)") {
     import org.apache.spark.sql.functions._
-    val out = Pipeline.tokenBudgetSample(spark, sfDir)
-    // every kept doc fits; every dropped doc's running total overflows
-    assert(out.filter(col("kept") && col("cum_tokens") > 4096).count() == 0)
-    assert(out.filter(!col("kept") && col("cum_tokens") <= 4096).count() == 0)
-    // prefix property: a kept doc never has a larger cum than a dropped
-    // one within the same source
-    val bad = out.filter(col("kept")).as("k")
-      .join(out.filter(!col("kept")).as("d"), Seq("source"))
-      .filter(col("k.cum_tokens") > col("d.cum_tokens")).count()
-    assert(bad == 0L, "kept/dropped sets are not a cum-ordered prefix split")
+    // independent ground truth: plain Scala tokenization + MessageDigest
+    // md5 ordering + running sum — none of the operator's Spark
+    // expressions (a wrong window partition/order/frame fails here;
+    // definition-restating assertions would not catch it)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.map { case (id, src, text) =>
+        (id, src, text.toLowerCase.split("\\s+").count(_.nonEmpty).toLong)
+      }.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+        .map { case (id, src, n) =>
+          cum += n; id -> ((src, n, cum, cum <= 4096L))
+        }
+    }.toMap
+    val got = Pipeline.tokenBudgetSample(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)}, expected $e")
+    }
   }
 
   test("duplicatedSpans: planted shared 8-gram block lights up both docs, unique docs stay dark") {
