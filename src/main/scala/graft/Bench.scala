@@ -84,10 +84,16 @@ object Bench {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val p = if (wh.startsWith("file:")) java.net.URI.create(wh).getPath else wh
       val d = java.nio.file.Paths.get(p)
+      // key on THIS corpus's artifact names (…_<md5(sfDir) prefix>, the
+      // cellTableName convention) — another SF's artifacts are not warmth
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       java.nio.file.Files.exists(d) && {
         val s = java.nio.file.Files.list(d)
-        try s.anyMatch(f => f.getFileName.toString.startsWith("graft_"))
-        finally s.close()
+        try s.anyMatch { f =>
+          val n = f.getFileName.toString
+          n.startsWith("graft_") && n.endsWith(sfx)
+        } finally s.close()
       }
     }
     // session warmup: JIT/codegen/scheduler paths + parquet reader init
