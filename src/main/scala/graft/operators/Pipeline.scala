@@ -944,7 +944,18 @@ object Pipeline {
     * the state, on disk), so no watermark or state store is involved and
     * restart recovery is offset tracking alone. The emitted pair SET is
     * batch-deterministic and equals q65/q74's — all three share one
-    * DuckDB brute-force oracle. */
+    * DuckDB brute-force oracle.
+    *
+    * Production extensions, deliberately OUTSIDE the gated query: (a)
+    * exactly-once across restarts — partition the sink by batchId and
+    * overwrite-per-batch, so a crash between append and offset commit
+    * can't double-emit on replay; (b) the full admission loop appends
+    * each batch's surviving (non-duplicate) signatures back into the
+    * signature table (`insertInto` preserves the bucket spec), so later
+    * batches dedup against earlier increments too. (b) is excluded here
+    * because inc-vs-inc pairs are not DuckDB-expressible (batch
+    * membership isn't in the data) and the q74-shared artifact must stay
+    * immutable for its own oracle. */
   def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val table = cellTableName("graft_sig_corpus", dir)
