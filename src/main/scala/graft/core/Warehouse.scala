@@ -29,6 +29,19 @@ import java.util.Comparator
   */
 object Warehouse {
 
+  /** Per-table lock for the ensure/build sequence: two threads ensuring
+    * the same absent artifact would otherwise BOTH see "not reusable" and
+    * race their saveAsTable overwrites (CatalogStore uses the same
+    * per-key-lock shape for its writers). Cross-JVM first-build races
+    * remain documented as out of scope — after the one-time build every
+    * caller is a reader. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def withTableLock[A](table: String)(f: => A): A =
+    tableLocks.computeIfAbsent(
+      table.toLowerCase(java.util.Locale.ROOT), _ => new Object)
+      .synchronized(f)
+
   private def dirOf(spark: SparkSession, table: String): Path = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val p = if (wh.startsWith("file:")) java.net.URI.create(wh).getPath else wh

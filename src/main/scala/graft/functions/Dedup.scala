@@ -208,9 +208,11 @@ object Dedup {
     // stamp) — a tag change is a different artifact and must rebuild
     val meta = (s"minhash-sig k=$k bands=$bands bucketCap=$bucketCap " +
       s"nBuckets=$nBuckets $tag").trim
-    if (!graft.core.Warehouse.ensureRegistered(spark, table, meta, "bh", nBuckets)) {
-      writeSignatureTable(df, idCol, textCol, table, k, bands, bucketCap, nBuckets)
-      graft.core.Warehouse.writeMeta(spark, table, meta)
+    graft.core.Warehouse.withTableLock(table) {
+      if (!graft.core.Warehouse.ensureRegistered(spark, table, meta, "bh", nBuckets)) {
+        writeSignatureTable(df, idCol, textCol, table, k, bands, bucketCap, nBuckets)
+        graft.core.Warehouse.writeMeta(spark, table, meta)
+      }
     }
   }
 

@@ -183,16 +183,18 @@ object Ivf {
     // config (e.g. q62's planted-key offset) — a tag change is a
     // different artifact and must rebuild, not reuse
     val meta = s"ivf-cells dim=$dim nlist=$nlist nBuckets=$nBuckets $tag".trim
-    val reused =
-      graft.core.Warehouse.ensureRegistered(spark, table, meta, "cid", nBuckets) &&
-      graft.core.Warehouse.ensureRegistered(spark, table + "_centroids", meta,
-        null, 0)
-    if (!reused) {
-      graft.core.Warehouse.clear(spark, table)
-      graft.core.Warehouse.clear(spark, table + "_centroids")
-      writeCellTable(df, idCol, vecCol, dim, nlist, table, nBuckets)
-      graft.core.Warehouse.writeMeta(spark, table, meta)
-      graft.core.Warehouse.writeMeta(spark, table + "_centroids", meta)
+    graft.core.Warehouse.withTableLock(table) {
+      val reused =
+        graft.core.Warehouse.ensureRegistered(spark, table, meta, "cid", nBuckets) &&
+        graft.core.Warehouse.ensureRegistered(spark, table + "_centroids", meta,
+          null, 0)
+      if (!reused) {
+        graft.core.Warehouse.clear(spark, table)
+        graft.core.Warehouse.clear(spark, table + "_centroids")
+        writeCellTable(df, idCol, vecCol, dim, nlist, table, nBuckets)
+        graft.core.Warehouse.writeMeta(spark, table, meta)
+        graft.core.Warehouse.writeMeta(spark, table + "_centroids", meta)
+      }
     }
   }
 

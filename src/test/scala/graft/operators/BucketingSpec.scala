@@ -158,6 +158,34 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("ensure: concurrent first-builds of one artifact serialize — one build, identical reads") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    graft.core.Warehouse.clear(spark, "ens_race")
+    graft.core.Warehouse.clear(spark, "ens_race_centroids")
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (1 to 4).foreach { _ =>
+        pool.execute { () =>
+          try graft.functions.Ivf.ensureCellTable(
+            emb, "vec_id", "embedding", dim = 64, nlist = 8, table = "ens_race")
+          catch { case t: Throwable => errs.add(t) }
+        }
+      }
+      pool.shutdown()
+      assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(errs.isEmpty, s"concurrent ensure failed: ${errs.peek()}")
+      // the artifact is whole and correct after the storm
+      assert(spark.table("ens_race").count() == emb.count())
+      assert(spark.table("ens_race_centroids").count() == 8)
+    } finally {
+      graft.core.Warehouse.clear(spark, "ens_race")
+      graft.core.Warehouse.clear(spark, "ens_race_centroids")
+    }
+  }
+
   test("stored cells: semantic dedup from the table matches on-the-fly verdicts, assignment-free plan") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Tables.embeddings(spark, sfDir)
