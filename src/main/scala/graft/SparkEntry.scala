@@ -193,6 +193,9 @@ object SparkEntry {
     // hard-negative mining: top-3 most-similar OTHER-label vectors per
     // query — the contrastive-training data-prep step
     "q83_hard_negatives"     -> Pipeline.hardNegatives _,
+    // corpus snapshot diff: the data-versioning delta report
+    // (added/removed/changed/unchanged by content fingerprint)
+    "q84_snapshot_diff"      -> Pipeline.snapshotDiff _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -857,6 +860,21 @@ object SparkEntry {
         | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    // snapshot diff: both engines build the same two deterministic views
+    // and compare md5 fingerprints through a full outer join
+    "q84_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, source AS src_old,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [draft]' ELSE text END) AS fp_old
+        |  FROM documents WHERE doc_id % 13 <> 5),
+        |new AS (SELECT doc_id, source AS src_new, md5(text) AS fp_new
+        |  FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+        |  coalesce(src_new, src_old) AS source,
+        |  CASE WHEN fp_old IS NULL THEN 'added'
+        |       WHEN fp_new IS NULL THEN 'removed'
+        |       WHEN fp_old <> fp_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id""".stripMargin,
     // q26's pattern + the label-mismatch predicate; ties broken on the
     // ROUNDED similarity then neighbor id, identically on both sides
     "q83_hard_negatives" ->

@@ -1015,6 +1015,37 @@ object Pipeline {
               col("neighbor_id"), col("neg_label"), col("cos_sim"))
   }
 
+  /** Corpus snapshot diff — the data-versioning delta report between two
+    * releases: which documents were added, removed, or content-changed
+    * (fingerprint inequality), per doc. Snapshots here are deterministic
+    * views of the one corpus file (old = id ≢ 5 mod 13 with pre-edit text
+    * for id ≡ 0 mod 11; new = id ≢ 0 mod 13 current text — the q60/q64
+    * mod-split convention for two-sided fixtures). The shape at 100 TB:
+    * a full-outer fingerprint join of two snapshot MANIFESTS (id, md5) —
+    * manifests are the release artifact (q68/q78), so the diff never
+    * touches document bodies, shuffles 16-byte digests keyed by id, and
+    * is linear in the manifest size. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val old = docs.filter(pmod(col("doc_id"), lit(13)) =!= 5)
+      .select(col("doc_id"), col("source").as("src_old"),
+        md5(when(pmod(col("doc_id"), lit(11)) === 0,
+              concat(col("text"), lit(" [draft]")))
+            .otherwise(col("text"))).as("fp_old"))
+    val neu = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+      .select(col("doc_id"), col("source").as("src_new"),
+        md5(col("text")).as("fp_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("src_new"), col("src_old")).as("source"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** Quality-aware canonical selection: within each duplicate cluster
     * (q57's connected components), keep the HIGHEST-QUALITY member
     * instead of the lowest id — the production choice when near-dup
