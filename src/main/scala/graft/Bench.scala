@@ -81,20 +81,17 @@ object Bench {
     // which mode THIS run measured, or round-over-round comparisons
     // conflate code changes with artifact-cache hits
     val warehouseWarm = {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val p = if (wh.startsWith("file:")) java.net.URI.create(wh).getPath else wh
-      val d = java.nio.file.Paths.get(p)
-      // key on THIS corpus's artifact names (…_<md5(sfDir) prefix>, the
-      // cellTableName convention) — another SF's artifacts are not warmth
-      val sfx = java.security.MessageDigest.getInstance("MD5")
-        .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      java.nio.file.Files.exists(d) && {
-        val s = java.nio.file.Files.list(d)
-        try s.anyMatch { f =>
-          val n = f.getFileName.toString
-          n.startsWith("graft_") && n.endsWith(sfx)
-        } finally s.close()
-      }
+      // warm means: EVERY ensure-backed artifact for THIS corpus exists
+      // with a fingerprint matching the current source data — exactly
+      // what ensure* will decide. A partial warehouse (one artifact of
+      // three) or a regenerated-in-place corpus (stale sourceStamp)
+      // reads as cold, because that run WILL pay those builds.
+      val sfx = graft.core.Warehouse.corpusSuffix(sfDir)
+      val embStamp = graft.core.Warehouse.sourceStamp(s"$sfDir/embeddings.parquet")
+      val docStamp = graft.core.Warehouse.sourceStamp(s"$sfDir/documents.parquet")
+      graft.core.Warehouse.isFresh(spark, s"graft_ivf_cells_$sfx", Seq(embStamp)) &&
+      graft.core.Warehouse.isFresh(spark, s"graft_semdedup_cells_$sfx", Seq(embStamp)) &&
+      graft.core.Warehouse.isFresh(spark, s"graft_sig_corpus_$sfx", Seq(docStamp))
     }
     // session warmup: JIT/codegen/scheduler paths + parquet reader init
     // (region is 5 rows — engine machinery, not query data)

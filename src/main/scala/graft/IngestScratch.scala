@@ -34,8 +34,7 @@ object IngestScratch {
     // corpus-keyed artifact names + source stamp, mirroring the production
     // call sites — fixed names silently re-attach another corpus's
     // artifact and the "ingest" timings become a no-op re-attach
-    val sfx = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val sfx = graft.core.Warehouse.corpusSuffix(dir)
     val stamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
     val docStamp = graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet")
 

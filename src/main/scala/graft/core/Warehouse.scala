@@ -22,10 +22,11 @@ import java.util.Comparator
   * (k/bands/nlist/dim/bucket count) plus the corpus identity the caller
   * encodes in the table NAME (md5 of the source dir). A mismatch — or a
   * directory without a fingerprint — clears the artifact and reports
-  * "not reusable", so the caller rebuilds. Concurrent FIRST builds of the
+  * "not reusable", so the caller rebuilds. In-process concurrent ensures
+  * serialize on [[withTableLock]]; only CROSS-JVM first builds of the
   * same corpus can still race on the directory (saveAsTable overwrite is
-  * not atomic on a local FS); after the one-time build every caller is a
-  * reader, which is the point of the artifact.
+  * not atomic on a local FS) — after the one-time build every caller is
+  * a reader, which is the point of the artifact.
   */
 object Warehouse {
 
@@ -41,6 +42,23 @@ object Warehouse {
     tableLocks.computeIfAbsent(
       table.toLowerCase(java.util.Locale.ROOT), _ => new Object)
       .synchronized(f)
+
+  /** The corpus-keyed artifact-name suffix — ONE definition of the
+    * md5(dir) convention shared by Pipeline's table names, Bench's
+    * warm-detection, and the profiling scratch (three hand-rolled copies
+    * previously coupled only by comments). */
+  def corpusSuffix(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
+  /** True iff `table`'s on-disk fingerprint exists and contains every
+    * given fragment — the exact "is this artifact fresh for THIS source
+    * data" probe (Bench uses it to record warm/cold honestly; a stale
+    * sourceStamp or a missing meta reads as cold, matching what ensure*
+    * will actually do). */
+  def isFresh(spark: SparkSession, table: String,
+              fragments: Seq[String]): Boolean =
+    metaOf(spark, table).exists(m => fragments.forall(m.contains))
 
   private def dirOf(spark: SparkSession, table: String): Path = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")

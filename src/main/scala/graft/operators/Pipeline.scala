@@ -213,8 +213,7 @@ object Pipeline {
   /** Stable per-corpus table name for an ingest-time artifact (the sf dir
     * IS the corpus identity here). */
   private def cellTableName(prefix: String, dir: String): String =
-    prefix + "_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    prefix + "_" + graft.core.Warehouse.corpusSuffix(dir)
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
