@@ -196,6 +196,9 @@ object SparkEntry {
     // corpus snapshot diff: the data-versioning delta report
     // (added/removed/changed/unchanged by content fingerprint)
     "q84_snapshot_diff"      -> Pipeline.snapshotDiff _,
+    // the release writer: source-partitioned id-sorted parquet layout,
+    // read back and audited (counts vs flags + one-file-per-source)
+    "q85_release_write"      -> Pipeline.releaseWrite _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -701,6 +704,16 @@ object SparkEntry {
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM rel GROUP BY 1, 2""".stripMargin),
+    // release writer audit: row/token counts per source come from the
+    // shared flags CTE; the one-file-per-source layout contract is the
+    // Spark-verified boolean (q33's contract-column pattern)
+    "q85_release_write" -> releaseFlagsSql(
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  true AS one_file_per_source
+        |FROM flags
+        |WHERE keep_exact AND q_ok AND not_eval AND clean AND mixed
+        |GROUP BY source""".stripMargin),
     "q68_data_card" -> releaseFlagsSql(
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,

@@ -930,6 +930,36 @@ object Pipeline {
       .orderBy("inc_id", "corpus_id")
   }
 
+  /** The release WRITER — the step that actually ships the corpus: docs
+    * passing every funnel gate are written as a source-partitioned,
+    * id-sorted parquet layout, then the LAYOUT itself is read back and
+    * audited (row/token counts per source against the flags, and the
+    * one-file-per-source contract via the `_metadata` file path — the
+    * write really produced the layout it promised, not just the rows).
+    * `repartition(source)` gives each source exactly one writing task, so
+    * partition directories hold ONE file at this scale; at 100 TB the
+    * same write repartitions by (source, shard-of-cumsum) — q78's shard
+    * map — for bounded file sizes, and the audit generalizes to
+    * files-per-shard. Sorted-within-file by doc_id keeps parquet
+    * row-group min/max id statistics tight for downstream point reads. */
+  def releaseWrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_release").toString
+    releaseFlags(spark, dir)
+      .filter(col("keep_exact") && col("q_ok") && col("not_eval") &&
+              col("clean") && col("mixed"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("source").parquet(out)
+    spark.read.parquet(out)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+              col("_metadata.file_path").as("f"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").cast("bigint").as("n_tokens"),
+           (countDistinct(col("f")) === 1).as("one_file_per_source"))
+  }
+
   /** The incremental-dedup loop as a STREAM — the production shape of
     * "dedup the firehose against the standing corpus". The increment
     * arrives as files (staged into micro-batches); each micro-batch runs
