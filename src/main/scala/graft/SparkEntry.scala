@@ -199,6 +199,9 @@ object SparkEntry {
     // the release writer: source-partitioned id-sorted parquet layout,
     // read back and audited (counts vs flags + one-file-per-source)
     "q85_release_write"      -> Pipeline.releaseWrite _,
+    // temperature-scaled multinomial mixing weights (α = 0.5: sqrt is
+    // correctly rounded, so the weights are bit-identical cross-engine)
+    "q86_mix_weights"        -> Pipeline.mixWeights _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -704,6 +707,20 @@ object SparkEntry {
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM rel GROUP BY 1, 2""".stripMargin),
+    // α=0.5 multinomial mixing: sqrt is IEEE-correctly-rounded (exact
+    // parity); the normalized share/budget/epochs are rounded aggregates
+    "q86_mix_weights" ->
+      """WITH s AS (SELECT source,
+        |    CAST(sum(len(regexp_extract_all(lower(text),'\S+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS tot FROM s)
+        |SELECT source, n_tokens,
+        |  sqrt(CAST(n_tokens AS DOUBLE)) AS weight,
+        |  round(sqrt(CAST(n_tokens AS DOUBLE)) / tot, 6) AS p_sample,
+        |  round(1000000 * sqrt(CAST(n_tokens AS DOUBLE)) / tot, 2) AS budget_tokens,
+        |  round(1000000 * sqrt(CAST(n_tokens AS DOUBLE)) / tot
+        |        / CAST(n_tokens AS DOUBLE), 4) AS epochs
+        |FROM s, t""".stripMargin,
     // release writer audit: row/token counts per source come from the
     // shared flags CTE; the one-file-per-source layout contract is the
     // Spark-verified boolean (q33's contract-column pattern)

@@ -930,6 +930,31 @@ object Pipeline {
       .orderBy("inc_id", "corpus_id")
   }
 
+  /** Temperature-scaled source sampling weights — the multinomial mixing
+    * recipe pretraining runs use to up-weight small/high-value sources:
+    * p(source) ∝ n_tokens^α. α = 0.5 here because sqrt is IEEE
+    * correctly-rounded (bit-identical cross-engine, unlike libm pow/exp —
+    * the q69/q73 determinism rule); the normalized share and the
+    * token allocation under a global budget are rounded as AGGREGATE
+    * derivatives (sum order differs across engines). One tiny aggregate
+    * over per-source token totals — at 100 TB this reads the data card
+    * (q68), not the corpus. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 1000000L
+    val bySource = Tables.documents(spark, dir)
+      .select(col("source"), Text.tokenCount(col("text")).cast("bigint").as("n"))
+      .groupBy("source").agg(sum("n").as("n_tokens"))
+    val w = sqrt(col("n_tokens").cast("double"))
+    val total = bySource.agg(sum(sqrt(col("n_tokens").cast("double"))))
+      .head().getDouble(0)
+    bySource.select(col("source"), col("n_tokens"),
+        w.as("weight"),
+        round(w / total, 6).as("p_sample"),
+        round(lit(budget) * w / total, 2).as("budget_tokens"),
+        round(lit(budget) * w / total / col("n_tokens").cast("double"), 4)
+          .as("epochs"))
+  }
+
   /** The release WRITER — the step that actually ships the corpus: docs
     * passing every funnel gate are written as a source-partitioned,
     * id-sorted parquet layout, then the LAYOUT itself is read back and
