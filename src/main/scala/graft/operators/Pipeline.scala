@@ -945,13 +945,18 @@ object Pipeline {
       .select(col("source"), Text.tokenCount(col("text")).cast("bigint").as("n"))
       .groupBy("source").agg(sum("n").as("n_tokens"))
     val w = sqrt(col("n_tokens").cast("double"))
-    val total = bySource.agg(sum(sqrt(col("n_tokens").cast("double"))))
-      .head().getDouble(0)
-    bySource.select(col("source"), col("n_tokens"),
+    // denominator via crossJoin(broadcast(agg)) — the unigramScore shape:
+    // ONE lazy plan whose identical groupBy subtree ReuseExchange dedupes
+    // (an eager .head() here ran the whole tokenize+aggregate twice and
+    // NPE'd on an empty corpus; this form degrades to zero rows)
+    val tot = bySource
+      .agg(sum(sqrt(col("n_tokens").cast("double"))).as("tot"))
+    bySource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
         w.as("weight"),
-        round(w / total, 6).as("p_sample"),
-        round(lit(budget) * w / total, 2).as("budget_tokens"),
-        round(lit(budget) * w / total / col("n_tokens").cast("double"), 4)
+        round(w / col("tot"), 6).as("p_sample"),
+        round(lit(budget) * w / col("tot"), 2).as("budget_tokens"),
+        round(lit(budget) * w / col("tot") / col("n_tokens").cast("double"), 4)
           .as("epochs"))
   }
 
