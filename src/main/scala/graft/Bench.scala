@@ -17,7 +17,7 @@ object Bench {
     * still dominate at this scale; candidate pairs stay collision-bounded). */
   private def scaleProbe(spark: SparkSession, sfDir: String,
                          factor: Int): Seq[(String, Double, Long)] = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-probe").toString
+    val dir = graft.core.Scratch.tempDir("graft-probe")
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count() * factor
     val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count() * factor
     // planted duplicate families (4% of docs), matched to the VERIFIED

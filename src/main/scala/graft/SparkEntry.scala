@@ -88,7 +88,7 @@ object SparkEntry {
     // (rows-only: emits closed windows only, by design — batch parity for
     // those is asserted in StreamsSpec; q35 stays the oracle-checkable path)
     "q48_stream_append"      -> ((s: SparkSession, dir: String) => {
-      val work = java.nio.file.Files.createTempDirectory("graft-q48").toString
+      val work = graft.core.Scratch.tempDir("graft-q48")
       // 4 chunks: enough micro-batches to exercise watermark advancement +
       // incremental arrival; emitted windows are identical from 2..8 chunks
       // (the trailing no-data batch flushes to global-max − watermark),
@@ -132,7 +132,7 @@ object SparkEntry {
     "q61_repetition"         -> Pipeline.repetitionMetrics _,
     "q62_semantic_dedup"     -> Pipeline.semanticDedup _,
     "q63_stream_dedup"       -> ((s: SparkSession, dir: String) => {
-      val work = java.nio.file.Files.createTempDirectory("graft-q63").toString
+      val work = graft.core.Scratch.tempDir("graft-q63")
       // state partitions sized down for the bench box like q48 (state-store
       // commit cost per partition per micro-batch dominates locally;
       // production sizes this to the executor count)
@@ -158,7 +158,7 @@ object SparkEntry {
     // stream-stream interval join (attribution): the emitted set equals
     // the batch interval join — oracle-checked
     "q71_stream_join"        -> ((s: SparkSession, dir: String) => {
-      val work = java.nio.file.Files.createTempDirectory("graft-q71").toString
+      val work = graft.core.Scratch.tempDir("graft-q71")
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try graft.streaming.Streams.streamStreamJoinFromParquet(s, dir, work)

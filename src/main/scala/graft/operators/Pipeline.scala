@@ -973,7 +973,7 @@ object Pipeline {
     * files-per-shard. Sorted-within-file by doc_id keeps parquet
     * row-group min/max id statistics tight for downstream point reads. */
   def releaseWrite(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_release").toString
+    val out = graft.core.Scratch.tempDir("graft_release")
     releaseFlags(spark, dir)
       .filter(col("keep_exact") && col("q_ok") && col("not_eval") &&
               col("clean") && col("mixed"))
@@ -1022,7 +1022,7 @@ object Pipeline {
       docs.filter(pmod(col("doc_id"), lit(5)) =!= 4), "doc_id", "text", table,
       k = 48, bands = 12,
       tag = graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet"))
-    val work = java.nio.file.Files.createTempDirectory("graft-q82").toString
+    val work = graft.core.Scratch.tempDir("graft-q82")
     val stage = s"$work/stage"; val out = s"$work/out"; val ckpt = s"$work/ckpt"
     docs.filter(pmod(col("doc_id"), lit(5)) === 4)
       .repartition(4).write.mode("overwrite").parquet(stage)
@@ -1451,7 +1451,7 @@ object Pipeline {
   /** Export round-trip: top orders → sanitized CSV artifact (S7) → re-read
     * (S1). Rows-only: exercises the ingest/export adapters end-to-end. */
   def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val out = graft.core.Scratch.tempDir("graft_export")
     val path = Ingest.exportResult(
       Relational.topOrders(spark, dir), out, "top orders: report?.csv")
     Ingest.readTable(spark, path, "csv")
