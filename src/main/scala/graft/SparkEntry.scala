@@ -202,6 +202,14 @@ object SparkEntry {
     // temperature-scaled multinomial mixing weights (α = 0.5: sqrt is
     // correctly rounded, so the weights are bit-identical cross-engine)
     "q86_mix_weights"        -> Pipeline.mixWeights _,
+    // overlapping token-window chunking, verified down to chunk md5
+    "q87_chunk_overlap"      -> Pipeline.chunkDocuments _,
+    // DSIR-style target-domain bigram-overlap score (exact-integer form)
+    "q88_target_overlap"     -> Pipeline.targetOverlapScore _,
+    // per-source vocabulary stats + Zipf-head coverage
+    "q89_vocab_coverage"     -> Pipeline.vocabCoverage _,
+    // cross-source duplication matrix over the verified near-dup pairs
+    "q90_cross_source_dups"  -> Pipeline.crossSourceDups _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -721,6 +729,57 @@ object SparkEntry {
         |  round(1000000 * sqrt(CAST(n_tokens AS DOUBLE)) / tot
         |        / CAST(n_tokens AS DOUBLE), 4) AS epochs
         |FROM s, t""".stripMargin,
+    // W=32/S=24 overlapping windows; both engines recompute the chunk
+    // text and hash it — content-exact, not just count-exact
+    "q87_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') AS t FROM documents),
+        |n AS (SELECT doc_id, t,
+        |        greatest(1, CAST(ceil(CAST(len(t)-32 AS DOUBLE)/24) AS INT)+1) AS nc
+        |      FROM t),
+        |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_id, t[i*24+1 : i*24+32] AS ck
+        |      FROM n, unnest(range(nc)) AS u(i))
+        |SELECT doc_id, chunk_id, CAST(len(ck) AS INT) AS n_chunk_tokens,
+        |       md5(array_to_string(ck,' ')) AS chunk_md5
+        |FROM c""".stripMargin,
+    // bigram-occurrence overlap with the lang='en' target vocabulary:
+    // exact integer counts, one raw IEEE division (no rounding)
+    "q88_target_overlap" ->
+      """WITH t AS (SELECT doc_id, lang, regexp_extract_all(lower(text),'\S+') AS tk FROM documents),
+        |bg AS (SELECT doc_id, lang, tk[i] || ' ' || tk[i+1] AS b
+        |       FROM t, unnest(range(1, greatest(len(tk), 1))) AS u(i)),
+        |v AS (SELECT DISTINCT b FROM bg WHERE lang = 'en'),
+        |h AS (SELECT doc_id, count(*) AS n_hits FROM bg JOIN v USING (b) GROUP BY 1)
+        |SELECT t.doc_id, lang = 'en' AS is_target,
+        |       CAST(greatest(len(tk)-1, 0) AS BIGINT) AS n_bigrams,
+        |       coalesce(h.n_hits, 0) AS n_hits,
+        |       CASE WHEN len(tk) > 1
+        |            THEN CAST(coalesce(h.n_hits,0) AS DOUBLE)/CAST(len(tk)-1 AS DOUBLE)
+        |       END AS overlap_score
+        |FROM t LEFT JOIN h USING (doc_id)""".stripMargin,
+    // corpus-global top-100 head (ties broken on the token string) +
+    // per-source coverage/type-token ratio; raw quotients of counts
+    "q89_vocab_coverage" ->
+      """WITH tk AS (SELECT source, unnest(regexp_extract_all(lower(text),'\S+')) AS tok FROM documents),
+        |top AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tk GROUP BY 1
+        |                         ORDER BY c DESC, tok ASC LIMIT 100)),
+        |cov AS (SELECT source, count(*) AS n_top FROM tk JOIN top USING (tok) GROUP BY 1),
+        |agg AS (SELECT source, count(*) AS n_tokens, count(DISTINCT tok) AS n_types
+        |        FROM tk GROUP BY 1)
+        |SELECT agg.source, n_tokens, n_types,
+        |       CAST(n_types AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+        |       CAST(coalesce(n_top,0) AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS top100_coverage
+        |FROM agg LEFT JOIN cov USING (source)""".stripMargin,
+    // the verified-pair universe grouped by unordered source pair — the
+    // brute-force oracle checks the pair set AND the attribution
+    "q90_cross_source_dups" ->
+      (verifiedAllPairsCte +
+        """SELECT least(da.source, db.source) AS source_a,
+          |       greatest(da.source, db.source) AS source_b,
+          |       count(*) AS n_pairs
+          |FROM p JOIN documents da ON p.id_a = da.doc_id
+          |       JOIN documents db ON p.id_b = db.doc_id
+          |WHERE p.j >= 0.9
+          |GROUP BY 1, 2""".stripMargin),
     // release writer audit: row/token counts per source come from the
     // shared flags CTE; the one-file-per-source layout contract is the
     // Spark-verified boolean (q33's contract-column pattern)

@@ -1448,6 +1448,113 @@ object Pipeline {
           > 0.5).as("boilerplate"))
   }
 
+  /** Overlapping token-window chunking (embedding / context-window prep):
+    * each document becomes ceil-strided windows of `W` tokens advancing by
+    * stride `S` (overlap W−S), the standard shaping step before embedding
+    * or packing long documents. A narrow map + Generate per document — no
+    * shuffle, no state; at 100 TB this is pure partition-local work that
+    * scales with input bytes. Chunk text is verified down to its md5 so
+    * the oracle pins exact window CONTENT, not just counts. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val W = 32
+    val S = 24
+    // n<=W → 1 chunk; else ceil((n-W)/S)+1. The double quotient is exact
+    // for these magnitudes, so ceil matches DuckDB's integer formula.
+    val t = Text.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          greatest(lit(1), (ceil((size(col("t")) - lit(W)).cast("double") / lit(S))
+            + 1).cast("int")) - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("t"), col("chunk_id") * S + 1, lit(W))).as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("t"), col("chunk_id") * S + 1, lit(W))))
+          .as("chunk_md5"))
+  }
+
+  /** Target-domain overlap scoring (DSIR-style importance signal, the
+    * exact-arithmetic core): score each document by the fraction of its
+    * token-bigram OCCURRENCES whose bigram appears in a target domain's
+    * vocabulary (here the `lang='en'` slice stands in for the curated
+    * target corpus). Hashed-n-gram feature overlap is the standard
+    * data-selection signal; this is its cross-engine-checkable integer
+    * form — exact occurrence counts, ONE raw IEEE division. Bigrams are
+    * xxhash64 over token hashes (injective stand-in — no bigram strings
+    * materialize); the target vocabulary is an aggregate small enough to
+    * broadcast (a curated target is ≪ the corpus at 100 TB; were it not,
+    * the join degrades gracefully to a shuffled semi-join). */
+  def targetOverlapScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val th = transform(Text.tokens(col("text")), t => xxhash64(t))
+    // bigram-hash OCCURRENCE list (multiplicity kept) behind a Generate
+    // barrier so token hashing runs once per document
+    val bg = docs
+      .select(col("doc_id"), col("lang"), explode(array(th)).as("th"))
+      .select(col("doc_id"), col("lang"),
+        explode(when(size(col("th")) >= 2,
+            transform(sequence(lit(1), size(col("th")) - 1),
+              i => xxhash64(element_at(col("th"), i),
+                            element_at(col("th"), i + 1))))
+          .otherwise(array().cast("array<bigint>"))).as("bh"))
+    val vocab = bg.filter(col("lang") === "en").select(col("bh")).distinct()
+    val hits = bg.join(broadcast(vocab), Seq("bh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    docs.select(col("doc_id"), (col("lang") === "en").as("is_target"),
+        greatest(size(Text.tokens(col("text"))) - 1, lit(0))
+          .cast("bigint").as("n_bigrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_target"), col("n_bigrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_bigrams") > 0,
+          coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_bigrams").cast("double")).as("overlap_score"))
+  }
+
+  /** Per-source vocabulary statistics: token count, type count,
+    * type-token ratio, and the share of occurrences covered by the
+    * corpus-global top-100 terms (Zipf-head coverage — a skew/diversity
+    * signal that flags template-heavy or low-entropy sources). Two
+    * inverted-index aggregates (map-side combinable) plus a broadcast
+    * semi-join against the 100-term head; ties at the head boundary
+    * break on the token string, so the set is deterministic. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+    val top = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(100).select("tok")
+    val cover = tok.join(broadcast(top), Seq("tok"))
+      .groupBy("source").agg(count(lit(1)).as("n_top"))
+    tok.groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+           countDistinct(col("tok")).as("n_types"))
+      .join(cover, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"),
+        (coalesce(col("n_top"), lit(0L)).cast("double")
+          / col("n_tokens").cast("double")).as("top100_coverage"))
+      .orderBy(col("source"))
+  }
+
+  /** Cross-source duplication matrix (provenance overlap report): the
+    * verified near-duplicate pairs (q24's banded + exact-verified
+    * machinery) aggregated by unordered source pair — which crawls /
+    * vendors / dumps are re-serving each other's content, the first
+    * question a mixing decision asks of a multi-source corpus. Pure
+    * group-by over the collision-bounded pair set. */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    minhashPairs(spark, dir)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+              greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Export round-trip: top orders → sanitized CSV artifact (S7) → re-read
     * (S1). Rows-only: exercises the ingest/export adapters end-to-end. */
   def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {

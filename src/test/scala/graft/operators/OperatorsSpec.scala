@@ -251,4 +251,83 @@ class OperatorsSpec extends SparkSuite {
           =!= col("dup_bigram_frac")).count()
     assert(mismatch == 0)
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("chunkDocuments: W=32/S=24 windows — boundaries, tail, and content md5") {
+    import spark.implicits._
+    val dir = tmpDir("chunk")
+    val toks70 = (1 to 70).map(i => s"t$i")
+    Seq(
+      (1L, toks70.mkString(" "), "en", "src0", 0L), // 70 toks -> 3 chunks
+      (2L, "only five tokens right here", "en", "src1", 0L)) // 5 -> 1 chunk
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Pipeline.chunkDocuments(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3))).toMap
+    assert(out.size == 4)
+    assert(out((1L, 0))._1 == 32 && out((1L, 1))._1 == 32)
+    assert(out((1L, 2))._1 == 22, "tail chunk holds the 22 remaining tokens")
+    // chunk 1 starts at token 25 (overlap of 8 with chunk 0) — exact content
+    assert(out((1L, 1))._2 == md5Hex(toks70.slice(24, 56).mkString(" ")))
+    assert(out((2L, 0)) == ((5, md5Hex("only five tokens right here"))))
+  }
+
+  test("targetOverlapScore: bigram hits against the en vocabulary, exact counts") {
+    import spark.implicits._
+    val dir = tmpDir("dsir")
+    Seq(
+      (1L, "a b c d", "en", "src0", 0L),  // target: vocab {a b, b c, c d}
+      (2L, "a b c x", "de", "src0", 0L),  // hits: a b, b c -> 2 of 3
+      (3L, "z z z", "de", "src0", 0L),    // z z not in vocab -> 0 of 2
+      (4L, "solo", "de", "src0", 0L))     // no bigrams -> null score
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = Pipeline.targetOverlapScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Boolean]("is_target") && m(1L).getAs[Long]("n_hits") == 3L)
+    assert(m(2L).getAs[Long]("n_bigrams") == 3L && m(2L).getAs[Long]("n_hits") == 2L)
+    assert(m(2L).getAs[Double]("overlap_score") == 2.0 / 3.0)
+    assert(m(3L).getAs[Long]("n_hits") == 0L)
+    assert(m(4L).getAs[Long]("n_bigrams") == 0L && m(4L).isNullAt(4))
+  }
+
+  test("vocabCoverage: exact counts; single-token source covers fully") {
+    import spark.implicits._
+    val dir = tmpDir("vocab")
+    // src_a: 150 singleton types + 'common' x30; src_b: 'common' x10
+    val aText = ((1 to 150).map(i => s"w$i") ++ Seq.fill(30)("common")).mkString(" ")
+    (Seq((1L, aText, "en", "src_a", 0L)) ++
+      (0 until 10).map(i => (10L + i, "common", "en", "src_b", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = Pipeline.vocabCoverage(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("src_a").getAs[Long]("n_tokens") == 180L)
+    assert(m("src_a").getAs[Long]("n_types") == 151L)
+    assert(m("src_b").getAs[Long]("n_tokens") == 10L &&
+      m("src_b").getAs[Long]("n_types") == 1L)
+    // 'common' (40 occurrences) tops the global head, so src_b is fully
+    // covered; src_a's coverage = (30 common + 99 tie-break singletons)/180
+    assert(m("src_b").getAs[Double]("top100_coverage") == 1.0)
+    assert(m("src_a").getAs[Double]("top100_coverage") == 129.0 / 180.0)
+    assert(m("src_a").getAs[Double]("type_token_ratio") == 151.0 / 180.0)
+  }
+
+  test("crossSourceDups: planted exact-dup family attributes pairs to source pairs") {
+    import spark.implicits._
+    val dir = tmpDir("xsrc")
+    val t = (1 to 60).map(i => s"v$i").mkString(" ")
+    val other = (100 to 170).map(i => s"u$i").mkString(" ")
+    Seq(
+      (1L, t, "en", "src_x", 0L), (2L, t, "en", "src_y", 0L),
+      (3L, t, "en", "src_x", 0L), (4L, other, "en", "src_y", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = Pipeline.crossSourceDups(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m == Map(("src_x", "src_x") -> 1L, ("src_x", "src_y") -> 2L))
+  }
 }
