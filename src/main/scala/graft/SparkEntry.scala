@@ -210,6 +210,12 @@ object SparkEntry {
     "q89_vocab_coverage"     -> Pipeline.vocabCoverage _,
     // cross-source duplication matrix over the verified near-dup pairs
     "q90_cross_source_dups"  -> Pipeline.crossSourceDups _,
+    // per-source quality quartiles (curriculum staging order)
+    "q91_curriculum_bins"    -> Pipeline.curriculumBins _,
+    // which eval doc each contaminated train doc leaks (argmax shared grams)
+    "q92_contamination_attribution" -> Pipeline.contaminationAttribution _,
+    // power-of-two token-length histogram per source (binary digit length)
+    "q93_length_histogram"   -> Pipeline.lengthHistogram _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -769,6 +775,43 @@ object SparkEntry {
         |       CAST(n_types AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS type_token_ratio,
         |       CAST(coalesce(n_top,0) AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS top100_coverage
         |FROM agg LEFT JOIN cov USING (source)""".stripMargin,
+    // q20's quality expression + ntile(4) per source; the (quality DESC,
+    // doc_id ASC) order is total, so the quartile assignment is exact
+    "q91_curriculum_bins" ->
+      """WITH q AS (SELECT doc_id, source,
+        |  round(least(1.0, (CAST(len(regexp_extract_all(lower(text),'\b(the|a|an|and|or|of|to|in|is)\b')) AS DOUBLE)
+        |      /greatest(CAST(len(regexp_extract_all(lower(text),'\S+')) AS DOUBLE),1.0))*4.0)
+        |    * (1.0 - least(1.0, (CAST(length(regexp_replace(text,'[^.,;:!?]','','g')) AS DOUBLE)
+        |      /greatest(CAST(length(text) AS DOUBLE),1.0))*10.0)), 4) AS quality
+        |  FROM documents)
+        |SELECT doc_id, source, quality,
+        |  CAST(ntile(4) OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id ASC) AS INT) AS stage
+        |FROM q""".stripMargin,
+    // distinct string 8-grams, train x eval inverted-index join, argmax
+    // by shared-gram count with ties to the lower eval id
+    "q92_contamination_attribution" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') AS tk FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        CASE WHEN len(tk) < 8 THEN array_to_string(tk,' ')
+        |             ELSE array_to_string(tk[i:i+7],' ') END AS gram
+        |      FROM t, unnest(range(1, greatest(len(tk)-6, 2))) AS u(i)),
+        |p AS (SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, count(*) AS n_shared
+        |      FROM g tr JOIN g ev USING (gram)
+        |      WHERE tr.doc_id % 10 <> 7 AND ev.doc_id % 10 = 7
+        |      GROUP BY 1, 2)
+        |SELECT train_id, eval_id, n_shared
+        |FROM (SELECT *, row_number() OVER (PARTITION BY train_id
+        |        ORDER BY n_shared DESC, eval_id ASC) AS rn FROM p)
+        |WHERE rn = 1""".stripMargin,
+    // binary-digit-length buckets: exact integer arithmetic, no log2
+    "q93_length_histogram" ->
+      """WITH d AS (SELECT source,
+        |  CAST(len(regexp_extract_all(lower(text),'\S+')) AS INT) AS n FROM documents)
+        |SELECT source, CAST(length(printf('%b', n)) AS INT) AS bucket,
+        |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  min(n) AS min_tokens, max(n) AS max_tokens
+        |FROM d GROUP BY 1, 2""".stripMargin,
     // the verified-pair universe grouped by unordered source pair — the
     // brute-force oracle checks the pair set AND the attribution
     "q90_cross_source_dups" ->

@@ -1555,6 +1555,60 @@ object Pipeline {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Curriculum staging: quality quartiles per source (ntile over the q20
+    * quality score, ties broken on doc_id) — the "train easy/clean first"
+    * ordering signal. One window per source partition, same scale shape
+    * as q80's budget window: partition-local sort of each source shard,
+    * no global sort. */
+  def curriculumBins(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        Text.qualityScore(col("text")).as("quality"))
+      .withColumn("stage", ntile(4).over(w))
+  }
+
+  /** Contamination attribution: for every train document sharing 8-grams
+    * with the eval holdout, WHICH eval document it leaks (argmax shared
+    * distinct grams, ties to the lower eval id) — q59 says "drop it",
+    * this says why, the evidence a decontamination report ships. The
+    * gram join is the q59/q81 inverted-index shape (long-arithmetic
+    * hashes), the argmax one window over the (train, eval) pair counts —
+    * collision-bounded by shared-gram mass, never all pairs. */
+  def contaminationAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val grams = Dedup.shingleHashRows(docs, "doc_id", "text", w = 8)
+    val train = grams.filter(col("id") % 10 =!= 7)
+      .select(col("id").as("train_id"), col("gh"))
+    val eval_ = grams.filter(col("id") % 10 === 7)
+      .select(col("id").as("eval_id"), col("gh"))
+    val pairs = train.join(eval_, Seq("gh"))
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("train_id")
+      .orderBy(col("n_shared").desc, col("eval_id").asc)
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("train_id"), col("eval_id"), col("n_shared"))
+  }
+
+  /** Per-source document-length histogram on power-of-two buckets: the
+    * length-distribution profile that catches truncation bugs, boiler-
+    * plate floods, and tokenizer drift between snapshots. The bucket is
+    * the token count's binary digit LENGTH — exact integer arithmetic on
+    * both engines (no log2, whose rounding is not cross-engine-safe). */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), Text.tokenCount(col("text")).as("n"))
+      .select(col("source"), length(bin(col("n").cast("long"))).as("bucket"),
+              col("n"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n").cast("bigint")).as("n_tokens"),
+           min(col("n")).as("min_tokens"),
+           max(col("n")).as("max_tokens"))
+      .orderBy(col("source"), col("bucket"))
+
   /** Export round-trip: top orders → sanitized CSV artifact (S7) → re-read
     * (S1). Rows-only: exercises the ingest/export adapters end-to-end. */
   def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {

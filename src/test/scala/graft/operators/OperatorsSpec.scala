@@ -316,6 +316,65 @@ class OperatorsSpec extends SparkSuite {
     assert(m("src_a").getAs[Double]("type_token_ratio") == 151.0 / 180.0)
   }
 
+  test("curriculumBins: quartiles balanced and ordered by quality within each source") {
+    val out = Pipeline.curriculumBins(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    val bySrc = out.groupBy("source", "stage").count()
+      .groupBy("source").agg((max("count") - min("count")).as("spread"),
+                             countDistinct("stage").as("nstages"))
+    assert(bySrc.filter(col("spread") > 1 || col("nstages") =!= 4).count() == 0,
+      "ntile quartiles must be balanced (sizes differ by at most 1)")
+    // stage boundaries respect the quality order: min(stage s) >= max(stage s+1)
+    val b = out.groupBy("source", "stage")
+      .agg(min("quality").as("lo"), max("quality").as("hi"))
+    val viol = b.as("a").join(b.as("c"),
+        col("a.source") === col("c.source") &&
+        col("a.stage") + 1 === col("c.stage"))
+      .filter(col("a.lo") < col("c.hi")).count()
+    assert(viol == 0, "a later stage holds higher quality than an earlier one")
+  }
+
+  test("contaminationAttribution: argmax shared grams, ties to the lower eval id") {
+    import spark.implicits._
+    val dir = tmpDir("attr")
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val x20 = toks("x", 20)                        // 13 grams
+    val x15 = (1 to 15).map(i => s"x$i").mkString(" ") // 8 grams, all inside x20's
+    val z8 = toks("z", 8)                          // exactly one 8-gram
+    Seq(
+      (1L, x20, "en", "src0", 0L),                 // train: 13 shared w/ eval 7, 8 w/ 17
+      (2L, toks("y", 10), "en", "src0", 0L),       // train: clean
+      (3L, z8, "en", "src0", 0L),                  // train: ties eval 27 vs 37
+      (7L, x20, "en", "src0", 0L),                 // eval
+      (17L, x15, "en", "src0", 0L),                // eval
+      (27L, z8 + " " + toks("w", 4), "en", "src0", 0L), // eval: contains z-gram
+      (37L, z8 + " " + toks("v", 4), "en", "src0", 0L)) // eval: contains z-gram too
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = Pipeline.contaminationAttribution(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(1L) == ((7L, 13L)), s"doc 1 should attribute to eval 7: $m")
+    assert(m(3L) == ((27L, 1L)), s"tie must break to the lower eval id: $m")
+    assert(!m.contains(2L), "clean train doc must not appear")
+  }
+
+  test("lengthHistogram: power-of-two buckets from binary digit length") {
+    import spark.implicits._
+    val dir = tmpDir("lhist")
+    val lens = Seq(1, 2, 3, 4, 7, 8)
+    lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(j => s"t$j").mkString(" "), "en", "srcA", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = Pipeline.lengthHistogram(spark, dir).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getInt(4), r.getInt(5)))).toMap
+    assert(m == Map(
+      1 -> ((1L, 1, 1)),   // n=1
+      2 -> ((2L, 2, 3)),   // n in [2,3]
+      3 -> ((2L, 4, 7)),   // n in [4,7]
+      4 -> ((1L, 8, 8))))  // n=8
+  }
+
   test("crossSourceDups: planted exact-dup family attributes pairs to source pairs") {
     import spark.implicits._
     val dir = tmpDir("xsrc")

@@ -134,6 +134,36 @@ class PlanAuditSpec extends SparkSuite {
       s"pair scoring must not shuffle-materialize the cross product:\n$plan")
   }
 
+  test("q87 chunking: pure narrow map + generate, ZERO exchanges") {
+    val plan = executedPlan("q87_chunk_overlap")
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"),
+      s"chunking must be partition-local (no shuffle):\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan reads columns chunking never uses: $readSchema")
+  }
+
+  test("q88 target overlap: vocabulary broadcasts, bigram strings never materialize") {
+    val plan = executedPlan("q88_target_overlap")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"target vocabulary should broadcast against the corpus bigrams:\n$plan")
+    assert(!plan.contains("concat_ws"),
+      s"bigram STRING construction in the hot path:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q89 vocab coverage: top-100 head broadcasts; counts map-side combine") {
+    val plan = executedPlan("q89_vocab_coverage")
+    assert(plan.contains("partial_count"),
+      "token counts not map-side combined before the shuffle")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 100-term head should broadcast, never shuffle the token stream:\n$plan")
+    assert(plan.contains("TakeOrdered"),
+      s"the head selection should be top-k, not a global sort:\n$plan")
+  }
+
   test("q57 cluster edges evaluate once (generator symmetrization, no cross product)") {
     val plan = executedPlan("q57_dup_clusters")
     // the result frame is a released checkpoint's LogicalRDD; audit the
