@@ -28,8 +28,11 @@ object Bench {
     // EXACT copies of their predecessor (guaranteed banding recall).
     // Without planted dups the r3 probe returned 0 pairs at 10× — it
     // timed signature + band-join machinery but never pair SCORING.
+    // fam 8 copies its predecessor (id%10==7 — an EVAL doc under the
+    // q59/q92 holdout convention): plants train->eval contamination so
+    // the attribution probe scores real shared-gram mass, not 0 rows
     val fam = pmod(col("id"), lit(50))
-    val base = when((fam === 1 || fam === 26) && col("id") > 0,
+    val base = when((fam === 1 || fam === 26 || fam === 8) && col("id") > 0,
       col("id") - 1).otherwise(col("id"))
     spark.range(nDocs).select(
         col("id").as("doc_id"),
@@ -53,7 +56,8 @@ object Bench {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     Seq("q22_exact_dup_groups", "q24_minhash_pairs", "q41_embedding_dups",
         "q57_dup_clusters", "q58_dup_clusters_lsh", "q62_semantic_dedup",
-        "q67_release_funnel", "q81_duplicated_spans")
+        "q67_release_funnel", "q81_duplicated_spans",
+        "q92_contamination_attribution")
       .map { name =>
         val t0 = System.nanoTime()
         val rows = try SparkEntry.queries(name)(spark, dir).count()

@@ -216,6 +216,8 @@ object SparkEntry {
     "q92_contamination_attribution" -> Pipeline.contaminationAttribution _,
     // power-of-two token-length histogram per source (binary digit length)
     "q93_length_histogram"   -> Pipeline.lengthHistogram _,
+    // per-source distribution deltas between the q84 snapshot views
+    "q94_snapshot_drift"     -> Pipeline.snapshotDrift _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -804,6 +806,24 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY train_id
         |        ORDER BY n_shared DESC, eval_id ASC) AS rn FROM p)
         |WHERE rn = 1""".stripMargin,
+    // same old/new snapshot views as q84; drift compares UNROUNDED means
+    // (exact int sums, one division), displayed means rounded as aggregates
+    "q94_snapshot_drift" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text),'\S+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |o AS (SELECT source, count(*) AS n_docs_old, CAST(sum(nt) AS BIGINT) AS tok_old
+        |      FROM d WHERE doc_id % 13 <> 5 GROUP BY 1),
+        |n AS (SELECT source, count(*) AS n_docs_new, CAST(sum(nt) AS BIGINT) AS tok_new
+        |      FROM d WHERE doc_id % 13 <> 0 GROUP BY 1)
+        |SELECT source, n_docs_old, n_docs_new,
+        |  n_docs_new - n_docs_old AS delta_docs,
+        |  round(CAST(tok_old AS DOUBLE)/CAST(n_docs_old AS DOUBLE), 4) AS mean_tokens_old,
+        |  round(CAST(tok_new AS DOUBLE)/CAST(n_docs_new AS DOUBLE), 4) AS mean_tokens_new,
+        |  abs(CAST(tok_new AS DOUBLE)/CAST(n_docs_new AS DOUBLE)
+        |      - CAST(tok_old AS DOUBLE)/CAST(n_docs_old AS DOUBLE))
+        |    > (CAST(tok_old AS DOUBLE)/CAST(n_docs_old AS DOUBLE)) * 0.1 AS mean_drifted
+        |FROM o FULL OUTER JOIN n USING (source)""".stripMargin,
     // binary-digit-length buckets: exact integer arithmetic, no log2
     "q93_length_histogram" ->
       """WITH d AS (SELECT source,

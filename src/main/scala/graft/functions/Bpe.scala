@@ -107,6 +107,32 @@ object Bpe {
     out.toList
   }
 
+  /** Distributed BPE training over a document corpus: the word-frequency
+    * DICTIONARY is a Spark aggregate (map-side-combined count over the
+    * alphabetic pre-tokens — the only corpus-scale pass), the merge loop
+    * runs driver-local over that dictionary, exactly [[train]]. This is
+    * the standard tokenizer-training shape (HF/SentencePiece train from a
+    * word-frequency dict, not raw text): the dictionary is Zipf-bounded,
+    * and `maxVocab` caps the driver transfer deterministically (count
+    * DESC, word ASC — a frequency cutoff, standard in BPE training) so
+    * 100 TB of text still ships only the top-K word rows to the driver.
+    * Training is inherently iterative (each merge depends on the last) —
+    * not SQL-expressible, so the contract check is BpeSpec: distributed
+    * == [[train]] over locally-recomputed frequencies, fixture + corpus. */
+  def trainOnCorpus(df: DataFrame, textCol: String, nMerges: Int,
+                    maxVocab: Int = 1 << 16): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    val wf = df
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    train(wf, nMerges)
+  }
+
   /** (idCol, n_bpe_merged) for every document: Σ |encode(word)| over
     * lowercased alphabetic pre-tokens, +1 per non-alphabetic pre-token.
     * mapPartitions + broadcast merges + per-partition word memoization. */

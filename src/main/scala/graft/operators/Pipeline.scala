@@ -1105,6 +1105,34 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Snapshot drift monitor: q84 answers WHICH documents changed between
+    * corpus versions; this answers whether the DISTRIBUTION moved —
+    * per-source doc counts and mean token length across the same two
+    * snapshot views, with a >10% mean-shift flag. The between-versions
+    * QA gate that catches a truncating extractor or a source gone
+    * boilerplate before a release ships. Two map-side-combined
+    * aggregates over ~20 source rows; the drift predicate compares
+    * UNROUNDED means (exact integer sums, one division each — identical
+    * doubles cross-engine), only the displayed means are rounded. */
+  def snapshotDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).cast("bigint").as("nt"))
+    def agg(f: DataFrame, suffix: String) = f.groupBy("source")
+      .agg(count(lit(1)).as(s"n_docs_$suffix"), sum("nt").as(s"tok_$suffix"))
+    val old = agg(docs.filter(pmod(col("doc_id"), lit(13)) =!= 5), "old")
+    val neu = agg(docs.filter(pmod(col("doc_id"), lit(13)) =!= 0), "new")
+    val meanOld = col("tok_old").cast("double") / col("n_docs_old").cast("double")
+    val meanNew = col("tok_new").cast("double") / col("n_docs_new").cast("double")
+    old.join(neu, Seq("source"), "full_outer")
+      .select(col("source"), col("n_docs_old"), col("n_docs_new"),
+        (col("n_docs_new") - col("n_docs_old")).as("delta_docs"),
+        round(meanOld, 4).as("mean_tokens_old"),
+        round(meanNew, 4).as("mean_tokens_new"),
+        (abs(meanNew - meanOld) > meanOld * 0.1).as("mean_drifted"))
+      .orderBy("source")
+  }
+
   /** Quality-aware canonical selection: within each duplicate cluster
     * (q57's connected components), keep the HIGHEST-QUALITY member
     * instead of the lowest id — the production choice when near-dup

@@ -12,6 +12,26 @@ class BpeSpec extends SparkSuite {
     assert(m(1) == ("ab", "ab"))
   }
 
+  test("trainOnCorpus: distributed word counts feed the exact local trainer") {
+    import spark.implicits._
+    // planted fixture: known frequencies, a tie the ordering must break
+    val docs = Seq("abab abab abc", "abab ABC xyz 123", "xyz? abab").toDF("text")
+    val got = Bpe.trainOnCorpus(docs, "text", nMerges = 3)
+    // local twin over hand-counted frequencies: abab×4, abc×2, xyz×2
+    val want = Bpe.train(Map("abab" -> 4L, "abc" -> 2L, "xyz" -> 2L), 3)
+    assert(got == want, s"got $got want $want")
+    // corpus contract: distributed == local trainer over the same text
+    // (two pre-token paths — SQL regexp vs java regex — one merge loop)
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+    val localFreqs = corpus.select("text").collect()
+      .flatMap(r => "[a-z]+".r.findAllIn(r.getString(0).toLowerCase(java.util.Locale.ROOT)))
+      .groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    assert(Bpe.trainOnCorpus(corpus, "text", 24) == Bpe.train(localFreqs, 24))
+    // and the checked-in fixture IS what training on this corpus family
+    // produces at sf0.01 (provenance note on `merges`): shape-check only
+    assert(Bpe.trainOnCorpus(corpus, "text", 24).length == 24)
+  }
+
   test("encode: staged fold equals the delimited-string replace reference (the oracle's form)") {
     // independent reference mirroring SparkEntry's generated DuckDB SQL:
     // java String.replace is left-to-right non-overlapping, like DuckDB's
