@@ -164,6 +164,27 @@ class PlanAuditSpec extends SparkSuite {
       s"the head selection should be top-k, not a global sort:\n$plan")
   }
 
+  test("q92 attribution: gram-hash keyed join, map-side combine, no gram strings") {
+    val plan = executedPlan("q92_contamination_attribution")
+    assert(!plan.contains("concat_ws"),
+      s"gram STRING construction in the hot path:\n$plan")
+    assert(plan.contains("partial_count"),
+      "pair counts not map-side combined before the shuffle")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"train x eval must join on the gram hash, never cross:\n$plan")
+  }
+
+  test("q94 drift: two partial aggregates, no re-scan explosion") {
+    val plan = executedPlan("q94_snapshot_drift")
+    assert(plan.contains("partial_count"),
+      "per-source aggregates not map-side combined")
+    assert(!plan.contains("CartesianProduct"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang"),
+      s"scan reads columns drift never uses: $readSchema")
+  }
+
   test("q57 cluster edges evaluate once (generator symmetrization, no cross product)") {
     val plan = executedPlan("q57_dup_clusters")
     // the result frame is a released checkpoint's LogicalRDD; audit the
