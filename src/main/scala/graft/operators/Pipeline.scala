@@ -1509,9 +1509,9 @@ object Pipeline {
     * data-selection signal; this is its cross-engine-checkable integer
     * form — exact occurrence counts, ONE raw IEEE division. Bigrams are
     * xxhash64 over token hashes (injective stand-in — no bigram strings
-    * materialize); the target vocabulary is an aggregate small enough to
-    * broadcast (a curated target is ≪ the corpus at 100 TB; were it not,
-    * the join degrades gracefully to a shuffled semi-join). */
+    * materialize); the target-vocabulary join is left to AQE, which
+    * broadcasts a dictionary-sized vocab (the curated-target case) and
+    * falls back to a shuffled hash join for a corpus-scale one. */
   def targetOverlapScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
@@ -1526,8 +1526,12 @@ object Pipeline {
               i => xxhash64(element_at(col("th"), i),
                             element_at(col("th"), i + 1))))
           .otherwise(array().cast("array<bigint>"))).as("bh"))
+    // NO broadcast hint: a hint would force a driver-side build even for
+    // a corpus-scale target. AQE decides from the vocab aggregate's
+    // RUNTIME size — broadcast when it is dictionary-sized (the curated-
+    // target case, plan-audited at test SF), shuffled join when not.
     val vocab = bg.filter(col("lang") === "en").select(col("bh")).distinct()
-    val hits = bg.join(broadcast(vocab), Seq("bh"))
+    val hits = bg.join(vocab, Seq("bh"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     docs.select(col("doc_id"), (col("lang") === "en").as("is_target"),
         greatest(size(Text.tokens(col("text"))) - 1, lit(0))
@@ -1574,7 +1578,11 @@ object Pipeline {
     * group-by over the collision-bounded pair set. */
   def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    minhashPairs(spark, dir)
+    // the UNORDERED pair set: q24's presentation orderBy would be dead
+    // weight under this aggregate (EliminateSorts usually removes it,
+    // but the contract belongs in the code, not the optimizer)
+    verifiedNearDupPairs(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
       .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
       .select(least(col("sa"), col("sb")).as("source_a"),
