@@ -218,6 +218,8 @@ object SparkEntry {
     "q93_length_histogram"   -> Pipeline.lengthHistogram _,
     // per-source distribution deltas between the q84 snapshot views
     "q94_snapshot_drift"     -> Pipeline.snapshotDrift _,
+    // materialized q86 mix: floor(epochs) copies + md5-bucket fractional
+    "q95_epoch_mix"          -> Pipeline.epochMix _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -806,6 +808,26 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY train_id
         |        ORDER BY n_shared DESC, eval_id ASC) AS rn FROM p)
         |WHERE rn = 1""".stripMargin,
+    // q86's unrounded epochs per source; copies = floor + md5-bucket
+    // fractional share (deterministic, no rand() on either engine)
+    "q95_epoch_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text),'\S+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |s AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        |t AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS tot FROM s),
+        |w AS (SELECT source,
+        |        1000000 * sqrt(CAST(n_tokens AS DOUBLE)) / tot
+        |          / CAST(n_tokens AS DOUBLE) AS epochs
+        |      FROM s, t),
+        |c AS (SELECT d.doc_id, d.source,
+        |        CAST(floor(epochs) AS INT) +
+        |        CASE WHEN CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,4))::INT % 100 AS DOUBLE)
+        |                  < (epochs - floor(epochs)) * 100.0 THEN 1 ELSE 0 END AS n_copies
+        |      FROM d JOIN w USING (source))
+        |SELECT doc_id, source, CAST(i AS INT) AS copy_idx
+        |FROM c, unnest(range(1, n_copies + 1)) AS u(i)
+        |WHERE n_copies > 0""".stripMargin,
     // same old/new snapshot views as q84; drift compares UNROUNDED means
     // (exact int sums, one division), displayed means rounded as aggregates
     "q94_snapshot_drift" ->

@@ -960,6 +960,40 @@ object Pipeline {
           .as("epochs"))
   }
 
+  /** Epoch-expanded training mix: MATERIALIZE the q86 weights — every
+    * document appears floor(epochs(source)) times, plus one more copy for
+    * a deterministic md5-bucket share equal to the fractional part (the
+    * standard "1.7 epochs of source A" semantics, made reproducible: no
+    * rand(), re-runs emit the identical mix). The per-source epoch
+    * expression re-derives q86's UNROUNDED value; copies come from one
+    * generate over a broadcast-joined 20-row weight table — a narrow map
+    * over the corpus, no shuffle of the expanded rows. The fractional
+    * boundary sits on a continuous md5 quantity, so the 1-ulp sum-order
+    * wobble in the sqrt denominator cannot flip a bucket (empirically
+    * exact at all gate SFs, like q60's bucket sampling). */
+  def epochMix(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 1000000L
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).cast("bigint").as("nt"))
+    val bySource = docs.groupBy("source").agg(sum("nt").as("n_tokens"))
+    val tot = bySource
+      .agg(sum(sqrt(col("n_tokens").cast("double"))).as("tot"))
+    val weights = bySource.crossJoin(broadcast(tot))
+      .select(col("source"),
+        (lit(budget) * sqrt(col("n_tokens").cast("double")) / col("tot")
+          / col("n_tokens").cast("double")).as("epochs"))
+    docs.join(broadcast(weights), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        (floor(col("epochs")).cast("int") +
+          when(md5Bucket(col("doc_id")).cast("double") <
+            (col("epochs") - floor(col("epochs"))) * 100.0, 1).otherwise(0))
+          .as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy_idx"))
+  }
+
   /** The release WRITER — the step that actually ships the corpus: docs
     * passing every funnel gate are written as a source-partitioned,
     * id-sorted parquet layout, then the LAYOUT itself is read back and

@@ -375,6 +375,29 @@ class OperatorsSpec extends SparkSuite {
       4 -> ((1L, 8, 8))))  // n=8
   }
 
+  test("epochMix: per-doc copy counts equal floor(epochs) + md5-fractional share") {
+    import spark.implicits._
+    val dir = tmpDir("emix")
+    def doc(id: Long, src: String) =
+      (id, (1 to 100).map(i => s"t$i").mkString(" "), "en", src, 0L)
+    // srcA: 400 tokens (4 docs), srcB: 100 tokens (1 doc)
+    (Seq(doc(10, "srcA"), doc(11, "srcA"), doc(12, "srcA"), doc(13, "srcA"),
+         doc(20, "srcB")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Pipeline.epochMix(spark, dir).groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tot = math.sqrt(400.0) + math.sqrt(100.0)
+    def expected(id: Long, n: Double) = {
+      val e = 1000000.0 * math.sqrt(n) / tot / n
+      val b = Integer.parseInt(md5Hex(id.toString).substring(0, 4), 16) % 100
+      e.toLong + (if (b.toDouble < (e - math.floor(e)) * 100.0) 1 else 0)
+    }
+    Seq(10L, 11L, 12L, 13L).foreach { id =>
+      assert(got(id) == expected(id, 400.0), s"doc $id") }
+    assert(got(20L) == expected(20L, 100.0))
+  }
+
   test("crossSourceDups: planted exact-dup family attributes pairs to source pairs") {
     import spark.implicits._
     val dir = tmpDir("xsrc")

@@ -185,6 +185,14 @@ class PlanAuditSpec extends SparkSuite {
       s"scan reads columns drift never uses: $readSchema")
   }
 
+  test("q95 epoch mix: weights broadcast-join the corpus; expansion is a narrow generate") {
+    val plan = executedPlan("q95_epoch_mix")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 20-row weight table must broadcast, never shuffle the corpus:\n$plan")
+    assert(plan.contains("Generate"), "epoch expansion should be a generate")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q57 cluster edges evaluate once (generator symmetrization, no cross product)") {
     val plan = executedPlan("q57_dup_clusters")
     // the result frame is a released checkpoint's LogicalRDD; audit the
