@@ -220,6 +220,8 @@ object SparkEntry {
     "q94_snapshot_drift"     -> Pipeline.snapshotDrift _,
     // materialized q86 mix: floor(epochs) copies + md5-bucket fractional
     "q95_epoch_mix"          -> Pipeline.epochMix _,
+    // the q67 funnel as an id-ordered streaming admission loop
+    "q96_stream_release_admission" -> Pipeline.streamReleaseAdmission _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -875,6 +877,12 @@ object SparkEntry {
         |FROM flags
         |WHERE keep_exact AND q_ok AND not_eval AND clean AND mixed
         |GROUP BY source""".stripMargin),
+    // streamed admission == the batch release set: every gate per-doc,
+    // exact dedup via first-arrival-wins over id-ordered batches ≡ the
+    // flags CTE's min-id-per-fingerprint rule
+    "q96_stream_release_admission" -> releaseFlagsSql(
+      """SELECT doc_id, source, n_tokens FROM flags
+        |WHERE keep_exact AND q_ok AND not_eval AND clean AND mixed""".stripMargin),
     "q68_data_card" -> releaseFlagsSql(
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,

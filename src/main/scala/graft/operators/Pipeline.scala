@@ -1082,6 +1082,77 @@ object Pipeline {
     spark.read.parquet(out).orderBy("inc_id", "corpus_id")
   }
 
+  /** The release funnel as a STREAMING ADMISSION LOOP: documents arrive
+    * in id-ordered micro-batches and every q67 per-doc gate runs per
+    * batch — Gopher quality, eval holdout, benchmark decontamination
+    * (gram join vs the static eval set), domain mixing, and exact dedup
+    * as FIRST-ARRIVAL-WINS against a standing fingerprint table on disk
+    * (the q82 "state is a table" shape: stateless stream, durable state).
+    * Because arrival order is id order — the ingest contract this
+    * admission requires, enforced here by staging id-range files with
+    * separated mtimes — first-arrival-wins is EXACTLY the batch funnel's
+    * min-id-per-fingerprint rule, so the streamed union of admitted docs
+    * equals the batch q67 release set and shares the flags-CTE oracle.
+    * The standing table accumulates every SEEN fingerprint (not just
+    * admitted ones): the batch rule rejects a duplicate of a low-quality
+    * original too. */
+  def streamReleaseAdmission(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val work = graft.core.Scratch.tempDir("graft-q96")
+    val stage = s"$work/stage"; val out = s"$work/out"
+    val ckpt = s"$work/ckpt"; val fpDir = s"$work/fps"
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    (0 until 3).foreach { i =>
+      docs.filter(col("doc_id") >= lit(i * (mx + 1) / 3) &&
+                  col("doc_id") < lit((i + 1) * (mx + 1) / 3))
+        .coalesce(1) // ONE file per range: intra-range files would share
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(stage)
+      Thread.sleep(50) // separate mtimes: the file source replays in id order
+    }
+    val schema = docs.schema
+    val inc = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = inc.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val withFp = batch.select(col("doc_id"), col("source"),
+            col("text"), Text.fingerprint(col("text")).as("fp"))
+        val seen =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(fpDir)))
+            spark.read.parquet(fpDir)
+          else spark.emptyDataFrame.select(lit("").as("fp")).limit(0)
+        // contaminated batch ids: any distinct 8-gram shared with the
+        // STATIC eval slice (identical gate to the batch flags' `clean`)
+        val evalSet = Dedup.shingleHashRows(
+            docs.filter(isEvalDoc).select(col("doc_id"), col("text")),
+            "doc_id", "text", w = 8)
+          .select(col("gh")).distinct()
+        val dirty = Dedup.shingleHashRows(
+            withFp.select(col("doc_id"), col("text")), "doc_id", "text", w = 8)
+          .join(broadcast(evalSet), Seq("gh"))
+          .select(col("id").as("doc_id")).distinct()
+        withFp
+          .withColumn("first_in_batch", col("doc_id") ===
+            min("doc_id").over(Window.partitionBy("fp")))
+          .join(seen.select(col("fp"), lit(true).as("seen_before")),
+                Seq("fp"), "left")
+          .join(dirty.select(col("doc_id"), lit(true).as("dirty")),
+                Seq("doc_id"), "left")
+          .filter(col("first_in_batch") && col("seen_before").isNull &&
+            col("dirty").isNull && gopherOk(col("text")) && !isEvalDoc &&
+            md5Bucket(col("doc_id")) < mixRate(col("source")))
+          .select(col("doc_id"), col("source"),
+            Text.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+          .write.mode("append").parquet(out)
+        // standing state AFTER admission: every fingerprint seen this batch
+        withFp.select("fp").distinct().write.mode("append").parquet(fpDir)
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out).orderBy("doc_id")
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-3 most-similar vectors with a DIFFERENT label — the
     * "looks alike, isn't" examples an embedding model trains against.

@@ -90,6 +90,30 @@ class StreamsSpec extends SparkSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("streamReleaseAdmission: cross-batch first-arrival dedup equals batch min-id semantics") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    val dir = tmpDir("q96fix")
+    val good = "alpha beta gamma delta epsilon and the of to here"    // passes gopher
+    val bad = "a b c d e f"                                           // mean len < 2
+    val evalT = (1 to 10).map(i => s"e$i").mkString(" ")              // 10 toks: real 8-grams
+    val leaky = evalT + " x1 x2"                                      // shares eval 8-grams
+    Seq(
+      (5L, good, "en", "src9", 0L),          // admitted (batch 0)
+      (7L, evalT, "en", "src9", 0L),         // eval doc: held out
+      (10L, bad, "en", "src9", 0L),          // rejected: quality
+      (30L, leaky, "en", "src9", 0L),        // rejected: contaminated
+      (42L, "omega psi chi phi upsilon tau rho", "en", "src9", 0L), // admitted
+      (400L, good, "en", "src9", 0L),        // dup of ADMITTED 5, later batch
+      (410L, bad, "en", "src9", 0L))         // dup of REJECTED 10: still out
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Pipeline.streamReleaseAdmission(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(5L, 42L),
+      s"expected exactly the batch release set {5, 42}, got $got")
+  }
+
   test("consecutiveErrorAlerts fires at threshold and resets on success") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
