@@ -1113,6 +1113,14 @@ object Pipeline {
     val schema = docs.schema
     val inc = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
+    // the STATIC eval gram set is shared by every micro-batch — without
+    // materialization each batch re-tokenized and re-shingled the whole
+    // eval slice (measured ~1/3 of q96's cost at sf0.1)
+    graft.core.Mat.withMaterialized(
+      Dedup.shingleHashRows(
+          docs.filter(isEvalDoc).select(col("doc_id"), col("text")),
+          "doc_id", "text", w = 8)
+        .select(col("gh")).distinct()) { evalSet =>
     val q = inc.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val withFp = batch.select(col("doc_id"), col("source"),
@@ -1123,10 +1131,6 @@ object Pipeline {
           else spark.emptyDataFrame.select(lit("").as("fp")).limit(0)
         // contaminated batch ids: any distinct 8-gram shared with the
         // STATIC eval slice (identical gate to the batch flags' `clean`)
-        val evalSet = Dedup.shingleHashRows(
-            docs.filter(isEvalDoc).select(col("doc_id"), col("text")),
-            "doc_id", "text", w = 8)
-          .select(col("gh")).distinct()
         val dirty = Dedup.shingleHashRows(
             withFp.select(col("doc_id"), col("text")), "doc_id", "text", w = 8)
           .join(broadcast(evalSet), Seq("gh"))
@@ -1150,6 +1154,7 @@ object Pipeline {
       }
       .option("checkpointLocation", ckpt).start()
     try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(out).orderBy("doc_id")
   }
 
