@@ -222,6 +222,8 @@ object SparkEntry {
     "q95_epoch_mix"          -> Pipeline.epochMix _,
     // the q67 funnel as an id-ordered streaming admission loop
     "q96_stream_release_admission" -> Pipeline.streamReleaseAdmission _,
+    // per-source duplicate-mass report (the per-source face of q22)
+    "q97_dedup_profile"      -> Pipeline.dedupProfile _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -781,6 +783,15 @@ object SparkEntry {
         |       CAST(n_types AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS type_token_ratio,
         |       CAST(coalesce(n_top,0) AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS top100_coverage
         |FROM agg LEFT JOIN cov USING (source)""".stripMargin,
+    // the q22 fingerprint normalization, grouped by source; dup_rate is
+    // one raw IEEE quotient of exact counts
+    "q97_dedup_profile" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(trim(regexp_replace(lower(text),'\s+',' ','g')))) AS n_unique,
+        |  count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text),'\s+',' ','g')))) AS n_dup_docs,
+        |  CAST(count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text),'\s+',' ','g')))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_rate
+        |FROM documents GROUP BY source""".stripMargin,
     // q20's quality expression + ntile(4) per source; the (quality DESC,
     // doc_id ASC) order is total, so the quartile assignment is exact
     "q91_curriculum_bins" ->

@@ -1215,6 +1215,24 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Per-source dedup profile: how much of each source is duplicate mass
+    * — doc count, distinct-fingerprint count, duplicate docs (beyond the
+    * per-fingerprint canonical) and the duplicate rate — the per-source
+    * face of q22, and the number a crawl/vendor quality conversation
+    * starts from. One digest-only aggregate (the fp shuffle carries
+    * ~48-byte rows, never text). */
+  def dedupProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), Text.fingerprint(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("fp")).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        (col("n_docs") - col("n_unique")).as("n_dup_docs"),
+        ((col("n_docs") - col("n_unique")).cast("double")
+          / col("n_docs").cast("double")).as("dup_rate"))
+      .orderBy("source")
+
   /** Snapshot drift monitor: q84 answers WHICH documents changed between
     * corpus versions; this answers whether the DISTRIBUTION moved —
     * per-source doc counts and mean token length across the same two
