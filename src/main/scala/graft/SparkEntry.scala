@@ -224,6 +224,11 @@ object SparkEntry {
     "q96_stream_release_admission" -> Pipeline.streamReleaseAdmission _,
     // per-source duplicate-mass report (the per-source face of q22)
     "q97_dedup_profile"      -> Pipeline.dedupProfile _,
+    // MOSS winnowing: min gram-hash per sliding window, O(n/w) fingerprints
+    "q98_winnow_fingerprints" -> Pipeline.winnowFingerprints _,
+    // the full ordered BPE token stream per doc, pinned by md5 (q70's
+    // count contract upgraded to a content contract)
+    "q99_bpe_encode"         -> Pipeline.bpeEncodeSequences _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -792,6 +797,53 @@ object SparkEntry {
         |  CAST(count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text),'\s+',' ','g')))) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS dup_rate
         |FROM documents GROUP BY source""".stripMargin,
+    // winnowing selection depends on hash VALUES, so both engines hash the
+    // gram string identically (md5-prefix int60); the window min / distinct
+    // / doc-frequency pipeline then mirrors exactly. fp_density is one raw
+    // IEEE quotient of exact counts.
+    "q98_winnow_fingerprints" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') AS toks FROM documents),
+        |g AS (SELECT doc_id, CAST(greatest(len(toks)-4, 1) AS BIGINT) AS n_grams, i AS pos,
+        |        ('0x'||substr(md5(array_to_string(toks[i:i+4],' ')),1,15))::BIGINT AS gh
+        |      FROM t, unnest(range(1, greatest(len(toks)-3, 2))) AS u(i)),
+        |wmt AS (SELECT doc_id, n_grams, pos,
+        |          min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+        |        FROM g),
+        |fp AS (SELECT DISTINCT doc_id, n_grams, wm FROM wmt
+        |       WHERE pos <= greatest(n_grams-3, 1)),
+        |df AS (SELECT wm, count(*) AS nd FROM fp GROUP BY 1),
+        |per AS (SELECT fp.doc_id, fp.n_grams, CAST(count(*) AS BIGINT) AS n_fp,
+        |          CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp
+        |        FROM fp JOIN df USING (wm) GROUP BY 1, 2)
+        |SELECT doc_id, n_grams, n_fp, n_shared_fp,
+        |  CAST(n_fp AS DOUBLE)/CAST(n_grams AS DOUBLE) AS fp_density
+        |FROM per""".stripMargin,
+    // the independent DuckDB BPE (nested replaces, q70's machinery) applied
+    // per distinct word, stitched back in pre-token order with string_agg,
+    // then md5 — content + order, not just counts
+    "q99_bpe_encode" ->
+      """WITH pt AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]') AS toks
+        |            FROM documents),
+        |pos AS (SELECT doc_id, i, toks[i] AS t
+        |        FROM pt, unnest(range(1, len(toks)+1)) AS u(i)),
+        |dw AS (SELECT DISTINCT lower(t) AS w FROM pos
+        |       WHERE regexp_full_match(t, '[A-Za-z]+')),
+        |enc AS (SELECT w, replace(trim(__BPE_ENC__, '|'), '||', ' ') AS e FROM dw),
+        |seqs AS (SELECT p.doc_id,
+        |           string_agg(CASE WHEN e.w IS NOT NULL THEN e.e ELSE p.t END,
+        |                      ' ' ORDER BY p.i) AS seq,
+        |           CAST(sum(CASE WHEN e.w IS NOT NULL
+        |                    THEN len(string_split(e.e, ' ')) ELSE 1 END) AS BIGINT) AS n_symbols
+        |         FROM pos p LEFT JOIN enc e
+        |           ON regexp_full_match(p.t, '[A-Za-z]+') AND lower(p.t) = e.w
+        |         GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(s.n_symbols, 0) END AS n_symbols,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE md5(coalesce(s.seq, '')) END AS seq_md5
+        |FROM documents d LEFT JOIN seqs s USING (doc_id)"""
+        .stripMargin
+        .replace("__BPE_ENC__", graft.functions.Bpe.duckdbNestedReplace("w")),
     // q20's quality expression + ntile(4) per source; the (quality DESC,
     // doc_id ASC) order is total, so the quartile assignment is exact
     "q91_curriculum_bins" ->

@@ -170,6 +170,57 @@ object Bpe {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Full encode-to-sequence per document: every pre-token in order —
+    * alphabetic runs BPE-encoded (lowercased), digits/symbols passed
+    * through — joined by single spaces; emitted as (idCol, n_symbols,
+    * seq_md5). The md5 pins the ENTIRE ordered token sequence, so the
+    * oracle checks content and order, not just counts (q70's contract is
+    * the count; this is tokenization-at-scale's real output). Same scale
+    * shape as [[mergedTokenCounts]]: mapPartitions, broadcast merges,
+    * per-partition word memoization, no shuffle; only the 32-char digest
+    * leaves the executor. */
+  def encodedSequences(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(merges)
+    val input = df.select(idCol, textCol)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_symbols", LongType, nullable = true),
+      StructField("seq_md5", org.apache.spark.sql.types.StringType,
+        nullable = true)))
+    val rdd = input.rdd.mapPartitions { rows =>
+      val table = bc.value
+      val memo = scala.collection.mutable.Map.empty[String, String]
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(0)
+        if (r.isNullAt(1)) Row(id, null, null)
+        else {
+          val sb = new java.lang.StringBuilder
+          var n = 0L
+          val m = preTok.matcher(r.getString(1))
+          while (m.find()) {
+            val t = m.group()
+            val w = t.toLowerCase(java.util.Locale.ROOT)
+            val enc =
+              if (alpha.matcher(w).matches())
+                memo.getOrElseUpdate(w, encode(w, table).mkString(" "))
+              else t
+            if (sb.length > 0) sb.append(' ')
+            sb.append(enc)
+            n += enc.count(_ == ' ') + 1
+          }
+          digest.reset()
+          val h = digest.digest(sb.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          Row(id, n, h.map("%02x".format(_)).mkString)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** The oracle-side encoding as generated SQL: the `|`-delimited symbol
     * string folded through one `replace` per merge, in rank order — the
     * independent DuckDB implementation of [[encode]] (symbols are

@@ -1773,6 +1773,72 @@ object Pipeline {
            max(col("n")).as("max_tokens"))
       .orderBy(col("source"), col("bucket"))
 
+  /** Winnowing document fingerprints (the MOSS scheme, Schleimer/
+    * Wilkerson/Aiken SIGMOD'03): hash every k-token gram, slide a window
+    * of `w` consecutive gram hashes over the document, and keep the MIN
+    * hash of each window. The distinct selected values are the document's
+    * fingerprint set — O(n/w) storage with a hard guarantee: any run of
+    * at least k+w−1 = 8 shared tokens between two documents shares a full
+    * gram window, hence at least one fingerprint. q81 indexes EVERY gram;
+    * this is the storage-bounded production form of the same boilerplate/
+    * overlap detector (the fingerprint index is ~2/(w+1) of gram rows).
+    *
+    * Cross-engine contract: the SELECTION depends on hash VALUES, so both
+    * engines must hash identically — md5-prefix-to-int60 over the gram
+    * string (the [[graft.sqlx]] md5-bucket parity trick, 15 hex chars).
+    * The hash is a pluggable config; a production deployment swaps in a
+    * 64-bit arithmetic hash through the same plan shape.
+    *
+    * Scale shape: one narrow gram pass, ONE hash-partition-by-doc window
+    * (partition-local sort by position), a distinct, and the q81
+    * document-frequency aggregate over the winnowed (smaller) set. The
+    * fingerprint frame feeds both sides of the df join un-materialized —
+    * the q53/q81 tradeoff: one extra cheap pass, plan stays auditable. */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5 // tokens per gram
+    val w = 4 // gram hashes per winnow window
+    val t = Text.tokens(col("text"))
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        greatest(size(col("t")) - lit(k - 1), lit(1)).cast("bigint").as("n_grams"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("t")) - lit(k - 1), lit(1))),
+          i => struct(i.as("pos"),
+            conv(substring(md5(concat_ws(" ", slice(col("t"), i, lit(k)))), 1, 15),
+                 16, 10).cast("bigint").as("gh")))).as("g"))
+      .select(col("doc_id"), col("n_grams"),
+              col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    // full windows only (start pos ≤ n_grams−w+1); docs with fewer than w
+    // grams keep their single partial window at pos 1
+    val fp = grams
+      .withColumn("wm", min(col("gh")).over(win))
+      .filter(col("pos") <= greatest(col("n_grams") - lit(w - 1), lit(1)))
+      .select(col("doc_id"), col("n_grams"), col("wm")).distinct()
+    val dfreq = fp.groupBy("wm").agg(count(lit(1)).as("nd"))
+    fp.join(dfreq, "wm")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_fp"),
+           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
+      .select(col("doc_id"), col("n_grams"), col("n_fp"), col("n_shared_fp"),
+        (col("n_fp").cast("double") / col("n_grams").cast("double"))
+          .as("fp_density"))
+  }
+
+  /** Full BPE tokenization contract: every document's complete ordered
+    * symbol sequence (alphabetic pre-tokens BPE-encoded, digits/symbols
+    * passed through), pinned by md5 — where q70 certifies token COUNTS,
+    * this certifies the byte-exact token STREAM a training run would
+    * consume. Per-doc n_symbols here must equal q70's n_bpe_merged by
+    * construction (two independent code paths in both engines — a free
+    * cross-query consistency check the oracle exercises). See
+    * [[graft.functions.Bpe.encodedSequences]] for the scale shape. */
+  def bpeEncodeSequences(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Bpe.encodedSequences(
+      Tables.documents(spark, dir), "doc_id", "text")
+
   /** Export round-trip: top orders → sanitized CSV artifact (S7) → re-read
     * (S1). Rows-only: exercises the ingest/export adapters end-to-end. */
   def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {

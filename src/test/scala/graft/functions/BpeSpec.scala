@@ -62,4 +62,23 @@ class BpeSpec extends SparkSuite {
     // "join hash!" → join(1) + hash(1) + !(1);  "xq 7" → x,q(2) + 7(1)
     assert(got == Map(1L -> 3L, 2L -> 3L))
   }
+
+  test("encodedSequences: hand-computed stream + md5; n_symbols equals mergedTokenCounts on the corpus") {
+    import spark.implicits._
+    val df = Seq((1L, "Join hash! 7"), (2L, "")).toDF("doc_id", "text")
+    val got = Bpe.encodedSequences(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList.sortBy(_._1)
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // "Join hash! 7" → join ∙ hash ∙ ! ∙ 7 (case-folded, passthrough kept)
+    assert(got == List((1L, 4L, md5("join hash ! 7")), (2L, 0L, md5(""))))
+    // cross-path consistency on the real corpus: the sequence length from
+    // the stream builder equals q70's independent count path, every doc
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val a = Bpe.encodedSequences(docs, "doc_id", "text")
+      .select("doc_id", "n_symbols")
+    val b = Bpe.mergedTokenCounts(docs, "doc_id", "text")
+      .withColumnRenamed("n_bpe_merged", "n_symbols")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }

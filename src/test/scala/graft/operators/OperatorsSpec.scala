@@ -103,6 +103,32 @@ class OperatorsSpec extends SparkSuite {
     assert(gated.select("query_id").distinct().count() == sampled)
   }
 
+  test("winnowing: shared ≥8-token run guarantees a shared fingerprint; density stays O(1/w)") {
+    import spark.implicits._
+    val dir = tmpDir("winnow")
+    val run = (1 to 9).map(i => s"r$i").mkString(" ") // 9 > k+w-1 = 8 shared tokens
+    Seq(
+      (1L, s"a1 a2 a3 $run a4 a5"),
+      (2L, s"b1 $run b2 b3 b4 b5"),
+      (3L, (1 to 120).map(i => s"u$i").mkString(" ")), // long, all-unique corpus noise
+      (4L, "tiny doc")) // < k tokens: one whole-doc gram, one fingerprint
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Pipeline.winnowFingerprints(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // the MOSS guarantee: docs 1 and 2 share a full gram window of the run
+    assert(out(1L)._3 >= 1, s"doc 1 shares no fingerprint: ${out(1L)}")
+    assert(out(2L)._3 >= 1, s"doc 2 shares no fingerprint: ${out(2L)}")
+    // the unique doc shares nothing, and winnowing keeps far fewer
+    // fingerprints than grams (expected ~2/(w+1) = 0.4 of 116 grams)
+    assert(out(3L)._3 == 0)
+    assert(out(3L)._2 <= out(3L)._1 && out(3L)._4 < 0.75,
+      s"winnow kept too many fingerprints: ${out(3L)}")
+    // short doc: single whole-doc gram → exactly one fingerprint
+    assert(out(4L) == ((1L, 1L, 0L, 1.0)))
+  }
+
   test("decontaminate flags exactly the train docs sharing an 8-gram with the eval set") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"s$i").mkString(" ")
