@@ -229,6 +229,10 @@ object SparkEntry {
     // the full ordered BPE token stream per doc, pinned by md5 (q70's
     // count contract upgraded to a content contract)
     "q99_bpe_encode"         -> Pipeline.bpeEncodeSequences _,
+    // product-analytics pair over events: ordered view→click→purchase
+    // funnel with 7-day stage windows, and weekly first-seen cohorts
+    "q100_funnel"            -> Relational.funnelConversion _,
+    "q101_cohort_retention"  -> Relational.cohortRetention _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -844,6 +848,40 @@ object SparkEntry {
         |FROM documents d LEFT JOIN seqs s USING (doc_id)"""
         .stripMargin
         .replace("__BPE_ENC__", graft.functions.Bpe.duckdbNestedReplace("w")),
+    // staged min-aggregates: each stage's first event strictly after the
+    // previous stage, inside the 7-day conversion window
+    "q100_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |        AND e.ts <= v.t_view + INTERVAL 7 DAY
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |        AND e.ts <= c.t_click + INTERVAL 7 DAY
+        |      GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  c.user_id IS NOT NULL AS reached_click,
+        |  p.user_id IS NOT NULL AS converted
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+    // week arithmetic on week-truncated DATEs: day difference / 7 is an
+    // exact integer in both engines (Monday truncation both sides)
+    "q101_cohort_retention" ->
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort_week,
+        |        CAST((CAST(date_trunc('week', e.ts) AS DATE) - CAST(f.cohort_week AS DATE)) / 7 AS INT) AS week_offset
+        |      FROM events e JOIN f USING (user_id)),
+        |s AS (SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort
+        |      FROM f GROUP BY 1),
+        |r AS (SELECT cohort_week, week_offset, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |      FROM a GROUP BY 1, 2)
+        |SELECT r.cohort_week, r.week_offset, r.n_active, s.n_cohort,
+        |  CAST(r.n_active AS DOUBLE)/CAST(s.n_cohort AS DOUBLE) AS retention
+        |FROM r JOIN s USING (cohort_week)""".stripMargin,
     // q20's quality expression + ntile(4) per source; the (quality DESC,
     // doc_id ASC) order is total, so the quartile assignment is exact
     "q91_curriculum_bins" ->

@@ -323,4 +323,71 @@ object Relational {
     latest.join(counts, "user_id")
       .select(col("user_id"), col("n_events"), col("last_ts"))
   }
+
+  /** Ordered funnel conversion (view → click → purchase): per user, the
+    * first view, the first click strictly AFTER that view, and the first
+    * purchase strictly after that click — each within 7 days of the
+    * previous stage (the conversion window). The product-analytics
+    * staple: each stage is a filtered min-aggregate joined to the
+    * previous stage's users. Every shuffle in the chain keys on user_id,
+    * so the stage joins reuse one hash partitioning end-to-end — at
+    * 100 TB this is three co-partitioned passes over the events table,
+    * never a self-join on time. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("ts") > col("t_view") &&
+              col("ts") <= col("t_view") + expr("INTERVAL 7 DAYS"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .filter(col("ts") > col("t_click") &&
+              col("ts") <= col("t_click") + expr("INTERVAL 7 DAYS"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    views
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+              col("t_click").isNotNull.as("reached_click"),
+              col("t_purchase").isNotNull.as("converted"))
+  }
+
+  /** Weekly cohort retention: users grouped by the ISO week of their
+    * FIRST event; for each later week, how many of that cohort were
+    * active (distinct users, exact). Week arithmetic is day-difference /
+    * 7 on week-truncated DATEs — exact integers (both engines truncate
+    * weeks to Monday), no interval rounding. Scale shape: one first-seen
+    * aggregate, one events-side join co-partitioned on user_id, one
+    * (cohort, offset) count-distinct — the user dimension never
+    * broadcasts, the events table streams through once. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    // cohort_week stays TIMESTAMP in the output (parquet micros matches
+    // the oracle's dtype); the week arithmetic runs on DATE casts
+    val cohort = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+      .select(col("user_id"),
+              // date_trunc yields LTZ; back to NTZ so parquet micros match
+              // the oracle's naive timestamps (session tz is UTC)
+              date_trunc("week", col("first_ts")).cast("timestamp_ntz")
+                .as("cohort_week"))
+    val activity = ev.join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (datediff(date_trunc("week", col("ts")).cast("date"),
+                  col("cohort_week").cast("date")) / lit(7))
+          .cast("int").as("week_offset"))
+      .distinct()
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(countDistinct("user_id").as("n_cohort"))
+    activity.groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+              col("n_cohort"),
+              (col("n_active").cast("double") / col("n_cohort").cast("double"))
+                .as("retention"))
+  }
 }

@@ -129,6 +129,42 @@ class OperatorsSpec extends SparkSuite {
     assert(out(4L) == ((1L, 1L, 0L, 1.0)))
   }
 
+  test("funnel: stages must be strictly ordered and inside the 7-day window; cohort offsets are exact weeks") {
+    import spark.implicits._
+    val dir = tmpDir("funnel")
+    val H = 3600L * 1000000000L // one hour in ns (events.ts is int64 nanos)
+    val D = 24 * H
+    val t0 = 1704067200L * 1000000000L // 2024-01-01T00:00Z
+    Seq(
+      // user 1: clean view → click → purchase, all inside the windows
+      (t0, 1L, "view"), (t0 + H, 1L, "click"), (t0 + 2 * H, 1L, "purchase"),
+      // user 2: click BEFORE the first view must not count as stage 2
+      (t0 - H, 2L, "click"), (t0, 2L, "view"), (t0 + H, 2L, "purchase"),
+      // user 3: click outside the 7-day conversion window
+      (t0, 3L, "view"), (t0 + 8 * D, 3L, "click"),
+      // user 4: purchase outside the 7-day window after the click
+      (t0, 4L, "view"), (t0 + H, 4L, "click"), (t0 + H + 8 * D, 4L, "purchase"),
+      // user 5: no view at all → not in the funnel
+      (t0, 5L, "purchase"))
+      .toDF("ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Relational.funnelConversion(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((true, true)))
+    assert(out(2L) == ((false, false)), "pre-view click leaked into the funnel")
+    assert(out(3L) == ((false, false)), "out-of-window click leaked")
+    assert(out(4L) == ((true, false)), "out-of-window purchase leaked")
+    // cohort: one user first seen in week 1, active again two weeks later
+    val dir2 = tmpDir("cohort")
+    Seq((t0, 1L, "view"), (t0 + 15 * D, 1L, "click"))
+      .toDF("ts", "user_id", "event_type")
+      .write.parquet(s"$dir2/events.parquet")
+    val coh = Relational.cohortRetention(spark, dir2).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(coh == Map(0 -> ((1L, 1L, 1.0)), 2 -> ((1L, 1L, 1.0))))
+  }
+
   test("decontaminate flags exactly the train docs sharing an 8-gram with the eval set") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"s$i").mkString(" ")
