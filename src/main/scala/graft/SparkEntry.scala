@@ -233,6 +233,10 @@ object SparkEntry {
     // funnel with 7-day stage windows, and weekly first-seen cohorts
     "q100_funnel"            -> Relational.funnelConversion _,
     "q101_cohort_retention"  -> Relational.cohortRetention _,
+    // dense weekly series via a generated calendar spine (zero-filled),
+    // and the trailing-7-day active-user curve (sliding distinct)
+    "q102_calendar_spine"    -> Relational.calendarSpine _,
+    "q103_rolling_active"    -> Relational.rollingActiveUsers _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -882,6 +886,27 @@ object SparkEntry {
         |SELECT r.cohort_week, r.week_offset, r.n_active, s.n_cohort,
         |  CAST(r.n_active AS DOUBLE)/CAST(s.n_cohort AS DOUBLE) AS retention
         |FROM r JOIN s USING (cohort_week)""".stripMargin,
+    // generated weekly spine × distinct types, left join, zero-fill —
+    // empty periods must appear, not vanish from the GROUP BY
+    "q102_calendar_spine" ->
+      """WITH ev AS (SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events),
+        |c AS (SELECT event_type, week, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM ev GROUP BY 1, 2),
+        |wk AS (SELECT unnest(generate_series(min(week), max(week), INTERVAL 7 DAY)) AS week FROM ev),
+        |ty AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT ty.event_type, wk.week,
+        |  CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+        |FROM wk CROSS JOIN ty
+        |LEFT JOIN c ON c.event_type = ty.event_type AND c.week = wk.week""".stripMargin,
+    // each (user, day) pair fans out to the 7 trailing windows covering
+    // it; sliding DISTINCT can't run as a running aggregate
+    "q103_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |x AS (SELECT user_id, d + CAST(i AS INT) AS day
+        |      FROM du, unnest(range(0, 7)) AS u(i))
+        |SELECT CAST(day AS TIMESTAMP) AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM x GROUP BY 1""".stripMargin,
     // q20's quality expression + ntile(4) per source; the (quality DESC,
     // doc_id ASC) order is total, so the quartile assignment is exact
     "q91_curriculum_bins" ->

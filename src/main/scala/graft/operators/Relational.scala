@@ -390,4 +390,47 @@ object Relational {
               (col("n_active").cast("double") / col("n_cohort").cast("double"))
                 .as("retention"))
   }
+
+  /** Dense weekly time series with a generated calendar spine: every
+    * (event_type × week) cell over the corpus' full week range, zero-
+    * filled where no events landed — the gap-filling step every
+    * reporting layer needs (a sparse GROUP BY silently drops empty
+    * periods). The spine is a tiny generated dimension (weeks × types)
+    * cross-joined on the driver side of a broadcast; the fact table
+    * aggregates once. At 100 TB the spine stays dictionary-sized no
+    * matter how large the corpus grows. */
+  def calendarSpine(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        date_trunc("week", col("ts")).cast("timestamp_ntz").as("week"))
+    val counts = ev.groupBy("event_type", "week")
+      .agg(count(lit(1)).as("n_events"))
+    val weeks = ev.agg(min("week").as("w0"), max("week").as("w1"))
+      .select(explode(sequence(col("w0"), col("w1"),
+        expr("INTERVAL 7 DAYS"))).as("week"))
+    val types = ev.select("event_type").distinct()
+    weeks.crossJoin(types)
+      .join(counts, Seq("event_type", "week"), "left")
+      .select(col("event_type"), col("week"),
+              coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  /** Trailing 7-day active users per day (the WAU curve): each event
+    * contributes its user to the 7 daily windows that cover it, then one
+    * distinct count per day. The explode is a fixed ×7 fan-out (linear,
+    * partition-local) — the scalable form of a sliding DISTINCT window,
+    * which no engine can do as a running aggregate because distinct
+    * doesn't subtract. Days beyond the last event are not reported
+    * (every reported day has ≥1 event in its window by construction). */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+      .select(col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("wau"))
+      // timestamp output (parquet DATE reads back as python objects —
+      // the oracle compare wants one dtype both sides)
+      .select(col("day").cast("timestamp_ntz").as("day"), col("wau"))
 }

@@ -126,6 +126,35 @@ class PlanAuditSpec extends SparkSuite {
       s"cluster/split join degenerated to a cross product:\n$plan")
   }
 
+  test("q100 funnel: every stage join keys on user_id, no time self-join blowup") {
+    val plan = executedPlan("q100_funnel")
+    assert(!plan.contains("CartesianProduct"),
+      s"funnel staged as a time cross product:\n$plan")
+    // the stage chain reuses user_id keying: hash or broadcast joins only
+    assert(plan.contains("Join") &&
+           (plan.contains("HashJoin") || plan.contains("SortMergeJoin")),
+      s"stage joins lost their user_id keying:\n$plan")
+  }
+
+  test("q98 winnowing: one window over grams, fingerprint join stays keyed") {
+    val plan = executedPlan("q98_winnow_fingerprints")
+    assert(!plan.contains("CartesianProduct"),
+      s"fingerprint df join degenerated:\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"winnow selection lost its window form:\n$plan")
+  }
+
+  test("q102 calendar spine: the generated spine broadcasts, the fact side aggregates once") {
+    val plan = executedPlan("q102_calendar_spine")
+    // spine (weeks × types) is dictionary-sized: its joins must broadcast,
+    // never shuffle the fact aggregate to the spine's partitioning
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      s"spine did not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"spine cross join shuffled:\n$plan")
+  }
+
   test("q83 hard negatives: queries broadcast against one corpus scan, never a shuffle cartesian") {
     val plan = executedPlan("q83_hard_negatives")
     assert(plan.contains("BroadcastNestedLoopJoin"),
