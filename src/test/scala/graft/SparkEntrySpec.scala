@@ -10,7 +10,7 @@ class SparkEntrySpec extends SparkSuite {
 
   test("query names follow the qNN_ naming scheme and are unique") {
     val names = SparkEntry.queries.keys.toSeq
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")))
     assert(names.distinct.size == names.size)
   }
 
