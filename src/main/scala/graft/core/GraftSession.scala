@@ -60,5 +60,9 @@ object GraftSession {
     // scan tasks uniform on large files
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+    // TIMESTAMP(NANOS) parquet (events.ts) reads as raw long; every reader
+    // converts via timestamp_micros(ts div 1000). A session CONSTANT — a
+    // scoped set/restore raced with concurrent readers of a shared session
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 }

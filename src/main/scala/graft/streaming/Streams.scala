@@ -25,18 +25,17 @@ import org.apache.spark.sql.types.StructType
 object Streams {
 
   /** The sf parquet stores `ts` as nanos; reading it as a long requires the
-    * legacy session conf. Session confs leak: set-and-forget here would
-    * change every LATER parquet read in the session, so scope it — save,
-    * set, run the (synchronous) pipeline, restore. */
+    * legacy session conf. Set-and-keep: an earlier save/set/RESTORE scoping
+    * raced with concurrent readers of the shared session — the restore
+    * could land between another thread's `conf.set` and its schema
+    * inference, making that read see TIMESTAMP_NTZ and fail analysis. No
+    * code path ever wants the conf false (every events reader takes the
+    * long → `timestamp_micros(ts div 1000)` route), so it is a session
+    * constant: set at session build (GraftSession, SparkSuite) and
+    * re-asserted here for externally-provided sessions. */
   private def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val saved = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try body
-    finally saved match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    body
   }
 
   /** Windowed event aggregation with late-data handling: counts + value sums
