@@ -8,9 +8,7 @@ import org.apache.spark.sql.functions._
 object FunnelScratch {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.core.GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
     def t(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f

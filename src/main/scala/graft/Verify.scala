@@ -4,41 +4,54 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    // optional 3rd arg (dev only): comma-separated query-name filter
-    val Array(sfDir, outDir) = args.take(2)
-    val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // micros (not INT96) so downstream readers see the same timestamp
-      // precision DuckDB produces for the oracle
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    val failed = SparkEntry.queries.toSeq
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .flatMap { case (name, fn) =>
+
+  /** Dump each query's result parquet; on failure, write a 1-row parquet
+    * with a single `verify_error` column IN ITS PLACE so the driver's
+    * compare records an explicit red row (schema/hash mismatch) instead of
+    * the query silently vanishing from the correctness report — r6 lost 18
+    * queries that way. Returns the failed names. */
+  private[graft] def dumpQueries(spark: SparkSession, sfDir: String, outDir: String,
+      queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+      : Seq[String] =
+    queries.flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         None
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+            .toDF("verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
         Some(name)
       } finally graft.core.Mat.releaseAll()
     }
-    // loud, stdout, unmissable: a query missing its parquet silently drops
-    // out of the driver's correctness report (this is how r1 lost q28)
+
+  def main(args: Array[String]): Unit = {
+    // optional 3rd arg (dev only): comma-separated query-name filter
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // one session factory for every entry point (GraftSession: UTC, micros
+    // parquet timestamps for the DuckDB oracle, AQE) — r6 post-mortem:
+    // hand-rolled builders diverged on a conf and the drift surfaced only
+    // in the entry points that lacked it
+    val spark = graft.core.GraftSession.local(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    val failed = dumpQueries(spark, sfDir, outDir,
+      SparkEntry.queries.toSeq.filter { case (name, _) => only.forall(_.contains(name)) })
+    // loud, stdout, unmissable (this is how r1 lost q28 and r6 lost 18
+    // queries); plus a machine-readable artifact next to the parquets
     if (failed.nonEmpty)
-      println(s"[verify] FAILED ${failed.size} queries (no parquet written): " +
-        failed.sorted.mkString(", "))
+      println(s"[verify] FAILED ${failed.size} queries (error parquet written " +
+        s"in place of results): " + failed.sorted.mkString(", "))
+    Files.writeString(Paths.get(s"$outDir/_failed.json"),
+      failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -60,9 +60,13 @@ object GraftSession {
     // scan tasks uniform on large files
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
-    // TIMESTAMP(NANOS) parquet (events.ts) reads as raw long; every reader
-    // converts via timestamp_micros(ts div 1000). A session CONSTANT — a
-    // scoped set/restore raced with concurrent readers of a shared session
+    // TIMESTAMP(NANOS) parquet (events.ts): Spark 4.1.2 here reads it
+    // NATIVELY as TIMESTAMP_NTZ and this conf is a no-op; on older builds
+    // that reject NANOS it maps the column to a raw nanos long instead of
+    // failing the scan. Kept for that portability only — Tables.load
+    // adapts to whichever mapping the reader produced (r6 post-mortem:
+    // code that ASSUMED the long mapping broke when the native read
+    // appeared). A session constant: never toggled at runtime.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 }

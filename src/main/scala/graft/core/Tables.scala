@@ -16,17 +16,29 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark does not read
-      // natively; read the raw int64 and convert. The corpus is
-      // micro-precision (ns % 1000 == 0 everywhere), so `div 1000` is
-      // lossless. Integer div — double division would lose precision above
-      // 2^53 ns.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // TIMESTAMP_NTZ: the source column is naive (isAdjustedToUTC=false);
-      // session TZ is UTC so the instant→ntz cast is the identity
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions
-          .expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      // events.ts is parquet TIMESTAMP(NANOS). What Spark infers for it
+      // varies by build: 4.1.2 in this sandbox reads it NATIVELY as
+      // TIMESTAMP_NTZ (micros truncation — the corpus is micro-precision,
+      // ns % 1000 == 0 everywhere, so lossless); older builds reject NANOS
+      // unless `spark.sql.legacy.parquet.nanosAsLong=true` (set at session
+      // build in GraftSession/SparkSuite) maps it to a raw nanos LONG.
+      // Adapt to what THIS reader inferred instead of assuming either —
+      // r6 post-mortem: assuming the long mapping made every events query
+      // fail analysis when a Spark upgrade turned the conf into a no-op.
+      // The long branch also covers test fixtures that write ts as a plain
+      // int64 of nanos. Integer `div` — double division would lose
+      // precision above 2^53 ns.
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+        case TimestampNTZType => df
+        // session TZ is UTC, so instant→ntz is the identity on the clock face
+        case TimestampType => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        case other => sys.error(s"events.ts: unexpected parquet mapping $other")
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -7,11 +7,7 @@ import org.apache.spark.sql.functions._
   * stage timing (not part of the API). */
 object MinhashScratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.core.GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val df = graft.core.Tables.documents(spark, dir)

@@ -9,9 +9,7 @@ import org.apache.spark.sql.functions._
 object CcScratch {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.core.GraftSession.local(32)
     spark.sparkContext.setLogLevel("ERROR")
     // warm the session the way Bench's earlier queries would
     Pipeline.exactDupGroups(spark, dir).count()

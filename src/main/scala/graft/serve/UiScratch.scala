@@ -10,9 +10,7 @@ import graft.catalog.Model._
   * test — AdminApiSpec covers the routes; this exercises the page's JS. */
 object UiScratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.core.GraftSession.local(4)
     spark.sparkContext.setLogLevel("WARN")
     val store = new CatalogStore(spark,
       java.nio.file.Files.createTempDirectory("ui-cat").toString)

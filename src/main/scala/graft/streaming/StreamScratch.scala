@@ -6,12 +6,7 @@ import org.apache.spark.sql.SparkSession
   * (not part of the API). */
 object StreamScratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.core.GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     args.drop(1).map(_.split(':')).foreach { case Array(c, p, rest @ _*) =>

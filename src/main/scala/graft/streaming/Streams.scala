@@ -24,19 +24,23 @@ import org.apache.spark.sql.types.StructType
   */
 object Streams {
 
-  /** The sf parquet stores `ts` as nanos; reading it as a long requires the
-    * legacy session conf. Set-and-keep: an earlier save/set/RESTORE scoping
-    * raced with concurrent readers of the shared session — the restore
-    * could land between another thread's `conf.set` and its schema
-    * inference, making that read see TIMESTAMP_NTZ and fail analysis. No
-    * code path ever wants the conf false (every events reader takes the
-    * long → `timestamp_micros(ts div 1000)` route), so it is a session
-    * constant: set at session build (GraftSession, SparkSuite) and
-    * re-asserted here for externally-provided sessions. */
-  private def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    body
-  }
+  /** Batch-load events with `ts` as an INSTANT timestamp, ready for
+    * watermarking (watermarks want TimestampType). Delegates the
+    * nanos-vs-native parquet mapping to [[graft.core.Tables.load]]
+    * (schema-adaptive — r6 post-mortem: an assumed `ts long` explicit
+    * schema silently received MICROS under Spark 4.1.2's native
+    * TIMESTAMP(NANOS) read, compressing the time axis 1000×). Session TZ
+    * is UTC, so the ntz→instant cast is the identity on the clock face. */
+  private def eventsWithInstantTs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.Tables.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+  /** Streaming schema for the staged event chunks (written by
+    * [[eventsWithInstantTs]] → stage parquet, so `ts` is a plain
+    * instant-timestamp column there). */
+  private val stagedSchema = new StructType()
+    .add("event_id", "long").add("ts", "timestamp").add("user_id", "long")
+    .add("event_type", "string").add("value", "double").add("props", "string")
 
   /** Windowed event aggregation with late-data handling: counts + value sums
     * per (window, event_type), watermarked so state is evicted once the
@@ -100,17 +104,24 @@ object Streams {
     * driven synchronously to completion (complete mode so every window —
     * including the last, which a watermark would still hold — is emitted;
     * batch-equivalent and oracle-checkable). */
-  def streamWindowedFromParquet(spark: SparkSession, sfDir: String): DataFrame =
-      withNanosAsLong(spark) {
-    val schema = new StructType()
-      .add("event_id", "long").add("ts", "long").add("user_id", "long")
-      .add("event_type", "string").add("value", "double").add("props", "string")
+  def streamWindowedFromParquet(spark: SparkSession, sfDir: String): DataFrame = {
     // watermarks require TIMESTAMP (an instant) — window on that, cast the
-    // window bounds to ntz at the output edge (session TZ UTC → identity)
+    // window bounds to ntz at the output edge (session TZ UTC → identity).
+    // The explicit stream schema must match the file's actual ts mapping
+    // (streams cannot infer): probe it with a batch read, then either take
+    // the native instant read or the raw-nanos long + convert route.
+    val tsIsLong =
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+    val schema = new StructType()
+      .add("event_id", "long").add("ts", if (tsIsLong) "long" else "timestamp")
+      .add("user_id", "long")
+      .add("event_type", "string").add("value", "double").add("props", "string")
     // file streams need a directory: stream the sf dir, globbed to events
-    val raw = spark.readStream.schema(schema)
+    val raw0 = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = if (tsIsLong) raw0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+              else raw0
     val agg = windowedEventCounts(raw)
       .withColumn("sum_value", round(col("sum_value"), 2))
       .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
@@ -135,17 +146,11 @@ object Streams {
     * newer than the final watermark correctly remain in state (they'd flush
     * when the next day's data arrives). Returns the file-sink contents. */
   def streamWindowedAppendFromParquet(spark: SparkSession, sfDir: String,
-                                      workDir: String, chunks: Int = 8): DataFrame =
-      withNanosAsLong(spark) {
-    val schema = new StructType()
-      .add("event_id", "long").add("ts", "long").add("user_id", "long")
-      .add("event_type", "string").add("value", "double").add("props", "string")
+                                      workDir: String, chunks: Int = 8): DataFrame = {
     val stage = s"$workDir/stage"; val out = s"$workDir/out"; val ckpt = s"$workDir/ckpt"
     // time-ordered contiguous chunks → file order == event-time order, the
     // arrival pattern a live stream would have
-    spark.read.schema(schema)
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsWithInstantTs(spark, sfDir)
       .repartitionByRange(chunks, col("ts"))
       .write.mode("overwrite").parquet(stage)
     // the file source orders by modification time — stagger mtimes so the
@@ -154,10 +159,7 @@ object Streams {
       .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
     val base = System.currentTimeMillis() - parts.length * 60000L
     parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 60000L) }
-    val raw = spark.readStream.schema(
-        new StructType()
-          .add("event_id", "long").add("ts", "timestamp").add("user_id", "long")
-          .add("event_type", "string").add("value", "double").add("props", "string"))
+    val raw = spark.readStream.schema(stagedSchema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
     val agg = windowedEventCounts(raw)
       .withColumn("sum_value", round(col("sum_value"), 2))
@@ -186,14 +188,9 @@ object Streams {
     * watermark column, so state eviction applies — without it Spark would
     * keep every key forever. */
   def streamDedupFromParquet(spark: SparkSession, sfDir: String,
-                             workDir: String, chunks: Int = 4): DataFrame =
-      withNanosAsLong(spark) {
-    val rawSchema = new StructType()
-      .add("event_id", "long").add("ts", "long").add("user_id", "long")
-      .add("event_type", "string").add("value", "double").add("props", "string")
+                             workDir: String, chunks: Int = 4): DataFrame = {
     val stage = s"$workDir/stage"; val out = s"$workDir/out"; val ckpt = s"$workDir/ckpt"
-    spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsWithInstantTs(spark, sfDir)
       .repartitionByRange(chunks, col("ts"))
       .write.mode("overwrite").parquet(stage)
     val parts = new java.io.File(stage).listFiles()
@@ -208,10 +205,7 @@ object Streams {
       java.nio.file.Files.copy(f.toPath, dup.toPath)
       dup.setLastModified(base + (parts.length + i) * 60000L)
     }
-    val raw = spark.readStream.schema(
-        new StructType()
-          .add("event_id", "long").add("ts", "timestamp").add("user_id", "long")
-          .add("event_type", "string").add("value", "double").add("props", "string"))
+    val raw = spark.readStream.schema(stagedSchema)
       .option("maxFilesPerTrigger", chunks.toString).parquet(stage)
     val deduped = raw.withWatermark("ts", "7 days")
       .dropDuplicates("event_id", "ts")
@@ -236,28 +230,20 @@ object Streams {
     * oracle. */
   def streamStreamJoinFromParquet(spark: SparkSession, sfDir: String,
                                   workDir: String, chunks: Int = 4,
-                                  intervalMinutes: Int = 10): DataFrame =
-      withNanosAsLong(spark) {
-    val rawSchema = new StructType()
-      .add("event_id", "long").add("ts", "long").add("user_id", "long")
-      .add("event_type", "string").add("value", "double").add("props", "string")
+                                  intervalMinutes: Int = 10): DataFrame = {
     val stage = s"$workDir/stage"; val out = s"$workDir/out"; val ckpt = s"$workDir/ckpt"
-    spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsWithInstantTs(spark, sfDir)
       .repartitionByRange(chunks, col("ts"))
       .write.mode("overwrite").parquet(stage)
     val parts = new java.io.File(stage).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     val base = System.currentTimeMillis() - parts.length * 60000L
     parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 60000L) }
-    val tsSchema = new StructType()
-      .add("event_id", "long").add("ts", "timestamp").add("user_id", "long")
-      .add("event_type", "string").add("value", "double").add("props", "string")
     // 2 files per trigger → 2 micro-batches over 4 chunks: batch 2's
     // purchases must match batch 1's buffered clicks, so cross-batch join
     // state is exercised, while per-batch state-commit cost stays halved
     // (state-store commits dominate micro-batches on a bench box)
-    def read() = spark.readStream.schema(tsSchema)
+    def read() = spark.readStream.schema(stagedSchema)
       .option("maxFilesPerTrigger", "2").parquet(stage)
     val purchases = read().filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
