@@ -633,7 +633,8 @@ object SparkEntry {
     // the streaming sink saw every event exactly once iff these counts
     // match the batch counts over the original (un-replayed) events
     "q63_stream_dedup" ->
-      """SELECT event_type, count(*) AS n_events FROM events GROUP BY 1""".stripMargin,
+      """SELECT event_type, count(*) AS n_events, min(ts) AS min_ts,
+        |  max(ts) AS max_ts FROM events GROUP BY 1""".stripMargin,
     "q64_incremental_exact" ->
       """WITH fp AS (SELECT doc_id,
         |    md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS f

@@ -213,8 +213,13 @@ object Streams {
       .option("path", out).option("checkpointLocation", ckpt)
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
+    // min/max ts make the TIME AXIS oracle-visible: a timestamp-unit
+    // regression (r6: micros read as millis compressed the axis 1000×)
+    // turns this row red instead of hiding behind count-only output
     spark.read.parquet(out)
-      .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_events"),
+        min(col("ts").cast("timestamp_ntz")).as("min_ts"),
+        max(col("ts").cast("timestamp_ntz")).as("max_ts"))
   }
 
   /** Stream-stream interval join: purchases joined to the same user's
