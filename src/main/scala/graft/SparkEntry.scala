@@ -237,6 +237,13 @@ object SparkEntry {
     // and the trailing-7-day active-user curve (sliding distinct)
     "q102_calendar_spine"    -> Relational.calendarSpine _,
     "q103_rolling_active"    -> Relational.rollingActiveUsers _,
+    // round 7: engagement ratio (DAU/WAU), token-weighted dedup value
+    // report over the STORED cluster map, the bin-bucketed range join
+    // (proximity with no equi key), and LOCF gap-fill imputation
+    "q104_stickiness"        -> Relational.stickiness _,
+    "q105_dedup_inflation"   -> Pipeline.dedupInflation _,
+    "q106_error_proximity"   -> Relational.errorProximity _,
+    "q107_locf_backfill"     -> Relational.locfBackfill _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -554,6 +561,22 @@ object SparkEntry {
           |lk AS (SELECT cluster_id, count(DISTINCT naive) AS nsp FROM sp GROUP BY 1)
           |SELECT sp.doc_id, sp.cluster_id, sp.split, lk.nsp > 1 AS naive_leaks
           |FROM sp JOIN lk USING (cluster_id)""".stripMargin),
+    // per-source doc/token dedup value over the SAME cluster CTE; exact
+    // integer sums, one final division
+    "q105_dedup_inflation" ->
+      (dupClusterCte +
+        """, cl AS (SELECT id AS doc_id, (id = min(label)) AS is_canonical
+          |         FROM reach GROUP BY id),
+          |d AS (SELECT doc_id, source,
+          |    CAST(len(regexp_extract_all(lower(text),'\S+')) AS BIGINT) AS n
+          |  FROM documents)
+          |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+          |  CAST(sum(n) AS BIGINT) AS n_tokens,
+          |  CAST(sum(CASE WHEN NOT is_canonical THEN n ELSE 0 END) AS BIGINT) AS dup_tokens,
+          |  CAST(sum(CASE WHEN NOT is_canonical THEN n ELSE 0 END) AS DOUBLE)
+          |    / CAST(sum(n) AS DOUBLE) AS inflation
+          |FROM d JOIN cl USING (doc_id) GROUP BY 1""".stripMargin),
     // deterministic priority (md5 hex string — identical lowercase-hex
     // ordering in both engines), per-source running token total, keep
     // while under budget
@@ -908,6 +931,34 @@ object SparkEntry {
         |SELECT CAST(day AS TIMESTAMP) AS day,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS wau
         |FROM x GROUP BY 1""".stripMargin,
+    // DAU joined to the q103 trailing-window WAU; one division of two
+    // exact BIGINTs
+    "q104_stickiness" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |dau AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |        FROM du GROUP BY 1),
+        |x AS (SELECT user_id, d + CAST(i AS INT) AS day
+        |      FROM du, unnest(range(0, 7)) AS u(i)),
+        |wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |        FROM x GROUP BY 1)
+        |SELECT CAST(dau.d AS TIMESTAMP) AS day, dau.dau, wau.wau,
+        |  CAST(dau.dau AS DOUBLE)/CAST(wau.wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau ON wau.day = dau.d""".stripMargin,
+    // the inequality join IS the oracle spec (quadratic is fine at
+    // oracle SF; the engine's bin rewrite must produce the same counts)
+    "q106_error_proximity" ->
+      """WITH e AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+        |p AS (SELECT ts FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, CAST(count(p.ts) AS BIGINT) AS n_nearby
+        |FROM e LEFT JOIN p
+        |  ON abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300000000
+        |GROUP BY 1""".stripMargin,
+    "q107_locf_backfill" ->
+      """SELECT event_id, user_id, ts, event_type, value,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+        |FROM events""".stripMargin,
     // q20's quality expression + ntile(4) per source; the (quality DESC,
     // doc_id ASC) order is total, so the quartile assignment is exact
     "q91_curriculum_bins" ->

@@ -1295,6 +1295,31 @@ object Pipeline {
     spark.table(table)
   }
 
+  /** Token-weighted duplicate-inflation report per source: how many
+    * documents and TOKENS a cluster-canonical dedup pass would remove —
+    * the number that decides whether a source's dedup is worth running at
+    * 100 TB (doc counts alone undercount: duplicate docs skew long). Reads
+    * the STORED cluster map ([[ensureClusterMap]] — no propagation on the
+    * query path) and joins it to per-doc token counts bucketed on the
+    * map's doc_id layout; the output is one tiny per-source aggregate.
+    * Exact integer sums + one final division (cross-engine-stable). */
+  def dedupInflation(spark: SparkSession, dir: String): DataFrame = {
+    val cl = ensureClusterMap(spark, dir)
+      .select(col("doc_id"), col("is_canonical"))
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      Text.tokenCount(col("text")).cast("bigint").as("n"))
+    d.join(cl, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(!col("is_canonical"), 1L).otherwise(0L)).as("n_dup_docs"),
+           sum("n").as("n_tokens"),
+           sum(when(!col("is_canonical"), col("n")).otherwise(0L)).as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+              col("n_tokens"), col("dup_tokens"),
+              (col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+                .as("inflation"))
+  }
+
   def clusterBestRepresentative(spark: SparkSession, dir: String): DataFrame = {
     val clusters = ensureClusterMap(spark, dir)
       .select(col("doc_id"), col("cluster_id"))

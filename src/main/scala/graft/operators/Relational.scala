@@ -433,4 +433,83 @@ object Relational {
       // timestamp output (parquet DATE reads back as python objects —
       // the oracle compare wants one dtype both sides)
       .select(col("day").cast("timestamp_ntz").as("day"), col("wau"))
+
+  /** Daily stickiness — DAU over trailing-7-day WAU, the engagement ratio
+    * product analytics reports next to the q103 curve. Both counts come
+    * from the SAME deduplicated (user, day) frame: DAU is a per-day
+    * distinct count, WAU reuses q103's linear ×7 fan-out, and the ratio
+    * is ONE division of two exact longs (bit-identical cross-engine).
+    * Inner join is exact: every day with a DAU row has a WAU row by
+    * construction (its own events are inside its trailing window). */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+    val dau = du.groupBy("d").agg(countDistinct("user_id").as("dau"))
+    val wau = du
+      .select(col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, dau("d") === wau("day"))
+      .select(col("d").cast("timestamp_ntz").as("day"),
+              col("dau"), col("wau"),
+              (col("dau").cast("double") / col("wau").cast("double"))
+                .as("stickiness"))
+  }
+
+  /** Corpus-wide proximity count with NO equi key: for each error event,
+    * how many purchase events (ANY user) landed within ±5 minutes — the
+    * "what was happening around each incident" incident-analysis query.
+    * A naive inequality join has no join key, so every engine plans it
+    * as a cartesian/nested-loop product — quadratic, dead at scale. The
+    * scalable form is the standard RANGE-JOIN BINNING rewrite: time is
+    * bucketed into bins of exactly the interval width, each purchase is
+    * fanned out to its own bin and both neighbors (a fixed ×3 generate —
+    * any pair within the interval then shares at least one bin), the
+    * join runs hash-keyed on the bin id, and the exact |Δt| predicate
+    * filters bin-mates outside the interval. Shuffle volume is 3× the
+    * purchase stream — never |errors| × |purchases|. PlanAuditSpec pins
+    * the no-cartesian shape. */
+  def errorProximity(spark: SparkSession, dir: String): DataFrame = {
+    val intervalUs = 300L * 1000000L // ±5 minutes, in epoch micros
+    val ev = Tables.events(spark, dir)
+      // ntz → instant is the identity under the UTC session; unix_micros
+      // keeps the full precision of the source timestamps
+      .select(col("event_id"), col("event_type"),
+              unix_micros(col("ts").cast("timestamp")).as("us"))
+    // integer `div` — the long `/` operator is DOUBLE division in Spark
+    val binOf = expr(s"us div $intervalUs")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("us"), binOf.as("bin"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("us").as("p_us"),
+        explode(array(binOf - 1, binOf, binOf + 1)).as("bin"))
+    val near = errors.join(purchases, Seq("bin"))
+      .filter(abs(col("us") - col("p_us")) <= intervalUs)
+      .groupBy("event_id").agg(count(lit(1)).as("n_nearby"))
+    errors.select(col("event_id"))
+      .join(near, Seq("event_id"), "left")
+      .select(col("event_id"),
+              coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
+  }
+
+  /** Last-observation-carried-forward: every event row annotated with the
+    * most recent PRECEDING purchase value of the same user (null until
+    * the first purchase) — the gap-fill/imputation primitive time-series
+    * feature pipelines run before model training. One window per user
+    * partition, running `last(..., ignoreNulls)` over unbounded preceding
+    * rows: partition-local after the user_id hash — no shuffle beyond
+    * the partitioning, no self-join, at any scale. The carried VALUE is
+    * a raw passthrough (no arithmetic), so the oracle compares it
+    * exactly. */
+  def locfBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+              col("value"))
+      .withColumn("last_purchase_value",
+        last(when(col("event_type") === "purchase", col("value")),
+             ignoreNulls = true).over(w))
+  }
 }

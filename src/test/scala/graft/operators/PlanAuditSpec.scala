@@ -144,6 +144,42 @@ class PlanAuditSpec extends SparkSuite {
       s"winnow selection lost its window form:\n$plan")
   }
 
+  test("q101 cohort retention: joins stay keyed on user_id, no cartesian") {
+    val plan = executedPlan("q101_cohort_retention")
+    assert(!plan.contains("CartesianProduct"),
+      s"cohort join degenerated to a cross product:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "distinct counts not aggregated in two phases")
+  }
+
+  test("q103 rolling WAU: linear generate fan-out, map-side distinct, no window sort") {
+    val plan = executedPlan("q103_rolling_active")
+    assert(plan.contains("Generate"), s"×7 day fan-out missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q106 proximity: the range join runs hash-keyed on the time bin, never cartesian") {
+    val plan = executedPlan("q106_error_proximity")
+    // the whole point of the bin rewrite: an inequality-only join must
+    // NOT plan as a nested-loop/cartesian product
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a cross product:\n$plan")
+    assert(plan.contains("Generate"), s"±1-bin fan-out missing:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"bin join lost its equi key:\n$plan")
+  }
+
+  test("q107 LOCF: one window per user partition, no self-join") {
+    val plan = executedPlan("q107_locf_backfill")
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Window"), s"LOCF lost its window form:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"LOCF should shuffle once on user_id, found $exchanges exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"LOCF must not self-join:\n$plan")
+  }
+
   test("q102 calendar spine: the generated spine broadcasts, the fact side aggregates once") {
     val plan = executedPlan("q102_calendar_spine")
     // spine (weeks × types) is dictionary-sized: its joins must broadcast,
