@@ -244,6 +244,17 @@ object SparkEntry {
     "q105_dedup_inflation"   -> Pipeline.dedupInflation _,
     "q106_error_proximity"   -> Relational.errorProximity _,
     "q107_locf_backfill"     -> Relational.locfBackfill _,
+    // asymmetric containment dedup (overlap coefficient ≥ 0.9 over the
+    // DF-capped inverted index + exact verify) and streaming
+    // sessionization (the q44 session_window aggregation as a stream)
+    "q108_containment"       -> Pipeline.containmentPairs _,
+    "q109_stream_sessions"   -> ((s: SparkSession, dir: String) => {
+      // state partitions sized down for the bench box like q48/q63
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.Streams.streamSessionWindowsFromParquet(s, dir)
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -302,6 +313,23 @@ object SparkEntry {
     * to the Spark side, so NO per-row rounding anywhere), filtered at the
     * same j >= 0.9 bar the Spark verification applies. One definition,
     * four oracles — the q74-equals-q65 claim tests one text, not copies. */
+  /** Shared q44/q109 oracle: 30-minute-gap sessionization via the
+    * gaps-and-islands pattern — the batch and streaming session_window
+    * runs must both reproduce it exactly. */
+  private val sessionWindowsSql: String =
+    """WITH g AS (SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, sum(is_new) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM g)
+      |SELECT user_id, min(ts) AS session_start,
+      | max(ts) + INTERVAL '30 minutes' AS session_end,
+      | count(*) AS n_events, round(sum(value),2) AS sum_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   private val verifiedAllPairsCte: String =
     """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
         |s AS (SELECT doc_id, list_distinct(
@@ -1331,19 +1359,24 @@ object SparkEntry {
         | strftime(o_orderdate, '%Y-%m-%d') AS 日期,
         | o_orderdate AS 创建日期, o_totalprice AS 总价格
         |FROM orders""".stripMargin,
-    "q44_session_windows" ->
-      """WITH g AS (SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (SELECT *, sum(is_new) OVER
-        |        (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
-        |      FROM g)
-        |SELECT user_id, min(ts) AS session_start,
-        | max(ts) + INTERVAL '30 minutes' AS session_end,
-        | count(*) AS n_events, round(sum(value),2) AS sum_value
-        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q44_session_windows" -> sessionWindowsSql,
+    // the STREAMING session_window run must emit the identical session
+    // set as the batch q44 — one oracle, two execution modes
+    "q109_stream_sessions" -> sessionWindowsSql,
+    // overlap coefficient |A∩B|/min(|A|,|B|) over the same shingle sets
+    // as the q24 oracle; brute force is the spec, the engine's DF-capped
+    // inverted index + exact verify must match it
+    "q108_containment" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+        |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
+        |      FROM t),
+        |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / least(len(a.sh), len(b.sh)) ov
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, ov AS overlap FROM p WHERE ov >= 0.9""".stripMargin,
     "q43_train_split" ->
       """WITH b AS (SELECT doc_id, text,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::INT % 100 AS bucket

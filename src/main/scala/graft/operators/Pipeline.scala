@@ -154,6 +154,51 @@ object Pipeline {
     verifiedNearDupPairs(docs).orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Asymmetric containment dedup (overlap coefficient): pairs where the
+    * SMALLER document's distinct shingle set is ≥90% contained in the
+    * other's — |A∩B| / min(|A|,|B|) ≥ 0.9. Catches quote-inclusion and
+    * wrapper-page duplication that symmetric Jaccard structurally misses
+    * (|A∩B|/|A∪B| → 0 as |B| grows even at full containment — exactly
+    * the pairs a pretraining dedup pass wants most).
+    *
+    * Scale shape: candidates come from the shingle-hash INVERTED INDEX
+    * (q81's shuffle shape), DF-capped so one boilerplate gram shared by
+    * df documents can't contribute C(df,2) pairs; survivors are verified
+    * EXACTLY on the full distinct sets (array_intersect on 8-byte hashes).
+    * Contract domain mirrors q24: a true pair must share ≥1 sub-cap gram —
+    * holds whenever duplicate families stay under the cap (the composed
+    * exact-dedup-first invariant). Exact integer counts, ONE division. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val theta = 0.9
+    val dfCap = 256
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val cand = graft.core.Mat.withMaterialized(
+        Dedup.shingleHashRows(docs, "doc_id", "text", w = 3)) { grams =>
+      val rare = grams.join(
+        grams.groupBy("gh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap),
+        Seq("gh"))
+      graft.core.Mat.tracked(
+        rare.select(col("gh"), col("id").as("id_a"))
+          .join(rare.select(col("gh"), col("id").as("id_b")), Seq("gh"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct())
+    }
+    graft.core.Mat.withMaterialized(shingleSets(docs)) { s =>
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val ov = inter.cast("double") /
+        least(size(col("sh_a")), size(col("sh_b"))).cast("double")
+      graft.core.Mat.tracked(
+        cand
+          .join(s.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(s.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .withColumn("overlap", ov)
+          .filter(col("overlap") >= theta)
+          .select(col("id_a"), col("id_b"), col("overlap"))
+          .orderBy("id_a", "id_b"))
+    }
+  }
+
   /** SimHash fingerprint audit: the fused single-pass codegen expression
     * must agree BIT-FOR-BIT with the independent composed-builtins
     * implementation on every document — the FunctionsSpec identity put

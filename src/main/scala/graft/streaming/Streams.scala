@@ -104,12 +104,13 @@ object Streams {
     * driven synchronously to completion (complete mode so every window —
     * including the last, which a watermark would still hold — is emitted;
     * batch-equivalent and oracle-checkable). */
-  def streamWindowedFromParquet(spark: SparkSession, sfDir: String): DataFrame = {
-    // watermarks require TIMESTAMP (an instant) — window on that, cast the
-    // window bounds to ntz at the output edge (session TZ UTC → identity).
-    // The explicit stream schema must match the file's actual ts mapping
-    // (streams cannot infer): probe it with a batch read, then either take
-    // the native instant read or the raw-nanos long + convert route.
+  /** Streaming read of the SOURCE events parquet with `ts` as an instant
+    * timestamp. The explicit stream schema must match the file's actual
+    * ts mapping (streams cannot infer): probe it with a batch read, then
+    * either take the native instant read or the raw-nanos long + convert
+    * route (r6 post-mortem: an assumed `ts long` schema silently received
+    * micros under the native TIMESTAMP(NANOS) read). */
+  private def eventStreamWithInstantTs(spark: SparkSession, sfDir: String): DataFrame = {
     val tsIsLong =
       spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType ==
         org.apache.spark.sql.types.LongType
@@ -118,11 +119,16 @@ object Streams {
       .add("user_id", "long")
       .add("event_type", "string").add("value", "double").add("props", "string")
     // file streams need a directory: stream the sf dir, globbed to events
-    val raw0 = spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    val raw = if (tsIsLong) raw0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-              else raw0
-    val agg = windowedEventCounts(raw)
+    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  def streamWindowedFromParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    // watermarks require TIMESTAMP (an instant) — window on that, cast the
+    // window bounds to ntz at the output edge (session TZ UTC → identity)
+    val agg = windowedEventCounts(eventStreamWithInstantTs(spark, sfDir))
       .withColumn("sum_value", round(col("sum_value"), 2))
       .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
       .withColumn("window_end", col("window_end").cast("timestamp_ntz"))
@@ -268,6 +274,27 @@ object Streams {
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(out)
+  }
+
+  /** Streaming sessionization: the same 30-minute-gap `session_window`
+    * aggregation as the batch q44, run as a stream in complete mode (no
+    * watermark needed — every session, including still-open ones, is
+    * emitted, which makes the result batch-equivalent and oracle-
+    * checkable). The production shape adds a watermark + append mode so
+    * CLOSED sessions emit incrementally and state stays bounded by the
+    * gap + watermark horizon; session state is keyed by (user, session)
+    * and merged when late events bridge two open sessions — the merge
+    * logic is the engine's, identical in both modes. */
+  def streamSessionWindowsFromParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = eventStreamWithInstantTs(spark, sfDir)
+    val agg = raw
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+              col("session_window.start").cast("timestamp_ntz").as("session_start"),
+              col("session_window.end").cast("timestamp_ntz").as("session_end"),
+              col("n_events"), col("sum_value"))
+    runToMemory(agg, "graft_stream_sessions", outputMode = "complete")
   }
 
   /** Drive a streaming DataFrame synchronously into an in-memory table and

@@ -165,6 +165,46 @@ class OperatorsSpec extends SparkSuite {
     assert(coh == Map(0 -> ((1L, 1L, 1.0)), 2 -> ((1L, 1L, 1.0))))
   }
 
+  test("q106 proximity: ±5-minute boundary is inclusive and pairs cross bin edges") {
+    import spark.implicits._
+    val dir = tmpDir("prox")
+    val S = 1000000000L // 1 s in ns (events.ts fixture is int64 nanos)
+    val t0 = 1704067200L * S // exactly on a 5-min bin boundary
+    Seq(
+      (1L, t0, 10L, "error"),
+      (2L, t0 + 300 * S, 20L, "purchase"),         // exactly +5 min: counted
+      (3L, t0 + 300 * S + 1000L, 21L, "purchase"), // +5 min + 1 µs: excluded
+      (4L, t0 - 300 * S, 22L, "purchase"),         // exactly −5 min, PREVIOUS bin
+      (5L, t0 + 299 * S, 23L, "purchase"),         // in range, same bin
+      (6L, t0 + 7200 * S, 11L, "error"))           // isolated: must report 0
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = Relational.errorProximity(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 6L -> 0L),
+      s"boundary/bin-edge handling wrong: $got")
+  }
+
+  test("q108 containment catches a fully-contained doc whose Jaccard is far below the near-dup bar") {
+    import spark.implicits._
+    val dir = tmpDir("contain")
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")  // 10 shingles
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")    // 38 shingles ⊇ small's
+    val other = (100 to 120).map(i => s"x$i").mkString(" ")
+    Seq((1L, small, "en", "src0", 0L), (2L, big, "en", "src0", 0L),
+        (3L, other, "en", "src1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.containmentPairs(spark, dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)),
+      "expected exactly the contained pair (1,2)")
+    assert(rows.head.getDouble(2) == 1.0, "full containment must score 1.0")
+    // the same pair's Jaccard is 10/38 ≈ 0.26 — q24's symmetric bar would
+    // never surface it; that asymmetry is this operator's reason to exist
+    graft.core.Mat.releaseAll()
+  }
+
   test("decontaminate flags exactly the train docs sharing an 8-gram with the eval set") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"s$i").mkString(" ")

@@ -170,6 +170,14 @@ class PlanAuditSpec extends SparkSuite {
       s"bin join lost its equi key:\n$plan")
   }
 
+  test("q108 containment: inverted-index candidates stay keyed, never cartesian") {
+    val plan = executedPlan("q108_containment")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment pair generation degenerated to a cross product:\n$plan")
+    graft.core.Mat.releaseAll()
+  }
+
   test("q107 LOCF: one window per user partition, no self-join") {
     val plan = executedPlan("q107_locf_backfill")
       .split("== Initial Plan ==").head
