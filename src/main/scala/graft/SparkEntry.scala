@@ -255,6 +255,10 @@ object SparkEntry {
       try graft.streaming.Streams.streamSessionWindowsFromParquet(s, dir)
       finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
+    // the canonical 6-table star join (TPC-H Q5 shape) and the daily
+    // event-volume drift monitor
+    "q110_local_supplier"    -> Relational.localSupplierVolume _,
+    "q111_daily_anomaly"     -> Relational.dailyAnomaly _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -987,6 +991,34 @@ object SparkEntry {
         |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS last_purchase_value
         |FROM events""".stripMargin,
+    "q110_local_supplier" ->
+      """SELECT n_name AS nation,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    // z computed from double AGGREGATES (mean/stddev) → rounded 4dp; the
+    // flag compares the ROUNDED z so both engines flag identically
+    "q111_daily_anomaly" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, avg(CAST(n AS DOUBLE)) AS mu,
+        |        stddev_samp(CAST(n AS DOUBLE)) AS sigma
+        |      FROM d GROUP BY 1)
+        |SELECT d.event_type, CAST(d.d AS TIMESTAMP) AS day, d.n,
+        |  round(CASE WHEN s.sigma > 0
+        |    THEN (CAST(d.n AS DOUBLE) - s.mu) / s.sigma ELSE 0.0 END, 4) AS z,
+        |  abs(round(CASE WHEN s.sigma > 0
+        |    THEN (CAST(d.n AS DOUBLE) - s.mu) / s.sigma ELSE 0.0 END, 4)) > 2.5
+        |    AS is_anomaly
+        |FROM d JOIN s USING (event_type)""".stripMargin,
     // q20's quality expression + ntile(4) per source; the (quality DESC,
     // doc_id ASC) order is total, so the quartile assignment is exact
     "q91_curriculum_bins" ->

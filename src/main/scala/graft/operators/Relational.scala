@@ -148,6 +148,59 @@ object Relational {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
            count(lit(1)).as("n_items"))
 
+  /** TPC-H Q5 shape — local-supplier volume: the canonical 6-table star
+    * join (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region)
+    * with a region + order-year filter and the "customer and supplier in
+    * the SAME nation" condition. The scale contract: the two FACT joins
+    * (lineitem–orders on orderkey, orders–customer on custkey) shuffle on
+    * their keys and are left to AQE (customer/supplier grow with the
+    * corpus — force-broadcasting them would OOM at 100 TB); only the
+    * dictionary-sized nation/region dims broadcast explicitly. Both
+    * filters sit directly on their scans, so partition pruning and
+    * pushdown cut the fact input before any join. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+              .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                      col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir),
+            col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+              .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+             .as("revenue"))
+
+  /** Daily event-count anomaly detection: per (event_type, day) counts
+    * z-scored against that type's own series mean/stddev — the drift
+    * monitor an ingest pipeline runs over its event volumes. Two tiny
+    * aggregates (the daily count, then per-type moments over ~series-length
+    * rows) and a broadcast join back; the corpus is scanned once. z is
+    * rounded to 4dp because mean/stddev are double AGGREGATES (sum order
+    * differs across engines); the anomaly flag compares the ROUNDED z so
+    * both engines flag identically. */
+  def dailyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type")
+      .agg(avg(col("n").cast("double")).as("mu"),
+           stddev_samp(col("n").cast("double")).as("sigma"))
+    daily.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("d").cast("timestamp_ntz").as("day"),
+        col("n"),
+        round(when(col("sigma") > 0,
+            (col("n").cast("double") - col("mu")) / col("sigma"))
+          .otherwise(0.0), 4).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > lit(2.5))
+  }
+
   /** A6 — deterministic dedup: canonical (min id) row per key, instead of
     * dropDuplicates' arbitrary pick (reference `GROUP BY t.id`,
     * web_scheduler.py:4648). */

@@ -170,6 +170,17 @@ class PlanAuditSpec extends SparkSuite {
       s"bin join lost its equi key:\n$plan")
   }
 
+  test("q110 star join: date filter pushed to the orders scan, dims broadcast, no cartesian") {
+    val plan = executedPlan("q110_local_supplier")
+    assert(plan.contains("PushedFilters:") &&
+           plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-year filter not pushed to the scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation/region dims did not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"star join degenerated to a cross product:\n$plan")
+  }
+
   test("q108 containment: inverted-index candidates stay keyed, never cartesian") {
     val plan = executedPlan("q108_containment")
     assert(!plan.contains("CartesianProduct") &&
