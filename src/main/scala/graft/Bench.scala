@@ -112,7 +112,8 @@ object Bench {
       graft.core.Warehouse.isFresh(spark, s"graft_ivf_cells_$sfx", Seq(embStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_semdedup_cells_$sfx", Seq(embStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_sig_corpus_$sfx", Seq(docStamp)) &&
-      graft.core.Warehouse.isFresh(spark, s"graft_clusters_$sfx", Seq(docStamp))
+      graft.core.Warehouse.isFresh(spark, s"graft_clusters_$sfx", Seq(docStamp)) &&
+      graft.core.Warehouse.isFresh(spark, s"graft_ivf_inc_$sfx", Seq(embStamp))
     }
     // session warmup: JIT/codegen/scheduler paths + parquet reader init
     // (region is 5 rows — engine machinery, not query data)
@@ -125,7 +126,7 @@ object Bench {
     // state). The cold cost is still recorded — once, as prebuild_sec.
     val tPre = System.nanoTime()
     Seq("q52_ivf_topk", "q62_semantic_dedup", "q74_incremental_stored",
-        "q77_cluster_best").foreach { n =>
+        "q77_cluster_best", "q112_ivf_incremental").foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
       graft.core.Mat.releaseAll(blocking = true)

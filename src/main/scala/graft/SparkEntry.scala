@@ -259,6 +259,19 @@ object SparkEntry {
     // event-volume drift monitor
     "q110_local_supplier"    -> Relational.localSupplierVolume _,
     "q111_daily_anomaly"     -> Relational.dailyAnomaly _,
+    // index maintenance without retrain (stored centroids route the
+    // increment; nprobe == nlist proves the updated index exact), the
+    // salted-join skew rewrite under q13's oracle, and the q107 LOCF
+    // window as a custom-state stream
+    "q112_ivf_incremental"   -> Pipeline.ivfIncrementalAdd _,
+    "q113_salted_fact_join"  -> Relational.revenueByNationSalted _,
+    "q114_stream_locf"       -> ((s: SparkSession, dir: String) => {
+      val work = graft.core.Scratch.tempDir("graft-q114")
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.Streams.streamLocfFromParquet(s, dir, work)
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -333,6 +346,41 @@ object SparkEntry {
       | max(ts) + INTERVAL '30 minutes' AS session_end,
       | count(*) AS n_events, round(sum(value),2) AS sum_value
       |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** Shared q13/q113 oracle: the salted-join rewrite must be
+    * result-invariant against the plain fact-join spec. */
+  private val revenueByNationSql: String =
+    """SELECT n_name AS nation,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** Shared q52/q112 oracle: at nprobe == nlist both the one-shot index
+    * and the incrementally-maintained index degenerate to exact brute
+    * force over ALL embeddings — one spec, two index lifecycles. */
+  private val ivfExactTop5Sql: String =
+    """WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |        round(list_cosine_similarity(q.embedding::DOUBLE[],
+      |                                     e.embedding::DOUBLE[]),6) AS cos_sim
+      |      FROM embeddings q, embeddings e
+      |      WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+      |FROM (SELECT query_id, neighbor_id, cos_sim, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rank
+      |      FROM s) WHERE rank <= 5""".stripMargin
+
+  /** Shared q107/q114 oracle: the streaming LOCF state machine must
+    * reproduce the batch window exactly. */
+  private val locfSql: String =
+    """SELECT event_id, user_id, ts, event_type, value,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+      |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+      |FROM events""".stripMargin
 
   private val verifiedAllPairsCte: String =
     """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
@@ -483,16 +531,8 @@ object SparkEntry {
         |      FROM s) WHERE rank <= 1""".stripMargin,
     // IVF at nprobe == nlist degenerates to exact brute force — the oracle
     // therefore checks the full quantizer pipeline against plain top-k SQL
-    "q52_ivf_topk" ->
-      """WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-        |        round(list_cosine_similarity(q.embedding::DOUBLE[],
-        |                                     e.embedding::DOUBLE[]),6) AS cos_sim
-        |      FROM embeddings q, embeddings e
-        |      WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
-        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
-        |FROM (SELECT query_id, neighbor_id, cos_sim, row_number() OVER
-        |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rank
-        |      FROM s) WHERE rank <= 5""".stripMargin,
+    "q52_ivf_topk" -> ivfExactTop5Sql,
+    "q112_ivf_incremental" -> ivfExactTop5Sql,
     "q53_tfidf_topterms" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'\S+')) AS term
         |           FROM documents),
@@ -985,12 +1025,8 @@ object SparkEntry {
         |FROM e LEFT JOIN p
         |  ON abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300000000
         |GROUP BY 1""".stripMargin,
-    "q107_locf_backfill" ->
-      """SELECT event_id, user_id, ts, event_type, value,
-        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
-        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS last_purchase_value
-        |FROM events""".stripMargin,
+    "q107_locf_backfill" -> locfSql,
+    "q114_stream_locf" -> locfSql,
     "q110_local_supplier" ->
       """SELECT n_name AS nation,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -1187,15 +1223,8 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         | count(DISTINCT user_id) AS n_users, round(sum(value),2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
-    "q13_revenue_nation" ->
-      """SELECT n_name AS nation,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
-        | count(*) AS n_items
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name""".stripMargin,
+    "q13_revenue_nation" -> revenueByNationSql,
+    "q113_salted_fact_join" -> revenueByNationSql,
     "q14_dedup_exact" ->
       """SELECT user_id, event_type, min(event_id) AS first_event_id,
         | min(ts) AS first_ts

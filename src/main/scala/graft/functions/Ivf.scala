@@ -223,4 +223,32 @@ object Ivf {
   def assignCells(df: DataFrame, idCol: String, vecCol: String,
                   model: Model): DataFrame =
     assign(df, model.df(df.sparkSession), idCol, vecCol)
+
+  /** INCREMENTAL index maintenance: route an increment to a STORED
+    * layout's centroids — no retraining, no touch of the stored cells.
+    * This is how a 100 TB ANN index absorbs a day's new vectors: the
+    * coarse quantizer stays fixed between scheduled rebuilds, new rows
+    * are assigned to their nearest existing cell (one broadcast pass over
+    * the increment only) and appended to the cell storage. Returns
+    * (cid, id, v) rows in the stored cell schema. */
+  def incrementCells(spark: SparkSession, table: String, increment: DataFrame,
+                     idCol: String, vecCol: String): DataFrame =
+    assign(increment, spark.table(table + "_centroids"), idCol, vecCol)
+      .join(increment.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col("cid"), col(idCol).as("id"), col(vecCol).as("v"))
+
+  /** Top-k over a stored layout PLUS an un-persisted increment — the
+    * query path between an increment's arrival and its append commit.
+    * The stored cells stream out of the bucketed table; only the (small)
+    * increment is assigned at query time. */
+  def topKWithIncrement(spark: SparkSession, table: String,
+                        increment: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String,
+                        k: Int, nprobe: Int): DataFrame = {
+    val cells = cellsFromTable(spark, table)
+      .unionByName(incrementCells(spark, table, increment, idCol, vecCol))
+      .select(col("cid"), col("id").as("neighbor_id"), col("v").as("cv"))
+    probeCells(cells, spark.table(table + "_centroids"), queries,
+      idCol, vecCol, k, nprobe)
+  }
 }

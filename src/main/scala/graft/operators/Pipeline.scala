@@ -273,6 +273,26 @@ object Pipeline {
       "vec_id", "embedding", k = 5, nprobe = 16)
   }
 
+  /** Incremental ANN index maintenance (q112): the standing corpus's IVF
+    * layout is built ONCE (corpus = vec_id % 5 ≠ 4, the q64/q65 increment
+    * convention); the increment is routed to the STORED centroids with no
+    * retraining and probed together with the stored cells. Run at
+    * nprobe == nlist the updated index PROVABLY equals brute force over
+    * corpus + increment (q52's degeneracy argument applied to the
+    * maintained index), so the whole add-without-retrain path — routing,
+    * union, probe — is DuckDB-oracle-checkable end to end. */
+  def ivfIncrementalAdd(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+    val inc = emb.filter(pmod(col("vec_id"), lit(5)) === 4)
+    val table = cellTableName("graft_ivf_inc", dir)
+    Ivf.ensureCellTable(corpus, "vec_id", "embedding", dim = 64, nlist = 16,
+      table, tag = "corpus-only " +
+        graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet"))
+    Ivf.topKWithIncrement(spark, table, inc,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, nprobe = 16)
+  }
+
   /** Exact nearest neighbor for EVERY vector — the brute-force ground truth
     * the ANN paths (q27/q41) are measured against. Corpus-as-queries is fine
     * at bench SF (broadcast); at 100 TB ground truth is computed on a SAMPLE

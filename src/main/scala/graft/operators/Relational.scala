@@ -148,6 +148,27 @@ object Relational {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
            count(lit(1)).as("n_items"))
 
+  /** q13's revenue-by-nation computed through [[SkewJoin.saltedJoin]] on
+    * the lineitem–orders fact join: the manual skew fallback for when one
+    * key holds a disproportionate share of a 100 TB fact table and AQE's
+    * skew splitting isn't enough. The salt spreads each order key across
+    * 8 reducers (orders replicated ×8 — per-key small by construction).
+    * Sharing q13's oracle makes the REWRITE itself the thing under test:
+    * salting must be result-invariant, not just faster on skew. */
+  def revenueByNationSalted(spark: SparkSession, dir: String): DataFrame =
+    SkewJoin.saltedJoin(
+        Tables.lineitem(spark, dir),
+        Tables.orders(spark, dir).withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey", nSalts = 8,
+      // (orderkey, linenumber) is the row identity → salt is uniform AND
+      // deterministic (never rand() — re-runs must salt identically)
+      saltBy = struct(col("l_orderkey"), col("l_linenumber")))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+
   /** TPC-H Q5 shape — local-supplier volume: the canonical 6-table star
     * join (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region)
     * with a region + order-year filter and the "customer and supplier in

@@ -276,6 +276,56 @@ object Streams {
     spark.read.parquet(out)
   }
 
+  final case class LocfEvent(event_id: Long, user_id: Long, tsMicros: Long,
+                             event_type: String, value: Double)
+  final case class LocfState(lastValue: Double, hasValue: Boolean)
+
+  /** Streaming last-observation-carried-forward (the q107 batch window as
+    * a stateful stream): per-user custom state carries the most recent
+    * purchase value across micro-batches via flatMapGroupsWithState —
+    * each event is emitted annotated with it (a purchase sees its own
+    * value, matching the batch window's CURRENT-row bound). The staged
+    * time-ordered chunks guarantee a user's earlier events arrive in
+    * earlier batches (range partitioning on ts), and events inside a
+    * batch are sorted per user, so the carried value is exactly the batch
+    * window's. State is ONE (double, bool) per active user — at 100 TB/day
+    * production adds a processing-time timeout to evict idle users
+    * (consecutiveErrorAlerts documents the same pattern). */
+  def streamLocfFromParquet(spark: SparkSession, sfDir: String,
+                            workDir: String, chunks: Int = 4): DataFrame = {
+    import spark.implicits._
+    val stage = s"$workDir/stage"
+    eventsWithInstantTs(spark, sfDir)
+      .repartitionByRange(chunks, col("ts"))
+      .write.mode("overwrite").parquet(stage)
+    val parts = new java.io.File(stage).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 60000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 60000L) }
+    val raw = spark.readStream.schema(stagedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+              col("event_type"), col("value")).as[LocfEvent]
+    val annotated = raw.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[LocfEvent], state: GroupState[LocfState]) => {
+          var st = state.getOption.getOrElse(LocfState(0.0, hasValue = false))
+          val out = evs.toSeq.sortBy(e => (e.tsMicros, e.event_id)).map { e =>
+            if (e.event_type == "purchase") st = LocfState(e.value, hasValue = true)
+            (e.event_id, uid, e.tsMicros, e.event_type, e.value,
+             if (st.hasValue) Some(st.lastValue) else None)
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF("event_id", "user_id", "tsMicros", "event_type", "value",
+            "last_purchase_value")
+    val out = runToMemory(annotated, "graft_stream_locf")
+    out.select(col("event_id"), col("user_id"),
+      expr("cast(timestamp_micros(tsMicros) as timestamp_ntz)").as("ts"),
+      col("event_type"), col("value"), col("last_purchase_value"))
+  }
+
   /** Streaming sessionization: the same 30-minute-gap `session_window`
     * aggregation as the batch q44, run as a stream in complete mode (no
     * watermark needed — every session, including still-open ones, is
