@@ -186,6 +186,33 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("stored cluster map: warm consumers re-attach with zero propagation, values match a live run") {
+    import org.apache.spark.sql.functions._
+    val sfx = graft.core.Warehouse.corpusSuffix(sfDir)
+    val table = s"graft_clusters_$sfx"
+    graft.core.Warehouse.clear(spark, table)
+    try {
+      // first consumer pays the build (propagation + bucketed write)
+      Pipeline.clusterBestRepresentative(spark, sfDir).count()
+      graft.core.Mat.releaseAll()
+      // a warm consumer must READ the artifact: ensure is catalog-hit +
+      // zero jobs, the read is a bucketed scan — never the propagation
+      // loop (≈ 2 jobs per round × diameter)
+      val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val stored = Pipeline.ensureClusterMap(spark, sfDir)
+      val storedRows = stored.select("doc_id", "cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      assert(jobsAfter - jobsBefore <= 3,
+        s"warm cluster-map read ran ${jobsAfter - jobsBefore} jobs — propagation re-ran")
+      // stored map == a live q57 propagation, row for row
+      val live = Pipeline.dupClusters(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(storedRows == live, "stored cluster map diverged from live propagation")
+      graft.core.Mat.releaseAll()
+    } finally graft.core.Warehouse.clear(spark, table)
+  }
+
   test("stored cells: semantic dedup from the table matches on-the-fly verdicts, assignment-free plan") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Tables.embeddings(spark, sfDir)
