@@ -186,6 +186,38 @@ class OperatorsSpec extends SparkSuite {
       s"boundary/bin-edge handling wrong: $got")
   }
 
+  test("q106 proximity: seeded random corpora match the naive inequality join exactly") {
+    import spark.implicits._
+    // the bin rewrite must be RESULT-INVARIANT against the quadratic spec
+    // on arbitrary time layouts — boundary cases the hand fixture can't
+    // enumerate (events straddling bins, ties, empty neighborhoods)
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val dir = tmpDir(s"proxrand$trial")
+      val S = 1000000000L
+      val t0 = 1704067200L * S
+      val n = 60
+      val rows = (1 to n).map { i =>
+        val ts = t0 + (rnd.nextLong().abs % (3 * 3600)) * S +
+          (rnd.nextLong().abs % 1000000) * 1000L // sub-second micros
+        val tpe = if (rnd.nextBoolean()) "error" else "purchase"
+        (i.toLong, ts, (i % 7).toLong, tpe)
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+        .write.parquet(s"$dir/events.parquet")
+      val got = Relational.errorProximity(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // naive spec, computed directly from the fixture rows on the driver
+      val errs = rows.filter(_._4 == "error")
+      val purch = rows.filter(_._4 == "purchase")
+      val want = errs.map { e =>
+        e._1 -> purch.count(p => math.abs(e._2 / 1000 - p._2 / 1000) <= 300000000L).toLong
+      }.toMap
+      assert(got == want, s"trial $trial: binned join diverged from the naive spec")
+    }
+  }
+
   test("q108 containment catches a fully-contained doc whose Jaccard is far below the near-dup bar") {
     import spark.implicits._
     val dir = tmpDir("contain")
@@ -203,6 +235,37 @@ class OperatorsSpec extends SparkSuite {
     // the same pair's Jaccard is 10/38 ≈ 0.26 — q24's symmetric bar would
     // never surface it; that asymmetry is this operator's reason to exist
     graft.core.Mat.releaseAll()
+  }
+
+  test("q108 containment: seeded random corpora match the brute-force overlap spec") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val dir = tmpDir(s"containrand$trial")
+      // small vocab → real shingle overlap; docs ≥ 5 tokens so the
+      // whole-doc fold path (hash-only, not string-replicable) never fires
+      val docs = (1 to 25).map { i =>
+        val n = 5 + rnd.nextInt(20)
+        i.toLong -> (1 to n).map(_ => s"t${rnd.nextInt(12)}").mkString(" ")
+      }
+      docs.map { case (id, text) => (id, text, "en", "src0", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val got = Pipeline.containmentPairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // driver-side spec on shingle STRINGS (hash sets have identical
+      // cardinalities modulo 64-bit collisions)
+      def sh(t: String): Set[String] =
+        t.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
+      val want = (for {
+        (a, ta) <- docs; (b, tb) <- docs if a < b
+        inter = (sh(ta) & sh(tb)).size
+        ov = inter.toDouble / math.min(sh(ta).size, sh(tb).size)
+        if ov >= 0.9
+      } yield (a, b) -> ov).toMap
+      assert(got == want, s"trial $trial: containment diverged from brute force")
+      graft.core.Mat.releaseAll()
+    }
   }
 
   test("decontaminate flags exactly the train docs sharing an 8-gram with the eval set") {
