@@ -163,26 +163,44 @@ object Pipeline {
     *
     * Scale shape: candidates come from the shingle-hash INVERTED INDEX
     * (q81's shuffle shape), DF-capped so one boilerplate gram shared by
-    * df documents can't contribute C(df,2) pairs; survivors are verified
-    * EXACTLY on the full distinct sets (array_intersect on 8-byte hashes).
-    * Contract domain mirrors q24: a true pair must share ≥1 sub-cap gram —
-    * holds whenever duplicate families stay under the cap (the composed
-    * exact-dedup-first invariant). Exact integer counts, ONE division. */
+    * df documents can't contribute C(df,2) pairs, and PREFILTERED by an
+    * exact upper bound before any set arithmetic: per pair, the shared
+    * rare-gram count c plus min(capped_a, capped_b) is ≥ |A∩B| (rare and
+    * capped grams partition each set), so pairs where even that bound
+    * can't reach θ·min(|A|,|B|) are dropped with integer arithmetic
+    * alone — SOUND (never drops a true pair) and it collapses the
+    * verification set from "every pair sharing any gram" (1.1M pairs at
+    * sf0.1 — measured 8.8 s) to the plausible few thousand. Survivors
+    * are verified EXACTLY on the full distinct sets (array_intersect on
+    * 8-byte hashes). Contract domain mirrors q24: a true pair must share
+    * ≥1 sub-cap gram — holds whenever duplicate families stay under the
+    * cap (the composed exact-dedup-first invariant). Exact integer
+    * counts, ONE division. */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
-    val theta = 0.9
+    val theta = 0.9 // encoded exactly as ×10 ≥ ×9 in the integer prefilter
     val dfCap = 256
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val cand = graft.core.Mat.withMaterialized(
         Dedup.shingleHashRows(docs, "doc_id", "text", w = 3)) { grams =>
-      val rare = grams.join(
-        grams.groupBy("gh").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= dfCap),
-        Seq("gh"))
+      val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+      val tagged = grams.join(dfreq, Seq("gh"))
+      val stats = tagged.groupBy("id").agg(
+        count(lit(1)).as("n_sh"),
+        sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("n_capped"))
+      val rare = tagged.filter(col("df") <= dfCap)
+      val shared = rare.select(col("gh"), col("id").as("id_a"))
+        .join(rare.select(col("gh"), col("id").as("id_b")), Seq("gh"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
       graft.core.Mat.tracked(
-        rare.select(col("gh"), col("id").as("id_a"))
-          .join(rare.select(col("gh"), col("id").as("id_b")), Seq("gh"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct())
+        shared
+          .join(stats.select(col("id").as("id_a"), col("n_sh").as("na"),
+                             col("n_capped").as("ka")), Seq("id_a"))
+          .join(stats.select(col("id").as("id_b"), col("n_sh").as("nb"),
+                             col("n_capped").as("kb")), Seq("id_b"))
+          .filter((col("c") + least(col("ka"), col("kb"))) * 10 >=
+                  least(col("na"), col("nb")) * 9)
+          .select("id_a", "id_b"))
     }
     graft.core.Mat.withMaterialized(shingleSets(docs)) { s =>
       val inter = size(array_intersect(col("sh_a"), col("sh_b")))
