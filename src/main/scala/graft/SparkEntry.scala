@@ -272,6 +272,10 @@ object SparkEntry {
       try graft.streaming.Streams.streamLocfFromParquet(s, dir, work)
       finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
+    // first-order journey transition matrix and the funnel's
+    // conversion-latency distribution
+    "q115_event_transitions" -> Relational.eventTransitions _,
+    "q116_conversion_latency" -> Relational.conversionLatency _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -346,6 +350,23 @@ object SparkEntry {
       | max(ts) + INTERVAL '30 minutes' AS session_end,
       | count(*) AS n_events, round(sum(value),2) AS sum_value
       |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** Shared q100/q116 oracle prelude: the ordered view→click→purchase
+    * funnel stages with 7-day windows. */
+  private val funnelCte: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click
+      |      FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |        AND e.ts <= v.t_view + INTERVAL 7 DAY
+      |      GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      |      FROM events e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |        AND e.ts <= c.t_click + INTERVAL 7 DAY
+      |      GROUP BY 1)
+      |""".stripMargin
 
   /** Shared q13/q113 oracle: the salted-join rewrite must be
     * result-invariant against the plain fact-join spec. */
@@ -951,22 +972,32 @@ object SparkEntry {
     // staged min-aggregates: each stage's first event strictly after the
     // previous stage, inside the 7-day conversion window
     "q100_funnel" ->
-      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
-        |           WHERE event_type = 'view' GROUP BY 1),
-        |c AS (SELECT e.user_id, min(e.ts) AS t_click
-        |      FROM events e JOIN v USING (user_id)
-        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
-        |        AND e.ts <= v.t_view + INTERVAL 7 DAY
-        |      GROUP BY 1),
-        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
-        |      FROM events e JOIN c USING (user_id)
-        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
-        |        AND e.ts <= c.t_click + INTERVAL 7 DAY
-        |      GROUP BY 1)
-        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
-        |  c.user_id IS NOT NULL AS reached_click,
-        |  p.user_id IS NOT NULL AS converted
-        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+      (funnelCte +
+        """SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+          |  c.user_id IS NOT NULL AS reached_click,
+          |  p.user_id IS NOT NULL AS converted
+          |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin),
+    // latency distribution over the SAME funnel CTE's converted users
+    "q116_conversion_latency" ->
+      (funnelCte +
+        """SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+          |  round(quantile_cont(epoch_us(p.t_purchase) - epoch_us(v.t_view), 0.5), 4) AS p50_us,
+          |  round(quantile_cont(epoch_us(p.t_purchase) - epoch_us(v.t_view), 0.9), 4) AS p90_us,
+          |  min(epoch_us(p.t_purchase) - epoch_us(v.t_view)) AS min_us,
+          |  max(epoch_us(p.t_purchase) - epoch_us(v.t_view)) AS max_us
+          |FROM v JOIN p USING (user_id)""".stripMargin),
+    "q115_event_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n_transitions
+        |  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS tot
+        |        FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n_transitions,
+        |  CAST(c.n_transitions AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS p_transition
+        |FROM c JOIN tot USING (from_type)""".stripMargin,
     // week arithmetic on week-truncated DATEs: day difference / 7 is an
     // exact integer in both engines (Monday truncation both sides)
     "q101_cohort_retention" ->

@@ -430,6 +430,44 @@ object Relational {
               col("t_purchase").isNotNull.as("converted"))
   }
 
+  /** Per-user event-type transition matrix (first-order Markov counts):
+    * for every consecutive event pair in a user's timeline, count
+    * (from_type → to_type) and its conditional probability — the
+    * behavior-model input product analytics derives journeys from. One
+    * `lead` window per user partition (partition-local after the
+    * user_id hash), then a dictionary-sized (|types|²) aggregate and a
+    * broadcast join for the per-from totals. The probability is ONE
+    * division of two exact longs. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = trans.groupBy("from_type").agg(sum("n_transitions").as("tot"))
+    trans.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        (col("n_transitions").cast("double") / col("tot").cast("double"))
+          .as("p_transition"))
+  }
+
+  /** View→purchase conversion-latency distribution over the q100 funnel's
+    * converted users: count, exact-interpolated p50/p90 (micros — exact
+    * long inputs, the q39 percentile convention), min and max. The heavy
+    * lifting is the funnel itself; this is one extra global aggregate
+    * over |converted users| rows. */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame =
+    funnelConversion(spark, dir)
+      .filter(col("converted"))
+      .select((unix_micros(col("t_purchase").cast("timestamp")) -
+               unix_micros(col("t_view").cast("timestamp"))).as("us"))
+      .agg(count(lit(1)).as("n_conversions"),
+           round(expr("percentile(us, 0.5)"), 4).as("p50_us"),
+           round(expr("percentile(us, 0.9)"), 4).as("p90_us"),
+           min("us").as("min_us"), max("us").as("max_us"))
+
   /** Weekly cohort retention: users grouped by the ISO week of their
     * FIRST event; for each later week, how many of that cohort were
     * active (distinct users, exact). Week arithmetic is day-difference /
