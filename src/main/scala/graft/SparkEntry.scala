@@ -276,6 +276,8 @@ object SparkEntry {
     // conversion-latency distribution
     "q115_event_transitions" -> Relational.eventTransitions _,
     "q116_conversion_latency" -> Relational.conversionLatency _,
+    // the decode plan of the multimodal family: which frames to decode
+    "q117_frame_manifest"    -> Pipeline.frameManifest _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -986,6 +988,15 @@ object SparkEntry {
           |  min(epoch_us(p.t_purchase) - epoch_us(v.t_view)) AS min_us,
           |  max(epoch_us(p.t_purchase) - epoch_us(v.t_view)) AS max_us
           |FROM v JOIN p USING (user_id)""".stripMargin),
+    // media_id = doc_id, payload = utf-8 text bytes (the mediaTable
+    // fixture); DuckDB strlen is BYTE length, mirroring Spark's
+    // length(binary)
+    "q117_frame_manifest" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CAST(strlen(text) % 50 + 1 AS INT) AS n_frames
+        |  FROM documents)
+        |SELECT media_id, CAST(i AS INT) AS frame_idx
+        |FROM m, unnest(range(0, n_frames, 5)) AS u(i)""".stripMargin,
     "q115_event_transitions" ->
       """WITH t AS (SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type

@@ -408,6 +408,21 @@ object Pipeline {
          element_at(col("features"), 1) <= 1.0).as("f0_in_range"))
   }
 
+  /** Frame-sampling manifest (q117): every 5th frame index per media row —
+    * the decode PLAN a video pipeline computes before touching any codec
+    * (only listed frames are ever decoded; Multimodal.decodeStub marks
+    * where the codec plugs in). n_frames is derived from payload bytes so
+    * the manifest exercises variable-length media rather than the shared
+    * fixture's constant. Pure narrow expression + Generate — zero shuffle
+    * at any scale. */
+  def frameManifest(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(spark, dir)
+      .withColumn("n_frames",
+        (pmod(length(col("payload")), lit(50)) + 1).cast("int"))
+    Multimodal.sampleFrameIndexes(media, stride = 5)
+      .select(col("media_id"), explode(col("frame_indexes")).as("frame_idx"))
+  }
+
   /** Column profiling — the data-quality pass a pipeline runs before
     * training: per-column counts, nulls, distincts, min/max. One pass over
     * the table (all aggregates in a single job). */
