@@ -557,7 +557,9 @@ object Relational {
     val du = Tables.events(spark, dir)
       .select(col("user_id"), col("ts").cast("date").as("d"))
       .distinct()
-    val dau = du.groupBy("d").agg(countDistinct("user_id").as("dau"))
+    // du is already distinct (user, day) → DAU is a plain count; a
+    // countDistinct here would pay the distinct-aggregate expansion twice
+    val dau = du.groupBy("d").agg(count(lit(1)).as("dau"))
     val wau = du
       .select(col("user_id"),
         explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
