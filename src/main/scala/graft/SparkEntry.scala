@@ -278,6 +278,9 @@ object SparkEntry {
     "q116_conversion_latency" -> Relational.conversionLatency _,
     // the decode plan of the multimodal family: which frames to decode
     "q117_frame_manifest"    -> Pipeline.frameManifest _,
+    // total-audience reach curve and week-over-week churn
+    "q118_cumulative_reach"  -> Relational.cumulativeReach _,
+    "q119_weekly_churn"      -> Relational.weeklyChurn _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -997,6 +1000,27 @@ object SparkEntry {
         |  FROM documents)
         |SELECT media_id, CAST(i AS INT) AS frame_idx
         |FROM m, unnest(range(0, n_frames, 5)) AS u(i)""".stripMargin,
+    "q118_cumulative_reach" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY 1),
+        |p AS (SELECT d, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+        |SELECT CAST(d AS TIMESTAMP) AS day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cumulative_users
+        |FROM p""".stripMargin,
+    "q119_weekly_churn" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events),
+        |a AS (SELECT week, CAST(count(*) AS BIGINT) AS n_active FROM wk GROUP BY 1),
+        |ch AS (SELECT w.week, CAST(count(*) AS BIGINT) AS n_churned
+        |       FROM wk w LEFT JOIN wk n ON n.user_id = w.user_id
+        |         AND n.week = w.week + INTERVAL 7 DAY
+        |       WHERE n.user_id IS NULL GROUP BY 1)
+        |SELECT a.week, a.n_active,
+        |  CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned,
+        |  CAST(coalesce(ch.n_churned, 0) AS DOUBLE) / CAST(a.n_active AS DOUBLE)
+        |    AS churn_rate
+        |FROM a LEFT JOIN ch USING (week)
+        |WHERE a.week < (SELECT max(week) FROM wk)""".stripMargin,
     "q115_event_transitions" ->
       """WITH t AS (SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type

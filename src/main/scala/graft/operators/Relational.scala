@@ -430,6 +430,50 @@ object Relational {
               col("t_purchase").isNotNull.as("converted"))
   }
 
+  /** Cumulative reach curve: distinct users ever seen, per day — the
+    * "total audience" line. A sliding DISTINCT can't accumulate, but
+    * first-seen-date per user CAN: one per-user min, one per-day count
+    * of first-seens, then a running sum over the DAY SERIES — which is
+    * dictionary-sized by definition, so the single-partition window is a
+    * few hundred rows at any corpus scale (the heavy lifting is the
+    * per-user aggregate, fully parallel). */
+  def cumulativeReach(spark: SparkSession, dir: String): DataFrame = {
+    val perDay = Tables.events(spark, dir)
+      .groupBy("user_id").agg(min(col("ts").cast("date")).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.withColumn("cumulative_users", sum("new_users").over(w))
+      .select(col("d").cast("timestamp_ntz").as("day"),
+              col("new_users"), col("cumulative_users"))
+  }
+
+  /** Weekly churn: users active in week w but NOT in w+1, per week (the
+    * last week is excluded — its successor is unobservable). Activity is
+    * one distinct (user, week) frame; churn is an anti-join of that
+    * frame against itself shifted back one week — co-partitioned on
+    * (user_id, week), no time inequality anywhere. The rate is ONE
+    * division of exact longs. */
+  def weeklyChurn(spark: SparkSession, dir: String): DataFrame = {
+    val wk = Tables.events(spark, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("timestamp_ntz").as("week"))
+      .distinct()
+    val nextAsThis = wk.select(col("user_id"),
+      (col("week") - expr("INTERVAL 7 DAYS")).as("week"))
+    val active = wk.groupBy("week").agg(count(lit(1)).as("n_active"))
+    val churned = wk.join(nextAsThis, Seq("user_id", "week"), "left_anti")
+      .groupBy("week").agg(count(lit(1)).as("n_churned"))
+    val maxWk = wk.agg(max("week").as("max_week"))
+    active.join(churned, Seq("week"), "left")
+      .crossJoin(broadcast(maxWk))
+      .filter(col("week") < col("max_week"))
+      .select(col("week"), col("n_active"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        (coalesce(col("n_churned"), lit(0L)).cast("double") /
+         col("n_active").cast("double")).as("churn_rate"))
+  }
+
   /** Per-user event-type transition matrix (first-order Markov counts):
     * for every consecutive event pair in a user's timeline, count
     * (from_type → to_type) and its conditional probability — the
