@@ -170,6 +170,26 @@ class PlanAuditSpec extends SparkSuite {
       s"bin join lost its equi key:\n$plan")
   }
 
+  test("q119 churn: the week-shift anti-join stays keyed, never a time inequality join") {
+    val plan = executedPlan("q119_weekly_churn")
+    assert(!plan.contains("CartesianProduct"), s"cross product:\n$plan")
+    // the (user, week) anti-join must be hash-keyed — a nested-loop anti
+    // join would be |users×weeks|² at scale. (The query's ONE nested-loop
+    // node is the intentional 1-row max-week bound broadcast.)
+    val antiKeyed = plan.linesIterator.exists(l =>
+      l.contains("Anti") && (l.contains("HashJoin") || l.contains("SortMergeJoin")))
+    assert(antiKeyed, s"churn anti-join lost its (user, week) key:\n$plan")
+  }
+
+  test("q118 reach: per-user aggregate parallel; only the day series hits one partition") {
+    val plan = executedPlan("q118_cumulative_reach")
+    // the running sum may single-partition — but ONLY after the per-day
+    // aggregate has reduced the data to the dictionary-sized day series
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      "per-user/per-day aggregates lost their map-side combine")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q110 star join: date filter pushed to the orders scan, dims broadcast, no cartesian") {
     val plan = executedPlan("q110_local_supplier")
     assert(plan.contains("PushedFilters:") &&
