@@ -57,7 +57,10 @@ object Bench {
     Seq("q22_exact_dup_groups", "q24_minhash_pairs", "q41_embedding_dups",
         "q57_dup_clusters", "q58_dup_clusters_lsh", "q62_semantic_dedup",
         "q67_release_funnel", "q81_duplicated_spans",
-        "q92_contamination_attribution")
+        "q92_contamination_attribution",
+        // r7: containment's DF-capped inverted index and the stored-
+        // cluster-map build+read path must also hold at 10×
+        "q105_dedup_inflation", "q108_containment")
       .map { name =>
         val t0 = System.nanoTime()
         val rows = try SparkEntry.queries(name)(spark, dir).count()
