@@ -281,6 +281,8 @@ object SparkEntry {
     // total-audience reach curve and week-over-week churn
     "q118_cumulative_reach"  -> Relational.cumulativeReach _,
     "q119_weekly_churn"      -> Relational.weeklyChurn _,
+    // ANN pre-flight: per-label norm stats + zero-vector detection
+    "q120_embedding_norms"   -> Pipeline.embeddingNorms _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1000,6 +1002,18 @@ object SparkEntry {
         |  FROM documents)
         |SELECT media_id, CAST(i AS INT) AS frame_idx
         |FROM m, unnest(range(0, n_frames, 5)) AS u(i)""".stripMargin,
+    // sequential fold both sides: Spark aggregate() and DuckDB
+    // list_aggregate sum are left-to-right; norms reported rounded
+    "q120_embedding_norms" ->
+      """WITH n AS (SELECT label,
+        |    sqrt(list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS l2
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(sum(CASE WHEN l2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  round(min(l2), 6) AS min_norm, round(max(l2), 6) AS max_norm,
+        |  round(avg(l2), 6) AS mean_norm
+        |FROM n GROUP BY 1""".stripMargin,
     "q118_cumulative_reach" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY 1),
         |p AS (SELECT d, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1)

@@ -311,6 +311,26 @@ object Pipeline {
       emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, nprobe = 16)
   }
 
+  /** Embedding-norm hygiene report (q120): per-label L2-norm statistics
+    * plus a zero-vector count — the pre-flight check before any cosine
+    * ANN work (a zero vector breaks cosine; an un-normalized batch skews
+    * every similarity). The norm folds the array SEQUENTIALLY (functions
+    * .aggregate — same left-to-right order DuckDB's list_aggregate sum
+    * uses) and all reported norms are rounded as aggregate derivatives.
+    * One narrow map + one tiny per-label aggregate at any scale. */
+  def embeddingNorms(spark: SparkSession, dir: String): DataFrame = {
+    val sq = aggregate(col("embedding"), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double"))
+    Tables.embeddings(spark, dir)
+      .select(col("label"), sqrt(sq).as("l2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+           sum(when(col("l2") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+           round(min("l2"), 6).as("min_norm"),
+           round(max("l2"), 6).as("max_norm"),
+           round(avg("l2"), 6).as("mean_norm"))
+  }
+
   /** Exact nearest neighbor for EVERY vector — the brute-force ground truth
     * the ANN paths (q27/q41) are measured against. Corpus-as-queries is fine
     * at bench SF (broadcast); at 100 TB ground truth is computed on a SAMPLE
