@@ -147,15 +147,18 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // 10× scale probe for the dedup/ANN family (disable: SPARK_GRAFT_SCALE_PROBE=0)
+    // scale probe for the dedup/ANN family (disable: SPARK_GRAFT_SCALE_PROBE=0;
+    // growth factor via SPARK_GRAFT_SCALE_FACTOR, default 10 — larger
+    // factors are the "would it survive 100×" evidence run on demand)
     val probeJson =
       if (sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("0")) ""
       else {
-        val p = scaleProbe(spark, sfDir, factor = 10)
+        val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+        val p = scaleProbe(spark, sfDir, factor)
         val entries = p.map { case (k, sec, rows) =>
           s"\"" + k + s"\":{\"sec\":$sec,\"rows\":$rows}"
         }.mkString(",")
-        s""","scale_probe_10x":{$entries}"""
+        s""","scale_probe_${factor}x":{$entries}"""
       }
     val detailJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"failed":$failedJson,"sf":"$sfDir","warehouse_warm":true,"warehouse_warm_found":$warmFound,"prebuild_sec":$prebuildSec$probeJson}"""

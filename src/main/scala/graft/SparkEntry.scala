@@ -283,6 +283,11 @@ object SparkEntry {
     "q119_weekly_churn"      -> Relational.weeklyChurn _,
     // ANN pre-flight: per-label norm stats + zero-vector detection
     "q120_embedding_norms"   -> Pipeline.embeddingNorms _,
+    // collocation mining (log-free lift), calendar-exact YoY reporting,
+    // and the key-skew diagnostic behind the q113 salting decision
+    "q121_collocations"      -> Pipeline.collocations _,
+    "q122_monthly_yoy"       -> Relational.monthlyRevenueYoY _,
+    "q123_key_skew"          -> Relational.joinKeySkew _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1002,6 +1007,39 @@ object SparkEntry {
         |  FROM documents)
         |SELECT media_id, CAST(i AS INT) AS frame_idx
         |FROM m, unnest(range(0, n_frames, 5)) AS u(i)""".stripMargin,
+    "q121_collocations" ->
+      """WITH t AS (SELECT regexp_extract_all(lower(text),'\S+') AS t FROM documents),
+        |u AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |      FROM (SELECT unnest(t) AS w FROM t) GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM u),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+        |       FROM (SELECT t[i] AS w1, t[i+1] AS w2
+        |             FROM t, unnest(range(1, len(t))) AS r(i)
+        |             WHERE len(t) >= 2)
+        |       GROUP BY 1, 2)
+        |SELECT w1, w2, c_xy,
+        |  CAST(c_xy * n.n AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS lift
+        |FROM bc, n
+        |JOIN u u1 ON u1.w = bc.w1
+        |JOIN u u2 ON u2.w = bc.w2
+        |WHERE c_xy >= 5
+        |ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+    "q122_monthly_yoy" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT month + INTERVAL 12 MONTH AS month,
+        |    revenue AS prev_year_revenue FROM m)
+        |SELECT m.month, m.revenue, p.prev_year_revenue,
+        |  round((m.revenue - p.prev_year_revenue) / p.prev_year_revenue * 100, 4)
+        |    AS yoy_pct
+        |FROM m LEFT JOIN p USING (month)""".stripMargin,
+    "q123_key_skew" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT user_id, n, CAST(n AS DOUBLE)/CAST(t.tot AS DOUBLE) AS share
+        |FROM c, t ORDER BY n DESC, user_id ASC LIMIT 10""".stripMargin,
     // sequential fold both sides: Spark aggregate() and DuckDB
     // list_aggregate sum are left-to-right; norms reported rounded
     "q120_embedding_norms" ->

@@ -428,6 +428,37 @@ object Pipeline {
          element_at(col("features"), 1) <= 1.0).as("f0_in_range"))
   }
 
+  /** Collocation mining (q121): top-20 token bigrams by LIFT —
+    * (c_xy · N) / (c_x · c_y), the log-free PMI core (log is libm,
+    * not cross-engine-stable; lift orders identically). Min support 5,
+    * ties broken by the bigram itself. Counts are map-side-combined
+    * aggregates over the exploded token/bigram streams (q53's inverted-
+    * index shuffle shape); the lift is ONE double division of two exact
+    * long products (c_xy·N ≤ 9·10¹⁰ at sf0.1 — far inside long range),
+    * and the top-20 plans as TakeOrdered, never a global sort. */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(Text.tokens(col("text")).as("t"))
+    val uni = docs.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = docs.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+        "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val total = uni.agg(sum("c").as("n"))
+    bi.filter(col("c_xy") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        ((col("c_xy") * col("n")).cast("double") /
+         (col("c1") * col("c2")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+  }
+
   /** Frame-sampling manifest (q117): every 5th frame index per media row —
     * the decode PLAN a video pipeline computes before touching any codec
     * (only listed frames are ever decoded; Multimodal.decodeStub marks

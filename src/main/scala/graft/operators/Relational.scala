@@ -430,6 +430,42 @@ object Relational {
               col("t_purchase").isNotNull.as("converted"))
   }
 
+  /** Monthly revenue with calendar-exact year-over-year delta: one
+    * month-truncated aggregate, then a self-join on month == prior month
+    * + 12 calendar months (never "12 rows back", which silently
+    * misaligns across gaps). The join operates on the dictionary-sized
+    * month series; yoy_pct derives from the ROUNDED revenues so both
+    * engines divide identical operands. */
+  def monthlyRevenueYoY(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz")
+        .as("month"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val prev = m.select(
+      (col("month") + expr("INTERVAL 12 MONTHS")).as("month"),
+      col("revenue").as("prev_year_revenue"))
+    m.join(prev, Seq("month"), "left")
+      .select(col("month"), col("revenue"), col("prev_year_revenue"),
+        round((col("revenue") - col("prev_year_revenue")) /
+              col("prev_year_revenue") * 100, 4).as("yoy_pct"))
+  }
+
+  /** Join-key skew report: the top-10 heaviest user_id keys in the
+    * events table with their share of all rows — the diagnostic that
+    * decides between AQE skew splitting and the q113 salted rewrite.
+    * One map-side-combined count per key, a broadcast 1-row total, and
+    * a TakeOrdered head (ties to the lower key — deterministic LIMIT). */
+  def joinKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum("n").as("tot"))
+    c.crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("share"))
+      .orderBy(col("n").desc, col("user_id").asc)
+      .limit(10)
+  }
+
   /** Cumulative reach curve: distinct users ever seen, per day — the
     * "total audience" line. A sliding DISTINCT can't accumulate, but
     * first-seen-date per user CAN: one per-user min, one per-day count
