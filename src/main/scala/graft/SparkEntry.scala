@@ -288,6 +288,9 @@ object SparkEntry {
     "q121_collocations"      -> Pipeline.collocations _,
     "q122_monthly_yoy"       -> Relational.monthlyRevenueYoY _,
     "q123_key_skew"          -> Relational.joinKeySkew _,
+    // data-card length panel and the fulfillment-SLA report
+    "q124_length_percentiles" -> Pipeline.lengthPercentiles _,
+    "q125_shipping_delays"   -> Relational.shippingDelays _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1007,6 +1010,25 @@ object SparkEntry {
         |  FROM documents)
         |SELECT media_id, CAST(i AS INT) AS frame_idx
         |FROM m, unnest(range(0, n_frames, 5)) AS u(i)""".stripMargin,
+    "q124_length_percentiles" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(regexp_extract_all(lower(text),'\S+')) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(quantile_cont(n, 0.5), 4) AS p50_tokens,
+        |  round(quantile_cont(n, 0.9), 4) AS p90_tokens,
+        |  max(n) AS max_tokens
+        |FROM d GROUP BY 1""".stripMargin,
+    "q125_shipping_delays" ->
+      """WITH d AS (SELECT o_orderpriority,
+        |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT)
+        |      AS delay_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(quantile_cont(delay_days, 0.5), 4) AS p50_days,
+        |  round(quantile_cont(delay_days, 0.9), 4) AS p90_days,
+        |  min(delay_days) AS min_days, max(delay_days) AS max_days
+        |FROM d GROUP BY 1""".stripMargin,
     "q121_collocations" ->
       """WITH t AS (SELECT regexp_extract_all(lower(text),'\S+') AS t FROM documents),
         |u AS (SELECT w, CAST(count(*) AS BIGINT) AS c

@@ -428,6 +428,19 @@ object Pipeline {
          element_at(col("features"), 1) <= 1.0).as("f0_in_range"))
   }
 
+  /** Per-source document-length percentiles (q124): the data-card
+    * length panel — n_docs, exact-interpolated p50/p90 token counts
+    * (q39's percentile convention) and the max, per source. One
+    * tokenize-and-count map, one per-source aggregate. */
+  def lengthPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), Text.tokenCount(col("text")).cast("bigint").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           round(expr("percentile(n, 0.5)"), 4).as("p50_tokens"),
+           round(expr("percentile(n, 0.9)"), 4).as("p90_tokens"),
+           max("n").as("max_tokens"))
+
   /** Collocation mining (q121): top-20 token bigrams by LIFT —
     * (c_xy · N) / (c_x · c_y), the log-free PMI core (log is libm,
     * not cross-engine-stable; lift orders identically). Min support 5,

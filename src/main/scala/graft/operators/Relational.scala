@@ -430,6 +430,27 @@ object Relational {
               col("t_purchase").isNotNull.as("converted"))
   }
 
+  /** Shipping-delay distribution per order priority (q125): days from
+    * order date to each line item's ship date — the fulfillment-SLA
+    * report. The lineitem–orders join shuffles on the order key (left to
+    * AQE); day differences are exact integers (both engines difference
+    * DATE casts), aggregated per priority with the q39 percentile
+    * convention. */
+  def shippingDelays(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+              .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+          .cast("bigint").as("delay_days"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           round(expr("percentile(delay_days, 0.5)"), 4).as("p50_days"),
+           round(expr("percentile(delay_days, 0.9)"), 4).as("p90_days"),
+           min("delay_days").as("min_days"), max("delay_days").as("max_days"))
+
   /** Monthly revenue with calendar-exact year-over-year delta: one
     * month-truncated aggregate, then a self-join on month == prior month
     * + 12 calendar months (never "12 rows back", which silently
