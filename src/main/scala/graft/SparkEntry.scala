@@ -291,6 +291,9 @@ object SparkEntry {
     // data-card length panel and the fulfillment-SLA report
     "q124_length_percentiles" -> Pipeline.lengthPercentiles _,
     "q125_shipping_delays"   -> Relational.shippingDelays _,
+    // why-the-funnel-drops diagnostic and threshold-scored RFM segments
+    "q126_gate_overlap"      -> Pipeline.gateOverlap _,
+    "q127_rfm_segments"      -> Relational.rfmSegments _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1010,6 +1013,48 @@ object SparkEntry {
         |  FROM documents)
         |SELECT media_id, CAST(i AS INT) AS frame_idx
         |FROM m, unnest(range(0, n_frames, 5)) AS u(i)""".stripMargin,
+    // same unordered-pair enumeration rule as the Spark side (display
+    // names, lexicographic); one aggregated row unpivoted via UNION ALL
+    "q126_gate_overlap" -> releaseFlagsSql {
+      val gates = Seq("keep_exact" -> "exact_dup", "q_ok" -> "quality",
+        "not_eval" -> "eval_holdout", "clean" -> "contamination",
+        "mixed" -> "mix_rate")
+      (for { (ca, na) <- gates; (cb, nb) <- gates if na <= nb } yield
+        s"SELECT '$na' AS gate_a, '$nb' AS gate_b, " +
+        s"CAST(sum(CASE WHEN NOT $ca AND NOT $cb THEN 1 ELSE 0 END) AS BIGINT) " +
+        s"AS n_both_failed FROM flags").mkString("\nUNION ALL\n")
+    },
+    "q127_rfm_segments" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(d) AS max_d FROM p),
+        |rfm AS (SELECT user_id,
+        |    CAST(date_diff('day', max(d), mx.max_d) AS BIGINT) AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    round(sum(value), 2) AS monetary
+        |  FROM p, mx GROUP BY user_id, mx.max_d),
+        |t AS (SELECT
+        |    quantile_cont(recency_days, 0.25) AS r25, quantile_cont(recency_days, 0.5) AS r50,
+        |    quantile_cont(recency_days, 0.75) AS r75,
+        |    quantile_cont(frequency, 0.25) AS f25, quantile_cont(frequency, 0.5) AS f50,
+        |    quantile_cont(frequency, 0.75) AS f75,
+        |    quantile_cont(monetary, 0.25) AS m25, quantile_cont(monetary, 0.5) AS m50,
+        |    quantile_cont(monetary, 0.75) AS m75
+        |  FROM rfm)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  CAST(CASE WHEN recency_days <= r25 THEN 4 WHEN recency_days <= r50 THEN 3
+        |            WHEN recency_days <= r75 THEN 2 ELSE 1 END AS INT) AS r_score,
+        |  CAST(CASE WHEN frequency > f75 THEN 4 WHEN frequency > f50 THEN 3
+        |            WHEN frequency > f25 THEN 2 ELSE 1 END AS INT) AS f_score,
+        |  CAST(CASE WHEN monetary > m75 THEN 4 WHEN monetary > m50 THEN 3
+        |            WHEN monetary > m25 THEN 2 ELSE 1 END AS INT) AS m_score,
+        |  CAST(CASE WHEN recency_days <= r25 THEN 4 WHEN recency_days <= r50 THEN 3
+        |            WHEN recency_days <= r75 THEN 2 ELSE 1 END AS VARCHAR) ||
+        |  CAST(CASE WHEN frequency > f75 THEN 4 WHEN frequency > f50 THEN 3
+        |            WHEN frequency > f25 THEN 2 ELSE 1 END AS VARCHAR) ||
+        |  CAST(CASE WHEN monetary > m75 THEN 4 WHEN monetary > m50 THEN 3
+        |            WHEN monetary > m25 THEN 2 ELSE 1 END AS VARCHAR) AS segment
+        |FROM rfm, t""".stripMargin,
     "q124_length_percentiles" ->
       """WITH d AS (SELECT source,
         |    CAST(len(regexp_extract_all(lower(text),'\S+')) AS BIGINT) AS n

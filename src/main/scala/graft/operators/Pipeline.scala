@@ -428,6 +428,29 @@ object Pipeline {
          element_at(col("features"), 1) <= 1.0).as("f0_in_range"))
   }
 
+  /** Release-gate overlap matrix (q126): for every unordered pair of
+    * release gates, how many documents fail BOTH — the diagnostic that
+    * explains WHY the funnel drops mass (a doc failing quality AND
+    * contamination is cheap to drop; mass failing only mix-rate argues
+    * for re-weighting, not cleaning). All 15 cells come from ONE
+    * conditional aggregate over the per-doc flag frame (no joins, no
+    * per-pair scans) and unpivot via stack. */
+  def gateOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val f = releaseFlags(spark, dir)
+    val gates = Seq("keep_exact" -> "exact_dup", "q_ok" -> "quality",
+      "not_eval" -> "eval_holdout", "clean" -> "contamination",
+      "mixed" -> "mix_rate")
+    val pairs = for { (ca, na) <- gates; (cb, nb) <- gates if na <= nb }
+      yield (ca, na, cb, nb)
+    val aggs = pairs.zipWithIndex.map { case ((ca, _, cb, _), i) =>
+      sum(when(!col(ca) && !col(cb), 1L).otherwise(0L)).as(s"p$i") }
+    val stackArgs = pairs.zipWithIndex
+      .map { case ((_, na, _, nb), i) => s"'$na', '$nb', p$i" }.mkString(", ")
+    f.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${pairs.size}, $stackArgs) AS (gate_a, gate_b, n_both_failed)"))
+  }
+
   /** Per-source document-length percentiles (q124): the data-card
     * length panel — n_docs, exact-interpolated p50/p90 token counts
     * (q39's percentile convention) and the max, per source. One

@@ -487,6 +487,48 @@ object Relational {
       .limit(10)
   }
 
+  /** RFM segmentation (q127): per purchasing user — recency (days since
+    * last purchase, against the corpus max), frequency, monetary — each
+    * scored 1–4 against exact-interpolated quartile THRESHOLDS rather
+    * than a global ntile: ntile needs a single-partition window over the
+    * whole user dimension, thresholds are three tiny aggregates
+    * broadcast into a narrow map, which is the shape that survives a
+    * billion users. Both engines compute identical threshold doubles
+    * from identical operands, so the bucket comparisons agree exactly. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+    val maxTs = p.agg(max(col("ts").cast("date")).as("max_d"))
+    val rfm = p.groupBy("user_id")
+      .agg(max(col("ts").cast("date")).as("last_d"),
+           count(lit(1)).as("frequency"),
+           round(sum("value"), 2).as("monetary"))
+      .crossJoin(broadcast(maxTs))
+      .select(col("user_id"),
+        datediff(col("max_d"), col("last_d")).cast("bigint").as("recency_days"),
+        col("frequency"), col("monetary"))
+    val t = rfm.agg(
+      expr("percentile(recency_days, 0.25)").as("r25"),
+      expr("percentile(recency_days, 0.5)").as("r50"),
+      expr("percentile(recency_days, 0.75)").as("r75"),
+      expr("percentile(frequency, 0.25)").as("f25"),
+      expr("percentile(frequency, 0.5)").as("f50"),
+      expr("percentile(frequency, 0.75)").as("f75"),
+      expr("percentile(monetary, 0.25)").as("m25"),
+      expr("percentile(monetary, 0.5)").as("m50"),
+      expr("percentile(monetary, 0.75)").as("m75"))
+    def asc(c: Column, p25: Column, p50: Column, p75: Column) = // lower = better
+      when(c <= p25, 4).when(c <= p50, 3).when(c <= p75, 2).otherwise(1)
+    def desc(c: Column, p25: Column, p50: Column, p75: Column) = // higher = better
+      when(c > p75, 4).when(c > p50, 3).when(c > p25, 2).otherwise(1)
+    rfm.crossJoin(broadcast(t))
+      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+        asc(col("recency_days"), col("r25"), col("r50"), col("r75")).as("r_score"),
+        desc(col("frequency"), col("f25"), col("f50"), col("f75")).as("f_score"),
+        desc(col("monetary"), col("m25"), col("m50"), col("m75")).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+  }
+
   /** Cumulative reach curve: distinct users ever seen, per day — the
     * "total audience" line. A sliding DISTINCT can't accumulate, but
     * first-seen-date per user CAN: one per-user min, one per-day count
