@@ -294,6 +294,9 @@ object SparkEntry {
     // why-the-funnel-drops diagnostic and threshold-scored RFM segments
     "q126_gate_overlap"      -> Pipeline.gateOverlap _,
     "q127_rfm_segments"      -> Relational.rfmSegments _,
+    // dead-dimension detector and the FK orphan audit
+    "q128_dim_stats"         -> Pipeline.embeddingDimStats _,
+    "q129_ref_integrity"     -> Relational.referentialIntegrity _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1024,6 +1027,31 @@ object SparkEntry {
         s"CAST(sum(CASE WHEN NOT $ca AND NOT $cb THEN 1 ELSE 0 END) AS BIGINT) " +
         s"AS n_both_failed FROM flags").mkString("\nUNION ALL\n")
     },
+    // DuckDB list indexing is 1-based; Spark posexplode is 0-based
+    "q128_dim_stats" ->
+      """WITH e AS (SELECT CAST(i - 1 AS INT) AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i))
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(x), 6) AS mean, round(var_samp(x), 6) AS variance
+        |FROM e GROUP BY 1""".stripMargin,
+    "q129_ref_integrity" ->
+      """SELECT 'orders->customer' AS relationship,
+        |  CAST(count(*) AS BIGINT) AS n_orphans
+        |FROM orders o WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'lineitem->orders', CAST(count(*) AS BIGINT)
+        |FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'customer->nation', CAST(count(*) AS BIGINT)
+        |FROM customer c WHERE NOT EXISTS
+        |  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        |UNION ALL
+        |SELECT 'supplier->nation', CAST(count(*) AS BIGINT)
+        |FROM supplier s WHERE NOT EXISTS
+        |  (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)""".stripMargin,
     "q127_rfm_segments" ->
       """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
         |           WHERE event_type = 'purchase'),

@@ -428,6 +428,20 @@ object Pipeline {
          element_at(col("features"), 1) <= 1.0).as("f0_in_range"))
   }
 
+  /** Per-dimension embedding statistics (q128): mean and sample variance
+    * of every embedding dimension across the corpus — the dead/collapsed-
+    * dimension detector (a near-zero-variance dimension carries no
+    * signal and distorts quantization ranges). One posexplode (linear
+    * fan-out by dim) into a 64-group aggregate; moments are rounded as
+    * order-dependent double aggregates. */
+  def embeddingDimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("x").cast("double")), 6).as("mean"),
+           round(var_samp(col("x").cast("double")), 6).as("variance"))
+
   /** Release-gate overlap matrix (q126): for every unordered pair of
     * release gates, how many documents fail BOTH — the diagnostic that
     * explains WHY the funnel drops mass (a doc failing quality AND

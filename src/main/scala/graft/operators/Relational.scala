@@ -487,6 +487,32 @@ object Relational {
       .limit(10)
   }
 
+  /** Referential-integrity audit (q129): orphan counts across the star
+    * schema's foreign keys — orders without a customer, lineitems
+    * without an order, customers/suppliers without a nation. The
+    * data-quality precondition every join in this engine assumes; each
+    * check is one anti-join (keyed, dim sides broadcast by AQE) folded
+    * into a fixed four-row report. */
+  def referentialIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def orphans(name: String, fact: DataFrame, key: String,
+                dim: DataFrame, dimKey: String): DataFrame =
+      fact.join(dim.select(col(dimKey).as(key)), Seq(key), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("relationship"), col("n_orphans"))
+    orphans("orders->customer",
+        Tables.orders(spark, dir).select(col("o_custkey").as("k")), "k",
+        Tables.customer(spark, dir), "c_custkey")
+      .unionByName(orphans("lineitem->orders",
+        Tables.lineitem(spark, dir).select(col("l_orderkey").as("k")), "k",
+        Tables.orders(spark, dir), "o_orderkey"))
+      .unionByName(orphans("customer->nation",
+        Tables.customer(spark, dir).select(col("c_nationkey").as("k")), "k",
+        Tables.nation(spark, dir), "n_nationkey"))
+      .unionByName(orphans("supplier->nation",
+        Tables.supplier(spark, dir).select(col("s_nationkey").as("k")), "k",
+        Tables.nation(spark, dir), "n_nationkey"))
+  }
+
   /** RFM segmentation (q127): per purchasing user — recency (days since
     * last purchase, against the corpus max), frequency, monetary — each
     * scored 1–4 against exact-interpolated quartile THRESHOLDS rather
