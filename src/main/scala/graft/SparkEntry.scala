@@ -297,6 +297,8 @@ object SparkEntry {
     // dead-dimension detector and the FK orphan audit
     "q128_dim_stats"         -> Pipeline.embeddingDimStats _,
     "q129_ref_integrity"     -> Relational.referentialIntegrity _,
+    // the search access pattern: top-3 docs per query term
+    "q130_term_retrieval"    -> Pipeline.termRetrieval _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1027,6 +1029,20 @@ object SparkEntry {
         s"CAST(sum(CASE WHEN NOT $ca AND NOT $cb THEN 1 ELSE 0 END) AS BIGINT) " +
         s"AS n_both_failed FROM flags").mkString("\nUNION ALL\n")
     },
+    "q130_term_retrieval" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'\S+')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT term, df FROM dfq ORDER BY df DESC, term ASC LIMIT 3)
+        |SELECT term, CAST(rank AS INT) AS rank, doc_id, tf, df, score
+        |FROM (SELECT tf.term, tf.doc_id, tf.tf, q.df,
+        |        CAST(tf.tf AS DOUBLE)/CAST(q.df AS DOUBLE) AS score,
+        |        row_number() OVER (PARTITION BY tf.term
+        |          ORDER BY CAST(tf.tf AS DOUBLE)/CAST(q.df AS DOUBLE) DESC,
+        |                   tf.doc_id ASC) AS rank
+        |      FROM tf JOIN q USING (term))
+        |WHERE rank <= 3""".stripMargin,
     // DuckDB list indexing is 1-based; Spark posexplode is 0-based
     "q128_dim_stats" ->
       """WITH e AS (SELECT CAST(i - 1 AS INT) AS dim,

@@ -428,6 +428,31 @@ object Pipeline {
          element_at(col("features"), 1) <= 1.0).as("f0_in_range"))
   }
 
+  /** Term retrieval (q130): the SEARCH access pattern over the q53
+    * inverted index — for each query term, the top-3 documents by the
+    * tf/df score. The query set here is the 3 highest-df corpus terms
+    * (deterministic: df desc, term asc — in production the terms arrive
+    * from the caller); it broadcasts into the posting join, so the index
+    * side never re-shuffles for a query batch, and the per-term top-k is
+    * a window over that term's postings only. */
+  def termRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val queries = dfreq.orderBy(col("df").desc, col("term").asc).limit(3)
+      .select(col("term"), col("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("term")
+      .orderBy((col("tf").cast("double") / col("df").cast("double")).desc,
+               col("doc_id").asc)
+    tf.join(broadcast(queries), Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("term"), col("rank").cast("int").as("rank"), col("doc_id"),
+        col("tf"), col("df"),
+        (col("tf").cast("double") / col("df").cast("double")).as("score"))
+  }
+
   /** Per-dimension embedding statistics (q128): mean and sample variance
     * of every embedding dimension across the corpus — the dead/collapsed-
     * dimension detector (a near-zero-variance dimension carries no
