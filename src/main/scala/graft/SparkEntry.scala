@@ -299,6 +299,9 @@ object SparkEntry {
     "q129_ref_integrity"     -> Relational.referentialIntegrity _,
     // the search access pattern: top-3 docs per query term
     "q130_term_retrieval"    -> Pipeline.termRetrieval _,
+    // token-cost-per-source ratio and the weekly-rhythm heatmap
+    "q131_tokenizer_fertility" -> Pipeline.tokenizerFertility _,
+    "q132_dow_seasonality"   -> Relational.dowSeasonality _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1029,6 +1032,25 @@ object SparkEntry {
         s"CAST(sum(CASE WHEN NOT $ca AND NOT $cb THEN 1 ELSE 0 END) AS BIGINT) " +
         s"AS n_both_failed FROM flags").mkString("\nUNION ALL\n")
     },
+    "q131_tokenizer_fertility" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(regexp_extract_all(lower(text),'\S+')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS s
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_words, CAST(sum(s) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(s) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS fertility
+        |FROM d GROUP BY 1""".stripMargin,
+    // DuckDB dow is 0=Sunday; Spark dayofweek is 1=Sunday
+    "q132_dow_seasonality" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(date_part('dow', ts) + 1 AS INT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.event_type, c.dow, c.n,
+        |  CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+        |FROM c JOIN t USING (event_type)""".stripMargin,
     "q130_term_retrieval" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'\S+')) AS term
         |           FROM documents),

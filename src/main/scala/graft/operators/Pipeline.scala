@@ -428,6 +428,27 @@ object Pipeline {
          element_at(col("features"), 1) <= 1.0).as("f0_in_range"))
   }
 
+  /** Tokenizer fertility per source (q131): pre-tokenizer symbols per
+    * whitespace word — the compression ratio that decides which sources
+    * are token-expensive (code/punct-heavy text can cost 2× the tokens
+    * of prose for the same word count). Uses q70's pre-tokenizer regex
+    * convention; exact integer sums + ONE division per source. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        Text.tokenCount(col("text")).cast("bigint").as("w"),
+        // pattern as a Column lit — inside expr() the SQL parser would
+        // unescape '\s' to 's' and silently tokenize every space
+        size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("bigint").as("s"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("w").as("n_words"), sum("s").as("n_bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+
   /** Term retrieval (q130): the SEARCH access pattern over the q53
     * inverted index — for each query term, the top-3 documents by the
     * tf/df score. The query set here is the 3 highest-df corpus terms

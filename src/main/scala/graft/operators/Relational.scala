@@ -487,6 +487,21 @@ object Relational {
       .limit(10)
   }
 
+  /** Day-of-week seasonality (q132): event counts per (type, weekday)
+    * with each cell's share of its type — the weekly-rhythm heatmap.
+    * Two dictionary-sized aggregates and a broadcast join back; the
+    * share is ONE division of exact longs. Spark's dayofweek is
+    * 1=Sunday..7; the oracle maps DuckDB's 0-based dow accordingly. */
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("event_type").agg(sum("n").as("tot"))
+    cells.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("share"))
+  }
+
   /** Referential-integrity audit (q129): orphan counts across the star
     * schema's foreign keys — orders without a customer, lineitems
     * without an order, customers/suppliers without a nation. The
