@@ -302,6 +302,9 @@ object SparkEntry {
     // token-cost-per-source ratio and the weekly-rhythm heatmap
     "q131_tokenizer_fertility" -> Pipeline.tokenizerFertility _,
     "q132_dow_seasonality"   -> Relational.dowSeasonality _,
+    // repeat-purchase rhythm and the value histogram
+    "q133_purchase_gaps"     -> Relational.purchaseGaps _,
+    "q134_value_histogram"   -> Relational.valueHistogram _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1032,6 +1035,20 @@ object SparkEntry {
         s"CAST(sum(CASE WHEN NOT $ca AND NOT $cb THEN 1 ELSE 0 END) AS BIGINT) " +
         s"AS n_both_failed FROM flags").mkString("\nUNION ALL\n")
     },
+    "q133_purchase_gaps" ->
+      """WITH g AS (SELECT epoch_us(ts) -
+        |    epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      AS gap_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(gap_us, 0.5), 4) AS p50_us,
+        |  round(quantile_cont(gap_us, 0.9), 4) AS p90_us,
+        |  min(gap_us) AS min_us, max(gap_us) AS max_us
+        |FROM g WHERE gap_us IS NOT NULL""".stripMargin,
+    "q134_value_histogram" ->
+      """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q131_tokenizer_fertility" ->
       """WITH d AS (SELECT source,
         |    CAST(len(regexp_extract_all(lower(text),'\S+')) AS BIGINT) AS w,

@@ -487,6 +487,37 @@ object Relational {
       .limit(10)
   }
 
+  /** Inter-purchase gap distribution (q133): time between a user's
+    * consecutive purchases — the repeat-purchase rhythm behind retention
+    * forecasts. One lag window per user partition produces exact
+    * microsecond gaps; the global aggregate reports count and
+    * interpolated p50/p90 (q39's percentile convention). */
+  def purchaseGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select((unix_micros(col("ts").cast("timestamp")) -
+               unix_micros(col("prev_ts").cast("timestamp"))).as("gap_us"))
+      .agg(count(lit(1)).as("n_gaps"),
+           round(expr("percentile(gap_us, 0.5)"), 4).as("p50_us"),
+           round(expr("percentile(gap_us, 0.9)"), 4).as("p90_us"),
+           min("gap_us").as("min_us"), max("gap_us").as("max_us"))
+  }
+
+  /** Purchase-value histogram (q134): fixed-width (10-unit) value
+    * buckets per event type — exact integer binning (floor of a double
+    * quotient at these magnitudes is engine-stable), one map-side-
+    * combined aggregate. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") / 10.0).cast("bigint").as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+
   /** Day-of-week seasonality (q132): event counts per (type, weekday)
     * with each cell's share of its type — the weekly-rhythm heatmap.
     * Two dictionary-sized aggregates and a broadcast join back; the
