@@ -305,6 +305,9 @@ object SparkEntry {
     // repeat-purchase rhythm and the value histogram
     "q133_purchase_gaps"     -> Relational.purchaseGaps _,
     "q134_value_histogram"   -> Relational.valueHistogram _,
+    // conversion by acquisition week and the Pareto revenue KPI
+    "q135_cohort_conversion" -> Relational.cohortConversion _,
+    "q136_revenue_concentration" -> Relational.revenueConcentration _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1035,6 +1038,27 @@ object SparkEntry {
         s"CAST(sum(CASE WHEN NOT $ca AND NOT $cb THEN 1 ELSE 0 END) AS BIGINT) " +
         s"AS n_both_failed FROM flags").mkString("\nUNION ALL\n")
     },
+    // conversion per week of first view, over the shared funnel CTE
+    "q135_cohort_conversion" ->
+      (funnelCte +
+        """SELECT CAST(date_trunc('week', v.t_view) AS TIMESTAMP) AS cohort_week,
+          |  CAST(count(*) AS BIGINT) AS n_funnel_users,
+          |  CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_converted,
+          |  CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE) AS conversion_rate
+          |FROM v LEFT JOIN p USING (user_id) GROUP BY 1""".stripMargin),
+    "q136_revenue_concentration" ->
+      """WITH per AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |             FROM orders GROUP BY 1),
+        |t AS (SELECT quantile_cont(rev, 0.9) AS p90 FROM per)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CASE WHEN rev >= t.p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+        |  round(sum(rev), 2) AS total_revenue,
+        |  round(sum(CASE WHEN rev >= t.p90 THEN rev ELSE 0.0 END), 2) AS top_revenue,
+        |  round(round(sum(CASE WHEN rev >= t.p90 THEN rev ELSE 0.0 END), 2)
+        |        / round(sum(rev), 2), 6) AS top_share
+        |FROM per, t""".stripMargin,
     "q133_purchase_gaps" ->
       """WITH g AS (SELECT epoch_us(ts) -
         |    epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))

@@ -487,6 +487,42 @@ object Relational {
       .limit(10)
   }
 
+  /** Conversion rate by acquisition week (q135): the q100 funnel's
+    * converted flag aggregated per week of first view — "are newer
+    * cohorts converting better" in one small aggregate over the funnel
+    * output (all heavy lifting is the funnel's co-partitioned stage
+    * joins). Rate is ONE division of exact longs. */
+  def cohortConversion(spark: SparkSession, dir: String): DataFrame =
+    funnelConversion(spark, dir)
+      .select(date_trunc("week", col("t_view")).cast("timestamp_ntz")
+                .as("cohort_week"),
+              col("converted"))
+      .groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_funnel_users"),
+           sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+      .select(col("cohort_week"), col("n_funnel_users"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_funnel_users").cast("double"))
+          .as("conversion_rate"))
+
+  /** Revenue concentration (q136): how much of total revenue the top
+    * decile of customers carries — the Pareto KPI, computed scale-clean:
+    * the p90 spend threshold is one interpolated aggregate broadcast
+    * into a second conditional aggregate, never a global ranking window
+    * over the customer dimension. */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("rev"))
+    val thr = per.agg(expr("percentile(rev, 0.9)").as("p90"))
+    per.crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(when(col("rev") >= col("p90"), 1L).otherwise(0L)).as("n_top"),
+           round(sum("rev"), 2).as("total_revenue"),
+           round(sum(when(col("rev") >= col("p90"), col("rev")).otherwise(0.0)), 2)
+             .as("top_revenue"))
+      .withColumn("top_share",
+        round(col("top_revenue") / col("total_revenue"), 6))
+  }
+
   /** Inter-purchase gap distribution (q133): time between a user's
     * consecutive purchases — the repeat-purchase rhythm behind retention
     * forecasts. One lag window per user partition produces exact
