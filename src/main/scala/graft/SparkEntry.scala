@@ -308,6 +308,9 @@ object SparkEntry {
     // conversion by acquisition week and the Pareto revenue KPI
     "q135_cohort_conversion" -> Relational.cohortConversion _,
     "q136_revenue_concentration" -> Relational.revenueConcentration _,
+    // governance density ranking and the dormancy report
+    "q137_pii_density"       -> Pipeline.piiDensity _,
+    "q138_dormant_users"     -> Relational.dormantUsers _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1038,6 +1041,25 @@ object SparkEntry {
         s"CAST(sum(CASE WHEN NOT $ca AND NOT $cb THEN 1 ELSE 0 END) AS BIGINT) " +
         s"AS n_both_failed FROM flags").mkString("\nUNION ALL\n")
     },
+    "q137_pii_density" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(regexp_extract_all(lower(text),'\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS e,
+        |    CAST(len(regexp_extract_all(text, '\+?[0-9][0-9 -]{7,}[0-9]')) AS BIGINT) AS p
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(e) AS BIGINT) AS n_emails, CAST(sum(p) AS BIGINT) AS n_phones,
+        |  CAST((sum(e) + sum(p)) * 1000 AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
+        |    AS pii_per_1k_tokens
+        |FROM d GROUP BY 1""".stripMargin,
+    "q138_dormant_users" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) - epoch_us(lag(ts) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us FROM events)
+        |SELECT user_id, CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+        |  CAST(count(*) AS BIGINT) AS n_gaps
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+        |ORDER BY max_gap_us DESC, user_id ASC LIMIT 10""".stripMargin,
     // conversion per week of first view, over the shared funnel CTE
     "q135_cohort_conversion" ->
       (funnelCte +

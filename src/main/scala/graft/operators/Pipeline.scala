@@ -671,6 +671,29 @@ object Pipeline {
       length(scrubbed).as("n_chars_scrubbed"))
   }
 
+  /** PII density per source (q137): email/phone matches per 1000 tokens
+    * — the governance metric that ranks sources for scrubbing priority
+    * (q55 scrubs; this reports where scrubbing matters). Same regexes as
+    * q55, exact integer sums, one scaled division. */
+  def piiDensity(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+?[0-9][0-9 -]{7,}[0-9]"
+    Tables.documents(spark, dir).select(
+        col("source"),
+        Text.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .cast("bigint").as("e"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+          .cast("bigint").as("p"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+           sum("e").as("n_emails"), sum("p").as("n_phones"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_emails"), col("n_phones"),
+        (((col("n_emails") + col("n_phones")) * 1000).cast("double") /
+         col("n_tokens").cast("double")).as("pii_per_1k_tokens"))
+  }
+
   /** Greedy sequential sequence packing: within each source, docs in
     * doc_id order are packed into ~2048-token bins (bin = starting token
     * offset ÷ 2048) — the layout step before writing training shards.

@@ -487,6 +487,24 @@ object Relational {
       .limit(10)
   }
 
+  /** Dormancy report (q138): the 10 users with the longest silent gap
+    * between consecutive events — re-engagement targeting. One lag
+    * window per user partition, a per-user max, and a TakeOrdered head
+    * (ties to the lower user id). */
+  def dormantUsers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts").cast("timestamp")) -
+        unix_micros(lag("ts", 1).over(w).cast("timestamp")))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("user_id")
+      .agg(max("gap_us").as("max_gap_us"), count(lit(1)).as("n_gaps"))
+      .orderBy(col("max_gap_us").desc, col("user_id").asc)
+      .limit(10)
+  }
+
   /** Conversion rate by acquisition week (q135): the q100 funnel's
     * converted flag aggregated per week of first view — "are newer
     * cohorts converting better" in one small aggregate over the funnel
