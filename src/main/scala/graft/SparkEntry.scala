@@ -311,6 +311,9 @@ object SparkEntry {
     // governance density ranking and the dormancy report
     "q137_pii_density"       -> Pipeline.piiDensity _,
     "q138_dormant_users"     -> Relational.dormantUsers _,
+    // audience overlap between event types and the nation balance panel
+    "q139_audience_overlap"  -> Relational.audienceOverlap _,
+    "q140_nation_balances"   -> Relational.nationBalances _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1041,6 +1044,25 @@ object SparkEntry {
         s"CAST(sum(CASE WHEN NOT $ca AND NOT $cb THEN 1 ELSE 0 END) AS BIGINT) " +
         s"AS n_both_failed FROM flags").mkString("\nUNION ALL\n")
     },
+    "q139_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1)
+        |SELECT i.type_a, i.type_b, i.n_both,
+        |  CAST(i.n_both AS DOUBLE) / CAST(sa.n + sb.n - i.n_both AS DOUBLE) AS jaccard
+        |FROM i JOIN s sa ON sa.event_type = i.type_a
+        |JOIN s sb ON sb.event_type = i.type_b""".stripMargin,
+    "q140_nation_balances" ->
+      """SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(avg(c_acctbal), 4) AS mean_balance,
+        |  round(quantile_cont(c_acctbal, 0.5), 4) AS median_balance,
+        |  min(c_acctbal) AS min_balance, max(c_acctbal) AS max_balance
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
     "q137_pii_density" ->
       """WITH d AS (SELECT source,
         |    CAST(len(regexp_extract_all(lower(text),'\S+')) AS BIGINT) AS n_tokens,

@@ -487,6 +487,43 @@ object Relational {
       .limit(10)
   }
 
+  /** Audience-overlap matrix (q139): Jaccard between the user audiences
+    * of every event-type pair — "do purchasers also click" in one
+    * number per pair. The distinct (user, type) frame self-joins on
+    * user_id (co-partitioned; each user contributes ≤ C(|types|,2)
+    * rows), sizes broadcast back, one division per cell. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val inter = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("na"))),
+            Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("nb"))),
+            Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        (col("n_both").cast("double") /
+         (col("na") + col("nb") - col("n_both")).cast("double")).as("jaccard"))
+  }
+
+  /** Per-nation customer balance panel (q140): count, mean (rounded as
+    * an order-dependent double aggregate), exact-interpolated median,
+    * and raw min/max of account balances, nation dim broadcast. */
+  def nationBalances(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+           round(avg("c_acctbal"), 4).as("mean_balance"),
+           round(expr("percentile(c_acctbal, 0.5)"), 4).as("median_balance"),
+           min("c_acctbal").as("min_balance"),
+           max("c_acctbal").as("max_balance"))
+
   /** Dormancy report (q138): the 10 users with the longest silent gap
     * between consecutive events — re-engagement targeting. One lag
     * window per user partition, a per-user max, and a TakeOrdered head
