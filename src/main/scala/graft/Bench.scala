@@ -16,8 +16,8 @@ object Bench {
     * place the same probe measures ~1.3× time at 10× rows (fixed overheads
     * still dominate at this scale; candidate pairs stay collision-bounded). */
   private def scaleProbe(spark: SparkSession, sfDir: String,
-                         factor: Int): Seq[(String, Double, Long)] = {
-    val dir = graft.core.Scratch.tempDir("graft-probe")
+                         factor: Int): (Seq[(String, Double, Long)], Boolean) = {
+    val dir = graft.core.TempDirs.tempDir("graft-probe")
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count() * factor
     val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count() * factor
     // planted duplicate families (4% of docs), matched to the VERIFIED
@@ -54,7 +54,28 @@ object Bench {
                 - 1.0).cast("float")).as("embedding"),
         lit(0).as("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    Seq("q22_exact_dup_groups", "q24_minhash_pairs", "q41_embedding_dups",
+    // prebuild the probe corpus's ensure-backed artifacts (semdedup IVF
+    // cells via q62, the stored cluster map via q57) OUTSIDE the timed
+    // window, exactly like the main bench: artifacts are write-once
+    // ingest work, so probe ratios measure the QUERY PLAN at 10×, not
+    // fresh-corpus ingest (r7 post-mortem: q62 read 18.1× and q105 14.0×
+    // purely because the probe paid the build the 1× numbers didn't).
+    val tPre = System.nanoTime()
+    Seq("q62_semantic_dedup", "q57_dup_clusters").foreach { n =>
+      try SparkEntry.queries(n)(spark, dir).count()
+      catch { case _: Throwable => () }
+      graft.core.Mat.releaseAll(blocking = true)
+    }
+    val probePrebuildSec = (System.nanoTime() - tPre) / 1e9
+    println(f"[bench] probe prebuild (untimed in ratios): $probePrebuildSec%.1f s")
+    val probeWarm = {
+      val sfx = graft.core.Warehouse.corpusSuffix(dir)
+      val embStamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
+      val docStamp = graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet")
+      graft.core.Warehouse.isFresh(spark, s"graft_semdedup_cells_$sfx", Seq(embStamp)) &&
+      graft.core.Warehouse.isFresh(spark, s"graft_clusters_$sfx", Seq(docStamp))
+    }
+    val timed = Seq("q22_exact_dup_groups", "q24_minhash_pairs", "q41_embedding_dups",
         "q57_dup_clusters", "q58_dup_clusters_lsh", "q62_semantic_dedup",
         "q67_release_funnel", "q81_duplicated_spans",
         "q92_contamination_attribution",
@@ -71,7 +92,8 @@ object Bench {
         // drain (its queue entry is already gone) and race spark.stop()
         graft.core.Mat.releaseAll(blocking = true)
         (name, sec, rows)
-      }
+      } :+ (("probe_prebuild_sec", probePrebuildSec, 0L))
+    (timed, probeWarm)
   }
 
   /** Time each query; rows = -1 marks a FAILED query (never silently
@@ -103,21 +125,22 @@ object Bench {
     // per call, so their timings are bimodal on warehouse state: record
     // which mode THIS run measured, or round-over-round comparisons
     // conflate code changes with artifact-cache hits
-    val warmFound = {
-      // warm means: EVERY ensure-backed artifact for THIS corpus exists
-      // with a fingerprint matching the current source data — exactly
-      // what ensure* will decide. A partial warehouse (one artifact of
-      // four) or a regenerated-in-place corpus (stale sourceStamp)
-      // reads as cold, because that run WOULD pay those builds.
-      val sfx = graft.core.Warehouse.corpusSuffix(sfDir)
-      val embStamp = graft.core.Warehouse.sourceStamp(s"$sfDir/embeddings.parquet")
-      val docStamp = graft.core.Warehouse.sourceStamp(s"$sfDir/documents.parquet")
+    // warm means: EVERY ensure-backed artifact for THIS corpus exists
+    // with a fingerprint matching the current source data — exactly
+    // what ensure* will decide. A partial warehouse (one artifact of
+    // four) or a regenerated-in-place corpus (stale sourceStamp)
+    // reads as cold, because that run WOULD pay those builds.
+    def warmCheck(dir: String): Boolean = {
+      val sfx = graft.core.Warehouse.corpusSuffix(dir)
+      val embStamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
+      val docStamp = graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet")
       graft.core.Warehouse.isFresh(spark, s"graft_ivf_cells_$sfx", Seq(embStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_semdedup_cells_$sfx", Seq(embStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_sig_corpus_$sfx", Seq(docStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_clusters_$sfx", Seq(docStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_ivf_inc_$sfx", Seq(embStamp))
     }
+    val warmFound = warmCheck(sfDir)
     // session warmup: JIT/codegen/scheduler paths + parquet reader init
     // (region is 5 rows — engine machinery, not query data)
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -128,22 +151,46 @@ object Bench {
     // (r5/r6 comparisons conflated code changes with artifact-cache
     // state). The cold cost is still recorded — once, as prebuild_sec.
     val tPre = System.nanoTime()
-    Seq("q52_ivf_topk", "q62_semantic_dedup", "q74_incremental_stored",
-        "q77_cluster_best", "q112_ivf_incremental").foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+    val prebuildFailed = Seq("q52_ivf_topk", "q62_semantic_dedup",
+        "q74_incremental_stored", "q77_cluster_best",
+        "q112_ivf_incremental").flatMap { n =>
+      val failed = try { SparkEntry.queries(n)(spark, sfDir).count(); None }
+                   catch { case _: Throwable => Some(n) }
       graft.core.Mat.releaseAll(blocking = true)
+      failed
     }
     val prebuildSec = (System.nanoTime() - tPre) / 1e9
-    val results = timeQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
+    // the artifact of record must not CLAIM warmth it didn't achieve: a
+    // prebuild failure means the timed section pays (or fails) the build,
+    // so the flag is re-derived from the warehouse, not hardcoded
+    val warmAfter = prebuildFailed.isEmpty && warmCheck(sfDir)
+    if (prebuildFailed.nonEmpty)
+      println(s"[bench] PREBUILD FAILED (timed section runs cold): " +
+        prebuildFailed.sorted.mkString(", "))
+    // the box is load-varying (r6: 95–142 s spreads on identical code), so
+    // one sample per query is noise: run the timed section REPS times and
+    // record per-query MIN (best-case, least-noise) and MEDIAN (value of
+    // record — regressions gate on this, a single slow sample can't fake
+    // one). `value`/`queries` carry the medians.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
+    val runs = (1 to reps).map(_ => timeQueries(spark, sfDir, qlist))
+    val results = runs.head.indices.map { i =>
+      val name = runs.head(i)._1
+      val secs = runs.map(_(i)._2).sorted
+      val rows = runs.map(_(i)._3).min // any failed rep (-1) marks it failed
+      (name, secs(secs.length / 2), secs.head, rows)
+    }
     // r6 post-mortem: a swallowed per-query Throwable let 18 sub-second
     // FAILURES masquerade as query times in the artifact of record. Rows
     // (-1 = failed) and the failed list now ship in the detail JSON, and
     // failures get their own loud stdout line.
-    val failed = results.collect { case (name, _, rows) if rows < 0 => name }
-    val qs = results.map { case (k, sec, _) => s"\"" + k + "\":" + sec }
+    val failed = results.collect { case (name, _, _, rows) if rows < 0 => name }
+    val qs = results.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val rowsJson = results.map { case (k, _, r) => s"\"" + k + "\":" + r }
+    val qsMin = results.map { case (k, _, mn, _) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val rowsJson = results.map { case (k, _, _, r) => s"\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -154,14 +201,14 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("0")) ""
       else {
         val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
-        val p = scaleProbe(spark, sfDir, factor)
+        val (p, probeWarm) = scaleProbe(spark, sfDir, factor)
         val entries = p.map { case (k, sec, rows) =>
           s"\"" + k + s"\":{\"sec\":$sec,\"rows\":$rows}"
         }.mkString(",")
-        s""","scale_probe_${factor}x":{$entries}"""
+        s""","scale_probe_${factor}x":{$entries},"scale_probe_${factor}x_warehouse_warm":$probeWarm"""
       }
     val detailJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"failed":$failedJson,"sf":"$sfDir","warehouse_warm":true,"warehouse_warm_found":$warmFound,"prebuild_sec":$prebuildSec$probeJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"rows":$rowsJson,"failed":$failedJson,"sf":"$sfDir","warehouse_warm":$warmAfter,"warehouse_warm_found":$warmFound,"prebuild_failed":${prebuildFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},"prebuild_sec":$prebuildSec$probeJson}"""
     // r3 post-mortem: the metric line printed BEFORE spark.stop() was
     // displaced out of the driver's 2000-char stdout tail by a shutdown
     // stack-trace flood. r4 post-mortem: with 73 queries the single metric
@@ -180,7 +227,7 @@ object Bench {
       println(s"[bench] FAILED ${failed.size} queries (timed values are " +
         s"error times, not query times): ${failed.sorted.mkString(", ")}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir","warehouse_warm":true,"warehouse_warm_found":$warmFound,"prebuild_sec":$prebuildSec,"detail":"${detailPath.toAbsolutePath}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir","warehouse_warm":$warmAfter,"warehouse_warm_found":$warmFound,"prebuild_sec":$prebuildSec,"detail":"${detailPath.toAbsolutePath}"}"""
     println(compact)
   }
 }

@@ -49,7 +49,9 @@ object SparkEntry {
     "q24_minhash_pairs"      -> Pipeline.minhashPairs _,
     "q25_simhash"            -> Pipeline.simhashBuckets _,
     "q26_cosine_topk"        -> Pipeline.cosineTopK _,
-    "q27_lsh_topk"           -> Pipeline.lshTopK _,
+    // r8: driver-oracle recall contract (the raw top-k surface stays the
+    // library API, Vectors.lshTopK; q75 audits a disjoint slice at k=5)
+    "q27_lsh_topk"           -> Pipeline.lshTopKAudit _,
     // SQL execution engine: truncate-and-load materialization (S3/S6/O1/O2)
     "q28_truncate_load"      -> ((s: SparkSession, dir: String) => {
       Tables.orders(s, dir).createOrReplaceTempView("staging_orders")
@@ -77,18 +79,22 @@ object SparkEntry {
     "q38_asof_join"          -> Advanced.asofPurchaseClick _,
     "q39_percentiles"        -> Advanced.pricePercentiles _,
     "q40_pivot"              -> Advanced.eventPivot _,
-    "q41_embedding_dups"     -> Pipeline.embeddingDups _,
+    // r8: planted recall/precision contract (library surface at a
+    // permissive threshold stays Pipeline.embeddingDups)
+    "q41_embedding_dups"     -> Pipeline.embeddingDupsAudit _,
     "q42_profile"            -> Pipeline.profileOrders _,
     "q43_train_split"        -> Pipeline.trainSplit _,
     "q44_session_windows"    -> Relational.sessionWindows _,
     "q45_aliased_projection" -> Relational.aliasedProjection _,
     "q46_window_suite"       -> Relational.windowSuite _,
     "q47_correlated_subq"    -> Relational.aboveNationAverage _,
-    // production streaming shape: append + watermark → parquet file sink
-    // (rows-only: emits closed windows only, by design — batch parity for
-    // those is asserted in StreamsSpec; q35 stays the oracle-checkable path)
+    // production streaming shape: append + watermark → parquet file sink.
+    // r8: oracle-checked — append mode emits exactly the windows the final
+    // watermark closed (window_end ≤ max(ts) − 10 min), a predicate DuckDB
+    // expresses over the batch aggregate; window bounds cast to ntz at the
+    // output edge (q35's convention, identity under the UTC session)
     "q48_stream_append"      -> ((s: SparkSession, dir: String) => {
-      val work = graft.core.Scratch.tempDir("graft-q48")
+      val work = graft.core.TempDirs.tempDir("graft-q48")
       // 4 chunks: enough micro-batches to exercise watermark advancement +
       // incremental arrival; emitted windows are identical from 2..8 chunks
       // (the trailing no-data batch flushes to global-max − watermark),
@@ -99,7 +105,12 @@ object SparkEntry {
       // sizes this to the executor count, a bench-box sizes it down.
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      try graft.streaming.Streams.streamWindowedAppendFromParquet(s, dir, work, chunks = 4)
+      try graft.streaming.Streams
+        .streamWindowedAppendFromParquet(s, dir, work, chunks = 4)
+        .withColumn("window_start",
+          org.apache.spark.sql.functions.col("window_start").cast("timestamp_ntz"))
+        .withColumn("window_end",
+          org.apache.spark.sql.functions.col("window_end").cast("timestamp_ntz"))
       finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
     // sketch-accuracy probes: oracle-checked properties of the approximate
@@ -119,7 +130,10 @@ object SparkEntry {
     // round 4: LSH-edge clustering (the 100 TB edge source; rows-only —
     // MinHash isn't expressible in DuckDB, the propagation core is
     // CTE-oracle-checked via q57)
-    "q58_dup_clusters_lsh"   -> Pipeline.dupClustersLsh _,
+    // r8: oracle-checked structural contracts over the LSH cluster map
+    // (fp-family cohesion + q57-coarsening; the raw map stays the library
+    // surface, Pipeline.dupClustersLsh)
+    "q58_dup_clusters_lsh"   -> Pipeline.dupClustersLshAudit _,
     // round 4 late additions: the data-release gate family — benchmark
     // decontamination, domain mixing, repetition rules (all DuckDB-oracle-
     // checked), semantic dedup (round 5: full value oracle via planted
@@ -132,7 +146,7 @@ object SparkEntry {
     "q61_repetition"         -> Pipeline.repetitionMetrics _,
     "q62_semantic_dedup"     -> Pipeline.semanticDedup _,
     "q63_stream_dedup"       -> ((s: SparkSession, dir: String) => {
-      val work = graft.core.Scratch.tempDir("graft-q63")
+      val work = graft.core.TempDirs.tempDir("graft-q63")
       // state partitions sized down for the bench box like q48 (state-store
       // commit cost per partition per micro-batch dominates locally;
       // production sizes this to the executor count)
@@ -158,7 +172,7 @@ object SparkEntry {
     // stream-stream interval join (attribution): the emitted set equals
     // the batch interval join — oracle-checked
     "q71_stream_join"        -> ((s: SparkSession, dir: String) => {
-      val work = graft.core.Scratch.tempDir("graft-q71")
+      val work = graft.core.TempDirs.tempDir("graft-q71")
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try graft.streaming.Streams.streamStreamJoinFromParquet(s, dir, work)
@@ -266,7 +280,7 @@ object SparkEntry {
     "q112_ivf_incremental"   -> Pipeline.ivfIncrementalAdd _,
     "q113_salted_fact_join"  -> Relational.revenueByNationSalted _,
     "q114_stream_locf"       -> ((s: SparkSession, dir: String) => {
-      val work = graft.core.Scratch.tempDir("graft-q114")
+      val work = graft.core.TempDirs.tempDir("graft-q114")
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try graft.streaming.Streams.streamLocfFromParquet(s, dir, work)
@@ -507,6 +521,26 @@ object SparkEntry {
     "q75_ann_recall" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 50""".stripMargin,
+    // r8: q27's recall@10 contract over the disjoint [50,150) query slice
+    "q27_lsh_topk" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id >= 50 AND vec_id < 150""".stripMargin,
+    // r8: planted-dup recall/precision — DuckDB brute-forces all pairs of
+    // the identically-planted union at the same 0.9 bar; the corpus's
+    // natural pairs top out at cosine ≈ 0.51, so both engines must emit
+    // exactly the planted pair set with cos_sim 1.0
+    "q41_embedding_dups" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
+        |         embedding
+        |  FROM embeddings WHERE vec_id % 25 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4)
+        |    AS cos_sim
+        |FROM base a JOIN base b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9""".stripMargin,
     // span removal verified down to the md5 of the cleaned text: DuckDB
     // recomputes positions and coverage over string grams (the Spark side
     // uses position-keyed gram hashes — injective stand-in)
@@ -1095,7 +1129,7 @@ object SparkEntry {
     "q136_revenue_concentration" ->
       """WITH per AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
         |             FROM orders GROUP BY 1),
-        |t AS (SELECT quantile_cont(rev, 0.9) AS p90 FROM per)
+        |t AS (SELECT round(quantile_cont(rev, 0.9), 2) AS p90 FROM per)
         |SELECT CAST(count(*) AS BIGINT) AS n_customers,
         |  CAST(sum(CASE WHEN rev >= t.p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
         |  round(sum(rev), 2) AS total_revenue,
@@ -1185,12 +1219,15 @@ object SparkEntry {
         |    round(sum(value), 2) AS monetary
         |  FROM p, mx GROUP BY user_id, mx.max_d),
         |t AS (SELECT
-        |    quantile_cont(recency_days, 0.25) AS r25, quantile_cont(recency_days, 0.5) AS r50,
-        |    quantile_cont(recency_days, 0.75) AS r75,
-        |    quantile_cont(frequency, 0.25) AS f25, quantile_cont(frequency, 0.5) AS f50,
-        |    quantile_cont(frequency, 0.75) AS f75,
-        |    quantile_cont(monetary, 0.25) AS m25, quantile_cont(monetary, 0.5) AS m50,
-        |    quantile_cont(monetary, 0.75) AS m75
+        |    round(quantile_cont(recency_days, 0.25), 4) AS r25,
+        |    round(quantile_cont(recency_days, 0.5), 4) AS r50,
+        |    round(quantile_cont(recency_days, 0.75), 4) AS r75,
+        |    round(quantile_cont(frequency, 0.25), 4) AS f25,
+        |    round(quantile_cont(frequency, 0.5), 4) AS f50,
+        |    round(quantile_cont(frequency, 0.75), 4) AS f75,
+        |    round(quantile_cont(monetary, 0.25), 4) AS m25,
+        |    round(quantile_cont(monetary, 0.5), 4) AS m50,
+        |    round(quantile_cont(monetary, 0.75), 4) AS m75
         |  FROM rfm)
         |SELECT user_id, recency_days, frequency, monetary,
         |  CAST(CASE WHEN recency_days <= r25 THEN 4 WHEN recency_days <= r50 THEN 3
@@ -1717,6 +1754,28 @@ object SparkEntry {
         | time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
         | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // r8: append-mode parity — the file sink holds exactly the windows the
+    // FINAL watermark (global max ts − 10 min delay) closed; windows still
+    // open stay in state by design, so the batch oracle filters to closed
+    "q48_stream_append" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |    time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+        |    event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
+        |  FROM events GROUP BY 1, 2, 3),
+        |mx AS (SELECT max(ts) AS m FROM events)
+        |SELECT window_start, window_end, event_type, n_events, sum_value
+        |FROM w, mx WHERE window_end <= m - INTERVAL '10 minutes'""".stripMargin,
+    // r8: the export→csv→re-import roundtrip must reproduce the source
+    // query's values exactly (q09's frame; cast back to its schema)
+    "q37_export_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    // r8: structural contracts of the LSH cluster map (see
+    // Pipeline.dupClustersLshAudit) — both booleans pinned true
+    "q58_dup_clusters_lsh" ->
+      """SELECT doc_id, true AS fp_family_ok, true AS q57_containment_ok
+        |FROM documents""".stripMargin,
     "q38_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, max(event_id) AS event_id

@@ -12,7 +12,7 @@ import java.util.Comparator
   * last (after Spark's own shutdown hooks have stopped streams and
   * committers) and swallows per-file failures: cleanup must never turn a
   * green run red. */
-object Scratch {
+object TempDirs {
 
   private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
 

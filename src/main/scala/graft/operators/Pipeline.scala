@@ -381,15 +381,64 @@ object Pipeline {
     Vectors.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
   }
 
-  /** LSH-bucketed ANN variant (scale path; recall < 1 by design → rows-only). */
+  /** LSH-bucketed ANN variant (scale path; recall < 1 by design). The raw
+    * top-k surface is [[graft.functions.Vectors.lshTopK]] (library API);
+    * library callers use it directly. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 50)
     Vectors.lshTopK(emb, queries, "vec_id", "embedding", dim = 64, k = 5)
   }
 
-  /** Embedding-cosine near-duplicate pairs (LSH candidates + exact refine;
-    * rows-only: recall is bucket-dependent by design). */
+  /** q27's DRIVER-ORACLE form (r8: the last rows-only ANN query gains a
+    * contract): recall@10 of the LSH top-k against the exact brute-force
+    * top-10 per query, over a DIFFERENT query slice and a lower bar than
+    * q75 (k=10, vec_id ∈ [50,150), recall ≥ 0.3) so the two audits pin the
+    * bucketing from independent directions. The bar sits far under the
+    * measured recall but refutes broken bucketing (recall → 0); seeded
+    * hyperplanes make the outcome deterministic per corpus. */
+  def lshTopKAudit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") >= 50 && col("vec_id") < 150)
+    val k = 10
+    val exact = Vectors.bruteForceTopK(emb, queries, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Vectors.lshTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = k)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg((sum(when(col("hit"), 1).otherwise(0)).cast("double") / k)
+        .as("recall"))
+      .select(col("query_id"), (col("recall") >= 0.3).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (LSH candidates + exact refine)
+    * — q41's DRIVER-ORACLE form (r8): planted recall/precision contract.
+    * Exact copies of every 25th vector are planted above the corpus id
+    * space (q62's offset convention — derived from max(vec_id), so no
+    * collision at any SF) and the detector runs at threshold 0.9. The
+    * corpus's distinct vectors top out at cosine ≈ 0.51, so the CORRECT
+    * answer is exactly the planted pair set: a recall miss (LSH bucketing
+    * must always collide identical vectors) OR a precision error (any
+    * natural pair surfacing ≥ 0.9) breaks the hash match. DuckDB
+    * brute-forces the same pairs with list_cosine_similarity. */
+  def embeddingDupsAudit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val st = emb.agg(count(lit(1)), max("vec_id")).head()
+    val offset = if (st.isNullAt(1)) 1L else st.getLong(1) + 1L
+    val planted = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+    Dedup.embeddingNearDups(emb.unionByName(planted), "vec_id",
+        "embedding", dim = 64, threshold = 0.9)
+      .select(col("id_a"), col("id_b"),
+              round(col("cos_sim").cast("double"), 4).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The library near-dup surface at a permissive threshold (kept for
+    * callers; the driver gate runs [[embeddingDupsAudit]]). */
   def embeddingDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables.embeddings(spark, dir), "vec_id",
         "embedding", dim = 64, threshold = 0.2)
@@ -716,11 +765,11 @@ object Pipeline {
   /** Duplicate CLUSTERS: connected components over a deterministic
     * duplicate-evidence graph — edges are (a) doc → min-doc sharing its
     * content fingerprint and (b) adjacent-id pairs with n-gram Jaccard
-    * ≥ 0.35. Components computed by min-label propagation to fixpoint:
-    * each round is one key-partitioned join + aggregate, so a cluster
-    * converges in O(graph diameter) rounds (the classic pair-graph
-    * connected-components; alternating star operations would be the next
-    * refinement at extreme diameters). Every iteration materializes its
+    * ≥ 0.35. Components computed by min-label propagation with pointer
+    * doubling to fixpoint: each round is two key-partitioned joins
+    * (propagate + shortcut), converging in O(log diameter) rounds — a
+    * high-diameter pathology costs log rounds, not diameter rounds
+    * (CcSpec pins this on a path graph). Every iteration materializes its
     * label frame and releases the previous one (core.Mat) — bounded
     * storage no matter how many rounds run. At 100 TB the edge set comes
     * from the LSH candidate pairs; the propagation loop is unchanged.
@@ -764,15 +813,29 @@ object Pipeline {
       lsh.union(fingerprintStarEdges(docs)))
   }
 
-  /** Connected components by min-label propagation to fixpoint over an
-    * undirected edge list (a, b). Each round is one key-partitioned join +
-    * aggregate ⇒ O(graph diameter) rounds; every iteration materializes
-    * its label frame and releases the previous one (core.Mat) — bounded
-    * storage no matter how many rounds run. Alternating star operations
-    * would be the next refinement at extreme diameters. */
+  /** Connected components by min-label propagation WITH pointer doubling,
+    * to fixpoint over an undirected edge list (a, b). Each round is (1) a
+    * propagate step — one key-partitioned join + aggregate pulling the min
+    * neighbor label — and (2) a shortcut step — one join following the
+    * label pointer one hop (label := label(label), the path-halving trick
+    * from classic PRAM CC / Hash-to-Min). Propagation alone converges in
+    * O(diameter) rounds (a 10k-node chain = 10k rounds — past any sane
+    * maxIter); the shortcut doubles covered chain depth every round
+    * (depth after k rounds = 2^(k+1)−2), so convergence is O(log
+    * diameter) — CcSpec pins ≤16 rounds on a 10,000-node path graph.
+    * Every iteration materializes its label frames
+    * and releases the previous ones (core.Mat) — bounded storage no
+    * matter how many rounds run. */
   private[graft] def connectedComponents(ids: DataFrame,
                                          edges: DataFrame,
-                                         maxIter: Int = 25): DataFrame = {
+                                         maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(ids, edges, maxIter)._1
+
+  /** [[connectedComponents]] + the number of rounds the loop ran — the
+    * observable CcSpec uses to prove logarithmic convergence. */
+  private[graft] def connectedComponentsWithRounds(ids: DataFrame,
+                                                   edges: DataFrame,
+                                                   maxIter: Int = 25): (DataFrame, Int) = {
     import graft.core.Mat
     // convergence detection: label updates are least(current, min neighbor)
     // — monotone non-increasing per row, strictly decreasing for any row
@@ -800,12 +863,25 @@ object Pipeline {
       var changed = true
       var iter = 0
       while (changed && iter < maxIter) {
+        // (1) propagate: label := min(label, min neighbor label)
         val cand = sym.join(labels, sym("a") === labels("id"))
           .select(sym("b").as("id"), labels("label").as("nl"))
           .groupBy("id").agg(min("nl").as("nl"))
-        val next = Mat.materialize(labels.join(cand, Seq("id"), "left")
+        val prop = Mat.materialize(labels.join(cand, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
+        // (2) shortcut (pointer doubling): label := label(label). Labels
+        // are always node ids, so the label table IS the pointer map; one
+        // hop per round halves every pointer chain — this is what turns
+        // O(diameter) propagation into O(log diameter) total rounds.
+        // Monotonicity is preserved (label(u) ≤ u for every u), so the
+        // label-sum convergence test still detects any change.
+        val mapping = prop.select(col("id").as("lid"), col("label").as("ll"))
+        val next = Mat.materialize(prop.join(mapping,
+            col("label") === col("lid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
+        Mat.release(prop)
         val nextSum = labelSum(next)
         changed = nextSum.compareTo(prevSum) != 0
         prevSum = nextSum
@@ -828,7 +904,7 @@ object Pipeline {
         col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("is_canonical")))
       Mat.release(labels, blocking = true) // last scope-exit before return
-      out
+      (out, iter)
     }
   }
 
@@ -1275,7 +1351,7 @@ object Pipeline {
     * files-per-shard. Sorted-within-file by doc_id keeps parquet
     * row-group min/max id statistics tight for downstream point reads. */
   def releaseWrite(spark: SparkSession, dir: String): DataFrame = {
-    val out = graft.core.Scratch.tempDir("graft_release")
+    val out = graft.core.TempDirs.tempDir("graft_release")
     releaseFlags(spark, dir)
       .filter(col("keep_exact") && col("q_ok") && col("not_eval") &&
               col("clean") && col("mixed"))
@@ -1324,7 +1400,7 @@ object Pipeline {
       docs.filter(pmod(col("doc_id"), lit(5)) =!= 4), "doc_id", "text", table,
       k = 48, bands = 12,
       tag = graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet"))
-    val work = graft.core.Scratch.tempDir("graft-q82")
+    val work = graft.core.TempDirs.tempDir("graft-q82")
     val stage = s"$work/stage"; val out = s"$work/out"; val ckpt = s"$work/ckpt"
     docs.filter(pmod(col("doc_id"), lit(5)) === 4)
       .repartition(4).write.mode("overwrite").parquet(stage)
@@ -1367,7 +1443,7 @@ object Pipeline {
   def streamReleaseAdmission(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val work = graft.core.Scratch.tempDir("graft-q96")
+    val work = graft.core.TempDirs.tempDir("graft-q96")
     val stage = s"$work/stage"; val out = s"$work/out"
     val ckpt = s"$work/ckpt"; val fpDir = s"$work/fps"
     val mx = docs.agg(max("doc_id")).head().getLong(0)
@@ -2162,9 +2238,49 @@ object Pipeline {
   /** Export round-trip: top orders → sanitized CSV artifact (S7) → re-read
     * (S1). Rows-only: exercises the ingest/export adapters end-to-end. */
   def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = graft.core.Scratch.tempDir("graft_export")
-    val path = Ingest.exportResult(
-      Relational.topOrders(spark, dir), out, "top orders: report?.csv")
-    Ingest.readTable(spark, path, "csv")
+    val src = Relational.topOrders(spark, dir)
+    val out = graft.core.TempDirs.tempDir("graft_export")
+    val path = Ingest.exportResult(src, out, "top orders: report?.csv")
+    // roundtrip contract (r8, driver-oracle-checked): the re-imported
+    // values, cast back to the exported schema (CSV inference narrows
+    // integral columns to int32), must hash-match the source query — any
+    // serialization drift in the export/import path breaks the compare
+    val re = Ingest.readTable(spark, path, "csv")
+    src.schema.fields.foldLeft(re) { (acc, f) =>
+      acc.withColumn(f.name, col(f.name).cast(f.dataType))
+    }
+  }
+
+  /** q58's DRIVER-ORACLE form (r8): the LSH-edge cluster map's structural
+    * contracts, each a per-doc boolean the oracle pins to `true`:
+    * `fp_family_ok` — every exact-duplicate (fingerprint) family lies
+    * inside ONE q58 cluster (the planted families; guaranteed because the
+    * LSH edge set explicitly unions the fingerprint star edges);
+    * `q57_containment_ok` — q58 COARSENS q57: every co-membership the
+    * adjacent-Jaccard edge source establishes is preserved when the edge
+    * source widens to whole-corpus LSH candidates (q58 may legitimately
+    * merge more — non-adjacent near-dups q57 cannot see — but may never
+    * split a verified family). Runs the real [[dupClustersLsh]] path and
+    * reads the stored q57 map ([[ensureClusterMap]]). */
+  def dupClustersLshAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val c58 = dupClustersLsh(spark, dir)
+      .select(col("doc_id"), col("cluster_id").as("c58"))
+    val map58 = c58.select(col("doc_id").as("ref_id"), col("c58").as("ref58"))
+    val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("f"))
+    val fpMin = fp.join(fp.groupBy("f").agg(min("doc_id").as("fp_min")), "f")
+      .select(col("doc_id"), col("fp_min"))
+    val q57 = ensureClusterMap(spark, dir)
+      .select(col("doc_id"), col("cluster_id").as("c57"))
+    c58.join(fpMin, Seq("doc_id"))
+      .join(q57, Seq("doc_id"))
+      .join(map58.select(col("ref_id").as("fp_min"), col("ref58").as("c58_fp")),
+            Seq("fp_min"))
+      .join(map58.select(col("ref_id").as("c57"), col("ref58").as("c58_57")),
+            Seq("c57"))
+      .select(col("doc_id"),
+        (col("c58") === col("c58_fp")).as("fp_family_ok"),
+        (col("c58") === col("c58_57")).as("q57_containment_ok"))
+      .orderBy("doc_id")
   }
 }

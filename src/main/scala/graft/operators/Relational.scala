@@ -172,31 +172,42 @@ object Relational {
   /** TPC-H Q5 shape — local-supplier volume: the canonical 6-table star
     * join (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region)
     * with a region + order-year filter and the "customer and supplier in
-    * the SAME nation" condition. The scale contract: the two FACT joins
-    * (lineitem–orders on orderkey, orders–customer on custkey) shuffle on
-    * their keys and are left to AQE (customer/supplier grow with the
-    * corpus — force-broadcasting them would OOM at 100 TB); only the
-    * dictionary-sized nation/region dims broadcast explicitly. Both
-    * filters sit directly on their scans, so partition pruning and
-    * pushdown cut the fact input before any join. */
-  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir)
-              .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-                      col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
-            col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
-      .join(Tables.supplier(spark, dir),
+    * the SAME nation" condition. The scale contract (r7 verdict fix: the
+    * region restriction must land BEFORE the fact joins, or ~4/5 of
+    * non-ASIA rows shuffle through three fact joins just to be dropped):
+    * the ASIA nation-key set is dictionary-sized, so customer and
+    * supplier are broadcast-SEMI-joined against it first — every row
+    * entering a fact shuffle is already ASIA-only. The fact joins
+    * (orders–customer on custkey, lineitem–orders on orderkey) then
+    * shuffle on their keys and are left to AQE (customer/supplier grow
+    * with the corpus — force-broadcasting them would OOM at 100 TB);
+    * only nation/region-derived dims broadcast explicitly. The date
+    * filter sits directly on the orders scan for pushdown.
+    * PlanAuditSpec pins the semi-joins-below-fact-joins shape. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val asiaCustomer = Tables.customer(spark, dir)
+      .join(broadcast(asiaNations.select(col("n_nationkey").as("c_nationkey"))),
+            Seq("c_nationkey"), "left_semi")
+    val asiaSupplier = Tables.supplier(spark, dir)
+      .join(broadcast(asiaNations.select(col("n_nationkey").as("s_nationkey"))),
+            Seq("s_nationkey"), "left_semi")
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(asiaCustomer, col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(asiaSupplier,
             col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(Tables.nation(spark, dir)),
-            col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables.region(spark, dir)
-              .filter(col("r_name") === "ASIA")),
-            col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
              .as("revenue"))
+  }
 
   /** Daily event-count anomaly detection: per (event_type, day) counts
     * z-scored against that type's own series mean/stddev — the drift
@@ -567,7 +578,11 @@ object Relational {
   def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.orders(spark, dir)
       .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("rev"))
-    val thr = per.agg(expr("percentile(rev, 0.9)").as("p90"))
+    // the threshold is an interpolated AGGREGATE derivative → rounded (2dp,
+    // matching rev's scale) before the >= comparison on BOTH engines, so a
+    // customer exactly at the boundary can't flip on a last-bit
+    // interpolation difference (same convention as dailyAnomaly's z)
+    val thr = per.agg(round(expr("percentile(rev, 0.9)"), 2).as("p90"))
     per.crossJoin(broadcast(thr))
       .agg(count(lit(1)).as("n_customers"),
            sum(when(col("rev") >= col("p90"), 1L).otherwise(0L)).as("n_top"),
@@ -669,16 +684,20 @@ object Relational {
       .select(col("user_id"),
         datediff(col("max_d"), col("last_d")).cast("bigint").as("recency_days"),
         col("frequency"), col("monetary"))
+    // quartile thresholds are aggregate derivatives → rounded (4dp) before
+    // the bucket comparisons on BOTH engines (dailyAnomaly's convention):
+    // a user exactly at a quartile boundary must score identically even if
+    // the two engines' interpolations differ in the last bit
     val t = rfm.agg(
-      expr("percentile(recency_days, 0.25)").as("r25"),
-      expr("percentile(recency_days, 0.5)").as("r50"),
-      expr("percentile(recency_days, 0.75)").as("r75"),
-      expr("percentile(frequency, 0.25)").as("f25"),
-      expr("percentile(frequency, 0.5)").as("f50"),
-      expr("percentile(frequency, 0.75)").as("f75"),
-      expr("percentile(monetary, 0.25)").as("m25"),
-      expr("percentile(monetary, 0.5)").as("m50"),
-      expr("percentile(monetary, 0.75)").as("m75"))
+      round(expr("percentile(recency_days, 0.25)"), 4).as("r25"),
+      round(expr("percentile(recency_days, 0.5)"), 4).as("r50"),
+      round(expr("percentile(recency_days, 0.75)"), 4).as("r75"),
+      round(expr("percentile(frequency, 0.25)"), 4).as("f25"),
+      round(expr("percentile(frequency, 0.5)"), 4).as("f50"),
+      round(expr("percentile(frequency, 0.75)"), 4).as("f75"),
+      round(expr("percentile(monetary, 0.25)"), 4).as("m25"),
+      round(expr("percentile(monetary, 0.5)"), 4).as("m50"),
+      round(expr("percentile(monetary, 0.75)"), 4).as("m75"))
     def asc(c: Column, p25: Column, p50: Column, p75: Column) = // lower = better
       when(c <= p25, 4).when(c <= p50, 3).when(c <= p75, 2).otherwise(1)
     def desc(c: Column, p25: Column, p50: Column, p75: Column) = // higher = better
@@ -897,8 +916,12 @@ object Relational {
       // keeps the full precision of the source timestamps
       .select(col("event_id"), col("event_type"),
               unix_micros(col("ts").cast("timestamp")).as("us"))
-    // integer `div` — the long `/` operator is DOUBLE division in Spark
-    val binOf = expr(s"us div $intervalUs")
+    // FLOOR division, not `div` (which truncates toward zero): the ±1-bin
+    // coverage proof needs bin(us) monotone in us across ALL longs, so a
+    // pre-1970 timestamp (negative micros) straddling bin 0 still lands
+    // adjacent to its neighbors. `us - pmod(us, m)` is exactly divisible
+    // by m and pmod is non-negative, so the `div` here IS floor division.
+    val binOf = expr(s"(us - pmod(us, $intervalUs)) div $intervalUs")
     val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id"), col("us"), binOf.as("bin"))
     val purchases = ev.filter(col("event_type") === "purchase")

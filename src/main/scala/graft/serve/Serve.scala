@@ -55,28 +55,59 @@ object Serve {
       .orderBy(col("id").desc) // T1
   }
 
-  /** F8/F9 — auth primitives (reference uses werkzeug hashing + secrets
-    * token_urlsafe; public equivalents: salted SHA-256 + SecureRandom). */
+  /** F8/F9 — auth primitives. The reference stores werkzeug hashes
+    * (web_scheduler.py:690,1652,4104 `generate_password_hash` /
+    * `check_password_hash`), whose wire format is public:
+    * `pbkdf2:sha256:<iterations>$<salt>$<hex(pbkdf2_hmac(sha256))>`.
+    * Hashes EMITTED here use that exact format (JDK PBKDF2WithHmacSHA256,
+    * werkzeug's current 600000-iteration default, 32-byte dk), so a users
+    * table migrated FROM the reference's scheduler.db authenticates here
+    * unchanged — and one exported TO it authenticates there. Legacy
+    * `salt:sha256hex` rows written by earlier rounds still verify. */
   object Auth {
     private val rnd = new java.security.SecureRandom()
+    private val DefaultIterations = 600000 // werkzeug ≥2.3 default
 
-    def hashPassword(password: String, salt: String): String = {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      val d = md.digest((salt + password).getBytes("UTF-8"))
-      salt + ":" + d.map("%02x".format(_)).mkString
+    private def pbkdf2Hex(password: String, salt: String, iterations: Int): String = {
+      val spec = new javax.crypto.spec.PBEKeySpec(
+        password.toCharArray, salt.getBytes("UTF-8"), iterations, 256)
+      val f = javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      f.generateSecret(spec).getEncoded.map("%02x".format(_)).mkString
     }
 
+    def hashPassword(password: String, salt: String): String =
+      hashPassword(password, salt, DefaultIterations)
+
+    def hashPassword(password: String, salt: String, iterations: Int): String =
+      s"pbkdf2:sha256:$iterations$$$salt$$${pbkdf2Hex(password, salt, iterations)}"
+
+    /** werkzeug's gen_salt shape: 16 chars, url/db-safe alphanumerics. */
     def newSalt(): String = {
-      val b = new Array[Byte](8); rnd.nextBytes(b)
-      b.map("%02x".format(_)).mkString
+      val alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+      Array.fill(16)(alphabet(rnd.nextInt(alphabet.length))).mkString
     }
 
     def verifyPassword(password: String, stored: String): Boolean =
-      stored.split(":", 2) match {
-        case Array(salt, _) =>
+      stored.split("\\$", 3) match {
+        // werkzeug format: method$salt$hash, method = pbkdf2:sha256[:iter]
+        case Array(method, salt, _) if method.startsWith("pbkdf2:sha256") =>
+          val iterations = method.split(":", 3) match {
+            case Array(_, _, it) => try it.toInt catch { case _: NumberFormatException => return false }
+            case _ => DefaultIterations // werkzeug omits iter at its default
+          }
           java.security.MessageDigest.isEqual(
-            stored.getBytes("UTF-8"), hashPassword(password, salt).getBytes("UTF-8"))
-        case _ => false
+            stored.getBytes("UTF-8"),
+            hashPassword(password, salt, iterations).getBytes("UTF-8"))
+        // legacy (pre-r8) format: salt:sha256(salt+password)
+        case _ => stored.split(":", 2) match {
+          case Array(salt, _) =>
+            val md = java.security.MessageDigest.getInstance("SHA-256")
+            val d = md.digest((salt + password).getBytes("UTF-8"))
+            java.security.MessageDigest.isEqual(
+              stored.getBytes("UTF-8"),
+              (salt + ":" + d.map("%02x".format(_)).mkString).getBytes("UTF-8"))
+          case _ => false
+        }
       }
 
     /** secrets.token_urlsafe(32) equivalent (web_scheduler.py:4225). */

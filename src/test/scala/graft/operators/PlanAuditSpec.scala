@@ -201,6 +201,46 @@ class PlanAuditSpec extends SparkSuite {
       s"star join degenerated to a cross product:\n$plan")
   }
 
+  test("q110 ASIA restriction lands BEFORE the fact joins (TPC-H Q5 shape)") {
+    // r7 verdict: with the region filter applied only after the fact
+    // chain, ~4/5 of non-ASIA rows shuffle through three fact joins to be
+    // dropped at the end. The fix semi-joins customer and supplier
+    // against the dictionary-sized ASIA nation-key set up front; this
+    // audit pins that shape in the OPTIMIZED plan (physical strategies
+    // vary with SF — at test scale AQE broadcasts the fact joins too),
+    // so no non-ASIA row ever enters a fact join.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+    val df = SparkEntry.queries("q110_local_supplier")(spark, sfDir)
+    val lp = df.queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.count(_.joinType == LeftSemi) == 2,
+      s"expected 2 semi-joins (customer, supplier) in:\n$lp")
+    def hasSemi(p: LogicalPlan): Boolean =
+      p.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty
+    def factSideRestricted(factKey: String, dimKey: String): Unit = {
+      val fact = joins.find(j => j.joinType == Inner &&
+        j.condition.exists(_.references.exists(_.name == factKey)))
+      assert(fact.isDefined, s"fact join on $factKey missing:\n$lp")
+      val dimSide = Seq(fact.get.left, fact.get.right)
+        .find(_.output.exists(_.name == dimKey))
+      assert(dimSide.isDefined, s"$dimKey side of $factKey join missing:\n$lp")
+      assert(hasSemi(dimSide.get),
+        s"$dimKey side enters the $factKey fact join UNRESTRICTED " +
+          s"(non-ASIA rows would cross the shuffle):\n$lp")
+    }
+    factSideRestricted("o_custkey", "c_custkey") // orders ⋈ customer
+    factSideRestricted("s_suppkey", "s_suppkey") // lineitem chain ⋈ supplier
+    // and physically the semi-joins broadcast the nation-key set
+    df.collect()
+    val phys = df.queryExecution.executedPlan.toString
+    graft.core.Mat.releaseAll()
+    phys.linesIterator.filter(_.contains("LeftSemi")).foreach { l =>
+      assert(l.contains("BroadcastHashJoin"),
+        s"ASIA semi-join did not broadcast: $l")
+    }
+  }
+
   test("q108 containment: inverted-index candidates stay keyed, never cartesian") {
     val plan = executedPlan("q108_containment")
     assert(!plan.contains("CartesianProduct") &&

@@ -418,6 +418,24 @@ class AdminApiSpec extends SparkSuite {
       .asInstanceOf[Vector[Any]].map(asMap).exists(_("id") == tokId))
   }
 
+  test("a users row migrated from the reference's scheduler.db authenticates") {
+    // the reference stores werkzeug generate_password_hash output
+    // (web_scheduler.py:690); this row's hash was computed independently
+    // with Python stdlib pbkdf2_hmac — loading it as-is must log in
+    val store = env._3
+    store.upsert[User]("users", Seq(User(91L, "migrated",
+      "pbkdf2:sha256:600000$AbCd1234EfGh5678$" +
+        "cefed2a200aa147c295f74dde93f203a30f19a874d5f12d0bdb46026866f3f71",
+      java.sql.Timestamp.valueOf("2026-01-10 12:00:00"))), _.id)
+    val (cOk, bOk, cookie) = rawCall("POST", "/api/login",
+      """{"username":"migrated","password":"admin123"}""", None)
+    assert(cOk == 200 && asMap(bOk) == Map("message" -> "登录成功", "redirect" -> "/"))
+    assert(cookie.exists(_.startsWith("session=")))
+    val (cBad, _, _) = rawCall("POST", "/api/login",
+      """{"username":"migrated","password":"admin1234"}""", None)
+    assert(cBad == 401)
+  }
+
   test("session auth lifecycle: 401 without login, login sets cookie, logout revokes") {
     // login_required semantics (web_scheduler.py:1741-1748): no session →
     // golden 401 body on every admin route

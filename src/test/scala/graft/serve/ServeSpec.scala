@@ -55,9 +55,35 @@ class ServeSpec extends SparkSuite {
 
   test("auth: hash round-trip, reject wrong password, token shape (F8/F9)") {
     val h = Serve.Auth.hashPassword("admin123", Serve.Auth.newSalt())
+    assert(h.startsWith("pbkdf2:sha256:600000$"), "emitted format is werkzeug's")
     assert(Serve.Auth.verifyPassword("admin123", h))
     assert(!Serve.Auth.verifyPassword("nope", h))
     val tok = Serve.Auth.newToken()
     assert(tok.length >= 42 && !tok.contains("="))
+  }
+
+  test("auth: werkzeug-format hashes from the reference verify unchanged") {
+    // vectors computed independently with Python stdlib
+    // hashlib.pbkdf2_hmac('sha256', pw, salt, iter) — the exact function
+    // behind werkzeug's generate_password_hash (web_scheduler.py:690)
+    val migrated = "pbkdf2:sha256:600000$AbCd1234EfGh5678$" +
+      "cefed2a200aa147c295f74dde93f203a30f19a874d5f12d0bdb46026866f3f71"
+    assert(Serve.Auth.verifyPassword("admin123", migrated))
+    assert(!Serve.Auth.verifyPassword("admin124", migrated))
+    // non-default iteration count parses from the method segment
+    val it1000 = "pbkdf2:sha256:1000$saltsalt$" +
+      "86047d1ecaad2aea56c699eff32f7d4eb3c36a34d3ffd3dc49394d69fa5d2d74"
+    assert(Serve.Auth.verifyPassword("secret", it1000))
+    assert(!Serve.Auth.verifyPassword("Secret", it1000))
+    // malformed method strings reject, not crash
+    assert(!Serve.Auth.verifyPassword("x", "pbkdf2:sha256:abc$s$h"))
+  }
+
+  test("auth: legacy salt:sha256 rows from earlier catalogs still verify") {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val legacy = "00ff00ff:" +
+      md.digest("00ff00ffoldpw".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(Serve.Auth.verifyPassword("oldpw", legacy))
+    assert(!Serve.Auth.verifyPassword("newpw", legacy))
   }
 }
