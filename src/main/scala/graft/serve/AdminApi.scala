@@ -56,6 +56,9 @@ final class AdminApi(
     server.createContext("/api/db-configs", exchange(routeDbConfigs))
     server.createContext("/api/sql-scripts", exchange(routeSqlScripts))
     server.createContext("/api/sql-alerts", exchange(routeSqlAlerts))
+    // longest-prefix matching sends the -debug path here, not to sql-alerts
+    server.createContext("/api/sql-alerts-debug", exchange(routeSqlAlertsDebug))
+    server.createContext("/api/debug/add-token", exchange(routeDebugAddToken))
     server.createContext("/api/email-configs", exchange(routeEmailConfigs))
     server.createContext("/api/task-alerts", exchange(routeTaskAlerts))
     server.createContext("/api/users", exchange(routeUsers))
@@ -112,7 +115,11 @@ final class AdminApi(
         graft.core.GraftSession.usePool(spark, graft.core.GraftSession.ServePool)
         sessionUser.set(cookieSid(ex).flatMap(sessions.get))
         val isAuthRoute =
-          segs == Seq("api", "login") || segs == Seq("api", "logout")
+          segs == Seq("api", "login") || segs == Seq("api", "logout") ||
+          // deliberately unauthenticated debug surface (web_scheduler.py:
+          // 2752-2754 "不需要认证", :4491-4495 test-env token seeding)
+          segs == Seq("api", "sql-alerts-debug") ||
+          segs == Seq("api", "debug", "add-token")
         if (!isAuthRoute && sessionUser.get().isEmpty)
           // login_required (web_scheduler.py:1741-1748): every mutating/
           // admin route needs a session; only login/logout are open. The
@@ -1009,6 +1016,61 @@ final class AdminApi(
       .filter(_.getName.endsWith(".py")).sortBy(_.getName)
       .map(f => Json.obj("name" -> f.getName, "path" -> f.getPath))
     (200, scripts.toSeq)
+  }
+
+  /** GET /api/sql-alerts-debug (web_scheduler.py:2752-2786): the alert list
+    * WITHOUT auth, for frontend debugging. Unlike the authed GET (LEFT-join
+    * shape), the reference's debug query INNER-joins sql_scripts and
+    * email_configs — alerts with a dangling script/config id are omitted. */
+  private def routeSqlAlertsDebug(ex: HttpExchange, method: String,
+                                  segs: Seq[String]): (Int, Any) = {
+    if (method != "GET") return (405, Json.obj("error" -> "method not allowed"))
+    val scripts = store.read[SqlScript]("sql_scripts").collect()
+    val cfgs = store.read[EmailConfig]("email_configs").collect()
+    val list = store.read[SqlAlert]("sql_alerts").collect().sortBy(-_.id)
+      .flatMap { a =>
+        for {
+          s <- scripts.find(_.id == a.sqlScriptId)
+          c <- a.emailConfigId.flatMap(id => cfgs.find(_.id == id))
+        } yield Json.obj(
+          "id" -> a.id, "name" -> a.name, "sql_script_id" -> a.sqlScriptId,
+          "email_config_id" -> a.emailConfigId.orNull,
+          "recipients" -> a.recipients, "condition_type" -> a.conditionType,
+          "threshold" -> a.threshold, "is_enabled" -> a.isEnabled,
+          "last_check" -> a.lastCheck.orNull,
+          "cron_expression" -> a.cronExpression.orNull,
+          "next_check" -> a.nextCheck.orNull,
+          "sql_script_name" -> s.name, "email_config_name" -> c.configName,
+          // frontend-alias fields (web_scheduler.py:2771-2780)
+          "emails" -> a.recipients, "enabled" -> a.isEnabled,
+          "script_name" -> s.name, "condition" -> a.conditionType)
+      }
+    (200, Json.obj("alerts" -> list.toSeq))
+  }
+
+  /** POST /api/debug/add-token (web_scheduler.py:4491-4526): test-env token
+    * seeding without auth — defaults user_id=1 / fixed token / "Debug Token"
+    * / 30-day expiry, INSERT OR REPLACE semantics on the token's UNIQUE
+    * constraint (web_scheduler.py:523: a re-POST of the same token replaces
+    * the existing row rather than erroring). */
+  private def routeDebugAddToken(ex: HttpExchange, method: String,
+                                 segs: Seq[String]): (Int, Any) = {
+    if (method != "POST") return (405, Json.obj("error" -> "method not allowed"))
+    val d = jsonBody(ex)
+    val userId = num(d, "user_id").getOrElse(1L)
+    // the reference ships a fixed default debug credential (:4499)
+    val token = str(d, "token")
+      .getOrElse("3TrEHpjtwcMGkCNVocj2w4ODNQquHyR_4-8kuXoAtNo")
+    val name = str(d, "name").getOrElse("Debug Token")
+    val days = num(d, "days").getOrElse(30L)
+    val expires = ts(clock().plusDays(days))
+    val existing = store.read[UserToken]("user_tokens").collect().toSeq
+    val id = existing.find(_.token == token).map(_.id)
+      .getOrElse(nextId(existing.map(_.id)))
+    store.upsert[UserToken]("user_tokens", Seq(UserToken(
+      id, userId, token, expires, ts(clock()), Some(name))), _.id)
+    (200, Json.obj("message" -> "Token添加成功", "token" -> token,
+      "expires_at" -> expires))
   }
 
   /** POST /api/users/generate-token (web_scheduler.py:4212-4245):

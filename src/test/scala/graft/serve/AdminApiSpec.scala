@@ -568,4 +568,52 @@ class AdminApiSpec extends SparkSuite {
     val (nc, nb) = call("GET", "/api/task-logs/999999")
     assert(nc == 404 && asMap(nb) == Map("message" -> "任务不存在"))
   }
+
+  test("debug surface: sql-alerts-debug (no auth, inner-join) and add-token") {
+    // GET /api/sql-alerts-debug answers WITHOUT a session cookie
+    // (web_scheduler.py:2752-2754) while the authed route 401s
+    assert(rawCall("GET", "/api/sql-alerts", "", None)._1 == 401)
+    val (dc0, db0, _) = rawCall("GET", "/api/sql-alerts-debug", "", None)
+    assert(dc0 == 200)
+    val before = asMap(db0)("alerts").asInstanceOf[Vector[Any]].map(asMap)
+    // seed an email config + script + alert through the authed surface
+    assert(call("POST", "/api/email-configs",
+      """{"config_name":"dbg-mail","mail_server":"smtp.x","mail_port":25,
+         "mail_username":"u","mail_password":"p","mail_default_sender":"u@x"}"""
+    )._1 == 200)
+    val (_, sb) = call("POST", "/api/sql-scripts",
+      """{"name":"dbg-script","sql_content":"SELECT 1","db_config_id":1}""")
+    val sid = asMap(sb)("id").asInstanceOf[Long]
+    val (ac, ab) = call("POST", "/api/sql-alerts",
+      s"""{"name":"dbg-alert","sql_script_id":$sid,"recipients":"a@b.c"}""")
+    assert(ac == 201)
+    val aid = asMap(ab)("id").asInstanceOf[Long]
+    val (dc, dbod, _) = rawCall("GET", "/api/sql-alerts-debug", "", None)
+    assert(dc == 200)
+    val rows = asMap(dbod)("alerts").asInstanceOf[Vector[Any]].map(asMap)
+    val mine = rows.find(_("id") == aid).get
+    // reference adds the frontend-alias fields (web_scheduler.py:2771-2780)
+    assert(mine("script_name") == "dbg-script" && mine("emails") == "a@b.c" &&
+      mine("enabled") == true && mine("condition") == "not_empty" &&
+      mine("threshold") == 1L && mine("email_config_name") != null)
+    assert(rows.size == before.size + 1)
+    // POST /api/debug/add-token without auth: defaults from :4496-4500
+    val (tc, tb, _) = rawCall("POST", "/api/debug/add-token", "{}", None)
+    assert(tc == 200)
+    val tok = asMap(tb)("token").asInstanceOf[String]
+    assert(asMap(tb)("message") == "Token添加成功" && tok.nonEmpty)
+    val store = env._3
+    val row = store.read[graft.catalog.Model.UserToken]("user_tokens")
+      .collect().find(_.token == tok).get
+    assert(row.userId == 1L && row.name.contains("Debug Token"))
+    // INSERT OR REPLACE on the token UNIQUE constraint (:4511): re-POSTing
+    // the same token swaps the row in place instead of duplicating it
+    val (tc2, _, _) = rawCall("POST", "/api/debug/add-token",
+      s"""{"token":"$tok","user_id":2,"name":"Renamed","days":5}""", None)
+    assert(tc2 == 200)
+    val again = store.read[graft.catalog.Model.UserToken]("user_tokens")
+      .collect().filter(_.token == tok)
+    assert(again.length == 1 && again.head.userId == 2L &&
+      again.head.name.contains("Renamed"))
+  }
 }
