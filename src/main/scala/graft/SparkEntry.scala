@@ -328,6 +328,11 @@ object SparkEntry {
     // audience overlap between event types and the nation balance panel
     "q139_audience_overlap"  -> Relational.audienceOverlap _,
     "q140_nation_balances"   -> Relational.nationBalances _,
+    // TPC-H Q7/Q17/Q18 shapes and the per-brand pricing-moments profile
+    "q141_trade_flows"       -> Relational.tradeFlows _,
+    "q142_brand_moments"     -> Relational.brandPricingMoments _,
+    "q143_small_order_revenue" -> Relational.smallOrderRevenue _,
+    "q144_large_volume_orders" -> Relational.largeVolumeOrders _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -455,16 +460,30 @@ object SparkEntry {
       |    ROWS UNBOUNDED PRECEDING) AS last_purchase_value
       |FROM events""".stripMargin
 
+  /** All-pairs Jaccard-≥-0.9 spec, INVERTED-INDEX form: shared distinct-
+    * shingle counts via unnest + equi-join + group-by replace the naive
+    * `s a JOIN s b ON a.doc_id < b.doc_id` cross join. EXACTLY the same
+    * output — a pair sharing zero shingles has Jaccard 0 and can never
+    * pass the 0.9 bar, and for every other pair count(*) over the
+    * distinct-shingle postings IS len(list_intersect). The naive form is
+    * O(n²) list intersections (1.25G at the sf1 scale run — hours in
+    * DuckDB); this is O(index mass) and keeps the oracle itself feasible
+    * at every SF the engine runs. */
   private val verifiedAllPairsCte: String =
     """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
         |s AS (SELECT doc_id, list_distinct(
         |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
         |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
         |      FROM t),
-        |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
-        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) j
-        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |sz AS (SELECT doc_id, len(sh) n FROM s),
+        |inv AS (SELECT doc_id, unnest(sh) g FROM s),
+        |c AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) shared
+        |      FROM inv a JOIN inv b ON b.g = a.g AND b.doc_id > a.doc_id
+        |      GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b,
+        |        CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) j
+        |      FROM c JOIN sz sa ON sa.doc_id = c.id_a
+        |             JOIN sz sb ON sb.doc_id = c.id_b)
       |""".stripMargin
   private val verifiedIncPairsSql: String =
     """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
@@ -472,10 +491,16 @@ object SparkEntry {
         |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
         |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
         |      FROM t),
-        |p AS (SELECT i.doc_id inc_id, c.doc_id corpus_id,
-        |        CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE)
-        |          / (len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))) j
-        |      FROM s i JOIN s c ON i.doc_id % 5 = 4 AND c.doc_id % 5 <> 4)
+        |sz AS (SELECT doc_id, len(sh) n FROM s),
+        |inv AS (SELECT doc_id, unnest(sh) g FROM s),
+        |c AS (SELECT i.doc_id inc_id, cc.doc_id corpus_id, count(*) shared
+        |      FROM inv i JOIN inv cc ON cc.g = i.g
+        |        AND i.doc_id % 5 = 4 AND cc.doc_id % 5 <> 4
+        |      GROUP BY 1, 2),
+        |p AS (SELECT inc_id, corpus_id,
+        |        CAST(shared AS DOUBLE) / (si.n + sc.n - shared) j
+        |      FROM c JOIN sz si ON si.doc_id = c.inc_id
+        |             JOIN sz sc ON sc.doc_id = c.corpus_id)
       |SELECT inc_id, corpus_id, j AS jaccard FROM p WHERE j >= 0.9""".stripMargin
 
   /** Shared duplicate-cluster oracle CTE (q57/q77): fingerprint star +
@@ -1823,15 +1848,23 @@ object SparkEntry {
     // as the q24 oracle; brute force is the spec, the engine's DF-capped
     // inverted index + exact verify must match it
     "q108_containment" ->
+      // same inverted-index exactness argument as verifiedAllPairsCte:
+      // count(*) over distinct-shingle postings = len(list_intersect),
+      // zero-shared pairs can't reach overlap 0.9
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks FROM documents),
         |s AS (SELECT doc_id, list_distinct(
         |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
         |             ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) sh
         |      FROM t),
-        |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
-        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |          / least(len(a.sh), len(b.sh)) ov
-        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |sz AS (SELECT doc_id, len(sh) n FROM s),
+        |inv AS (SELECT doc_id, unnest(sh) g FROM s),
+        |c AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) shared
+        |      FROM inv a JOIN inv b ON b.g = a.g AND b.doc_id > a.doc_id
+        |      GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b,
+        |        CAST(shared AS DOUBLE) / least(sa.n, sb.n) ov
+        |      FROM c JOIN sz sa ON sa.doc_id = c.id_a
+        |             JOIN sz sb ON sb.doc_id = c.id_b)
         |SELECT id_a, id_b, ov AS overlap FROM p WHERE ov >= 0.9""".stripMargin,
     "q43_train_split" ->
       """WITH b AS (SELECT doc_id, text,
@@ -1850,5 +1883,43 @@ object SparkEntry {
         | count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         | count(CASE WHEN event_type = 'error' THEN 1 END) AS error
         |FROM events GROUP BY 1""".stripMargin,
+    "q141_trade_flows" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(o_orderdate) AS INT) AS order_year,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                      AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE s_nationkey <> c_nationkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q142_brand_moments" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(corr(l_quantity, l_discount), 4) AS qty_disc_corr,
+        |  round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar,
+        |  round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+        |  round(avg(l_extendedprice), 4) AS price_mean
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+    "q143_small_order_revenue" ->
+      """WITH t AS (SELECT l_partkey AS t_partkey,
+        |    round(avg(l_quantity) * 0.2, 4) AS qty_cut
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small_orders,
+        |  round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly_lost
+        |FROM lineitem JOIN t ON l_partkey = t_partkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity < qty_cut
+        |GROUP BY 1""".stripMargin,
+    "q144_large_volume_orders" ->
+      """WITH b AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM orders JOIN b ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
   )
 }

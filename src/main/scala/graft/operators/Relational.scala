@@ -955,4 +955,102 @@ object Relational {
         last(when(col("event_type") === "purchase", col("value")),
              ignoreNulls = true).over(w))
   }
+
+  /** TPC-H Q7 shape — cross-nation trade flows: yearly revenue between
+    * every (supplier nation, customer nation) pair, cross-nation rows
+    * only. The two nation lookups are the only broadcasts (dictionary at
+    * any SF); customer/supplier scale with the corpus, so their fact
+    * joins shuffle on the key and are left to AQE, exactly like q110.
+    * The cross-nation predicate lands immediately after the supplier
+    * join — before the aggregate, so no same-nation row reaches the
+    * final exchange. Revenue sums in DECIMAL(18,4): price (2dp) ×
+    * (1−discount) (2dp) has at most 4 decimal digits, so the cast is
+    * exact and the sum ORDER-INDEPENDENT — this query's 25×24×years
+    * groups are big enough that double summation flips the 2dp rounding
+    * boundary between engines (3 groups at sf0.001 differed by a
+    * cent). */
+  def tradeFlows(spark: SparkSession, dir: String): DataFrame = {
+    val suppNation = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("supp_nation")))
+    val custNation = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name").as("cust_nation")))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .join(suppNation, Seq("s_nationkey"))
+      .join(custNation, Seq("c_nationkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+               year(col("o_orderdate")).cast("int").as("order_year"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+                       .cast("decimal(18,4)")).cast("double"), 2)
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  /** Per-brand pricing moments: corr / covariance between quantity and
+    * discount plus the price spread — the "does the discount policy bind"
+    * statistical profile. lineitem ⋈ part co-keys on partkey; part SCALES
+    * with the corpus (200k rows at sf1), so the join shuffles on the key
+    * under AQE rather than forcing a broadcast that would OOM at 100 TB.
+    * The moments are all one-pass partial-aggregable (sum / sum-of-
+    * squares / cross-products), so the shuffle after the join carries 25
+    * brand groups, nothing else. All outputs are rounded aggregate
+    * derivatives (4dp) per the repo's cross-engine float rule. */
+  def brandPricingMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_discount"),
+              col("l_extendedprice"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+           round(corr(col("l_quantity"), col("l_discount")), 4).as("qty_disc_corr"),
+           round(covar_samp(col("l_quantity"), col("l_discount")), 4)
+             .as("qty_disc_covar"),
+           round(stddev_samp(col("l_extendedprice")), 4).as("price_stddev"),
+           round(avg(col("l_extendedprice")), 4).as("price_mean"))
+
+  /** TPC-H Q17 shape — small-order revenue by brand: revenue locked in
+    * lineitems whose quantity is below 20% of that part's own average
+    * quantity (the "would consolidating small orders pay" report). The
+    * per-part threshold is itself a fact-scale aggregate (one row per
+    * part), so it is NOT broadcast: the threshold join co-keys on
+    * l_partkey and shuffles both sides — at 100 TB both inputs hash to
+    * the same layout and the join is local per partition. The threshold
+    * is ROUNDED before the comparison on both engines (aggregate
+    * derivative; quantities are integral so the strict `<` cannot sit on
+    * the rounding boundary). */
+  def smallOrderRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val threshold = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(round(avg(col("l_quantity")) * 0.2, 4).as("qty_cut"))
+    li.join(threshold, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_cut"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small_orders"),
+           round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly_lost"))
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: orders whose line quantities
+    * sum past 200, with their customer. The HAVING filter collapses the
+    * fact table to a per-order aggregate FIRST (map-side combinable, one
+    * shuffle on orderkey), so only qualifying order keys — a tiny
+    * fraction — join back to orders and customer; both of those scale
+    * with the corpus and stay AQE shuffle joins. */
+  def largeVolumeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 200)
+    Tables.orders(spark, dir)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+              col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+  }
 }
