@@ -241,6 +241,50 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("q141 trade flows: cross-nation filter fuses into the join, pre-aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = SparkEntry.queries("q141_trade_flows")(spark, sfDir)
+    val lp = df.queryExecution.optimizedPlan
+    // the s_nationkey != c_nationkey predicate must land in a JOIN
+    // condition (below the aggregate) — as a post-aggregate filter it
+    // would ship every same-nation row through the final exchange
+    val fused = lp.collect { case j: Join => j }.exists(_.condition.exists(c =>
+      c.references.exists(_.name == "s_nationkey") &&
+      c.references.exists(_.name == "c_nationkey")))
+    assert(fused, s"cross-nation predicate not fused into a join:\n$lp")
+    val phys = executedPlan("q141_trade_flows")
+    assert(!phys.contains("CartesianProduct"), s"cartesian in:\n$phys")
+    graft.core.Mat.releaseAll()
+  }
+
+  test("q143 small-order revenue: threshold join stays keyed on partkey") {
+    val plan = executedPlan("q143_small_order_revenue")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"per-part threshold join degenerated to a cross product:\n$plan")
+    // partial/final agg pairs: the avg-threshold and the brand rollup
+    // both map-side combine before their exchanges
+    assert(plan.contains("partial_avg") || plan.contains("partial avg") ||
+           "HashAggregate".r.findAllIn(plan).size >= 4,
+      s"threshold aggregate lost its partial stage:\n$plan")
+    graft.core.Mat.releaseAll()
+  }
+
+  test("q144 large-volume orders: HAVING aggregate collapses lineitem BELOW the joins") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = SparkEntry.queries("q144_large_volume_orders")(spark, sfDir)
+    val lp = df.queryExecution.optimizedPlan
+    // the per-order qty aggregate must sit INSIDE a join input (the tiny
+    // qualifying set joins back), never above the joins
+    val aggInsideJoin = lp.collect { case j: Join => j }.exists(j =>
+      Seq(j.left, j.right).exists(
+        _.collect { case a: Aggregate => a }.nonEmpty))
+    assert(aggInsideJoin, s"qty aggregate not below the join-back:\n$lp")
+    val phys = executedPlan("q144_large_volume_orders")
+    assert(!phys.contains("CartesianProduct"), s"cartesian in:\n$phys")
+    graft.core.Mat.releaseAll()
+  }
+
   test("q108 containment: inverted-index candidates stay keyed, never cartesian") {
     val plan = executedPlan("q108_containment")
     assert(!plan.contains("CartesianProduct") &&
