@@ -88,7 +88,10 @@ object Main {
     val boundHttp = httpApi.start(httpPort)
 
     val adminApi = new AdminApi(spark, store, executor, Some(alerts),
-      taskNotifier = Some(taskNotifier))
+      taskNotifier = Some(taskNotifier),
+      // filesystem session store next to the catalog (the reference's
+      // flask_session/ dir): logins survive a server restart
+      sessionDir = Some(s"$catalogDir/_sessions"))
     val boundAdmin = adminApi.start(adminPort)
 
     val daemon = new Thread(() => orchestrator.runLoop(), "graft-orchestrator")

@@ -31,15 +31,40 @@ final class AdminApi(
     uploadsDir: String = "uploads",
     testMailer: (EmailConfig, String) => Either[String, Unit] =
       AdminApi.smtpTestMailer,
-    taskNotifier: Option[graft.alerts.TaskNotifier] = None) {
+    taskNotifier: Option[graft.alerts.TaskNotifier] = None,
+    sessionDir: Option[String] = None) {
 
   private var server: HttpServer = _
 
-  /** Live browser sessions: sid → userId. The reference keeps these in
-    * flask_session/ files; an in-memory map matches its single-process
-    * deployment (sessions die with the server, like `session.permanent =
-    * False`, web_scheduler.py:1656). */
+  /** Live browser sessions: sid → userId. The reference persists these as
+    * one file per session under flask_session/ (filesystem session store),
+    * so logins survive a server restart; with `sessionDir` set this does
+    * the same (one file per sid, loaded at start, deleted on logout).
+    * Without it the map is in-memory-only — the unit-test deployment. */
   private val sessions = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def sessionFile(sid: String): java.io.File =
+    // sid is Serve.Auth.newToken() output (url-safe base64) — path-safe
+    new java.io.File(sessionDir.get, sid)
+
+  private def loadSessions(): Unit = sessionDir.foreach { d =>
+    val dir = new java.io.File(d); dir.mkdirs()
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      try sessions.put(f.getName,
+        new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8).trim.toLong)
+      catch { case _: Exception => f.delete() } // corrupt session → drop
+    }
+  }
+
+  private def persistSession(sid: String, userId: Long): Unit =
+    sessionDir.foreach { _ =>
+      sessionFile(sid).getParentFile.mkdirs()
+      java.nio.file.Files.write(sessionFile(sid).toPath,
+        userId.toString.getBytes(UTF_8))
+    }
+
+  private def dropSession(sid: String): Unit =
+    sessionDir.foreach(_ => sessionFile(sid).delete())
   private val sessionUser = new ThreadLocal[Option[Long]] {
     override def initialValue(): Option[Long] = None
   }
@@ -49,6 +74,7 @@ final class AdminApi(
 
   def start(port: Int = 0): Int = {
     seedDefaultAdmin()
+    loadSessions()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/api/login", exchange(routeLogin))
     server.createContext("/api/logout", exchange(routeLogout))
@@ -185,6 +211,7 @@ final class AdminApi(
       case Some(u) =>
         val sid = Serve.Auth.newToken()
         sessions.put(sid, u.id)
+        persistSession(sid, u.id)
         ex.getResponseHeaders.add("Set-Cookie",
           s"session=$sid; Path=/; HttpOnly")
         (200, Json.obj("message" -> "登录成功", "redirect" -> "/"))
@@ -195,7 +222,7 @@ final class AdminApi(
   /** /api/logout (web_scheduler.py:1680-1685): clear the session. */
   private def routeLogout(ex: HttpExchange, method: String,
                           segs: Seq[String]): (Int, Any) = {
-    cookieSid(ex).foreach(sessions.remove)
+    cookieSid(ex).foreach { sid => sessions.remove(sid); dropSession(sid) }
     ex.getResponseHeaders.add("Set-Cookie",
       "session=; Path=/; HttpOnly; Max-Age=0")
     (200, Json.obj("message" -> "已退出登录"))

@@ -569,6 +569,46 @@ class AdminApiSpec extends SparkSuite {
     assert(nc == 404 && asMap(nb) == Map("message" -> "任务不存在"))
   }
 
+  test("sessions persist across a restart (flask_session parity)") {
+    // the reference's filesystem session store keeps logins valid across
+    // server restarts; with sessionDir set ours must too
+    val sdir = tmpDir("admin-sess")
+    val store2 = new CatalogStore(spark, tmpDir("admin-cat2"))
+    val exec: Task => Either[String, String] = _ => Right("ok")
+    def req(port: Int, method: String, path: String, body: String,
+            cookie: Option[String]) = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      cookie.foreach(c => b.header("Cookie", c))
+      val r = client.send(
+        (if (method == "GET") b.GET()
+         else b.method(method, HttpRequest.BodyPublishers.ofString(body))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(),
+       r.headers().firstValue("Set-Cookie")
+        .map[Option[String]](v => Some(v.split(';').head)).orElse(None))
+    }
+    val api1 = new AdminApi(spark, store2, exec, sessionDir = Some(sdir))
+    val p1 = api1.start()
+    val (lc, cookie) = req(p1, "POST", "/api/login",
+      """{"username":"admin","password":"admin123"}""", None)
+    assert(lc == 200 && cookie.isDefined)
+    assert(req(p1, "GET", "/api/tasks", "", cookie)._1 == 200)
+    api1.stop()
+    // a NEW server over the same session dir honors the old cookie
+    val api2 = new AdminApi(spark, store2, exec, sessionDir = Some(sdir))
+    val p2 = api2.start()
+    assert(req(p2, "GET", "/api/tasks", "", cookie)._1 == 200,
+      "session did not survive the restart")
+    // logout deletes the file: a third restart rejects the cookie
+    assert(req(p2, "POST", "/api/logout", "", cookie)._1 == 200)
+    api2.stop()
+    val api3 = new AdminApi(spark, store2, exec, sessionDir = Some(sdir))
+    val p3 = api3.start()
+    assert(req(p3, "GET", "/api/tasks", "", cookie)._1 == 401,
+      "logged-out session resurrected after restart")
+    api3.stop()
+  }
+
   test("debug surface: sql-alerts-debug (no auth, inner-join) and add-token") {
     // GET /api/sql-alerts-debug answers WITHOUT a session cookie
     // (web_scheduler.py:2752-2754) while the authed route 401s
