@@ -333,6 +333,11 @@ object SparkEntry {
     "q142_brand_moments"     -> Relational.brandPricingMoments _,
     "q143_small_order_revenue" -> Relational.smallOrderRevenue _,
     "q144_large_volume_orders" -> Relational.largeVolumeOrders _,
+    // real (pure-JVM) codecs for the uncompressed media formats: actual
+    // RIFF/WAVE and BMP bytes written and parsed back, decoded aggregates
+    // matched against the oracle's closed-form arithmetic
+    "q145_wav_decode"        -> Pipeline.wavDecode _,
+    "q146_bmp_decode"        -> Pipeline.bmpDecode _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1886,8 +1891,8 @@ object SparkEntry {
     "q141_trade_flows" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(o_orderdate) AS INT) AS order_year,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-        |                      AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |               AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1921,5 +1926,38 @@ object SparkEntry {
         |  total_qty
         |FROM orders JOIN b ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // the engine writes REAL RIFF/WAVE bytes per doc and parses them back;
+    // the oracle recomputes the decoded aggregates from the closed-form
+    // sample stream — a header/chunk/endianness bug on either side breaks
+    // the exact integer match
+    "q145_wav_decode" ->
+      """WITH s AS (SELECT doc_id AS media_id, 200 + doc_id % 100 AS n,
+        |      CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS rate
+        |    FROM documents),
+        |v AS (SELECT media_id, ((media_id*7919 + i*104729) % 65536) - 32768 AS val
+        |      FROM s, unnest(range(0, n)) AS u(i)),
+        |a AS (SELECT media_id, CAST(sum(val) AS BIGINT) sample_sum,
+        |             CAST(sum(val*val) AS BIGINT) sample_sumsq,
+        |             CAST(max(abs(val)) AS BIGINT) peak_abs
+        |      FROM v GROUP BY 1)
+        |SELECT s.media_id, CAST(44 + 2*n AS BIGINT) AS n_bytes,
+        |  CAST(rate AS INT) AS sample_rate, CAST(n AS INT) AS n_samples,
+        |  CAST(n * 1000000 // rate AS BIGINT) AS duration_us,
+        |  sample_sum, sample_sumsq, peak_abs
+        |FROM s JOIN a USING (media_id)""".stripMargin,
+    "q146_bmp_decode" ->
+      """WITH s AS (SELECT doc_id AS media_id, 4 + doc_id % 5 AS w,
+        |      3 + doc_id % 4 AS h FROM documents),
+        |p AS (SELECT media_id, (media_id + 31*x + 17*y) % 256 AS r,
+        |             (media_id*3 + 7*x + 29*y) % 256 AS g,
+        |             (media_id*5 + 13*x + 11*y) % 256 AS bb
+        |      FROM s, unnest(range(0, w)) ux(x), unnest(range(0, h)) uy(y)),
+        |a AS (SELECT media_id, CAST(sum(r) AS BIGINT) sum_r,
+        |             CAST(sum(g) AS BIGINT) sum_g,
+        |             CAST(sum(bb) AS BIGINT) sum_b FROM p GROUP BY 1)
+        |SELECT s.media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(54 + ((w*3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+        |  sum_r, sum_g, sum_b
+        |FROM s JOIN a USING (media_id)""".stripMargin,
   )
 }

@@ -174,11 +174,18 @@ object Vectors {
               round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
 
   /** Bucketed ANN top-k with MULTI-PROBE on the query side: each query
-    * probes its own bucket plus every Hamming-distance-1 bucket (flip one
-    * signature bit ⇒ b extra probes per table). Multi-probe buys back the
-    * recall lost to larger b (Lv et al., VLDB 2007), so bits can track
-    * corpus size without recall collapse. Query probes are a small relation
-    * (|Q|·L·(b+1) rows) — broadcast by AQE; the corpus is never rescanned. */
+    * probes its own bucket plus nearby-Hamming buckets (bit flips of its
+    * signature). Multi-probe buys back the recall lost to larger b (Lv et
+    * al., VLDB 2007), so bits can track corpus size without recall
+    * collapse — but a FIXED probe budget cannot: per-table hit probability
+    * for a neighbor at angle θ is (1−θ/π)^b, geometric in b, so when
+    * adaptive bits grow with log(corpus) the table count and probe radius
+    * must grow too (the r8 sf1 run measured exactly this: recall@10 held
+    * at sf0.1 with b=6 and collapsed below the 0.3 bar for a quarter of
+    * queries at 10× corpus, b=10). Defaults scale: L = max(nTables, b)
+    * tables and Hamming-radius-2 probes once b ≥ 8. Probe relation stays
+    * tiny — |Q|·L·(1+b+b(b−1)/2) rows broadcast; the corpus is bucketed
+    * once and never rescanned. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int,
               bitsPerTable: Int = 0, nTables: Int = 6,
@@ -186,16 +193,24 @@ object Vectors {
               corpusCount: Long = -1L): DataFrame = {
     val bits = if (bitsPerTable > 0) bitsPerTable
                else adaptiveBits(knownCount(corpus, corpusCount), targetBucketSize)
+    val tables = math.max(nTables, bits)
     val sigC = bucketRows(corpus, idCol, vecCol, "neighbor_id",
-      dim, bits, nTables, bucketCap)
-    // probe set: identity + single-bit flips of each query signature
+      dim, bits, tables, bucketCap)
+    // probe set: identity + every Hamming-1 flip; Hamming-2 pairs too
+    // once bits ≥ 8 (the per-probe hit probability is too small there
+    // for radius 1 to hold recall)
+    val flips: Seq[Column => Column] =
+      (if (bits >= 8)
+         for { i <- 0 until bits; j <- i + 1 until bits }
+           yield (c: Column) => c.bitwiseXOR(lit((1 << i) | (1 << j)))
+       else Seq.empty) ++
+      (0 until bits).map(i => (c: Column) => c.bitwiseXOR(lit(1 << i)))
     val sigQ = queries
       .select(col(idCol).as("query_id"),
-        posexplode(lshSignatures(col(vecCol), dim, bits, nTables))
+        posexplode(lshSignatures(col(vecCol), dim, bits, tables))
           .as(Seq("tbl", "sig0")))
       .select(col("query_id"), col("tbl"),
-        explode(array(col("sig0") +:
-          (0 until bits).map(i => col("sig0").bitwiseXOR(lit(1 << i))): _*))
+        explode(array(col("sig0") +: flips.map(f => f(col("sig0"))): _*))
           .as("sig"))
     val pairs = sigC.join(broadcast(sigQ), Seq("tbl", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -2283,4 +2283,60 @@ object Pipeline {
         (col("c58") === col("c58_57")).as("q57_containment_ok"))
       .orderBy("doc_id")
   }
+
+  /** q145 — REAL audio decode for the uncompressed case: per doc a
+    * deterministic mono PCM16 stream is WRITTEN as actual RIFF/WAVE bytes
+    * and parsed back through [[Multimodal.Wav]]'s chunk walker; the
+    * emitted aggregates (sum / sum-of-squares / peak over the DECODED
+    * samples, exact integers end-to-end) only match the oracle's
+    * closed-form arithmetic if both the writer and the parser are
+    * byte-correct — header layout, chunk sizes, little-endian PCM. The
+    * codec runs once per row inside mapPartitions (the mapInPandas batch
+    * shape); narrow map, zero shuffle at any scale. */
+  def wavDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 200 + (id % 100).toInt
+          val rate = if (id % 2 == 0) 16000 else 8000
+          val samples = Array.tabulate(n)(i =>
+            (((id * 7919L + i.toLong * 104729L) % 65536L) - 32768L).toShort)
+          val d = Multimodal.Wav.decode(Multimodal.Wav.synth(rate, samples))
+          val sum = d.samples.foldLeft(0L)(_ + _)
+          val sumSq = d.samples.foldLeft(0L)((a, v) => a + v.toLong * v)
+          val peak = d.samples.foldLeft(0L)((a, v) => math.max(a, math.abs(v.toLong)))
+          (id, (44 + 2 * n).toLong, d.sampleRate, d.samples.length,
+           n.toLong * 1000000L / rate, sum, sumSq, peak)
+        }
+      }
+      .toDF("media_id", "n_bytes", "sample_rate", "n_samples", "duration_us",
+            "sample_sum", "sample_sumsq", "peak_abs")
+  }
+
+  /** q146 — REAL image decode for the uncompressed case: deterministic
+    * RGB frames written as actual 24bpp bottom-up BMP bytes (4-byte row
+    * padding — the arithmetic a stub can't fake) and parsed back through
+    * [[Multimodal.Bmp]]; exact per-channel pixel sums over the DECODED
+    * pixels against the oracle's closed form. Narrow map, zero
+    * shuffle. */
+  def bmpDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 4 + (id % 5).toInt; val h = 3 + (id % 4).toInt
+          val bytes = Multimodal.Bmp.synth(w, h, (x, y) => (
+            ((id + 31L * x + 17L * y) % 256L).toInt,
+            ((id * 3L + 7L * x + 29L * y) % 256L).toInt,
+            ((id * 5L + 13L * x + 11L * y) % 256L).toInt))
+          val d = Multimodal.Bmp.decode(bytes)
+          val sumR = d.pixels.foldLeft(0L)(_ + _._1)
+          val sumG = d.pixels.foldLeft(0L)(_ + _._2)
+          val sumB = d.pixels.foldLeft(0L)(_ + _._3)
+          (id, d.width, d.height, bytes.length.toLong, sumR, sumG, sumB)
+        }
+      }
+      .toDF("media_id", "width", "height", "n_bytes", "sum_r", "sum_g", "sum_b")
+  }
 }

@@ -963,12 +963,16 @@ object Relational {
     * joins shuffle on the key and are left to AQE, exactly like q110.
     * The cross-nation predicate lands immediately after the supplier
     * join — before the aggregate, so no same-nation row reaches the
-    * final exchange. Revenue sums in DECIMAL(18,4): price (2dp) ×
-    * (1−discount) (2dp) has at most 4 decimal digits, so the cast is
-    * exact and the sum ORDER-INDEPENDENT — this query's 25×24×years
-    * groups are big enough that double summation flips the 2dp rounding
-    * boundary between engines (3 groups at sf0.001 differed by a
-    * cent). */
+    * final exchange. Revenue: per-row price (2dp) × (1−discount) (2dp)
+    * has at most 4 TRUE decimal digits, so round(x·10⁴) recovers the
+    * exact integer on both engines (the double sits within 1e-9 of it —
+    * never on a rounding boundary) and the long sum is exact and
+    * order-independent; one final division by 10⁴ emits a bit-identical
+    * double. Both double-sum-then-round-2dp (3 flipped cents at
+    * sf0.001) and per-row DECIMAL(18,4) casts (39 flipped groups at
+    * sf1 — Spark rounds the double's shortest decimal string, DuckDB
+    * the binary value, which disagree exactly ON a boundary) fail
+    * cross-engine; the scaled-integer form cannot. */
   def tradeFlows(spark: SparkSession, dir: String): DataFrame = {
     val suppNation = broadcast(Tables.nation(spark, dir)
       .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("supp_nation")))
@@ -983,8 +987,8 @@ object Relational {
       .join(custNation, Seq("c_nationkey"))
       .groupBy(col("supp_nation"), col("cust_nation"),
                year(col("o_orderdate")).cast("int").as("order_year"))
-      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-                       .cast("decimal(18,4)")).cast("double"), 2)
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                        * 10000).cast("long")).cast("double") / 10000.0)
              .as("revenue"),
            count(lit(1)).as("n_items"))
   }

@@ -118,9 +118,17 @@ object Streams {
       .add("event_id", "long").add("ts", if (tsIsLong) "long" else "timestamp")
       .add("user_id", "long")
       .add("event_type", "string").add("value", "double").add("props", "string")
-    // file streams need a directory: stream the sf dir, globbed to events
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    // file streams need a directory. Driver testdata is one FILE per table
+    // (stream the sf dir globbed to it); Spark-written corpora (the
+    // ScaleGen sf1 replica) are DIRECTORIES of part files (stream the
+    // table dir itself — a file glob there matches nothing and the r8
+    // sf1 run returned an empty stream).
+    val tablePath = s"$sfDir/events.parquet"
+    val raw =
+      if (new java.io.File(tablePath).isDirectory)
+        spark.readStream.schema(schema).parquet(tablePath)
+      else spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
     if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw
   }

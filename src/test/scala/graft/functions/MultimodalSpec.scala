@@ -38,4 +38,47 @@ class MultimodalSpec extends SparkSuite {
     assert(idx(2L).toSeq == Seq(0, 3, 6, 9))
     assert(idx(3L).toSeq == Seq(0)) // n_frames=0 clamps to a single index
   }
+
+  test("Wav: PCM16 writer/parser roundtrip, chunk-walk tolerance, fail-loud") {
+    val samples = Array.tabulate(300)(i => ((i * 1103) % 65536 - 32768).toShort)
+    val bytes = Multimodal.Wav.synth(16000, samples)
+    assert(bytes.length == 44 + 600)
+    val d = Multimodal.Wav.decode(bytes)
+    assert(d.sampleRate == 16000 && d.channels == 1 && d.bitsPerSample == 16)
+    assert(d.samples.sameElements(samples))
+    // real RIFF files carry extra chunks (LIST, fact) between fmt and data:
+    // splice one in and the chunk walker must skip it
+    val extra = java.nio.ByteBuffer.allocate(bytes.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(bytes, 0, 36) // up to end of fmt chunk
+    extra.put("LIST".getBytes("US-ASCII")).putInt(4)
+      .put("INFO".getBytes("US-ASCII"))
+    extra.put(bytes, 36, bytes.length - 36)
+    val d2 = Multimodal.Wav.decode(extra.array())
+    assert(d2.samples.sameElements(samples))
+    // corrupt payloads fail loud, never yield garbage features
+    intercept[IllegalArgumentException](
+      Multimodal.Wav.decode("nonsense-bytes".getBytes))
+    val mp3ish = bytes.clone(); mp3ish(0) = 'I'; mp3ish(1) = 'D'
+    intercept[IllegalArgumentException](Multimodal.Wav.decode(mp3ish))
+  }
+
+  test("Bmp: 24bpp writer/parser roundtrip incl. the row-padding arithmetic") {
+    // width 5 → row 15 bytes + 1 pad; decode must skip pads and un-flip
+    // the bottom-up row order and BGR channel order
+    val px = (x: Int, y: Int) => (x * 40 % 256, y * 60 % 256, (x + y) % 256)
+    val bytes = Multimodal.Bmp.synth(5, 3, px)
+    assert(Multimodal.Bmp.rowSize(5) == 16)
+    assert(bytes.length == 54 + 16 * 3)
+    val d = Multimodal.Bmp.decode(bytes)
+    assert(d.width == 5 && d.height == 3)
+    for (y <- 0 until 3; x <- 0 until 5)
+      assert(d.pixels(y * 5 + x) == px(x, y), s"pixel ($x,$y)")
+    // exact-multiple width has no padding — both branches covered
+    val b4 = Multimodal.Bmp.synth(4, 2, px)
+    assert(b4.length == 54 + 12 * 2)
+    assert(Multimodal.Bmp.decode(b4).pixels(7) == px(3, 1))
+    intercept[IllegalArgumentException](
+      Multimodal.Bmp.decode(Array[Byte](1, 2, 3, 4)))
+  }
 }
