@@ -338,6 +338,8 @@ object SparkEntry {
     // matched against the oracle's closed-form arithmetic
     "q145_wav_decode"        -> Pipeline.wavDecode _,
     "q146_bmp_decode"        -> Pipeline.bmpDecode _,
+    // adaptive skew join: histogram-gated salting under q13's oracle
+    "q147_adaptive_skew_join" -> Relational.revenueByNationAdaptiveSkew _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1628,6 +1630,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "q13_revenue_nation" -> revenueByNationSql,
     "q113_salted_fact_join" -> revenueByNationSql,
+    "q147_adaptive_skew_join" -> revenueByNationSql,
     "q14_dedup_exact" ->
       """SELECT user_id, event_type, min(event_id) AS first_event_id,
         | min(ts) AS first_ts

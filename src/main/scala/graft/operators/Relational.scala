@@ -169,6 +169,33 @@ object Relational {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
            count(lit(1)).as("n_items"))
 
+  /** q13's revenue-by-nation through [[SkewJoin.saltedJoinHeavyKeys]] —
+    * the ADAPTIVE skew rewrite (q147): measure the fact side's key
+    * histogram, salt only keys above threshold, plain-join the rest.
+    * Sharing q13's oracle makes result-invariance of the adaptive split
+    * the contract (both the salted and the plain path feed the same
+    * aggregate). On this uniform corpus no order key exceeds the
+    * threshold, so the plan degenerates to plain join + histogram —
+    * exactly the property that makes it deployable as a default guard,
+    * where the blanket q113 rewrite (8× unconditional replication,
+    * 6.2× wall at sf1) is a measured-skew fallback. OperatorsSpec pins
+    * the skewed case: a hot key splits across salts while light keys
+    * join unsalted, result equal to the plain join. */
+  def revenueByNationAdaptiveSkew(spark: SparkSession, dir: String): DataFrame =
+    SkewJoin.saltedJoinHeavyKeys(
+        Tables.lineitem(spark, dir),
+        Tables.orders(spark, dir).withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey", nSalts = 8,
+        saltBy = struct(col("l_orderkey"), col("l_linenumber")),
+        // lineitems per order top out near 7 at any SF (TPC-H shape);
+        // a key past 100 is genuine skew, not tail variance
+        heavyThreshold = 100L)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+
   /** TPC-H Q5 shape — local-supplier volume: the canonical 6-table star
     * join (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region)
     * with a region + order-year filter and the "customer and supplier in

@@ -24,4 +24,48 @@ object SkewJoin {
       explode(sequence(lit(0), lit(nSalts - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Targeted form — salt ONLY measured-heavy keys. The blanket variant
+    * pays |right|×n replication unconditionally (measured 6.2× the plain
+    * join's wall at sf1 on a UNIFORM corpus — r8 bench, q113); real skew
+    * is a handful of keys, so the right split is: measure the left key
+    * histogram (one map-side-combined aggregate whose shuffle carries
+    * only distinct keys), broadcast the keys above `heavyThreshold`
+    * (few by the definition of skew — a wide heavy set means the
+    * threshold is wrong, and the builder fails loud at `maxHeavyKeys`
+    * rather than broadcast an unbounded set), then:
+    * light keys → plain co-partitioned join, untouched;
+    * heavy keys → the salted join, replication confined to the heavy
+    * slice of `right`.
+    * On uniform data this degenerates to the plain join plus the
+    * histogram; under real skew only the hot keys pay. Inner and
+    * left joins only (right/outer would need heavy-set logic on both
+    * sides — not needed by any current caller). */
+  def saltedJoinHeavyKeys(left: DataFrame, right: DataFrame, key: String,
+                          nSalts: Int, saltBy: Column,
+                          heavyThreshold: Long,
+                          joinType: String = "inner",
+                          maxHeavyKeys: Int = 100000): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoinHeavyKeys supports inner/left, got $joinType")
+    // heavy set collected ONCE (bounded by maxHeavyKeys — driver-tiny by
+    // the definition of skew) so the three downstream uses are scan-level
+    // InSet filters (parquet-pushable), not three recomputations of the
+    // histogram aggregate
+    val heavyKeys = left.groupBy(col(key))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > heavyThreshold)
+      .select(col(key)).limit(maxHeavyKeys + 1).collect().map(_.get(0)).toSeq
+    require(heavyKeys.length <= maxHeavyKeys,
+      s"more than $maxHeavyKeys heavy keys — raise heavyThreshold " +
+        "(a broad heavy set means the threshold is wrong, not that " +
+        "everything should salt)")
+    if (heavyKeys.isEmpty) left.join(right, Seq(key), joinType)
+    else {
+      val isHeavy = col(key).isInCollection(heavyKeys)
+      left.filter(!isHeavy).join(right, Seq(key), joinType)
+        .unionByName(saltedJoin(left.filter(isHeavy), right.filter(isHeavy),
+          key, nSalts, saltBy, joinType))
+    }
+  }
 }

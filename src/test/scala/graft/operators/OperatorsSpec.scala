@@ -40,6 +40,40 @@ class OperatorsSpec extends SparkSuite {
     assert(plainLeft == saltedLeft)
   }
 
+  test("heavy-key salting: only the hot key salts; result equals plain join") {
+    import spark.implicits._
+    val left = ((1 to 10000).map(i => (1L, i.toLong)) ++
+      Seq((2L, 1L), (3L, 2L))).toDF("k", "row_id")
+    val right = Seq((1L, "hot"), (2L, "warm"), (4L, "unmatched")).toDF("k", "label")
+    val plain = left.join(right, Seq("k")).orderBy("k", "row_id", "label")
+    val adaptive = SkewJoin.saltedJoinHeavyKeys(left, right, "k", 8,
+        col("row_id"), heavyThreshold = 100)
+      .orderBy("k", "row_id", "label")
+    assert(plain.collect().toSeq == adaptive.collect().toSeq)
+    // left join keeps unmatched heavy AND light left rows exactly once
+    val withLonelyHeavy = left.unionByName(
+      (1 to 5000).map(i => (9L, i.toLong)).toDF("k", "row_id"))
+    val plainLeft = withLonelyHeavy.join(right, Seq("k"), "left")
+    val adaptLeft = SkewJoin.saltedJoinHeavyKeys(withLonelyHeavy, right, "k",
+      8, col("row_id"), heavyThreshold = 100, joinType = "left")
+    assert(plainLeft.count() == adaptLeft.count())
+    assert(adaptLeft.filter(col("k") === 9L && col("label").isNull).count() == 5000)
+    // uniform data: no key passes the threshold → degenerates to the
+    // plain join (no union, no salt replication in the plan)
+    val uniform = (1 to 300).map(i => (i.toLong, i.toLong)).toDF("k", "row_id")
+    val deg = SkewJoin.saltedJoinHeavyKeys(uniform, right, "k", 8,
+      col("row_id"), heavyThreshold = 100)
+    assert(!deg.queryExecution.optimizedPlan.toString.contains("__salt"))
+    assert(deg.count() == uniform.join(right, Seq("k")).count())
+    // a threshold so low everything is "heavy" fails loud, never
+    // broadcasts an unbounded key set
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoinHeavyKeys(uniform, right, "k", 8, col("row_id"),
+        heavyThreshold = 0, maxHeavyKeys = 10)
+    }
+    assert(e.getMessage.contains("heavy"))
+  }
+
   test("pivot matches conditional aggregation") {
     val out = Advanced.eventPivot(spark, sfDir).orderBy("cohort").collect()
     assert(out.length == 5)
