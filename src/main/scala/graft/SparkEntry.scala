@@ -340,6 +340,10 @@ object SparkEntry {
     "q146_bmp_decode"        -> Pipeline.bmpDecode _,
     // adaptive skew join: histogram-gated salting under q13's oracle
     "q147_adaptive_skew_join" -> Relational.revenueByNationAdaptiveSkew _,
+    // TPC-H Q8/Q15/Q4 shapes
+    "q148_market_share"      -> Relational.marketShare _,
+    "q149_top_supplier"      -> Relational.topSupplier _,
+    "q150_order_priority"    -> Relational.orderPriorityLate _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1631,6 +1635,42 @@ object SparkEntry {
     "q13_revenue_nation" -> revenueByNationSql,
     "q113_salted_fact_join" -> revenueByNationSql,
     "q147_adaptive_skew_join" -> revenueByNationSql,
+    "q148_market_share" ->
+      """WITH sr AS (SELECT s_suppkey, r_name AS supp_region
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |seg AS (SELECT CAST(year(o_orderdate) AS INT) AS order_year, supp_region,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |                  AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN sr ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT order_year, CAST(sum(rev) AS BIGINT) AS total FROM seg GROUP BY 1)
+        |SELECT seg.order_year, supp_region,
+        |  CAST(rev AS DOUBLE) / 10000.0 AS revenue,
+        |  CAST(rev AS DOUBLE) / CAST(total AS DOUBLE) AS market_share
+        |FROM seg JOIN t ON seg.order_year = t.order_year""".stripMargin,
+    "q149_top_supplier" ->
+      """WITH ps AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000)
+        |                  AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-07-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE)/10000.0 AS total_revenue
+        |FROM ps JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev = (SELECT max(rev) FROM ps)""".stripMargin,
+    "q150_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
     "q14_dedup_exact" ->
       """SELECT user_id, event_type, min(event_id) AS first_event_id,
         | min(ts) AS first_ts

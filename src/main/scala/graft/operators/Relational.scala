@@ -1067,6 +1067,83 @@ object Relational {
            round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly_lost"))
   }
 
+  /** TPC-H Q8 shape — market share: of all revenue on a part-type segment
+    * (PROMO-typed parts), the share supplied from each region, per
+    * order year. Revenue uses the scaled-integer idiom (exact long sums;
+    * see [[tradeFlows]]); the share is ONE division of two exact longs —
+    * bit-identical across engines, no rounding needed. part scales with
+    * the corpus → its join shuffles under AQE; nation/region broadcast.
+    * The p_type filter lands on the part scan (pushdown) BEFORE the
+    * lineitem join, so non-segment rows never cross a shuffle. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val segParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val suppRegion = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name").as("supp_region"))
+    val revCents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                           * 10000).cast("long")
+    val seg = Tables.lineitem(spark, dir)
+      .join(segParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(suppRegion, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("order_year"),
+               col("supp_region"))
+      .agg(sum(revCents).as("rev"))
+    val totals = seg.groupBy("order_year").agg(sum("rev").as("total"))
+    seg.join(broadcast(totals), Seq("order_year"))
+      .select(col("order_year"), col("supp_region"),
+        (col("rev").cast("double") / 10000.0).as("revenue"),
+        (col("rev").cast("double") / col("total").cast("double"))
+          .as("market_share"))
+  }
+
+  /** TPC-H Q15 shape — top supplier(s): the supplier(s) whose 1996-H1
+    * revenue equals the maximum (ties kept, like the reference Q15 view +
+    * subquery form). Per-supplier revenue is a map-side-combined
+    * aggregate; the max is the repo's scalar pattern — crossJoin of a
+    * broadcast 1-row aggregate, never a single-partition global window
+    * over what is a corpus-scaling supplier set. Exact long cents make
+    * the equality comparison safe. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revCents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                           * 10000).cast("long")
+    val perSupp = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      .groupBy(col("l_suppkey")).agg(sum(revCents).as("rev"))
+    val top = perSupp
+      .crossJoin(broadcast(perSupp.agg(max(col("rev")).as("mx"))))
+      .filter(col("rev") === col("mx"))
+    top.join(Tables.supplier(spark, dir),
+             col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+              (col("rev").cast("double") / 10000.0).as("total_revenue"))
+  }
+
+  /** TPC-H Q4 shape — order-priority checking: orders placed in a
+    * quarter with AT LEAST ONE late-shipped lineitem (shipdate > 60 days
+    * after the order date), counted by priority. The EXISTS is a
+    * LEFT-SEMI join keyed on orderkey (never an aggregate-then-join or a
+    * fan-out join-then-distinct); the date filter sits on the orders
+    * scan. */
+  def orderPriorityLate(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val late = Tables.lineitem(spark, dir)
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+                          col("o_orderdate").as("od")), Seq("l_orderkey"))
+      .filter(col("l_shipdate") > col("od") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey").as("o_orderkey"))
+    orders.join(late, Seq("o_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
   /** TPC-H Q18 shape — large-volume orders: orders whose line quantities
     * sum past 200, with their customer. The HAVING filter collapses the
     * fact table to a per-order aggregate FIRST (map-side combinable, one
