@@ -1086,13 +1086,16 @@ object Relational {
       .select(col("s_suppkey"), col("r_name").as("supp_region"))
     val revCents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
                            * 10000).cast("long")
-    val seg = Tables.lineitem(spark, dir)
+    // materialized ONCE: seg feeds both the totals and the final join —
+    // without the checkpoint Spark would recompute the whole 4-table fact
+    // pipeline twice (DataFrame reuse is not caching)
+    val seg = graft.core.Mat.tracked(Tables.lineitem(spark, dir)
       .join(segParts, col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(suppRegion, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("int").as("order_year"),
                col("supp_region"))
-      .agg(sum(revCents).as("rev"))
+      .agg(sum(revCents).as("rev")))
     val totals = seg.groupBy("order_year").agg(sum("rev").as("total"))
     seg.join(broadcast(totals), Seq("order_year"))
       .select(col("order_year"), col("supp_region"),
@@ -1111,10 +1114,12 @@ object Relational {
   def topSupplier(spark: SparkSession, dir: String): DataFrame = {
     val revCents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
                            * 10000).cast("long")
-    val perSupp = Tables.lineitem(spark, dir)
+    // materialized ONCE — referenced by both the scalar max and the
+    // filter (same double-compute trap as marketShare's seg)
+    val perSupp = graft.core.Mat.tracked(Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
               col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
-      .groupBy(col("l_suppkey")).agg(sum(revCents).as("rev"))
+      .groupBy(col("l_suppkey")).agg(sum(revCents).as("rev")))
     val top = perSupp
       .crossJoin(broadcast(perSupp.agg(max(col("rev")).as("mx"))))
       .filter(col("rev") === col("mx"))

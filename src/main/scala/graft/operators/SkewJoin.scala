@@ -51,8 +51,11 @@ object SkewJoin {
     // heavy set collected ONCE (bounded by maxHeavyKeys — driver-tiny by
     // the definition of skew) so the three downstream uses are scan-level
     // InSet filters (parquet-pushable), not three recomputations of the
-    // histogram aggregate
-    val heavyKeys = left.groupBy(col(key))
+    // histogram aggregate. NULL keys are excluded: a null never matches
+    // an equi-join, so salting them buys nothing — they take the light
+    // path, where the plain join preserves (left) or drops (inner) them
+    // exactly as the unsplit join would.
+    val heavyKeys = left.filter(col(key).isNotNull).groupBy(col(key))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > heavyThreshold)
       .select(col(key)).limit(maxHeavyKeys + 1).collect().map(_.get(0)).toSeq
@@ -62,7 +65,10 @@ object SkewJoin {
         "everything should salt)")
     if (heavyKeys.isEmpty) left.join(right, Seq(key), joinType)
     else {
-      val isHeavy = col(key).isInCollection(heavyKeys)
+      // coalesce: isInCollection is NULL for a null key, and NULL would
+      // fail BOTH filter branches — a left join's null-key rows would
+      // silently vanish
+      val isHeavy = coalesce(col(key).isInCollection(heavyKeys), lit(false))
       left.filter(!isHeavy).join(right, Seq(key), joinType)
         .unionByName(saltedJoin(left.filter(isHeavy), right.filter(isHeavy),
           key, nSalts, saltBy, joinType))

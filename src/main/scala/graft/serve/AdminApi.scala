@@ -32,7 +32,12 @@ final class AdminApi(
     testMailer: (EmailConfig, String) => Either[String, Unit] =
       AdminApi.smtpTestMailer,
     taskNotifier: Option[graft.alerts.TaskNotifier] = None,
-    sessionDir: Option[String] = None) {
+    sessionDir: Option[String] = None,
+    /** The reference ships its debug surface UNAUTHENTICATED by design
+      * (web_scheduler.py:2752-2754, :4491 — test-env token seeding with a
+      * committed default credential). Parity keeps that default; hardened
+      * deployments pass false and the routes are simply not registered. */
+    debugEndpoints: Boolean = true) {
 
   private var server: HttpServer = _
 
@@ -43,28 +48,45 @@ final class AdminApi(
     * Without it the map is in-memory-only — the unit-test deployment. */
   private val sessions = scala.collection.concurrent.TrieMap.empty[String, Long]
 
+  /** Server-minted sids are url-safe base64, but logout feeds this the
+    * RAW client cookie — without the charset gate an unauthenticated
+    * 'Cookie: session=../<path>' would delete files outside the session
+    * dir. Anything failing the gate is simply not a session. */
+  private def safeSid(sid: String): Boolean =
+    sid.nonEmpty && sid.length <= 128 &&
+      sid.forall(c => c.isLetterOrDigit || c == '-' || c == '_')
+
   private def sessionFile(sid: String): java.io.File =
-    // sid is Serve.Auth.newToken() output (url-safe base64) — path-safe
     new java.io.File(sessionDir.get, sid)
+
+  /** Sessions older than 31 days (Flask's PERMANENT_SESSION_LIFETIME
+    * default — the reference's filesystem store culls on the same clock)
+    * are dropped at load so a leaked sid is not valid forever. */
+  private val sessionTtlMillis = 31L * 24 * 3600 * 1000
 
   private def loadSessions(): Unit = sessionDir.foreach { d =>
     val dir = new java.io.File(d); dir.mkdirs()
+    val cutoff = System.currentTimeMillis() - sessionTtlMillis
     Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
-      try sessions.put(f.getName,
-        new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8).trim.toLong)
-      catch { case _: Exception => f.delete() } // corrupt session → drop
+      if (!safeSid(f.getName) || f.lastModified() < cutoff) f.delete()
+      else
+        try sessions.put(f.getName,
+          new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8).trim.toLong)
+        catch { case _: Exception => f.delete() } // corrupt session → drop
     }
   }
 
   private def persistSession(sid: String, userId: Long): Unit =
     sessionDir.foreach { _ =>
-      sessionFile(sid).getParentFile.mkdirs()
-      java.nio.file.Files.write(sessionFile(sid).toPath,
-        userId.toString.getBytes(UTF_8))
+      if (safeSid(sid)) {
+        sessionFile(sid).getParentFile.mkdirs()
+        java.nio.file.Files.write(sessionFile(sid).toPath,
+          userId.toString.getBytes(UTF_8))
+      }
     }
 
   private def dropSession(sid: String): Unit =
-    sessionDir.foreach(_ => sessionFile(sid).delete())
+    sessionDir.foreach(_ => if (safeSid(sid)) sessionFile(sid).delete())
   private val sessionUser = new ThreadLocal[Option[Long]] {
     override def initialValue(): Option[Long] = None
   }
@@ -82,9 +104,11 @@ final class AdminApi(
     server.createContext("/api/db-configs", exchange(routeDbConfigs))
     server.createContext("/api/sql-scripts", exchange(routeSqlScripts))
     server.createContext("/api/sql-alerts", exchange(routeSqlAlerts))
-    // longest-prefix matching sends the -debug path here, not to sql-alerts
-    server.createContext("/api/sql-alerts-debug", exchange(routeSqlAlertsDebug))
-    server.createContext("/api/debug/add-token", exchange(routeDebugAddToken))
+    if (debugEndpoints) {
+      // longest-prefix matching sends the -debug path here, not sql-alerts
+      server.createContext("/api/sql-alerts-debug", exchange(routeSqlAlertsDebug))
+      server.createContext("/api/debug/add-token", exchange(routeDebugAddToken))
+    }
     server.createContext("/api/email-configs", exchange(routeEmailConfigs))
     server.createContext("/api/task-alerts", exchange(routeTaskAlerts))
     server.createContext("/api/users", exchange(routeUsers))

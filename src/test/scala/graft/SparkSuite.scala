@@ -1,10 +1,21 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for specs — one per suite (lazy). */
-trait SparkSuite extends AnyFunSuite {
+trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  /** Suites run sequentially in the forked test JVM; draining EVERY scope
+    * at suite end means a test that pins tracked frames and forgets its
+    * own releaseAll cannot leak them into a later suite's global-zero
+    * assertion (AdminApiSpec's request-drain test counts ALL scopes — a
+    * 2-suite `testOnly` combo exposed exactly that leak). */
+  override protected def afterAll(): Unit = {
+    graft.core.Mat.releaseAllScopes()
+    super.afterAll()
+  }
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")

@@ -72,6 +72,21 @@ class OperatorsSpec extends SparkSuite {
         heavyThreshold = 0, maxHeavyKeys = 10)
     }
     assert(e.getMessage.contains("heavy"))
+    // NULL join keys: never salted (they cannot match an equi-join) and
+    // never LOST — a left join preserves them exactly like the plain
+    // join, even when nulls themselves are past the heavy threshold
+    val nullHeavy = ((1 to 500).map(_ => (Option.empty[Long], 0L)) ++
+      (1 to 300).map(i => (Some(1L), i.toLong)) ++
+      Seq((Some(2L), 1L))).toDF("k", "row_id")
+    val plainN = nullHeavy.join(right, Seq("k"), "left")
+    val adaptN = SkewJoin.saltedJoinHeavyKeys(nullHeavy, right, "k", 8,
+      col("row_id"), heavyThreshold = 100, joinType = "left")
+    assert(adaptN.count() == plainN.count())
+    assert(adaptN.filter(col("k").isNull).count() == 500)
+    // inner join drops null keys on both forms identically
+    assert(SkewJoin.saltedJoinHeavyKeys(nullHeavy, right, "k", 8,
+        col("row_id"), heavyThreshold = 100).count() ==
+      nullHeavy.join(right, Seq("k")).count())
   }
 
   test("pivot matches conditional aggregation") {

@@ -599,6 +599,15 @@ class AdminApiSpec extends SparkSuite {
     val p2 = api2.start()
     assert(req(p2, "GET", "/api/tasks", "", cookie)._1 == 200,
       "session did not survive the restart")
+    // a traversal cookie on the OPEN logout route must not delete files
+    // outside the session dir (raw client input reaches dropSession)
+    val victim = new java.io.File(sdir).getParentFile
+    val marker = new java.io.File(victim, "victim-file")
+    java.nio.file.Files.write(marker.toPath, "x".getBytes)
+    assert(req(p2, "POST", "/api/logout", "",
+      Some("session=../victim-file"))._1 == 200)
+    assert(marker.exists(), "path traversal deleted a file outside sessionDir")
+    marker.delete()
     // logout deletes the file: a third restart rejects the cookie
     assert(req(p2, "POST", "/api/logout", "", cookie)._1 == 200)
     api2.stop()
@@ -606,7 +615,22 @@ class AdminApiSpec extends SparkSuite {
     val p3 = api3.start()
     assert(req(p3, "GET", "/api/tasks", "", cookie)._1 == 401,
       "logged-out session resurrected after restart")
+    // expired session files (older than the 31-day TTL) are culled at load
+    val stale = new java.io.File(sdir, "staleSid123")
+    java.nio.file.Files.write(stale.toPath, "1".getBytes)
+    stale.setLastModified(System.currentTimeMillis() - 32L * 24 * 3600 * 1000)
     api3.stop()
+    val api4 = new AdminApi(spark, store2, exec, sessionDir = Some(sdir))
+    val p4 = api4.start()
+    assert(!stale.exists(), "expired session file survived load")
+    assert(req(p4, "GET", "/api/tasks", "", Some("session=staleSid123"))._1 == 401)
+    api4.stop()
+    // hardened deployments disable the unauthenticated debug surface
+    val api5 = new AdminApi(spark, store2, exec, debugEndpoints = false)
+    val p5 = api5.start()
+    assert(req(p5, "GET", "/api/sql-alerts-debug", "", None)._1 != 200)
+    assert(req(p5, "POST", "/api/debug/add-token", "{}", None)._1 != 200)
+    api5.stop()
   }
 
   test("debug surface: sql-alerts-debug (no auth, inner-join) and add-token") {
