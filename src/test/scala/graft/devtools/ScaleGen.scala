@@ -40,7 +40,14 @@ object ScaleGen {
     val spark = graft.core.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
     spark.sparkContext.setLogLevel("WARN")
+    replicateTo(spark, src, dst, factor)
+    spark.stop()
+  }
 
+  /** The replication body, callable from specs (ScaleGenSpec pins the
+    * invariants the scale evidence rests on). */
+  def replicateTo(spark: SparkSession, src: String, dst: String,
+                  factor: Int): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
@@ -120,6 +127,5 @@ object ScaleGen {
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dst/MANIFEST.json"),
       ("{\n" + counts.mkString(",\n") + "\n}\n").getBytes("UTF-8"))
     println(s"[scalegen] wrote ${factor}x corpus at $dst")
-    spark.stop()
   }
 }
