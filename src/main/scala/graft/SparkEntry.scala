@@ -344,6 +344,8 @@ object SparkEntry {
     "q148_market_share"      -> Relational.marketShare _,
     "q149_top_supplier"      -> Relational.topSupplier _,
     "q150_order_priority"    -> Relational.orderPriorityLate _,
+    // tokenizer roundtrip integrity (decode(encode(x)) == x, per doc)
+    "q151_bpe_roundtrip"     -> Pipeline.bpeRoundtrip _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1662,6 +1664,17 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE)/10000.0 AS total_revenue
         |FROM ps JOIN supplier ON l_suppkey = s_suppkey
         |WHERE rev = (SELECT max(rev) FROM ps)""".stripMargin,
+    // the engine must find every pre-token reversible under its merges
+    // table; the oracle independently recounts the pre-tokens and pins
+    // the all-clear — a lossy merge flips n_ok AND lossless red
+    "q151_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+        |    AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+        |    AS BIGINT) AS n_ok,
+        |  true AS lossless
+        |FROM documents""".stripMargin,
     "q150_order_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders

@@ -221,6 +221,52 @@ object Bpe {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Tokenization-integrity audit (the check HF tokenizers run as
+    * `decode(encode(x)) == x`): BPE is a reversible SEGMENTATION — a
+    * word's symbols concatenated must reproduce the word exactly, for
+    * every word, or the merges table is corrupting text (a lossy merge,
+    * a dropped character, an overlapping application). Per doc: the
+    * pre-token count, how many tokens survive the roundtrip, and the
+    * all-clear flag. Same scale shape as [[encodedSequences]]:
+    * mapPartitions + broadcast merges + per-partition memoization, no
+    * shuffle; the oracle recomputes the token count independently and
+    * pins lossless=true — an engine-side roundtrip failure flips both
+    * n_ok and the flag red. */
+  def roundtripAudit(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(merges)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_ok", LongType, nullable = false),
+      StructField("lossless", org.apache.spark.sql.types.BooleanType,
+        nullable = false)))
+    val rdd = df.select(idCol, textCol).rdd.mapPartitions { rows =>
+      val table = bc.value
+      val memo = scala.collection.mutable.Map.empty[String, Boolean]
+      rows.map { r =>
+        val id = r.getLong(0)
+        var n = 0L; var ok = 0L
+        if (!r.isNullAt(1)) {
+          val m = preTok.matcher(r.getString(1))
+          while (m.find()) {
+            val t = m.group()
+            val w = t.toLowerCase(java.util.Locale.ROOT)
+            n += 1
+            val good =
+              if (alpha.matcher(w).matches())
+                memo.getOrElseUpdate(w, encode(w, table).mkString("") == w)
+              else true // digits/symbols pass through untouched
+            if (good) ok += 1
+          }
+        }
+        Row(id, n, ok, n == ok)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** The oracle-side encoding as generated SQL: the `|`-delimited symbol
     * string folded through one `replace` per merge, in rank order — the
     * independent DuckDB implementation of [[encode]] (symbols are

@@ -2235,6 +2235,12 @@ object Pipeline {
     graft.functions.Bpe.encodedSequences(
       Tables.documents(spark, dir), "doc_id", "text")
 
+  /** q151 — tokenizer roundtrip integrity over the corpus (see
+    * [[graft.functions.Bpe.roundtripAudit]]). */
+  def bpeRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Bpe.roundtripAudit(
+      Tables.documents(spark, dir), "doc_id", "text")
+
   /** Export round-trip: top orders → sanitized CSV artifact (S7) → re-read
     * (S1). Rows-only: exercises the ingest/export adapters end-to-end. */
   def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {
