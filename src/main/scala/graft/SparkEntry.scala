@@ -346,6 +346,8 @@ object SparkEntry {
     "q150_order_priority"    -> Relational.orderPriorityLate _,
     // tokenizer roundtrip integrity (decode(encode(x)) == x, per doc)
     "q151_bpe_roundtrip"     -> Pipeline.bpeRoundtrip _,
+    // partial-probe IVF: provable per-query monotonicity + degeneracy
+    "q152_ivf_partial_probe" -> Pipeline.ivfRecallProfile _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1675,6 +1677,9 @@ object SparkEntry {
         |    AS BIGINT) AS n_ok,
         |  true AS lossless
         |FROM documents""".stripMargin,
+    "q152_ivf_partial_probe" ->
+      """SELECT vec_id AS query_id, true AS monotone_ok, true AS exact_at_full
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
     "q150_order_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders

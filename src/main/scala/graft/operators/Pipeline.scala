@@ -291,6 +291,39 @@ object Pipeline {
       "vec_id", "embedding", k = 5, nprobe = 16)
   }
 
+  /** q152 — partial-probe IVF contracts, per query, all provable (not
+    * statistical): the candidate pool at nprobe=8 CONTAINS the pool at
+    * nprobe=4, and a true-top-k item can only be displaced from a larger
+    * pool's top-k by another true-top-k item (higher cosine ⇒ higher
+    * brute-force rank; ties break (cos desc, id asc) on BOTH sides), so
+    * recall@5 is MONOTONE in nprobe for every query — and at
+    * nprobe == nlist it is exactly 1 (q52's degeneracy). This promotes
+    * FunctionsSpec's partial-probe unit test to the driver gate at every
+    * SF: the production configuration (probe a fraction of cells) gets
+    * an oracle row, not just the degenerate full-probe case. */
+  def ivfRecallProfile(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val table = cellTableName("graft_ivf_cells", dir)
+    Ivf.ensureCellTable(emb, "vec_id", "embedding", dim = 64, nlist = 16, table,
+      tag = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet"))
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Vectors.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallAt(np: Int) =
+      exact.join(
+          Ivf.topKFromTable(spark, table, queries, "vec_id", "embedding",
+              k = 5, nprobe = np)
+            .select(col("query_id"), col("neighbor_id"), lit(true).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(when(col("hit"), 1).otherwise(0)).as(s"r$np"))
+    recallAt(4).join(recallAt(8), Seq("query_id"))
+      .join(recallAt(16), Seq("query_id"))
+      .select(col("query_id"),
+        (col("r8") >= col("r4") && col("r16") >= col("r8")).as("monotone_ok"),
+        (col("r16") === 5).as("exact_at_full"))
+  }
+
   /** Incremental ANN index maintenance (q112): the standing corpus's IVF
     * layout is built ONCE (corpus = vec_id % 5 ≠ 4, the q64/q65 increment
     * convention); the increment is routed to the STORED centroids with no
