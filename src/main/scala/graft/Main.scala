@@ -62,9 +62,16 @@ object Main {
           .send(recipients, subject, body, attachments))
 
   /** Wire and start every service against `catalogDir`. Ports 0 = OS-
-    * assigned ephemeral (tests); the reference's defaults are 5000/5001. */
+    * assigned ephemeral (tests); the reference's defaults are 5000/5001.
+    * `debugEndpoints` defaults OFF here: the reference ships its debug
+    * surface unauthenticated (web_scheduler.py:2752-2754, 4491-4526) and
+    * AdminApi keeps that default for parity harnesses, but the production
+    * composition must not mint write-API tokens for any local process —
+    * opt in explicitly when the deployment wants reference-exact debug
+    * routes. */
   def start(spark: SparkSession, catalogDir: String,
-            httpPort: Int = 0, adminPort: Int = 0): App = {
+            httpPort: Int = 0, adminPort: Int = 0,
+            debugEndpoints: Boolean = false): App = {
     val store = new CatalogStore(spark, catalogDir)
     val taskNotifier = new TaskNotifier(spark, store)
     val alerts = new AlertService(spark, store, defaultConfigNotifier(store),
@@ -91,7 +98,8 @@ object Main {
       taskNotifier = Some(taskNotifier),
       // filesystem session store next to the catalog (the reference's
       // flask_session/ dir): logins survive a server restart
-      sessionDir = Some(s"$catalogDir/_sessions"))
+      sessionDir = Some(s"$catalogDir/_sessions"),
+      debugEndpoints = debugEndpoints)
     val boundAdmin = adminApi.start(adminPort)
 
     val daemon = new Thread(() => orchestrator.runLoop(), "graft-orchestrator")

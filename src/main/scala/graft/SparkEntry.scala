@@ -1975,7 +1975,8 @@ object SparkEntry {
         |    round(avg(l_quantity) * 0.2, 4) AS qty_cut
         |  FROM lineitem GROUP BY 1)
         |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small_orders,
-        |  round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly_lost
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |             AS DOUBLE) / 700.0, 2) AS avg_yearly_lost
         |FROM lineitem JOIN t ON l_partkey = t_partkey
         |JOIN part ON l_partkey = p_partkey
         |WHERE l_quantity < qty_cut

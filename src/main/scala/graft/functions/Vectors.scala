@@ -182,18 +182,24 @@ object Vectors {
     * adaptive bits grow with log(corpus) the table count and probe radius
     * must grow too (the r8 sf1 run measured exactly this: recall@10 held
     * at sf0.1 with b=6 and collapsed below the 0.3 bar for a quarter of
-    * queries at 10× corpus, b=10). Defaults scale: L = max(nTables, b)
-    * tables and Hamming-radius-2 probes once b ≥ 8. Probe relation stays
+    * queries at 10× corpus, b=10). The DEFAULT (nTables=0 = auto) scales:
+    * L = max(6, b) tables and Hamming-radius-2 probes once b ≥ 8; an
+    * explicit nTables is honored verbatim. Probe relation stays
     * tiny — |Q|·L·(1+b+b(b−1)/2) rows broadcast; the corpus is bucketed
     * once and never rescanned. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int,
-              bitsPerTable: Int = 0, nTables: Int = 6,
+              bitsPerTable: Int = 0, nTables: Int = 0,
               targetBucketSize: Int = 32, bucketCap: Int = 256,
               corpusCount: Long = -1L): DataFrame = {
     val bits = if (bitsPerTable > 0) bitsPerTable
                else adaptiveBits(knownCount(corpus, corpusCount), targetBucketSize)
-    val tables = math.max(nTables, bits)
+    // nTables == 0 (default) = AUTO: max(6, bits) tables, tracking the
+    // adaptive-bits growth (the r8 recall fix). An EXPLICIT nTables is
+    // honored verbatim — auto-scaling must not silently override a
+    // caller's cost budget (the probe relation is O(L·b²) rows per query
+    // at radius 2, so L is a real knob, not a hint).
+    val tables = if (nTables > 0) nTables else math.max(6, bits)
     val sigC = bucketRows(corpus, idCol, vecCol, "neighbor_id",
       dim, bits, tables, bucketCap)
     // probe set: identity + every Hamming-1 flip; Hamming-2 pairs too

@@ -1064,7 +1064,13 @@ object Relational {
             col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_small_orders"),
-           round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly_lost"))
+           // scaled-integer idiom (see tradeFlows): prices have ≤2 true
+           // decimals, so sum exact CENTS as longs (order-independent,
+           // boundary-proof) and divide ONCE at the end — both engines
+           // then round the SAME double, instead of each rounding its own
+           // accumulation-order-dependent double sum
+           round(sum(round(col("l_extendedprice") * 100).cast("long"))
+                   / 700.0, 2).as("avg_yearly_lost"))
   }
 
   /** TPC-H Q8 shape — market share: of all revenue on a part-type segment

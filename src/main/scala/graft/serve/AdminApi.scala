@@ -48,6 +48,35 @@ final class AdminApi(
     * Without it the map is in-memory-only — the unit-test deployment. */
   private val sessions = scala.collection.concurrent.TrieMap.empty[String, Long]
 
+  /** Last-use time per sid (epoch millis on the injectable `clock`). The
+    * 31-day TTL is enforced at LOAD and ON EVERY LOOKUP — load-only
+    * culling would keep a leaked sid live for the whole uptime of a
+    * long-running server — and active use REFRESHES the clock (file
+    * mtime touched too), matching Flask's refresh-on-request permanent
+    * sessions: an active user is never culled by a restart while an
+    * abandoned sid ages out even without one. */
+  private val sessionSeen = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def nowMillis(): Long =
+    clock().atZone(java.time.ZoneId.systemDefault()).toInstant.toEpochMilli
+
+  /** sid → live userId: expired sessions are dropped (map + file) at
+    * lookup; live ones are touched. */
+  private def resolveSession(sid: String): Option[Long] =
+    sessions.get(sid).flatMap { userId =>
+      val now = nowMillis()
+      val seen = sessionSeen.getOrElse(sid, now)
+      if (now - seen > sessionTtlMillis) {
+        sessions.remove(sid); sessionSeen.remove(sid); dropSession(sid)
+        None
+      } else {
+        sessionSeen.put(sid, now)
+        sessionDir.foreach(_ =>
+          if (safeSid(sid)) sessionFile(sid).setLastModified(now))
+        Some(userId)
+      }
+    }
+
   /** Server-minted sids are url-safe base64, but logout feeds this the
     * RAW client cookie — without the charset gate an unauthenticated
     * 'Cookie: session=../<path>' would delete files outside the session
@@ -66,13 +95,15 @@ final class AdminApi(
 
   private def loadSessions(): Unit = sessionDir.foreach { d =>
     val dir = new java.io.File(d); dir.mkdirs()
-    val cutoff = System.currentTimeMillis() - sessionTtlMillis
+    val cutoff = nowMillis() - sessionTtlMillis
     Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
       if (!safeSid(f.getName) || f.lastModified() < cutoff) f.delete()
       else
-        try sessions.put(f.getName,
-          new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8).trim.toLong)
-        catch { case _: Exception => f.delete() } // corrupt session → drop
+        try {
+          sessions.put(f.getName,
+            new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8).trim.toLong)
+          sessionSeen.put(f.getName, f.lastModified())
+        } catch { case _: Exception => f.delete() } // corrupt session → drop
     }
   }
 
@@ -163,7 +194,7 @@ final class AdminApi(
         // serving threads share the FAIR pool so a long scheduler job
         // can't head-of-line-block an API query
         graft.core.GraftSession.usePool(spark, graft.core.GraftSession.ServePool)
-        sessionUser.set(cookieSid(ex).flatMap(sessions.get))
+        sessionUser.set(cookieSid(ex).flatMap(resolveSession))
         val isAuthRoute =
           segs == Seq("api", "login") || segs == Seq("api", "logout") ||
           // deliberately unauthenticated debug surface (web_scheduler.py:
@@ -235,6 +266,7 @@ final class AdminApi(
       case Some(u) =>
         val sid = Serve.Auth.newToken()
         sessions.put(sid, u.id)
+        sessionSeen.put(sid, nowMillis())
         persistSession(sid, u.id)
         ex.getResponseHeaders.add("Set-Cookie",
           s"session=$sid; Path=/; HttpOnly")
@@ -246,7 +278,9 @@ final class AdminApi(
   /** /api/logout (web_scheduler.py:1680-1685): clear the session. */
   private def routeLogout(ex: HttpExchange, method: String,
                           segs: Seq[String]): (Int, Any) = {
-    cookieSid(ex).foreach { sid => sessions.remove(sid); dropSession(sid) }
+    cookieSid(ex).foreach { sid =>
+      sessions.remove(sid); sessionSeen.remove(sid); dropSession(sid)
+    }
     ex.getResponseHeaders.add("Set-Cookie",
       "session=; Path=/; HttpOnly; Max-Age=0")
     (200, Json.obj("message" -> "已退出登录"))

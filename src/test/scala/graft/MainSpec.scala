@@ -59,6 +59,22 @@ class MainSpec extends SparkSuite {
       }
       assert(logs.nonEmpty, "daemon never executed the due task")
       assert(logs.head("status") == "success", s"unexpected log: ${logs.head}")
+      // the production composition ships the unauthenticated debug surface
+      // OFF (AdminApi's default stays on for reference-parity harnesses
+      // that construct it directly; Main must not let any local process
+      // mint a write-API token)
+      def rawStatus(method: String, path: String): Int = {
+        val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${app.adminPort}$path"))
+        val r = client.send(
+          (if (method == "GET") b.GET()
+           else b.method(method, HttpRequest.BodyPublishers.ofString("{}")))
+            .build(), HttpResponse.BodyHandlers.ofString())
+        r.statusCode() // unregistered contexts 404 with a non-JSON body
+      }
+      assert(rawStatus("POST", "/api/debug/add-token") != 200,
+        "production Main registered the unauthenticated token-minting route")
+      assert(rawStatus("GET", "/api/sql-alerts-debug") != 200)
       // dashboard is served from the same admin port
       val page = client.send(HttpRequest.newBuilder(
         URI.create(s"http://127.0.0.1:${app.adminPort}/")).GET().build(),

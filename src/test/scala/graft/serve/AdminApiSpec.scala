@@ -633,6 +633,56 @@ class AdminApiSpec extends SparkSuite {
     api5.stop()
   }
 
+  test("session TTL: enforced per-request mid-uptime, refreshed by use") {
+    // load-time culling alone keeps a leaked sid valid for the whole
+    // uptime of a long-running server; the TTL must fire on LOOKUP too,
+    // and active use must refresh it (Flask refreshes permanent sessions
+    // per request)
+    val sdir = tmpDir("admin-sess-ttl")
+    val store3 = new CatalogStore(spark, tmpDir("admin-cat-ttl"))
+    val exec: Task => Either[String, String] = _ => Right("ok")
+    var now = java.time.LocalDateTime.of(2026, 1, 1, 12, 0)
+    val api = new AdminApi(spark, store3, exec, clock = () => now,
+      sessionDir = Some(sdir))
+    val p = api.start()
+    def req(method: String, path: String, cookie: Option[String]) = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path"))
+      cookie.foreach(c => b.header("Cookie", c))
+      val r = client.send(
+        (if (method == "GET") b.GET()
+         else b.method(method, HttpRequest.BodyPublishers.ofString("{}"))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(),
+       r.headers().firstValue("Set-Cookie")
+        .map[Option[String]](v => Some(v.split(';').head)).orElse(None))
+    }
+    val (lc, cookie) = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/login"))
+        .method("POST", HttpRequest.BodyPublishers.ofString(
+          """{"username":"admin","password":"admin123"}"""))
+      val r = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.headers().firstValue("Set-Cookie")
+        .map[Option[String]](v => Some(v.split(';').head)).orElse(None))
+    }
+    assert(lc == 200 && cookie.isDefined)
+    // 20 days of silence: inside the 31-day TTL, and the use REFRESHES it
+    now = now.plusDays(20)
+    assert(req("GET", "/api/tasks", cookie)._1 == 200)
+    // 20 more days (40 since login, 20 since last use): still valid —
+    // an active user is never logged out
+    now = now.plusDays(20)
+    assert(req("GET", "/api/tasks", cookie)._1 == 200)
+    // 32 days of silence: expires MID-UPTIME, no restart involved, and
+    // the session file goes with it (a later restart can't resurrect it)
+    now = now.plusDays(32)
+    assert(req("GET", "/api/tasks", cookie)._1 == 401,
+      "idle session outlived its TTL on a running server")
+    val sid = cookie.get.stripPrefix("session=")
+    assert(!new java.io.File(sdir, sid).exists(),
+      "expired session file survived per-request culling")
+    api.stop()
+  }
+
   test("debug surface: sql-alerts-debug (no auth, inner-join) and add-token") {
     // GET /api/sql-alerts-debug answers WITHOUT a session cookie
     // (web_scheduler.py:2752-2754) while the authed route 401s
