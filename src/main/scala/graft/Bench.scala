@@ -198,7 +198,8 @@ object Bench {
       graft.core.Warehouse.isFresh(spark, s"graft_semdedup_cells_$sfx", Seq(embStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_sig_corpus_$sfx", Seq(docStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_clusters_$sfx", Seq(docStamp)) &&
-      graft.core.Warehouse.isFresh(spark, s"graft_ivf_inc_$sfx", Seq(embStamp))
+      graft.core.Warehouse.isFresh(spark, s"graft_ivf_inc_$sfx", Seq(embStamp)) &&
+      graft.core.Warehouse.isFresh(spark, s"graft_ivf_seed_$sfx", Seq(embStamp))
     }
     val warmFound = warmCheck(sfDir)
     // session warmup: JIT/codegen/scheduler paths + parquet reader init
@@ -213,7 +214,7 @@ object Bench {
     val tPre = System.nanoTime()
     val prebuildFailed = Seq("q52_ivf_topk", "q62_semantic_dedup",
         "q74_incremental_stored", "q77_cluster_best",
-        "q112_ivf_incremental").flatMap { n =>
+        "q112_ivf_incremental", "q152_ivf_partial_probe").flatMap { n =>
       val failed = try { SparkEntry.queries(n)(spark, sfDir).count(); None }
                    catch { case _: Throwable => Some(n) }
       graft.core.Mat.releaseAll(blocking = true)

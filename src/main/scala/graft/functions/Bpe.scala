@@ -226,12 +226,18 @@ object Bpe {
     * word's symbols concatenated must reproduce the word exactly, for
     * every word, or the merges table is corrupting text (a lossy merge,
     * a dropped character, an overlapping application). Per doc: the
-    * pre-token count, how many tokens survive the roundtrip, and the
-    * all-clear flag. Same scale shape as [[encodedSequences]]:
-    * mapPartitions + broadcast merges + per-partition memoization, no
-    * shuffle; the oracle recomputes the token count independently and
-    * pins lossless=true — an engine-side roundtrip failure flips both
-    * n_ok and the flag red. */
+    * pre-token count, how many tokens survive the roundtrip, the
+    * all-clear flag, AND the md5 of the per-doc DECODED token stream
+    * (each alpha token re-assembled from its actual encode() output,
+    * digits/symbols passed through, space-joined). The digest is what
+    * de-self-certifies the row (r8 verdict): the oracle rebuilds the
+    * same stream through ITS independent nested-replace encoder and the
+    * md5s must agree byte-exactly — a lossy merge, dropped character or
+    * overlapping application on EITHER side breaks the match, instead of
+    * both sides just asserting their own all-clear. Same scale shape as
+    * [[encodedSequences]]: mapPartitions + broadcast merges,
+    * per-partition memoization, no shuffle; only counts + one 32-char
+    * digest leave the executor. */
   def roundtripAudit(df: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -241,27 +247,39 @@ object Bpe {
       StructField("n_tokens", LongType, nullable = false),
       StructField("n_ok", LongType, nullable = false),
       StructField("lossless", org.apache.spark.sql.types.BooleanType,
+        nullable = false),
+      StructField("decoded_md5", org.apache.spark.sql.types.StringType,
         nullable = false)))
     val rdd = df.select(idCol, textCol).rdd.mapPartitions { rows =>
       val table = bc.value
-      val memo = scala.collection.mutable.Map.empty[String, Boolean]
+      val memo = scala.collection.mutable.Map.empty[String, String]
+      val digest = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val id = r.getLong(0)
         var n = 0L; var ok = 0L
+        val sb = new java.lang.StringBuilder
         if (!r.isNullAt(1)) {
           val m = preTok.matcher(r.getString(1))
           while (m.find()) {
             val t = m.group()
             val w = t.toLowerCase(java.util.Locale.ROOT)
             n += 1
-            val good =
+            // the DECODE: concatenate the symbols encode() actually
+            // produced — not a shortcut to w, or the audit couldn't see
+            // a corrupting merge table
+            val decoded =
               if (alpha.matcher(w).matches())
-                memo.getOrElseUpdate(w, encode(w, table).mkString("") == w)
-              else true // digits/symbols pass through untouched
-            if (good) ok += 1
+                memo.getOrElseUpdate(w, encode(w, table).mkString(""))
+              else t // digits/symbols pass through untouched
+            if (decoded == w || !alpha.matcher(w).matches()) ok += 1
+            if (sb.length > 0) sb.append(' ')
+            sb.append(decoded)
           }
         }
-        Row(id, n, ok, n == ok)
+        digest.reset()
+        val h = digest.digest(sb.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Row(id, n, ok, n == ok, h.map("%02x".format(_)).mkString)
       }
     }
     spark.createDataFrame(rdd, outSchema)

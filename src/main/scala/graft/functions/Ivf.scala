@@ -144,17 +144,39 @@ object Ivf {
     probeCells(cells, cents, queries, idCol, vecCol, k, nprobe)
   }
 
+  /** Deterministic SEED quantizer: centroids are the `nlist` lowest-id
+    * vectors verbatim (cid = 0-based rank in id order), no Lloyd
+    * iterations. Unlike [[train]], this layout is exactly reproducible by
+    * plain SQL over the source table (row_number-limited seeds + one
+    * argmax-cosine assignment), which is what lets the partial-probe
+    * contract query (q152) carry a FULLY recomputed DuckDB oracle — the
+    * probe machinery ([[topKFromTable]]) is identical either way; only
+    * the cell layout differs. Driver cost: one TakeOrdered collect of
+    * nlist rows. */
+  def seedModel(df: DataFrame, idCol: String, vecCol: String,
+                nlist: Int): Model = {
+    val rows = df
+      .select(col(idCol),
+        org.apache.spark.sql.functions.transform(col(vecCol),
+          x => x.cast("double")).as("__v"))
+      .orderBy(col(idCol)).limit(nlist) // TakeOrderedAndProject
+      .collect()
+    Model(rows.zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) })
+  }
+
   /** INGEST-TIME cell layout (mirror of Dedup.writeSignatureTable): train
-    * the quantizer, assign every row ONCE, and store `(cid, id, v)`
+    * the quantizer (or use the caller's `model` — e.g. [[seedModel]]),
+    * assign every row ONCE, and store `(cid, id, v)`
     * bucketed by cid — plus the centroid table as `<table>_centroids` —
     * so every later [[topKFromTable]] / semantic-dedup call reads
     * pre-partitioned cells with NO assignment pass in its query path.
     * Returns the trained model. */
   def writeCellTable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                     nlist: Int, table: String, nBuckets: Int = 32): Model = {
+                     nlist: Int, table: String, nBuckets: Int = 32,
+                     model: Option[Model] = None): Model = {
     val spark = df.sparkSession
-    val model = train(df, idCol, vecCol, dim, nlist)
-    assignCells(df, idCol, vecCol, model)
+    val model0 = model.getOrElse(train(df, idCol, vecCol, dim, nlist))
+    assignCells(df, idCol, vecCol, model0)
       .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
       .select(col("cid"), col(idCol).as("id"), col(vecCol).as("v"))
       // align write tasks with the bucket hash (both are Murmur3 pmod
@@ -166,8 +188,8 @@ object Ivf {
       .repartition(nBuckets, col("cid"))
       .write.mode("overwrite").bucketBy(nBuckets, "cid").sortBy("cid")
       .saveAsTable(table)
-    model.df(spark).write.mode("overwrite").saveAsTable(table + "_centroids")
-    model
+    model0.df(spark).write.mode("overwrite").saveAsTable(table + "_centroids")
+    model0
   }
 
   /** Idempotent form of [[writeCellTable]]: run ingest only when no valid
@@ -177,7 +199,8 @@ object Ivf {
     * query forever; re-invoking a query must not re-pay its ingest. */
   def ensureCellTable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                       nlist: Int, table: String, nBuckets: Int = 32,
-                      tag: String = ""): Unit = {
+                      tag: String = "",
+                      model: Option[Model] = None): Unit = {
     val spark = df.sparkSession
     // `tag` carries any INPUT-shaping parameter beyond the quantizer
     // config (e.g. q62's planted-key offset) — a tag change is a
@@ -191,7 +214,7 @@ object Ivf {
       if (!reused) {
         graft.core.Warehouse.clear(spark, table)
         graft.core.Warehouse.clear(spark, table + "_centroids")
-        writeCellTable(df, idCol, vecCol, dim, nlist, table, nBuckets)
+        writeCellTable(df, idCol, vecCol, dim, nlist, table, nBuckets, model)
         graft.core.Warehouse.writeMeta(spark, table, meta)
         graft.core.Warehouse.writeMeta(spark, table + "_centroids", meta)
       }

@@ -297,15 +297,25 @@ object Pipeline {
     * pool's top-k by another true-top-k item (higher cosine ⇒ higher
     * brute-force rank; ties break (cos desc, id asc) on BOTH sides), so
     * recall@5 is MONOTONE in nprobe for every query — and at
-    * nprobe == nlist it is exactly 1 (q52's degeneracy). This promotes
-    * FunctionsSpec's partial-probe unit test to the driver gate at every
-    * SF: the production configuration (probe a fraction of cells) gets
-    * an oracle row, not just the degenerate full-probe case. */
+    * nprobe == nlist it is exactly 1 (q52's degeneracy).
+    *
+    * De-self-certified (r9): the cell layout is the [[Ivf.seedModel]]
+    * quantizer (centroids = 16 lowest-id vectors, one argmax assignment)
+    * — exactly reproducible in SQL — so the oracle RECOMPUTES every
+    * per-query recall value r4/r8/r16 end-to-end (seed centroids →
+    * assignment with the engine's tie-break → probe ranking → pooled
+    * top-5 → intersection with its own brute force) instead of pinning
+    * literal-true booleans. The probed machinery ([[Ivf.topKFromTable]]
+    * over a stored bucketed layout) is the production path verbatim; the
+    * trained-kmeans layout keeps its own oracle via q52/q112's full-probe
+    * degeneracy. */
   def ivfRecallProfile(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val table = cellTableName("graft_ivf_cells", dir)
+    val table = cellTableName("graft_ivf_seed", dir)
     Ivf.ensureCellTable(emb, "vec_id", "embedding", dim = 64, nlist = 16, table,
-      tag = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet"))
+      tag = "seed-centroids " +
+        graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet"),
+      model = Some(Ivf.seedModel(emb, "vec_id", "embedding", nlist = 16)))
     val queries = emb.filter(col("vec_id") < 50)
     val exact = Vectors.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"))
@@ -316,10 +326,10 @@ object Pipeline {
             .select(col("query_id"), col("neighbor_id"), lit(true).as("hit")),
           Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
-        .agg(sum(when(col("hit"), 1).otherwise(0)).as(s"r$np"))
+        .agg(sum(when(col("hit"), 1).otherwise(0)).cast("int").as(s"r$np"))
     recallAt(4).join(recallAt(8), Seq("query_id"))
       .join(recallAt(16), Seq("query_id"))
-      .select(col("query_id"),
+      .select(col("query_id"), col("r4"), col("r8"), col("r16"),
         (col("r8") >= col("r4") && col("r16") >= col("r8")).as("monotone_ok"),
         (col("r16") === 5).as("exact_at_full"))
   }

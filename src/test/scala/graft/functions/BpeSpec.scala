@@ -81,4 +81,20 @@ class BpeSpec extends SparkSuite {
       .withColumnRenamed("n_bpe_merged", "n_symbols")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("roundtripAudit: counts, flag and decoded-stream md5 on a fixture (incl. null text)") {
+    import spark.implicits._
+    val df = Seq((1L, "Join hash! 7"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Bpe.roundtripAudit(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+                 r.getString(4))).toList.sortBy(_._1)
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // decoded stream: alpha tokens case-folded and re-assembled from their
+    // encode() symbols, digits/symbols passed through verbatim; a null
+    // text row is (0, 0, lossless, md5("")) — the SQL oracle's contract
+    assert(got == List((1L, 4L, 4L, true, md5("join hash ! 7")),
+                       (2L, 0L, 0L, true, md5(""))))
+  }
 }

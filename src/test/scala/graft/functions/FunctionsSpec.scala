@@ -219,6 +219,24 @@ class FunctionsSpec extends SparkSuite {
     assert(ivf.sortBy(t => (t._1, t._2)).toSeq == exact.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("IVF: seedModel centroids are the nlist lowest-id vectors, in id order") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val m = Ivf.seedModel(emb, "vec_id", "embedding", nlist = 4)
+    assert(m.centroids.map(_._1) == Seq(0, 1, 2, 3))
+    val expected = emb.orderBy(col("vec_id")).limit(4).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq)
+    assert(m.centroids.map(_._2.toSeq) == expected.toSeq)
+    // at nprobe == nlist the seeded layout degenerates to brute force
+    // exactly like the trained one (the q152 exact_at_full contract)
+    val queries = emb.filter(col("vec_id") < 5)
+    val ivf = Ivf.topK(emb, queries, "vec_id", "embedding", 64, k = 3,
+        m, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val exact = Vectors.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(ivf.toSeq == exact.toSeq)
+  }
+
   test("IVF: partial probing keeps useful recall at a fraction of the scan") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 20)
