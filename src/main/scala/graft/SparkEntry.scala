@@ -338,6 +338,7 @@ object SparkEntry {
     // matched against the oracle's closed-form arithmetic
     "q145_wav_decode"        -> Pipeline.wavDecode _,
     "q146_bmp_decode"        -> Pipeline.bmpDecode _,
+    "q153_png_decode"        -> Pipeline.pngDecode _,
     // adaptive skew join: histogram-gated salting under q13's oracle
     "q147_adaptive_skew_join" -> Relational.revenueByNationAdaptiveSkew _,
     // TPC-H Q8/Q15/Q4 shapes
@@ -2089,6 +2090,30 @@ object SparkEntry {
         |SELECT s.media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(54 + ((w*3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
         |  sum_r, sum_g, sum_b
+        |FROM s JOIN a USING (media_id)""".stripMargin,
+    // the engine writes real zlib-compressed PNGs (per-row filter cycling
+    // through all five types) and decodes them back through CRC checks,
+    // Inflater and unfiltering; the oracle recomputes the decoded pixel
+    // aggregates closed-form — wsum is position-weighted so a transposed
+    // pixel fails even when channel sums survive. Compressed length is
+    // deflate-dependent and not compared; n_raw_bytes pins the
+    // decompressed scanline size.
+    "q153_png_decode" ->
+      """WITH s AS (SELECT doc_id AS media_id, 4 + doc_id % 5 AS w,
+        |      5 + doc_id % 4 AS h FROM documents),
+        |p AS (SELECT media_id, y*w + x AS k,
+        |        (media_id*7 + 11*x + 23*y) % 256 AS r,
+        |        (media_id*13 + 5*x + 19*y) % 256 AS g,
+        |        (media_id*17 + 3*x + 29*y) % 256 AS bb
+        |      FROM s, unnest(range(0, w)) ux(x), unnest(range(0, h)) uy(y)),
+        |a AS (SELECT media_id, CAST(sum(r) AS BIGINT) sum_r,
+        |             CAST(sum(g) AS BIGINT) sum_g,
+        |             CAST(sum(bb) AS BIGINT) sum_b,
+        |             CAST(sum((k+1) * (r*65536 + g*256 + bb)) AS BIGINT) AS wsum
+        |      FROM p GROUP BY 1)
+        |SELECT s.media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(h * (1 + 3*w) AS BIGINT) AS n_raw_bytes,
+        |  sum_r, sum_g, sum_b, wsum
         |FROM s JOIN a USING (media_id)""".stripMargin,
   )
 }

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * RIFF/WAVE PCM16 chunk-walking parser and [[Bmp]] an actual 24bpp BMP
   * parser (header validation, row padding, BGR/bottom-up layout), both
   * pure JVM and oracle-checked end-to-end (q145/q146 write real bytes and
-  * match decoded aggregates against closed-form arithmetic). COMPRESSED
-  * codecs (JPEG/MP3/H.264) remain stubbed — this container has no codec
+  * match decoded aggregates against closed-form arithmetic), and [[Png]]
+  * is a real zlib-compressed codec (chunk CRCs, Inflater, all five
+  * scanline filters — q153). TRANSFORM-CODED formats (JPEG/MP3/H.264)
+  * remain stubbed — this container has no DCT/entropy codec
   * libraries — via `decodeStub`'s deterministic pseudo-features; a
   * production deployment swaps that one function for a JNI/javacv codec
   * without touching the surrounding plumbing: decode runs inside
@@ -203,6 +205,160 @@ object Multimodal {
           val red = b.get() & 0xff
           pixels(row * width + x) = (red, green, blue)
         }
+      }
+      Decoded(width, height, pixels)
+    }
+  }
+
+  /** REAL image codec for the zlib-compressed case: 8-bit truecolor PNG
+    * (RFC 2083) — pure JVM via `java.util.zip.Deflater`/`Inflater`, no
+    * codec library needed. The writer emits real chunked PNG bytes
+    * (signature, IHDR, one deflated IDAT, IEND, each with its CRC32) and
+    * VARIES the scanline filter per row (y % 5), so every decode path —
+    * None/Sub/Up/Average/Paeth reconstruction — is exercised on every
+    * image taller than four rows; the decoder walks chunks, verifies
+    * every CRC, inflates, and unfilters. Unfiltering arithmetic and the
+    * byte-exact inflate are the parts a stub can't fake. With this, the
+    * decode stub's remit shrinks to transform-coded formats only
+    * (JPEG/MP3-class — no DCT/entropy codec libs in this container). */
+  object Png {
+    final case class Decoded(width: Int, height: Int,
+                             /** row-major top-down (r,g,b) triples */
+                             pixels: Array[(Int, Int, Int)])
+
+    private val Signature: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** a=left, b=up, c=upper-left — RFC 2083 §6.6. */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length) // PNG is big-endian
+        .putInt(data.length).put(tb).put(data).putInt(crc.getValue.toInt)
+        .array()
+    }
+
+    /** px(x, y) with y=0 the TOP row; 8-bit RGB (color type 2). */
+    def synth(width: Int, height: Int,
+              px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val stride = width * 3
+      val img = Array.tabulate(height, stride) { (y, i) =>
+        val (r, g, b) = px(i / 3, y)
+        ((i % 3) match { case 0 => r; case 1 => g; case _ => b }).toByte
+      }
+      val raw = new Array[Byte](height * (1 + stride))
+      for (y <- 0 until height) {
+        val ft = y % 5
+        raw(y * (1 + stride)) = ft.toByte
+        for (i <- 0 until stride) {
+          val cur = img(y)(i) & 0xff
+          val left = if (i >= 3) img(y)(i - 3) & 0xff else 0
+          val up = if (y > 0) img(y - 1)(i) & 0xff else 0
+          val ul = if (y > 0 && i >= 3) img(y - 1)(i - 3) & 0xff else 0
+          val f = ft match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case _ => cur - paeth(left, up, ul)
+          }
+          raw(y * (1 + stride) + 1 + i) = (f & 0xff).toByte
+        }
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val idat = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!deflater.finished()) idat.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(width).putInt(height)
+        .put(8.toByte).put(2.toByte) // bit depth 8, truecolor RGB
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, none
+        .array()
+      Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
+    /** Chunk-walking parser: every chunk CRC is VERIFIED, IDAT segments
+      * are concatenated before one inflate (real PNGs split them), and
+      * scanlines are unfiltered per their per-row filter byte. Throws on
+      * malformed input — corrupt payloads must fail loud, not yield
+      * garbage features. */
+    def decode(bytes: Array[Byte]): Decoded = {
+      require(bytes.length > 8 && bytes.take(8).sameElements(Signature),
+        "not a PNG")
+      val b = java.nio.ByteBuffer.wrap(bytes, 8, bytes.length - 8)
+      var width = -1; var height = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        require(b.remaining() >= 12, "truncated chunk stream")
+        val len = b.getInt
+        val tb = new Array[Byte](4); b.get(tb)
+        val typ = new String(tb, "US-ASCII")
+        require(b.remaining() >= len + 4, s"truncated $typ chunk")
+        val data = new Array[Byte](len); b.get(data)
+        val crc = b.getInt
+        val c = new java.util.zip.CRC32(); c.update(tb); c.update(data)
+        require(c.getValue.toInt == crc, s"$typ chunk CRC mismatch")
+        typ match {
+          case "IHDR" =>
+            val hb = java.nio.ByteBuffer.wrap(data)
+            width = hb.getInt; height = hb.getInt
+            require(hb.get() == 8, "only 8-bit depth supported")
+            require(hb.get() == 2, "only truecolor RGB supported")
+            require(hb.get() == 0 && hb.get() == 0 && hb.get() == 0,
+              "nonstandard compression/filter or interlace unsupported")
+          case "IDAT" => idat.write(data)
+          case "IEND" => done = true
+          case _      => () // ancillary chunk: skipped, CRC still checked
+        }
+      }
+      require(width > 0 && height > 0, "no IHDR before IDAT/IEND")
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val stride = width * 3
+      val raw = new Array[Byte](height * (1 + stride))
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        require(n > 0 || !inf.needsInput(), "truncated IDAT stream")
+        off += n
+      }
+      require(off == raw.length,
+        s"decompressed $off bytes, expected ${raw.length}")
+      inf.end()
+      val img = Array.ofDim[Byte](height, stride)
+      for (y <- 0 until height) {
+        val ft = raw(y * (1 + stride)) & 0xff
+        require(ft <= 4, s"unknown scanline filter $ft")
+        for (i <- 0 until stride) {
+          val f = raw(y * (1 + stride) + 1 + i) & 0xff
+          val left = if (i >= 3) img(y)(i - 3) & 0xff else 0
+          val up = if (y > 0) img(y - 1)(i) & 0xff else 0
+          val ul = if (y > 0 && i >= 3) img(y - 1)(i - 3) & 0xff else 0
+          val v = ft match {
+            case 0 => f
+            case 1 => f + left
+            case 2 => f + up
+            case 3 => f + (left + up) / 2
+            case _ => f + paeth(left, up, ul)
+          }
+          img(y)(i) = (v & 0xff).toByte
+        }
+      }
+      val pixels = Array.tabulate(width * height) { k =>
+        val y = k / width; val x = k % width
+        (img(y)(x * 3) & 0xff, img(y)(x * 3 + 1) & 0xff,
+         img(y)(x * 3 + 2) & 0xff)
       }
       Decoded(width, height, pixels)
     }

@@ -2388,4 +2388,42 @@ object Pipeline {
       }
       .toDF("media_id", "width", "height", "n_bytes", "sum_r", "sum_g", "sum_b")
   }
+
+  /** q153 — REAL image decode for the zlib-COMPRESSED case: deterministic
+    * RGB frames written as actual 8-bit truecolor PNG bytes
+    * ([[Multimodal.Png]] — chunked layout with per-chunk CRC32s, one
+    * Deflater-compressed IDAT, and a DIFFERENT scanline filter on every
+    * row so all five unfilter paths run on every image) and parsed back;
+    * heights start at 5 so None/Sub/Up/Average/Paeth each appear. The
+    * emitted aggregates are exact integers over the DECODED pixels; wsum
+    * is POSITION-weighted (Σ (k+1)·(r·2¹⁶+g·2⁸+b)), so a transposed or
+    * shifted pixel breaks the oracle match even when plain channel sums
+    * survive. The compressed byte length is deflate-implementation-
+    * dependent and deliberately NOT emitted; n_raw_bytes pins the
+    * decompressed scanline size closed-form. Narrow map, zero shuffle. */
+  def pngDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 4 + (id % 5).toInt; val h = 5 + (id % 4).toInt
+          val bytes = Multimodal.Png.synth(w, h, (x, y) => (
+            ((id * 7L + 11L * x + 23L * y) % 256L).toInt,
+            ((id * 13L + 5L * x + 19L * y) % 256L).toInt,
+            ((id * 17L + 3L * x + 29L * y) % 256L).toInt))
+          val d = Multimodal.Png.decode(bytes)
+          var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+          var k = 0
+          while (k < d.pixels.length) {
+            val (r, g, b) = d.pixels(k)
+            sr += r; sg += g; sb += b
+            ws += (k + 1).toLong * ((r.toLong << 16) | (g.toLong << 8) | b.toLong)
+            k += 1
+          }
+          (id, d.width, d.height, (1L + 3L * d.width) * d.height, sr, sg, sb, ws)
+        }
+      }
+      .toDF("media_id", "width", "height", "n_raw_bytes",
+            "sum_r", "sum_g", "sum_b", "wsum")
+  }
 }

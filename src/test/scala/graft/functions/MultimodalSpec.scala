@@ -81,4 +81,31 @@ class MultimodalSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Multimodal.Bmp.decode(Array[Byte](1, 2, 3, 4)))
   }
+
+  test("Png: compressed roundtrip through all five scanline filters; CRC and truncation fail loud") {
+    val px = (x: Int, y: Int) => (x * 37 % 256, (y * 53 + 7) % 256, (x * 3 + y * 11) % 256)
+    // height 7 > 5 rows: filters None/Sub/Up/Average/Paeth all exercised
+    // (writer assigns filter y % 5), so the roundtrip proves every
+    // unfilter reconstruction, not just the trivial one
+    val bytes = Multimodal.Png.synth(6, 7, px)
+    assert(bytes.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val d = Multimodal.Png.decode(bytes)
+    assert(d.width == 6 && d.height == 7)
+    for (y <- 0 until 7; x <- 0 until 6)
+      assert(d.pixels(y * 6 + x) == px(x, y), s"pixel ($x,$y)")
+    // 1×1 and wide-short shapes (single filter row, no up neighbor)
+    assert(Multimodal.Png.decode(Multimodal.Png.synth(1, 1, px)).pixels
+      .sameElements(Array(px(0, 0))))
+    assert(Multimodal.Png.decode(Multimodal.Png.synth(9, 2, px)).pixels(9 + 4)
+      == px(4, 1))
+    // a flipped IDAT byte must break the chunk CRC, not yield garbage
+    val corrupt = bytes.clone()
+    corrupt(bytes.length - 20) = (corrupt(bytes.length - 20) ^ 0x5a).toByte
+    intercept[IllegalArgumentException](Multimodal.Png.decode(corrupt))
+    // truncation and non-PNG input fail loud
+    intercept[IllegalArgumentException](
+      Multimodal.Png.decode(bytes.take(bytes.length - 6)))
+    intercept[IllegalArgumentException](
+      Multimodal.Png.decode("not-a-png-at-all".getBytes))
+  }
 }
