@@ -86,4 +86,35 @@ class ServeSpec extends SparkSuite {
     assert(Serve.Auth.verifyPassword("oldpw", legacy))
     assert(!Serve.Auth.verifyPassword("newpw", legacy))
   }
+
+  test("scrypt: RFC 7914 §12 vectors (incl. empty password) bit-exact") {
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    assert(hex(Serve.Scrypt.derive("".getBytes, "".getBytes, 16, 1, 1, 64)) ==
+      "77d6576238657b203b19ca42c18a0497f16b4844e3074ae8dfdffa3fede21442" +
+      "fcd0069ded0948f8326a753a0fc81f17e8d3e0fb2e0d3628cf35e20c38d18906")
+    assert(hex(Serve.Scrypt.derive("password".getBytes, "NaCl".getBytes,
+        1024, 8, 16, 64)) ==
+      "fdbabe1c9d3472007856e7190d01e9fe7c6ad7cbc8237830e77376634b373162" +
+      "2eaf30d92e22a3886ff109279d9830dac727afb94a83ee6d8360cbdfa2cc0640")
+    assert(hex(Serve.Scrypt.derive("pleaseletmein".getBytes,
+        "SodiumChloride".getBytes, 16384, 8, 1, 64)) ==
+      "7023bdcb3afd7348461c06cd81fd38ebfda8fbba904f8e3ea9b543f6545da1f2" +
+      "d5432955613f0fcf62d49705242a9af9e61e85dc0d651e40dfcf017b45575887")
+    intercept[IllegalArgumentException](
+      Serve.Scrypt.derive("x".getBytes, "y".getBytes, 15, 1, 1, 32)) // N not 2^k
+  }
+
+  test("auth: werkzeug-3 scrypt hashes (its current default) verify unchanged") {
+    // reference vector produced with OpenSSL scrypt at werkzeug 3's
+    // default parameters (N=32768 r=8 p=1, dklen=64, text salt):
+    // hashlib.scrypt(b'admin123', salt=b'abcDEF0123456789', ...)
+    val stored = "scrypt:32768:8:1$abcDEF0123456789$" +
+      "93a1075b907116ee00e8ae3aafc8b9bb25932d2f7c46ede7efeefeebab8f0932" +
+      "b216e65b6010311014af8d30ccbb85b550d9cc2c22bbc07dc62562920aedd102"
+    assert(Serve.Auth.verifyPassword("admin123", stored))
+    assert(!Serve.Auth.verifyPassword("admin124", stored))
+    // malformed parameter strings are a clean reject, not an exception
+    assert(!Serve.Auth.verifyPassword("x", "scrypt:abc:8:1$s$00"))
+    assert(!Serve.Auth.verifyPassword("x", "scrypt:15:8:1$s$00"))
+  }
 }
