@@ -23,6 +23,24 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders, SaveMode, SparkSession}
   */
 final class CatalogStore(spark: SparkSession, root: String) {
 
+  // Cross-PROCESS ownership (r9): the writer discipline below serializes
+  // THREADS via in-JVM monitors, but two JVMs interleaving swap moves on
+  // one root would corrupt it — the reference has the same constraint
+  // (one Flask process per scheduler.db; SQLite enforces it with its own
+  // file lock). Enforce it the same way: claim an OS file lock on the
+  // root for this process's lifetime, FAIL LOUD if another process owns
+  // it, and let the OS release the claim on (even abnormal) exit. A
+  // second CatalogStore over the same root in THIS process is fine — the
+  // claim is idempotent and the static per-root table locks already
+  // serialize in-JVM writers. CrossProcessLockSpec pins the two-process
+  // behavior with a forked JVM.
+  if (!graft.core.Locks.tryOwnProcessWide(Paths.get(root, "_graft_owner.lock")))
+    throw new IllegalStateException(
+      s"catalog root '$root' is owned by another running graft process; " +
+      "two processes must not write one catalog (reference parity: one " +
+      "scheduler process per scheduler.db). Point this instance at its " +
+      "own root, or stop the other process.")
+
   private def dir(table: String): Path = Paths.get(root, table)
 
   /** Per-table writer lock: appends (run-now handler threads), overwrites,

@@ -30,18 +30,39 @@ import java.util.Comparator
   */
 object Warehouse {
 
-  /** Per-table lock for the ensure/build sequence: two threads ensuring
-    * the same absent artifact would otherwise BOTH see "not reusable" and
-    * race their saveAsTable overwrites (CatalogStore uses the same
-    * per-key-lock shape for its writers). Cross-JVM first-build races
-    * remain documented as out of scope — after the one-time build every
-    * caller is a reader. */
+  /** Per-table lock for the ensure/build sequence: two ensurers of the
+    * same absent artifact would otherwise BOTH see "not reusable" and
+    * race their saveAsTable overwrites (non-atomic on a local FS). Two
+    * layers, both required:
+    *  - an in-JVM monitor per table name — serializes threads, and keeps
+    *    the same JVM from ever attempting two OS locks on one file
+    *    (which throws OverlappingFileLockException instead of blocking);
+    *  - an OS file lock under `<warehouse>/_graft_locks/` ([[Locks]]) —
+    *    serializes PROCESSES. The loser of a cross-process first-build
+    *    race blocks on the winner, then its ensure body re-checks the
+    *    fingerprint ([[ensureRegistered]] is the first thing every
+    *    ensure* runs inside the lock) and RE-ATTACHES to the winner's
+    *    artifact instead of rebuilding; a crashed winner's lock is
+    *    released by the OS and the loser rebuilds from the torn
+    *    (fingerprint-less) directory. CrossProcessLockSpec pins the
+    *    two-process serialization with a forked JVM. */
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  def withTableLock[A](table: String)(f: => A): A =
+  def withTableLock[A](spark: SparkSession, table: String)(f: => A): A =
     tableLocks.computeIfAbsent(
       table.toLowerCase(java.util.Locale.ROOT), _ => new Object)
-      .synchronized(f)
+      .synchronized {
+        Locks.withFileLock(buildLockPath(spark, table))(f)
+      }
+
+  /** Lock-file path for a table's ensure/build critical section (inside
+    * the warehouse, underscore-prefixed → invisible to Spark's listing). */
+  def buildLockPath(spark: SparkSession, table: String): Path = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = if (wh.startsWith("file:")) java.net.URI.create(wh).getPath else wh
+    Paths.get(p, "_graft_locks",
+      table.toLowerCase(java.util.Locale.ROOT) + ".lock")
+  }
 
   /** The corpus-keyed artifact-name suffix — ONE definition of the
     * md5(dir) convention shared by Pipeline's table names, Bench's

@@ -208,7 +208,7 @@ object Dedup {
     // stamp) — a tag change is a different artifact and must rebuild
     val meta = (s"minhash-sig k=$k bands=$bands bucketCap=$bucketCap " +
       s"nBuckets=$nBuckets $tag").trim
-    graft.core.Warehouse.withTableLock(table) {
+    graft.core.Warehouse.withTableLock(spark, table) {
       if (!graft.core.Warehouse.ensureRegistered(spark, table, meta, "bh", nBuckets)) {
         writeSignatureTable(df, idCol, textCol, table, k, bands, bucketCap, nBuckets)
         graft.core.Warehouse.writeMeta(spark, table, meta)

@@ -206,7 +206,7 @@ object Ivf {
     // config (e.g. q62's planted-key offset) — a tag change is a
     // different artifact and must rebuild, not reuse
     val meta = s"ivf-cells dim=$dim nlist=$nlist nBuckets=$nBuckets $tag".trim
-    graft.core.Warehouse.withTableLock(table) {
+    graft.core.Warehouse.withTableLock(spark, table) {
       val reused =
         graft.core.Warehouse.ensureRegistered(spark, table, meta, "cid", nBuckets) &&
         graft.core.Warehouse.ensureRegistered(spark, table + "_centroids", meta,

@@ -1669,7 +1669,7 @@ object Pipeline {
     val table = cellTableName("graft_clusters", dir)
     val meta = "dup-clusters v1 jaccard=0.35 " +
       graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet")
-    graft.core.Warehouse.withTableLock(table) {
+    graft.core.Warehouse.withTableLock(spark, table) {
       if (!graft.core.Warehouse.ensureRegistered(spark, table, meta, "doc_id", nBuckets)) {
         dupClusters(spark, dir)
           // one file per bucket (write tasks aligned with the bucket hash)
