@@ -234,7 +234,18 @@ object Bench {
     // record — regressions gate on this, a single slow sample can't fake
     // one). `value`/`queries` carry the medians.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // optional query filter (SPARK_GRAFT_BENCH_QUERIES=q22_...,q24_...):
+    // the sf10 family runs time just the dedup/ANN/cluster + TPC-H shapes
+    // instead of all queries. Unknown names fail loud — a typo must not
+    // silently bench nothing.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    filter.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(",")}")
+    }
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => filter.forall(_.contains(q._1)))
     val runs = (1 to reps).map(_ => timeQueries(spark, sfDir, qlist))
     val results = runs.head.indices.map { i =>
       val name = runs.head(i)._1

@@ -1,0 +1,188 @@
+#!/usr/bin/env python3
+"""One-command, re-runnable scale gate (SURVEY §12 runbook).
+
+Generates (optionally) a ScaleGen corpus, runs the full Verify + DuckDB
+oracle at that scale, benches base-vs-scale back-to-back, and writes
+git-SHA-stamped SCALE_* artifacts so every round can regenerate the scale
+evidence at HEAD instead of trusting a hand-run.
+
+Examples:
+  # the standing sf1 (10x) gate: full 153-query oracle + 3-rep bench
+  python3 tools/run_scale.py --scale-dir data/sf1 --out-prefix SCALE_sf1
+
+  # the sf10 (100x) point: generate, spot-check an oracle subset, bench
+  # the dedup/ANN/cluster family + TPC-H shapes, single rep
+  python3 tools/run_scale.py --scale-dir data/sf10 --factor 100 --gen \
+      --reps 1 --out-prefix SCALE_sf10 \
+      --verify-queries "$(python3 tools/run_scale.py --print-family)" \
+      --bench-queries  "$(python3 tools/run_scale.py --print-family)"
+
+Artifacts: <out-prefix>_CORRECTNESS.json, <out-prefix>_BENCH.json, both
+carrying {commit, generated_by, generated_at}.
+"""
+import argparse
+import datetime
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+# the dedup/ANN/cluster family + TPC-H shapes tracked round-over-round in
+# SURVEY §12's growth table
+FAMILY = [
+    "q22_exact_dup_groups", "q24_minhash_pairs", "q41_embedding_dups",
+    "q57_dup_clusters", "q58_dup_clusters_lsh", "q62_semantic_dedup",
+    "q81_duplicated_spans", "q105_dedup_inflation", "q108_containment",
+    "q51_exact_nn", "q52_ivf_topk", "q27_lsh_topk", "q106_error_proximity",
+    "q152_ivf_partial_probe",
+    # TPC-H shapes: the classic join/agg plans must grow sublinearly too
+    "q01_pricing_summary", "q13_revenue_nation", "q141_trade_flows",
+    "q143_small_order_revenue", "q148_market_share", "q150_order_priority",
+]
+
+
+def sh(cmd, env=None):
+    print("[scale] $ " + " ".join(cmd), flush=True)
+    e = dict(os.environ)
+    e.update(env or {})
+    subprocess.run(cmd, check=True, env=e)
+
+
+def stamp(argv):
+    commit = subprocess.check_output(
+        ["git", "rev-parse", "HEAD"]).decode().strip()
+    dirty = subprocess.run(["git", "diff", "--quiet", "HEAD"]).returncode != 0
+    return {
+        "commit": commit + ("-dirty" if dirty else ""),
+        "generated_by": "python3 tools/run_scale.py " + " ".join(argv),
+        "generated_at": datetime.datetime.now(datetime.timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%SZ"),
+    }
+
+
+def bench(sf_dir, reps, cpus, queries):
+    env = {
+        "SPARK_GRAFT_SF_DIR": sf_dir,
+        "SPARK_GRAFT_CPUS": cpus,
+        "SPARK_GRAFT_BENCH_REPS": str(reps),
+        "SPARK_GRAFT_SCALE_PROBE": "0",  # real scaled data IS the probe
+    }
+    if queries:
+        env["SPARK_GRAFT_BENCH_QUERIES"] = queries
+    sh(["sbt", "-batch", "runMain graft.Bench"], env=env)
+    with open("bench_detail.json") as f:
+        return json.load(f)
+
+
+def section(detail):
+    return {
+        "dir": detail["sf"],
+        "total_sec": round(detail["value"], 2),
+        "n_queries": len(detail["queries"]),
+        "n_failed": len(detail["failed"]),
+        "failed": detail["failed"],
+        "warehouse_warm": detail["warehouse_warm"],
+        "prebuild_sec": round(detail["prebuild_sec"], 2),
+        "reps": detail["reps"],
+        "queries": {k: round(v, 3) for k, v in sorted(detail["queries"].items())},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--scale-dir", default=None)
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--gen", action="store_true",
+                    help="run ScaleGen first (skipped if MANIFEST exists)")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--bench-queries", default="",
+                    help="csv filter for the timed bench (empty = all)")
+    ap.add_argument("--verify-queries", default="",
+                    help="csv filter for Verify/oracle (empty = all)")
+    ap.add_argument("--subset", default="q51_exact_nn=query_id",
+                    help="check_oracle --subset spec (documented sample gates)")
+    ap.add_argument("--out-prefix", default=None)
+    ap.add_argument("--skip-verify", action="store_true")
+    ap.add_argument("--skip-bench", action="store_true")
+    ap.add_argument("--print-family", action="store_true",
+                    help="print the family query list (for shell substitution)")
+    a = ap.parse_args()
+    if a.print_family:
+        print(",".join(FAMILY))
+        return
+    if not a.scale_dir or not a.out_prefix:
+        ap.error("--scale-dir and --out-prefix are required")
+
+    st = stamp(sys.argv[1:])
+
+    if a.gen and not os.path.exists(os.path.join(a.scale_dir, "MANIFEST.json")):
+        sh(["sbt", "-batch",
+            f"Test/runMain graft.devtools.ScaleGen {a.base} {a.scale_dir} "
+            f"{a.factor}"])
+
+    if not a.skip_verify:
+        out = f"/tmp/verify_scale_{os.path.basename(a.out_prefix)}"
+        shutil.rmtree(out, ignore_errors=True)
+        vq = f" {a.verify_queries}" if a.verify_queries else ""
+        sh(["sbt", "-batch",
+            f"runMain graft.Verify {a.scale_dir} {out}{vq}"])
+        cj = f"{a.out_prefix}_CORRECTNESS.json"
+        sh(["python3", "tools/check_oracle.py", a.scale_dir, out,
+            "--subset", a.subset, "--json", cj])
+        with open(cj) as f:
+            art = json.load(f)
+        # queries filtered out of a subset Verify run read as "no spark
+        # output" — drop them from the artifact, they were not checked
+        if a.verify_queries:
+            keep = set(a.verify_queries.split(","))
+            art["queries"] = {k: v for k, v in art["queries"].items()
+                              if k in keep}
+            art["subset_of_suite"] = sorted(keep)
+        art.update(st)
+        ok = sum(1 for v in art["queries"].values() if v["status"] == "ok")
+        art["n_ok"] = ok
+        art["n_fail"] = len(art["queries"]) - ok
+        with open(cj, "w") as f:
+            json.dump(art, f, indent=1)
+        print(f"[scale] {cj}: {ok} ok / {len(art['queries']) - ok} fail",
+              flush=True)
+
+    if not a.skip_bench:
+        base_d = bench(a.base, a.reps, a.cpus, a.bench_queries)
+        scale_d = bench(a.scale_dir, a.reps, a.cpus, a.bench_queries)
+        ratios = {}
+        for q, s in scale_d["queries"].items():
+            b = base_d["queries"].get(q)
+            if b and b > 0 and scale_d["rows"].get(q, -1) >= 0:
+                ratios[q] = round(s / b, 2)
+        med = sorted(ratios.values())[len(ratios) // 2] if ratios else None
+        fam = {q: {"base_sec": round(base_d["queries"][q], 2),
+                   "scale_sec": round(scale_d["queries"][q], 2),
+                   "ratio": ratios.get(q)}
+               for q in FAMILY if q in ratios}
+        art = {
+            "what": (f"per-query growth {a.base} -> {a.scale_dir} "
+                     f"(ScaleGen corpus), warm prebuilt artifacts both "
+                     f"sides, {a.reps} timed rep(s) (median), probe off, "
+                     f"back-to-back on one box"),
+            **st,
+            "base": section(base_d),
+            "scale": section(scale_d),
+            "total_ratio": round(scale_d["value"] / base_d["value"], 2)
+                if base_d["value"] else None,
+            "median_query_ratio": med,
+            "query_ratios": dict(sorted(ratios.items())),
+            "dedup_ann_cluster_family": fam,
+        }
+        bj = f"{a.out_prefix}_BENCH.json"
+        with open(bj, "w") as f:
+            json.dump(art, f, indent=1)
+        print(f"[scale] {bj}: total ratio {art['total_ratio']}, "
+              f"median query ratio {med}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
