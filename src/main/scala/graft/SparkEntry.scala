@@ -421,7 +421,7 @@ object SparkEntry {
       |      FROM g)
       |SELECT user_id, min(ts) AS session_start,
       | max(ts) + INTERVAL '30 minutes' AS session_end,
-      | count(*) AS n_events, round(sum(value),2) AS sum_value
+      | count(*) AS n_events, CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
       |FROM s GROUP BY user_id, sid""".stripMargin
 
   /** Shared q100/q116 oracle prelude: the ordered view→click→purchase
@@ -445,7 +445,8 @@ object SparkEntry {
     * result-invariant against the plain fact-join spec. */
   private val revenueByNationSql: String =
     """SELECT n_name AS nation,
-      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+      |   AS DOUBLE) / 10000.0 AS revenue,
       | count(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -1168,15 +1169,15 @@ object SparkEntry {
           |    / CAST(count(*) AS DOUBLE) AS conversion_rate
           |FROM v LEFT JOIN p USING (user_id) GROUP BY 1""".stripMargin),
     "q136_revenue_concentration" ->
-      """WITH per AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+      """WITH per AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS rev
         |             FROM orders GROUP BY 1),
         |t AS (SELECT round(quantile_cont(rev, 0.9), 2) AS p90 FROM per)
         |SELECT CAST(count(*) AS BIGINT) AS n_customers,
         |  CAST(sum(CASE WHEN rev >= t.p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
-        |  round(sum(rev), 2) AS total_revenue,
-        |  round(sum(CASE WHEN rev >= t.p90 THEN rev ELSE 0.0 END), 2) AS top_revenue,
-        |  round(round(sum(CASE WHEN rev >= t.p90 THEN rev ELSE 0.0 END), 2)
-        |        / round(sum(rev), 2), 6) AS top_share
+        |  CAST(sum(CAST(round(rev*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_revenue,
+        |  CAST(sum(CAST(round((CASE WHEN rev >= t.p90 THEN rev ELSE 0.0 END)*100) AS BIGINT)) AS DOUBLE)/100.0 AS top_revenue,
+        |  round(CAST(sum(CAST(round((CASE WHEN rev >= t.p90 THEN rev ELSE 0.0 END)*100) AS BIGINT)) AS DOUBLE)/100.0
+        |        / (CAST(sum(CAST(round(rev*100) AS BIGINT)) AS DOUBLE)/100.0), 6) AS top_share
         |FROM per, t""".stripMargin,
     "q133_purchase_gaps" ->
       """WITH g AS (SELECT epoch_us(ts) -
@@ -1257,7 +1258,7 @@ object SparkEntry {
         |rfm AS (SELECT user_id,
         |    CAST(date_diff('day', max(d), mx.max_d) AS BIGINT) AS recency_days,
         |    CAST(count(*) AS BIGINT) AS frequency,
-        |    round(sum(value), 2) AS monetary
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS monetary
         |  FROM p, mx GROUP BY user_id, mx.max_d),
         |t AS (SELECT
         |    round(quantile_cont(recency_days, 0.25), 4) AS r25,
@@ -1322,7 +1323,7 @@ object SparkEntry {
         |ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
     "q122_monthly_yoy" ->
       """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-        |    round(sum(o_totalprice), 2) AS revenue
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
         |  FROM orders GROUP BY 1),
         |p AS (SELECT month + INTERVAL 12 MONTH AS month,
         |    revenue AS prev_year_revenue FROM m)
@@ -1443,7 +1444,8 @@ object SparkEntry {
     "q114_stream_locf" -> locfSql,
     "q110_local_supplier" ->
       """SELECT n_name AS nation,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+        |    AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1582,8 +1584,10 @@ object SparkEntry {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 AS sum_base_price,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+        |   AS DOUBLE) / 10000.0 AS sum_disc_price,
         | round(avg(l_quantity),4) AS avg_qty,
         | round(avg(l_discount),4) AS avg_disc,
         | count(*) AS count_order
@@ -1602,7 +1606,7 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
     "q04_revenue_segment" ->
-      """SELECT c_mktsegment AS segment, round(sum(o_totalprice),2) AS total_price,
+      """SELECT c_mktsegment AS segment, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_price,
         | count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
@@ -1635,7 +1639,8 @@ object SparkEntry {
         |WHERE event_type IN ('click','purchase') AND props LIKE '%7%'""".stripMargin,
     "q12_event_stats" ->
       """SELECT event_type, count(*) AS n_events,
-        | count(DISTINCT user_id) AS n_users, round(sum(value),2) AS sum_value
+        | count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
     "q13_revenue_nation" -> revenueByNationSql,
     "q113_salted_fact_join" -> revenueByNationSql,
@@ -1898,7 +1903,7 @@ object SparkEntry {
         |FROM g GROUP BY user_id""".stripMargin,
     "q31_rollup" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-        | count(*) AS n, round(sum(value),2) AS sum_value
+        | count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
         |FROM events GROUP BY ROLLUP(event_type, day)""".stripMargin,
     "q32_set_ops" ->
       """SELECT custkey FROM (
@@ -1913,7 +1918,8 @@ object SparkEntry {
     "q35_stream_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
         | time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
-        | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
+        | event_type, count(*) AS n_events,
+        |   CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
     // r8: append-mode parity — the file sink holds exactly the windows the
     // FINAL watermark (global max ts − 10 min delay) closed; windows still
@@ -1922,7 +1928,8 @@ object SparkEntry {
       """WITH w AS (
         |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
         |    time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
-        |    event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
+        |    event_type, count(*) AS n_events,
+        |   CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
         |  FROM events GROUP BY 1, 2, 3),
         |mx AS (SELECT max(ts) AS m FROM events)
         |SELECT window_start, window_end, event_type, n_events, sum_value

@@ -21,15 +21,26 @@ object Relational {
 
   /** A1/A2/P1 — full-scan grouped aggregation (TPC-H Q1 shape).
     * Partial aggregation (map-side combine) keeps the shuffle at
-    * |groups| × |partitions| rows regardless of input size. */
+    * |groups| × |partitions| rows regardless of input size.
+    *
+    * Price sums use the scaled-integer idiom (see [[tradeFlows]]): the
+    * r9 sf10 run (60M lineitem) caught the double-sum→round(2dp) form
+    * flipping a cent against DuckDB — at sum ≈ 3e11 a double's ULP is
+    * ~6e-5 and 60M accumulation orders drift past the 2dp boundary.
+    * Exact cent/10⁻⁴ longs are order-independent; the one final division
+    * is bit-identical on both engines. Quantities are integral (their
+    * double sum is exact) and the 4dp-rounded avgs sit ~10 orders of
+    * magnitude inside double resolution, so both stay as-is. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
+          .as("sum_base_price"),
+        (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                     * 10000).cast("long")) / 10000.0).as("sum_disc_price"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -64,7 +75,7 @@ object Relational {
     Tables.orders(spark, dir)
       .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"))
-      .agg(round(sum("o_totalprice"), 2).as("total_price"),
+      .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("total_price"),
            count(lit(1)).as("n_orders"))
 
   /** J5/J8 — LEFT join preserving customers with zero orders
@@ -135,7 +146,7 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
            countDistinct(col("user_id")).as("n_users"),
-           round(sum("value"), 2).as("sum_value"))
+           (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
 
   /** J3/J4-shape — multi-way join: fact ⋈ fact ⋈ dim ⋈ dim, aggregated.
     * lineitem⋈orders shuffles on orderkey; customer/nation broadcast. */
@@ -145,7 +156,10 @@ object Relational {
       .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      // scaled-integer revenue (r9 sf10 fix — see pricingSummary): exact
+      // 10^-4 longs, one bit-identical final division
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                        * 10000).cast("long")) / 10000.0).as("revenue"),
            count(lit(1)).as("n_items"))
 
   /** q13's revenue-by-nation computed through [[SkewJoin.saltedJoin]] on
@@ -166,7 +180,10 @@ object Relational {
       .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      // scaled-integer revenue (r9 sf10 fix — see pricingSummary): exact
+      // 10^-4 longs, one bit-identical final division
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                        * 10000).cast("long")) / 10000.0).as("revenue"),
            count(lit(1)).as("n_items"))
 
   /** q13's revenue-by-nation through [[SkewJoin.saltedJoinHeavyKeys]] —
@@ -193,7 +210,10 @@ object Relational {
       .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      // scaled-integer revenue (r9 sf10 fix — see pricingSummary): exact
+      // 10^-4 longs, one bit-identical final division
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                        * 10000).cast("long")) / 10000.0).as("revenue"),
            count(lit(1)).as("n_items"))
 
   /** TPC-H Q5 shape — local-supplier volume: the canonical 6-table star
@@ -232,8 +252,8 @@ object Relational {
             col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-             .as("revenue"))
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                        * 10000).cast("long")) / 10000.0).as("revenue"))
   }
 
   /** Daily event-count anomaly detection: per (event_type, day) counts
@@ -380,7 +400,7 @@ object Relational {
   def sessionWindows(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
       .select(col("user_id"),
               col("session_window.start").as("session_start"),
               col("session_window.end").as("session_end"),
@@ -392,7 +412,7 @@ object Relational {
     Tables.events(spark, dir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .rollup(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
 
   /** Set operations: (big-order customers ∪ BUILDING-segment customers)
     * minus negative-balance customers — UNION/EXCEPT with set semantics. */
@@ -499,7 +519,7 @@ object Relational {
     val m = Tables.orders(spark, dir)
       .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz")
         .as("month"))
-      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("revenue"))
     val prev = m.select(
       (col("month") + expr("INTERVAL 12 MONTHS")).as("month"),
       col("revenue").as("prev_year_revenue"))
@@ -604,7 +624,7 @@ object Relational {
     * over the customer dimension. */
   def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.orders(spark, dir)
-      .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("rev"))
+      .groupBy("o_custkey").agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("rev"))
     // the threshold is an interpolated AGGREGATE derivative → rounded (2dp,
     // matching rev's scale) before the >= comparison on BOTH engines, so a
     // customer exactly at the boundary can't flip on a last-bit
@@ -613,8 +633,9 @@ object Relational {
     per.crossJoin(broadcast(thr))
       .agg(count(lit(1)).as("n_customers"),
            sum(when(col("rev") >= col("p90"), 1L).otherwise(0L)).as("n_top"),
-           round(sum("rev"), 2).as("total_revenue"),
-           round(sum(when(col("rev") >= col("p90"), col("rev")).otherwise(0.0)), 2)
+           (sum(round(col("rev") * 100).cast("long")) / 100.0).as("total_revenue"),
+           (sum(round(when(col("rev") >= col("p90"), col("rev"))
+                        .otherwise(0.0) * 100).cast("long")) / 100.0)
              .as("top_revenue"))
       .withColumn("top_share",
         round(col("top_revenue") / col("total_revenue"), 6))
@@ -706,7 +727,7 @@ object Relational {
     val rfm = p.groupBy("user_id")
       .agg(max(col("ts").cast("date")).as("last_d"),
            count(lit(1)).as("frequency"),
-           round(sum("value"), 2).as("monetary"))
+           (sum(round(col("value") * 100).cast("long")) / 100.0).as("monetary"))
       .crossJoin(broadcast(maxTs))
       .select(col("user_id"),
         datediff(col("max_d"), col("last_d")).cast("bigint").as("recency_days"),

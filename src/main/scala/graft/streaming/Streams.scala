@@ -52,7 +52,11 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      // exact cent longs (r9 sf10 fix — see Relational.pricingSummary):
+      // incremental long state sums are order-independent, so the emitted
+      // double is identical however micro-batches interleave
+      .agg(count(lit(1)).as("n_events"),
+           (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
       .select(col("window.start").as("window_start"),
               col("window.end").as("window_end"),
               col("event_type"), col("n_events"), col("sum_value"))
@@ -137,7 +141,6 @@ object Streams {
     // watermarks require TIMESTAMP (an instant) — window on that, cast the
     // window bounds to ntz at the output edge (session TZ UTC → identity)
     val agg = windowedEventCounts(eventStreamWithInstantTs(spark, sfDir))
-      .withColumn("sum_value", round(col("sum_value"), 2))
       .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
       .withColumn("window_end", col("window_end").cast("timestamp_ntz"))
     runToMemory(agg, "graft_stream_events", outputMode = "complete")
@@ -176,7 +179,6 @@ object Streams {
     val raw = spark.readStream.schema(stagedSchema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
     val agg = windowedEventCounts(raw)
-      .withColumn("sum_value", round(col("sum_value"), 2))
     val q = agg.writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ckpt)
       .outputMode("append").start()
@@ -347,7 +349,8 @@ object Streams {
     val raw = eventStreamWithInstantTs(spark, sfDir)
     val agg = raw
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+           (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
       .select(col("user_id"),
               col("session_window.start").cast("timestamp_ntz").as("session_start"),
               col("session_window.end").cast("timestamp_ntz").as("session_end"),

@@ -142,7 +142,8 @@ def main():
                               if k in keep}
             art["subset_of_suite"] = sorted(keep)
         art.update(st)
-        ok = sum(1 for v in art["queries"].values() if v["status"] == "ok")
+        ok = sum(1 for v in art["queries"].values()
+                 if v["status"] in ("ok", "ok_subset"))
         art["n_ok"] = ok
         art["n_fail"] = len(art["queries"]) - ok
         with open(cj, "w") as f:
