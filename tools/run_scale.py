@@ -42,11 +42,11 @@ FAMILY = [
 ]
 
 
-def sh(cmd, env=None):
+def sh(cmd, env=None, check=True):
     print("[scale] $ " + " ".join(cmd), flush=True)
     e = dict(os.environ)
     e.update(env or {})
-    subprocess.run(cmd, check=True, env=e)
+    subprocess.run(cmd, check=check, env=e)
 
 
 def stamp(argv):
@@ -130,8 +130,12 @@ def main():
         sh(["sbt", "-batch",
             f"runMain graft.Verify {a.scale_dir} {out}{vq}"])
         cj = f"{a.out_prefix}_CORRECTNESS.json"
+        # check_oracle exits non-zero when any query fails; the artifact
+        # still records every per-query status, so stamp it either way —
+        # a crash here would leave an unstamped raw file AND skip the
+        # bench (the r9 first-sf10-run failure mode)
         sh(["python3", "tools/check_oracle.py", a.scale_dir, out,
-            "--subset", a.subset, "--json", cj])
+            "--subset", a.subset, "--json", cj], check=False)
         with open(cj) as f:
             art = json.load(f)
         # queries filtered out of a subset Verify run read as "no spark
