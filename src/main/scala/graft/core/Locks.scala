@@ -13,22 +13,61 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   * a second acquisition attempt from the SAME JVM throws
   * OverlappingFileLockException instead of blocking. Callers therefore
   * pair these with an in-JVM monitor ([[Warehouse.withTableLock]]) or a
-  * process-wide idempotent claim ([[tryOwnProcessWide]]).
+  * process-wide idempotent claim ([[tryOwnProcessWide]]). SAME-THREAD
+  * nesting of [[withFileLock]] on one lock file is reentrant (the outer
+  * frame's OS lock covers the inner body), so a nested same-table
+  * ensure* is safe; cross-THREAD same-file nesting remains the callers'
+  * monitors' job.
   */
 object Locks {
 
-  /** Blocking cross-process critical section on `lockFile`: waits until
-    * no other PROCESS holds the lock, runs `f`, releases. The lock file
-    * itself is never deleted (deleting lock files is a classic TOCTOU —
-    * a waiter blocked on a deleted inode serializes against nobody). */
-  def withFileLock[A](lockFile: Path)(f: => A): A = {
+  /** Ensure `lockFile` exists and return its canonical claim key: the
+    * REAL (symlink-resolved) path, so the same physical lock reached via
+    * a symlinked root keys identically instead of tripping
+    * OverlappingFileLockException / a phantom "owned by another
+    * process". Creating the file FIRST (atomically, exists is fine)
+    * means toRealPath always resolves; it also means the key is known
+    * BEFORE any channel is opened — important because on POSIX, closing
+    * ANY extra channel on a file can release the process's existing
+    * locks on it (the documented FileLock caveat), so the
+    * already-held/already-owned fast paths below must never open one. */
+  private def ensureAndKey(lockFile: Path): String = {
     if (lockFile.getParent != null) Files.createDirectories(lockFile.getParent)
-    val ch = FileChannel.open(lockFile, StandardOpenOption.CREATE,
-      StandardOpenOption.WRITE)
-    try {
-      val l = ch.lock() // blocks until the owning process releases/dies
-      try f finally l.release()
-    } finally ch.close()
+    try Files.createFile(lockFile)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    lockFile.toAbsolutePath.toRealPath().toString
+  }
+
+  /** Lock-file keys held by the CURRENT THREAD via [[withFileLock]] —
+    * makes same-thread nesting on one lock file reentrant. File locks
+    * are per-process, so without this a nested acquisition from the
+    * same JVM throws OverlappingFileLockException instead of blocking.
+    * Thread-local suffices because every caller serializes same-key
+    * entry through an in-JVM monitor first (Warehouse.withTableLock),
+    * so two THREADS never hold one key concurrently. */
+  private val heldByThread = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue(): java.util.HashSet[String] =
+      new java.util.HashSet[String]()
+  }
+
+  /** Blocking cross-process critical section on `lockFile`: waits until
+    * no other PROCESS holds the lock, runs `f`, releases. Reentrant for
+    * the SAME THREAD (the outer frame keeps holding the OS lock). The
+    * lock file itself is never deleted (deleting lock files is a classic
+    * TOCTOU — a waiter blocked on a deleted inode serializes against
+    * nobody). */
+  def withFileLock[A](lockFile: Path)(f: => A): A = {
+    val key = ensureAndKey(lockFile)
+    val held = heldByThread.get()
+    if (held.contains(key)) f // reentry: the outer frame's OS lock covers us
+    else {
+      val ch = FileChannel.open(lockFile, StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock() // blocks until the owning process releases/dies
+        held.add(key)
+        try f finally { held.remove(key); l.release() }
+      } finally ch.close()
+    }
   }
 
   /** Process-lifetime ownership claims, keyed by lock-file path. */
@@ -42,20 +81,17 @@ object Locks {
     * false when ANOTHER process holds it. The OS releases the claim at
     * process exit — including crashes — so ownership can never leak past
     * the owner's death. */
-  def tryOwnProcessWide(lockFile: Path): Boolean = {
-    val key = lockFile.toAbsolutePath.normalize.toString
+  def tryOwnProcessWide(lockFile: Path): Boolean = this.synchronized {
+    val key = ensureAndKey(lockFile)
+    // idempotent re-claim resolves BEFORE any channel is opened — a
+    // second open+close on an owned file could release the held OS lock
+    // on POSIX (see ensureAndKey)
     if (owned.containsKey(key)) return true
-    this.synchronized {
-      if (owned.containsKey(key)) return true
-      if (lockFile.getParent != null)
-        Files.createDirectories(lockFile.getParent)
-      val ch = FileChannel.open(lockFile, StandardOpenOption.CREATE,
-        StandardOpenOption.WRITE)
-      val l =
-        try ch.tryLock()
-        catch { case _: OverlappingFileLockException => null }
-      if (l == null) { ch.close(); false }
-      else { owned.put(key, ch); true }
-    }
+    val ch = FileChannel.open(lockFile, StandardOpenOption.WRITE)
+    val l =
+      try ch.tryLock()
+      catch { case _: OverlappingFileLockException => null }
+    if (l == null) { ch.close(); false }
+    else { owned.put(key, ch); true }
   }
 }

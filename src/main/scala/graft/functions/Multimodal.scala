@@ -330,7 +330,14 @@ object Multimodal {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        require(n > 0 || !inf.needsInput(), "truncated IDAT stream")
+        // All input was handed over up front, so zero progress while not
+        // finished is ALWAYS corruption: either the stream is truncated
+        // (needsInput) or it set the FDICT flag (needsDictionary — which
+        // would otherwise pass the old needsInput-only check and spin
+        // this loop forever). Fail loud on both.
+        require(n > 0 || inf.finished(),
+          if (inf.needsDictionary()) "FDICT zlib stream unsupported"
+          else "truncated IDAT stream")
         off += n
       }
       require(off == raw.length,

@@ -104,8 +104,13 @@ object Serve {
                 java.security.MessageDigest.isEqual(
                   dk.map("%02x".format(_)).mkString.getBytes("UTF-8"),
                   hex.getBytes("UTF-8"))
-              } catch { case _: NumberFormatException |
-                             _: IllegalArgumentException => false }
+              } catch {
+                // any malformed/hostile parameter row (non-numeric, out of
+                // the derive caps, absurd dkLen, …) is a clean reject —
+                // a stored-hash row must never be able to crash the login
+                // path or force an unbounded allocation
+                case scala.util.control.NonFatal(_) => false
+              }
             case _ => false
           }
         // werkzeug format: method$salt$hash, method = pbkdf2:sha256[:iter]
@@ -149,6 +154,20 @@ object Serve {
                p: Int, dkLen: Int): Array[Byte] = {
       require(n > 1 && (n & (n - 1)) == 0, "N must be a power of two > 1")
       require(r > 0 && p > 0 && dkLen > 0, "r, p, dkLen must be positive")
+      // Parameters come from STORED rows (the users table), so they are
+      // attacker-influenceable: cap them before any allocation. The caps
+      // are ~128x werkzeug's default work factor (N=32768, r=8, p=1 =
+      // 32 MB), far above any legitimate deployment, and keep every
+      // array size inside a positive Int — without them a hostile row
+      // like scrypt:67108864:8:1$… overflows n*words into a negative
+      // allocation size, and a large-but-valid N forces a multi-GB
+      // allocation per login attempt.
+      require(n <= (1 << 22), s"scrypt N=$n exceeds cap 2^22")
+      require(r <= 256, s"scrypt r=$r exceeds cap 256")
+      require(p <= 64, s"scrypt p=$p exceeds cap 64")
+      require(128L * r * n <= (1L << 28),
+        s"scrypt memory 128*r*N = ${128L * r * n} exceeds 256 MB cap")
+      require(dkLen <= 1024, s"scrypt dkLen=$dkLen exceeds cap 1024")
       val mfLen = 128 * r
       val b = pbkdf2(password, salt, p * mfLen)
       val out = new Array[Byte](p * mfLen)

@@ -26,10 +26,11 @@ class CrossProcessLockSpec extends SparkSuite {
     (p, new BufferedReader(new InputStreamReader(p.getInputStream)))
   }
 
-  private def awaitLine(r: BufferedReader, want: String): Unit = {
+  private def awaitLine(r: BufferedReader, want: String): String = {
     var line = r.readLine()
     while (line != null && !line.contains(want)) line = r.readLine()
     assert(line != null, s"child exited before printing $want")
+    line
   }
 
   test("warehouse build lock serializes two PROCESSES; waiter proceeds on release") {
@@ -37,17 +38,19 @@ class CrossProcessLockSpec extends SparkSuite {
     val holdMs = 2500L
     val (child, out) = fork("hold", lock.toString, holdMs.toString)
     try {
-      awaitLine(out, "HELD") // child owns the OS lock from here
-      val t0 = System.nanoTime()
-      var ran = false
-      Locks.withFileLock(lock) { ran = true } // must BLOCK, not fail/skip
-      val waitedMs = (System.nanoTime() - t0) / 1e6
-      assert(ran)
-      // we blocked for most of the child's hold window (generous slop for
-      // process scheduling — the point is "waited", not the exact ms)
-      assert(waitedMs >= holdMs - 1500,
-        s"second process acquired after only $waitedMs ms — no cross-" +
-        "process serialization")
+      // child prints "HELD <releaseDeadlineEpochMs>" AFTER taking the OS
+      // lock and holds it at least until that deadline — so asserting we
+      // acquired at/after the deadline proves serialization by ORDERING
+      // (same machine clock), with no sensitivity to fork/JVM startup or
+      // pipe-buffering jitter that an elapsed-time window has
+      val deadline = awaitLine(out, "HELD").trim.split("\\s+").last.toLong
+      var acquiredAt = 0L
+      Locks.withFileLock(lock) { acquiredAt = System.currentTimeMillis() }
+      assert(acquiredAt > 0)
+      assert(acquiredAt >= deadline,
+        s"second process acquired at $acquiredAt, ${deadline - acquiredAt} " +
+        "ms before the holder's release deadline — no cross-process " +
+        "serialization")
       awaitLine(out, "RELEASED")
     } finally { child.destroyForcibly(); child.waitFor() }
   }
@@ -71,5 +74,32 @@ class CrossProcessLockSpec extends SparkSuite {
       val s2 = new graft.catalog.CatalogStore(spark, root)
       assert(s1 != null && s2 != null)
     } finally { child.destroyForcibly(); child.waitFor() }
+  }
+
+  test("ownership claims key by REAL path: a symlinked root is the same claim") {
+    val real = Paths.get(tmpDir("xproc-sym"), "store")
+    java.nio.file.Files.createDirectories(real)
+    val link = real.getParent.resolve("store-link")
+    java.nio.file.Files.createSymbolicLink(link, real)
+    assert(Locks.tryOwnProcessWide(real.resolve("_graft_owner.lock")))
+    // same physical lock file via the symlink: must be the idempotent
+    // same-process no-op, not a phantom "owned by another process"
+    assert(Locks.tryOwnProcessWide(link.resolve("_graft_owner.lock")))
+  }
+
+  test("withFileLock is reentrant for the same thread (nested ensure* on one table)") {
+    val lock = Paths.get(tmpDir("xproc-reent"), "_graft_locks", "t.lock")
+    var reached = false
+    Locks.withFileLock(lock) {
+      // the old behavior: OverlappingFileLockException from the nested
+      // same-JVM acquisition; now the outer frame's OS lock covers it
+      Locks.withFileLock(lock) { reached = true }
+      // still holding after inner exit: a THIRD nesting works too
+      Locks.withFileLock(lock) { assert(reached) }
+    }
+    assert(reached)
+    // fully released on outer exit: a fresh acquisition succeeds
+    Locks.withFileLock(lock) { reached = false }
+    assert(!reached)
   }
 }

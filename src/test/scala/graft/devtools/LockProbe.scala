@@ -18,8 +18,13 @@ object LockProbe {
   def main(args: Array[String]): Unit = args(0) match {
     case "hold" =>
       graft.core.Locks.withFileLock(Paths.get(args(1))) {
-        println("HELD"); System.out.flush()
-        Thread.sleep(args(2).toLong)
+        // print the RELEASE DEADLINE (epoch ms): we hold at least until
+        // then, so the parent can assert it acquired at/after this
+        // instant — an ordering check immune to fork/pipe jitter that a
+        // parent-side elapsed-time window is not
+        val deadline = System.currentTimeMillis() + args(2).toLong
+        println(s"HELD $deadline"); System.out.flush()
+        while (System.currentTimeMillis() < deadline) Thread.sleep(25)
       }
       println("RELEASED"); System.out.flush()
     case "own" =>

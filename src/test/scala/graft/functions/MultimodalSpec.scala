@@ -108,4 +108,27 @@ class MultimodalSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Multimodal.Png.decode("not-a-png-at-all".getBytes))
   }
+
+  test("Png: FDICT zlib stream fails loud instead of spinning the inflate loop") {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(tb).put(data).putInt(crc.getValue.toInt)
+        .array()
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(1).putInt(1)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    // zlib header CMF=0x78 FLG=0x20: FDICT bit set, (CMF·256+FLG)%31==0,
+    // followed by a 4-byte DICTID. Inflater.inflate returns 0 on this
+    // with needsInput()==false and needsDictionary()==true — the exact
+    // shape that used to pass the needsInput-only check and loop forever.
+    val fdictIdat = Array(0x78, 0x20, 0x00, 0x00, 0x00, 0x01).map(_.toByte)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", fdictIdat) ++
+      chunk("IEND", Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException](Multimodal.Png.decode(png))
+    assert(e.getMessage.contains("FDICT"))
+  }
 }

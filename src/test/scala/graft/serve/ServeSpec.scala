@@ -116,5 +116,14 @@ class ServeSpec extends SparkSuite {
     // malformed parameter strings are a clean reject, not an exception
     assert(!Serve.Auth.verifyPassword("x", "scrypt:abc:8:1$s$00"))
     assert(!Serve.Auth.verifyPassword("x", "scrypt:15:8:1$s$00"))
+    // hostile parameter rows: N=2^26 overflows n*words without the cap
+    // (NegativeArraySizeException), and large-but-valid N/r force multi-GB
+    // allocations — all must be clean rejects, never a crash or an alloc
+    assert(!Serve.Auth.verifyPassword("x", "scrypt:67108864:8:1$s$00"))
+    assert(!Serve.Auth.verifyPassword("x", "scrypt:4194304:8:1$s$00"))
+    assert(!Serve.Auth.verifyPassword("x", "scrypt:1024:100000:1$s$00"))
+    assert(!Serve.Auth.verifyPassword("x", "scrypt:1024:8:1000000$s$00"))
+    assert(!Serve.Auth.verifyPassword("x",
+      "scrypt:2147483648:8:1$s$00")) // N > Int.MaxValue: NumberFormat path
   }
 }
