@@ -40,7 +40,7 @@ object Bench {
     * fam 8 copies its predecessor (id%10==7 — an EVAL doc under the
     * q59/q92 holdout convention): plants train->eval contamination so
     * the attribution probe scores real shared-gram mass, not 0 rows. */
-  private def synthProbeCorpus(spark: SparkSession, dir: String,
+  private[graft] def synthProbeCorpus(spark: SparkSession, dir: String,
                                nDocs: Long, nVecs: Long): Unit = {
     val fam = pmod(col("id"), lit(50))
     val base = when((fam === 1 || fam === 26 || fam === 8) && col("id") > 0,

@@ -104,8 +104,18 @@ object Pipeline {
     * frame would re-tokenize and re-shingle the corpus per side. */
   private def verifyPairsExact(docs: DataFrame, pairs: DataFrame,
                                aCol: String, bCol: String,
-                               theta: Double): DataFrame =
-    graft.core.Mat.withMaterialized(shingleSets(docs)) { s =>
+                               theta: Double): DataFrame = {
+    // Shingle arrays are only ever read for docs that appear in a
+    // candidate pair — semi-join the corpus down to those ids BEFORE
+    // tokenizing/shingling/materializing anything. Candidate docs are a
+    // vanishing fraction of the corpus at scale (60k of 500k at the 10×
+    // probe; far sparser at 100 TB), so this turns the verify stage's
+    // array build from O(corpus) into O(candidates). `pairs` is
+    // materialized by every caller, so the id scan is a cheap re-read.
+    val candIds = pairs.select(col(aCol).as("doc_id"))
+      .union(pairs.select(col(bCol).as("doc_id"))).distinct()
+    graft.core.Mat.withMaterialized(
+        shingleSets(docs.join(candIds, Seq("doc_id"), "left_semi"))) { s =>
       val inter = size(array_intersect(col("sh_a"), col("sh_b")))
       val jac = inter.cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double")
@@ -117,6 +127,7 @@ object Pipeline {
           .filter(col("jaccard") >= theta)
           .select(col(aCol), col(bCol), col("jaccard")))
     }
+  }
 
   /** Candidates → exact-verified near-dup pairs shared by q24 and q66.
     * k=48/12 bands (r=4): vs the 8-band default, recall at the j=0.9
@@ -163,46 +174,39 @@ object Pipeline {
     *
     * Scale shape: candidates come from the shingle-hash INVERTED INDEX
     * (q81's shuffle shape), DF-capped so one boilerplate gram shared by
-    * df documents can't contribute C(df,2) pairs, and PREFILTERED by an
-    * exact upper bound before any set arithmetic: per pair, the shared
-    * rare-gram count c plus min(capped_a, capped_b) is ≥ |A∩B| (rare and
-    * capped grams partition each set), so pairs where even that bound
-    * can't reach θ·min(|A|,|B|) are dropped with integer arithmetic
-    * alone — SOUND (never drops a true pair) and it collapses the
-    * verification set from "every pair sharing any gram" (1.1M pairs at
-    * sf0.1 — measured 8.8 s) to the plausible few thousand. Survivors
-    * are verified EXACTLY on the full distinct sets (array_intersect on
-    * 8-byte hashes). Contract domain mirrors q24: a true pair must share
-    * ≥1 sub-cap gram — holds whenever duplicate families stay under the
-    * cap (the composed exact-dedup-first invariant). Exact integer
-    * counts, ONE division. */
+    * df documents can't contribute C(df,2) pairs, and POSITION-FILTERED
+    * (PPJoin-style prefix filter) BEFORE the pair count so candidate
+    * mass never materializes as "every pair sharing any gram": order
+    * grams canonically (df asc, hash asc — rarest first, the classic
+    * prefix-filter ordering), and only the first n − ⌈θ·n⌉ + 1 of each
+    * doc's sub-cap grams may OPEN a candidate. Sound under the same
+    * contract as before: for a true pair, the smaller doc A (n distinct
+    * grams, ka of them over-cap) shares ≥ ⌈θ·n⌉ grams with B, of which
+    * ≤ ka are capped; if none landed in A's rare-gram prefix, shared
+    * rare ≤ (⌈θ·n⌉ − ka − 1) and shared total ≤ ⌈θ·n⌉ − 1 — contradiction.
+    * So every true pair shares a prefix gram of its (n, id)-lexicographic
+    * smaller side, which is exactly the join below; pairs sharing only
+    * non-prefix grams (the quadratically-growing accidental-collision
+    * mass in dense-gram corpora — the r9 probe's 11× regime, where a 5k
+    * trigram vocabulary makes single-gram collisions grow ~n²) never
+    * enter the pair aggregation at all. Survivors are verified EXACTLY
+    * on the full distinct sets (array_intersect on 8-byte hashes).
+    * Contract domain mirrors q24: a true pair must share ≥1 sub-cap
+    * gram — holds whenever duplicate families stay under the cap (the
+    * composed exact-dedup-first invariant). Exact integer counts, ONE
+    * division. */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
-    val theta = 0.9 // encoded exactly as ×10 ≥ ×9 in the integer prefilter
-    val dfCap = 256
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val cand = graft.core.Mat.withMaterialized(
         Dedup.shingleHashRows(docs, "doc_id", "text", w = 3)) { grams =>
-      val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
-      val tagged = grams.join(dfreq, Seq("gh"))
-      val stats = tagged.groupBy("id").agg(
-        count(lit(1)).as("n_sh"),
-        sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("n_capped"))
-      val rare = tagged.filter(col("df") <= dfCap)
-      val shared = rare.select(col("gh"), col("id").as("id_a"))
-        .join(rare.select(col("gh"), col("id").as("id_b")), Seq("gh"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
-      graft.core.Mat.tracked(
-        shared
-          .join(stats.select(col("id").as("id_a"), col("n_sh").as("na"),
-                             col("n_capped").as("ka")), Seq("id_a"))
-          .join(stats.select(col("id").as("id_b"), col("n_sh").as("nb"),
-                             col("n_capped").as("kb")), Seq("id_b"))
-          .filter((col("c") + least(col("ka"), col("kb"))) * 10 >=
-                  least(col("na"), col("nb")) * 9)
-          .select("id_a", "id_b"))
+      graft.core.Mat.tracked(containmentCandidates(grams))
     }
-    graft.core.Mat.withMaterialized(shingleSets(docs)) { s =>
+    // same O(candidates)-not-O(corpus) verify shape as verifyPairsExact:
+    // only candidate docs get their shingle arrays built
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    graft.core.Mat.withMaterialized(
+        shingleSets(docs.join(candIds, Seq("doc_id"), "left_semi"))) { s =>
       val inter = size(array_intersect(col("sh_a"), col("sh_b")))
       val ov = inter.cast("double") /
         least(size(col("sh_a")), size(col("sh_b"))).cast("double")
@@ -211,10 +215,67 @@ object Pipeline {
           .join(s.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
           .join(s.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
           .withColumn("overlap", ov)
-          .filter(col("overlap") >= theta)
+          .filter(col("overlap") >= 0.9)
           .select(col("id_a"), col("id_b"), col("overlap"))
           .orderBy("id_a", "id_b"))
     }
+  }
+
+  /** Positional-prefix candidate generation for [[containmentPairs]]
+    * (θ = 0.9 hard-wired into the integer prefix-length arithmetic:
+    * ⌈0.9·n⌉ = ⌊(9n+9)/10⌋, all exact longs). Returns the distinct
+    * (id_a, id_b) pairs (id_a < id_b) sharing at least one sub-cap gram
+    * that lies within the PREFIX of the pair's (n, id)-smaller side —
+    * a superset of all true ≥θ-containment pairs (soundness proof at the
+    * caller) and a subset of "pairs sharing any rare gram" (the old
+    * candidate definition, whose aggregation was the scale bottleneck
+    * in gram-dense corpora). Exposed package-private for the
+    * candidate-mass diagnostics in devtools. */
+  private[graft] def containmentCandidates(grams: DataFrame,
+                                           dfCap: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Two LINEAR aggregates over the (id, gh) rows — per-doc distinct-gram
+    // count and per-gram document frequency — and nothing else ever touches
+    // the full gram table. In particular df=1 grams (the overwhelming
+    // majority in a high-entropy corpus: 94% of the 10× probe) can open no
+    // pair by definition, so they are kept OUT of every join and out of the
+    // ranking window; without this the gram⋈dfreq join and the per-doc rank
+    // window each process the whole corpus — the probe's 11×-at-10× regime.
+    val stats = grams.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val dfreq2 = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val shared = grams.join(dfreq2, Seq("gh")) // only grams ≥2 docs share
+    val sharedStats = shared.groupBy("id").agg(count(lit(1)).as("n_shared"))
+    // canonical global gram order: rarest first (df asc), gh the
+    // deterministic tie-break — properties of the GRAM, identical in every
+    // doc, which is what makes the prefix argument valid. Under it a doc's
+    // df=1 grams (u = n_sh − n_shared of them) all sort BEFORE its shared
+    // grams, so a shared rare gram's rank in the doc's full rare sequence
+    // is u + its rank among the doc's shared rare grams — the window only
+    // ever ranks shared rows. Capped grams (df > dfCap) sit outside the
+    // rare sequence entirely, exactly as in the soundness proof.
+    val rareShared = shared.filter(col("df") <= dfCap)
+      .join(stats, Seq("id")).join(sharedStats, Seq("id"))
+    val ranked = rareShared.withColumn("rk_sh",
+      row_number().over(Window.partitionBy("id").orderBy("df", "gh")))
+    // prefix length n − ⌈0.9·n⌉ + 1 = ⌊n/10⌋ + 1 (write n = 10q + r:
+    // ⌈9n/10⌉ = 9q + r, so the expression collapses to q + 1) — floor on
+    // a small exact integer quotient, no FP hazard
+    val prefix = ranked
+      .filter(col("n_sh") - col("n_shared") + col("rk_sh") <=
+              floor(col("n_sh") / 10) + 1)
+      .select(col("gh"), col("id").as("id_p"), col("n_sh").as("n_p"))
+    val full = shared.filter(col("df") <= dfCap).join(stats, Seq("id"))
+      .select(col("gh"), col("id").as("id_f"), col("n_sh").as("n_f"))
+    prefix.join(full, Seq("gh"))
+      // the prefix side must be the pair's (n, id)-lexicographic smaller
+      // doc — that's the side whose prefix provably contains a shared
+      // gram — and the lexicographic order generates each pair once
+      .filter(col("n_p") < col("n_f") ||
+              (col("n_p") === col("n_f") && col("id_p") < col("id_f")))
+      .select(least(col("id_p"), col("id_f")).as("id_a"),
+              greatest(col("id_p"), col("id_f")).as("id_b"))
+      .distinct()
   }
 
   /** SimHash fingerprint audit: the fused single-pass codegen expression
