@@ -546,6 +546,32 @@ object SparkEntry {
       |  SELECT sym.b, reach.label FROM reach JOIN sym ON sym.a = reach.id)
       |""".stripMargin
 
+  /** CONTRACT-BOOLEAN INVENTORY (r10). Default standard: every emitted
+    * column is recomputed independently by the DuckDB oracle. The rows
+    * below are the IRREDUCIBLE exceptions — booleans whose truth the
+    * oracle cannot recompute because the quantity under test only exists
+    * inside this engine; each pins exact VALUE columns alongside so the
+    * row still hash-checks real data:
+    *  - q25 `fused_matches_composed`, q50 `order_invariant`/
+    *    `dup_invariant`: bit-identity of the fused Catalyst SimHash
+    *    expression vs the composed-builtins form — two independent
+    *    Spark implementations; no third engine computes SimHash.
+    *  - q33 `approx_within_5pct`: HLL sketch error vs the exact distinct
+    *    count (the pinned value); DuckDB's approx sketch differs.
+    *  - q49 `est_ok`: MinHash Jaccard-estimate error vs the exact
+    *    Jaccard (the pinned value).
+    *  - q27/q75 `recall_ok`: LSH ANN recall vs the brute-force set — the
+    *    approx side needs the seeded hyperplanes only this engine has.
+    *  - q66 `band_recall_ok`: the SimHash pigeonhole banding guarantee
+    *    (Hamming ≤ 3 ⇒ ≥ 1 band match); jaccard is the pinned value.
+    *  - q36 `crc_consistent` (java.util.zip.CRC32 vs codegen crc32 —
+    *    cross-implementation agreement; the CRC's input bytes are
+    *    value-pinned via `payload_md5`), `f0_in_range` (decode-stub
+    *    feature contract).
+    *  - q85 `one_file_per_source`: filesystem layout of the release
+    *    writer (doc/token counts are the pinned values).
+    * Everything else that once pinned `true` literals (q41, q51, q52,
+    * q58, q62, q112, q151, q152) now recomputes the value oracle-side. */
   def oracleSql: Map[String, String] = Map(
     "q42_profile" -> profileOracle,
     // verified-LSH contract oracles: the Spark side emits candidates
@@ -615,17 +641,28 @@ object SparkEntry {
     // engines build identically) + the corpus's distinct vectors topping
     // out at cosine ~0.51 make keep a DuckDB-computable VALUE:
     // keep <=> no identical lower-id vector
+    // r10: the justification booleans are RECOMPUTED from the planted
+    // truth with the Spark side's own formulas (drop_justified =
+    // keep ∨ max_lower_cos ≥ θ, keep_justified = ¬keep ∨ max_lower_cos
+    // < θ) — on this corpus max_lower_cos ≥ 0.97 ⟺ an identical lower-id
+    // vector exists (identical vectors always co-locate in a cell and
+    // score 1.0; distinct vectors top out at ≈ 0.51), so `has_dup` is the
+    // oracle's exact stand-in for the in-cell cosine test.
     "q62_semantic_dedup" ->
       """WITH base AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
         |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings), embedding
-        |  FROM embeddings WHERE vec_id % 25 = 0)
-        |SELECT b.vec_id,
-        |  NOT EXISTS (SELECT 1 FROM base c
-        |              WHERE c.vec_id < b.vec_id AND c.embedding = b.embedding) AS keep,
-        |  true AS drop_justified, true AS keep_justified
-        |FROM base b""".stripMargin,
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |h AS (
+        |  SELECT b.vec_id,
+        |    EXISTS (SELECT 1 FROM base c
+        |            WHERE c.vec_id < b.vec_id AND c.embedding = b.embedding) AS has_dup
+        |  FROM base b)
+        |SELECT vec_id, NOT has_dup AS keep,
+        |  (NOT has_dup) OR has_dup AS drop_justified,
+        |  has_dup OR (NOT has_dup) AS keep_justified
+        |FROM h""".stripMargin,
     // sketch error-contract rows: the exact columns are computed by DuckDB;
     // the boolean property columns are literal `true` — the driver's
     // hash-compare then asserts the Spark-side sketch met its contract
@@ -649,10 +686,13 @@ object SparkEntry {
     "q50_simhash_invariance" ->
       """SELECT doc_id, true AS order_invariant, true AS dup_invariant
         |FROM documents""".stripMargin,
-    // media contracts: exact byte length + cross-implementation CRC32
+    // media contracts: exact byte length + md5 of the exact payload bytes
+    // the codec consumed (r10 — value-pins the CRC's INPUT; DuckDB has no
+    // crc32 to pin the checksum itself) + cross-implementation CRC32
     // agreement + stub feature range (see Pipeline.mediaFeatures)
     "q36_media_features" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        | md5(text) AS payload_md5,
         | true AS crc_consistent, true AS f0_in_range
         |FROM documents""".stripMargin,
     "q51_exact_nn" ->
@@ -1939,11 +1979,25 @@ object SparkEntry {
     "q37_export_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
-    // r8: structural contracts of the LSH cluster map (see
-    // Pipeline.dupClustersLshAudit) — both booleans pinned true
+    // r10: structural contracts of the LSH cluster map (see
+    // Pipeline.dupClustersLshAudit), RE-DERIVED from the recursive-CTE
+    // cluster ground truth q57 shares — fp_family_ok is "doc and its
+    // fingerprint-min doc land in one cluster" and q57_containment_ok is
+    // "doc and its cluster representative land in one cluster", both
+    // computed through `reach`, not pinned literals. The Spark side
+    // evaluates the same relations against the LSH map, so a map that
+    // splits a fingerprint family or tears a q57 cluster hash-mismatches.
     "q58_dup_clusters_lsh" ->
-      """SELECT doc_id, true AS fp_family_ok, true AS q57_containment_ok
-        |FROM documents""".stripMargin,
+      (dupClusterCte +
+        """, cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
+          |SELECT cd.doc_id,
+          |  (cd.cluster_id = cf.cluster_id) AS fp_family_ok,
+          |  (cd.cluster_id = cr.cluster_id) AS q57_containment_ok
+          |FROM cl cd
+          |JOIN fp ON fp.doc_id = cd.doc_id
+          |JOIN mn USING (f)
+          |JOIN cl cf ON cf.doc_id = mn.m
+          |JOIN cl cr ON cr.doc_id = cd.cluster_id""".stripMargin),
     "q38_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, max(event_id) AS event_id

@@ -565,10 +565,14 @@ object Pipeline {
 
   /** Multimodal feature extraction through the partition-parallel decode
     * stub — oracle-checked via contracts: `n_bytes` is exact (DuckDB
-    * octet_length); `crc_consistent` cross-checks the mapPartitions codec
-    * session's java.util.zip.CRC32 against Spark's independent codegen
-    * `crc32` expression (two implementations must agree byte-for-byte);
-    * `f0_in_range` pins the stub feature contract ([-1,1]). */
+    * octet_length) and `payload_md5` pins the exact BYTES the codec
+    * session consumed (DuckDB recomputes md5 over the same utf-8
+    * payload — r10, so the CRC's input is value-pinned even though DuckDB
+    * has no crc32 to pin the checksum itself); `crc_consistent`
+    * cross-checks the mapPartitions codec session's java.util.zip.CRC32
+    * against Spark's independent codegen `crc32` expression (two
+    * implementations must agree byte-for-byte); `f0_in_range` pins the
+    * stub feature contract ([-1,1]). */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = mediaTable(spark, dir).as[Multimodal.MediaRow]
@@ -576,6 +580,7 @@ object Pipeline {
     feats.join(mediaTable(spark, dir).select(col("media_id"), col("payload")),
         Seq("media_id"))
       .select(col("media_id"), col("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
         (col("checksum") === crc32(col("payload"))).as("crc_consistent"),
         (element_at(col("features"), 1) >= -1.0 &&
          element_at(col("features"), 1) <= 1.0).as("f0_in_range"))
