@@ -328,8 +328,11 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
                         bitsPerTable: Int = 0, nTables: Int = 6): DataFrame =
-    Vectors.lshSelfPairs(df, idCol, vecCol, dim, bitsPerTable, nTables)
-      .filter(col("cos_sim") >= threshold)
+    // threshold pushed INTO the bucket self-join (minCos): the collision
+    // mass is scored and filtered in the join projection, so only true
+    // near-dups ever reach a pair-level shuffle
+    Vectors.lshSelfPairs(df, idCol, vecCol, dim, bitsPerTable, nTables,
+        minCos = threshold)
       .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
               col("cos_sim"))
 

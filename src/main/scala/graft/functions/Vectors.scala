@@ -91,12 +91,20 @@ object Vectors {
     * duplicate or zero vectors hash identically in EVERY table and would
     * otherwise go quadratic; exact-dup by fingerprint belongs BEFORE ANN).
     * Cap ⇒ recall on skewed buckets is best-effort by design. */
-  private def bucketRows(df: DataFrame, idCol: String, vecCol: String,
-                         idAs: String, dim: Int, bitsPerTable: Int,
-                         nTables: Int, bucketCap: Int): DataFrame = {
-    val sigs = df.select(col(idCol).as(idAs),
+  /** When `vecAs` is non-empty the vector rides along on each bucket row —
+    * the self-join path scores cosine INSIDE the bucket join, so the
+    * (bounded, ~n·L-row) bucket table carries the payload instead of the
+    * (much larger, ~n·L·bucketSize-row) candidate-pair set joining it
+    * back twice. */
+  private[graft] def bucketRows(df: DataFrame, idCol: String, vecCol: String,
+                                idAs: String, dim: Int, bitsPerTable: Int,
+                                nTables: Int, bucketCap: Int,
+                                vecAs: String = ""): DataFrame = {
+    val keep = Seq(col(idCol).as(idAs)) ++
+      (if (vecAs.nonEmpty) Seq(col(vecCol).as(vecAs)) else Nil)
+    val sigs = df.select(keep :+
       posexplode(lshSignatures(col(vecCol), dim, bitsPerTable, nTables))
-        .as(Seq("tbl", "sig")))
+        .as(Seq("tbl", "sig")): _*)
     val w = Window.partitionBy("tbl", "sig").orderBy(col(idAs).asc)
     sigs.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= bucketCap).drop("rn")
@@ -133,12 +141,27 @@ object Vectors {
 
   /** Self near-duplicate candidates (corpus vs itself, id_a < id_b):
     * signatures computed ONCE and self-joined — half the signature work and
-    * one bucket shuffle instead of two vs calling lshScoredPairs(df, df). */
+    * one bucket shuffle instead of two vs calling lshScoredPairs(df, df).
+    *
+    * The exact cosine is computed INSIDE the bucket self-join (vectors
+    * ride on the ~n·L bucket rows) and `minCos` filters BEFORE the pair
+    * dedup, so the candidate-pair set — the one relation here that grows
+    * with bucket size² — never shuffles anywhere: the old shape deduped
+    * all raw collisions and joined vectors back twice, which at the 100×
+    * point moved ~27M pairs through three shuffles (~14 GB) to keep 8k
+    * rows; this shape pays one ~n·L·vecBytes bucket shuffle (~325 MB
+    * there) and the collision mass only ever flows through a fused
+    * codegen cosine + filter in the join projection. Rounding (6 dp)
+    * happens before the threshold compare, exactly as scorePairs-then-
+    * filter did, so the emitted pair set is bit-identical. `minCos` =
+    * -2.0 keeps every scored candidate (the dedup then carries narrow
+    * (id, id, cos) rows — still no vector payload). */
   def lshSelfPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                    bitsPerTable: Int = 0, nTables: Int = 6,
                    targetBucketSize: Int = 32,
                    bucketCap: Int = 256,
-                   corpusCount: Long = -1L): DataFrame = {
+                   corpusCount: Long = -1L,
+                   minCos: Double = -2.0): DataFrame = {
     val bits = if (bitsPerTable > 0) bitsPerTable
                else adaptiveBits(knownCount(df, corpusCount), targetBucketSize)
     // materialize bucket rows before the self-join — both join sides would
@@ -147,14 +170,17 @@ object Vectors {
     // signatures are a written table). Scoped: the scored-pair result is
     // materialized inside, the bucket blocks released on exit.
     graft.core.Mat.withMaterialized(
-      bucketRows(df, idCol, vecCol, "id", dim, bits, nTables, bucketCap)
+      bucketRows(df, idCol, vecCol, "id", dim, bits, nTables, bucketCap,
+        vecAs = "v")
     ) { b =>
-      val pairs = b.as("l").join(b.as("r"),
-          col("l.tbl") === col("r.tbl") && col("l.sig") === col("r.sig") &&
-          col("l.id") < col("r.id"))
-        .select(col("l.id").as("query_id"), col("r.id").as("neighbor_id"))
-        .dropDuplicates("query_id", "neighbor_id")
-      graft.core.Mat.tracked(scorePairs(pairs, df, df, idCol, vecCol))
+      graft.core.Mat.tracked(
+        b.as("l").join(b.as("r"),
+            col("l.tbl") === col("r.tbl") && col("l.sig") === col("r.sig") &&
+            col("l.id") < col("r.id"))
+          .select(col("l.id").as("query_id"), col("r.id").as("neighbor_id"),
+                  round(cosine(col("l.v"), col("r.v")), 6).as("cos_sim"))
+          .filter(col("cos_sim") >= minCos)
+          .dropDuplicates("query_id", "neighbor_id"))
     }
   }
 
