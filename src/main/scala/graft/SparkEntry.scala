@@ -339,6 +339,9 @@ object SparkEntry {
     "q145_wav_decode"        -> Pipeline.wavDecode _,
     "q146_bmp_decode"        -> Pipeline.bmpDecode _,
     "q153_png_decode"        -> Pipeline.pngDecode _,
+    // incremental embedding admission: increment probes the corpus's LSH
+    // bucket table two-sided, threshold fused into the join (r10)
+    "q154_incremental_embedding" -> Pipeline.incrementalEmbeddingDedup _,
     // adaptive skew join: histogram-gated salting under q13's oracle
     "q147_adaptive_skew_join" -> Relational.revenueByNationAdaptiveSkew _,
     // TPC-H Q8/Q15/Q4 shapes
@@ -2176,5 +2179,33 @@ object SparkEntry {
         |  CAST(h * (1 + 3*w) AS BIGINT) AS n_raw_bytes,
         |  sum_r, sum_g, sum_b, wsum
         |FROM s JOIN a USING (media_id)""".stripMargin,
+    // incremental embedding admission (q64's convention on the vector
+    // table): DuckDB brute-forces increment × corpus cosine at the same
+    // 0.9 bar, so both the planted rejections (recall — identical vectors
+    // must collide in every LSH table) and the natural admissions
+    // (precision — corpus cross-pairs top out at ≈ 0.51) are checked as
+    // values; max-cos is −1.0 for admitted rows so the double compares
+    // exactly (planted hits are exact copies: cosine 1.0 in both engines)
+    "q154_incremental_embedding" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 4),
+        |inc AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 4
+        |  UNION ALL
+        |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings), embedding
+        |  FROM embeddings WHERE vec_id % 5 <> 4 AND vec_id % 25 = 0),
+        |m AS (
+        |  SELECT i.vec_id, CAST(count(*) AS BIGINT) AS n,
+        |    max(CAST(list_cosine_similarity(c.embedding, i.embedding)
+        |             AS DOUBLE)) AS mx
+        |  FROM inc i JOIN corpus c
+        |    ON list_cosine_similarity(c.embedding, i.embedding) >= 0.9
+        |  GROUP BY 1)
+        |SELECT i.vec_id,
+        |  coalesce(m.n, 0) AS n_corpus_dups,
+        |  coalesce(m.n, 0) > 0 AS is_near_dup,
+        |  coalesce(m.n, 0) = 0 AS admit,
+        |  round(coalesce(m.mx, -1.0), 4) AS max_corpus_cos
+        |FROM inc i LEFT JOIN m USING (vec_id)""".stripMargin,
   )
 }

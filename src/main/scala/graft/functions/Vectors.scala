@@ -125,18 +125,24 @@ object Vectors {
                      bitsPerTable: Int = 0, nTables: Int = 6,
                      targetBucketSize: Int = 32,
                      bucketCap: Int = 256,
-                     corpusCount: Long = -1L): DataFrame = {
+                     corpusCount: Long = -1L,
+                     minCos: Double = -2.0): DataFrame = {
     val bits = if (bitsPerTable > 0) bitsPerTable
                else adaptiveBits(knownCount(corpus, corpusCount), targetBucketSize)
+    // same fused shape as lshSelfPairs (r10): vectors ride on the bucket
+    // rows, cosine + the caller's threshold evaluate in the join
+    // projection, and only narrow survivor rows reach the pair dedup —
+    // the collision mass never joins vectors back.
     val sigC = bucketRows(corpus, idCol, vecCol, "neighbor_id",
-      dim, bits, nTables, bucketCap)
+      dim, bits, nTables, bucketCap, vecAs = "cv")
     val sigQ = bucketRows(queries, idCol, vecCol, "query_id",
-      dim, bits, nTables, bucketCap)
-    val pairs = sigC.join(sigQ, Seq("tbl", "sig"))
+      dim, bits, nTables, bucketCap, vecAs = "qv")
+    sigC.join(sigQ, Seq("tbl", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
       .dropDuplicates("query_id", "neighbor_id")
-    scorePairs(pairs, corpus, queries, idCol, vecCol)
   }
 
   /** Self near-duplicate candidates (corpus vs itself, id_a < id_b):

@@ -548,6 +548,45 @@ object Pipeline {
         "embedding", dim = 64, threshold = 0.2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q154 — incremental EMBEDDING dedup: the day's new vectors are
+    * admitted only when no standing-corpus vector sits at cosine ≥ 0.9 —
+    * the embedding analogue of q64 (exact) / q65 (MinHash) incremental
+    * admission, and the q74-style production loop: the corpus side's LSH
+    * bucket rows are the stored signature table, the increment probes it
+    * with the two-sided fused bucket join ([[Vectors.lshScoredPairs]],
+    * threshold pushed into the join projection), and the corpus is never
+    * self-joined or re-scanned. Increment = the vec_id ≡ 4 (mod 5) slice
+    * plus PLANTED exact copies of corpus vectors (≡ 0 mod 25 — the
+    * redelivered-embedding shape): planted rows must be rejected with
+    * exactly their source as the hit (identical vectors collide in every
+    * LSH table — guaranteed recall), natural increment rows admitted (the
+    * corpus's distinct vectors top out at cosine ≈ 0.51). DuckDB
+    * brute-forces increment × corpus at the same bar, so precision AND
+    * recall of the whole incremental path are driver-checked. Exact
+    * integer counts; max-cos is −1.0 (not NULL) for admitted rows so the
+    * column compares exactly. */
+  def incrementalEmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val st = emb.agg(max("vec_id")).head()
+    val offset = if (st.isNullAt(0)) 1L else st.getLong(0) + 1L
+    val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+    val planted = corpus.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+    val inc = emb.filter(pmod(col("vec_id"), lit(5)) === 4).unionByName(planted)
+    val hits = Vectors.lshScoredPairs(corpus, inc, "vec_id", "embedding",
+        dim = 64, minCos = 0.9)
+      .groupBy(col("query_id").as("vec_id"))
+      .agg(count(lit(1)).as("n"), max("cos_sim").as("mx"))
+    inc.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n"), lit(0L)).as("n_corpus_dups"),
+        (coalesce(col("n"), lit(0L)) > 0).as("is_near_dup"),
+        (coalesce(col("n"), lit(0L)) === 0).as("admit"),
+        round(coalesce(col("mx"), lit(-1.0)), 4).as("max_corpus_cos"))
+      .orderBy("vec_id")
+  }
+
   /** Documents as an opaque-binary media table (payload = utf-8 bytes here;
     * at scale: real image/audio payloads with the same schema). */
   private def mediaTable(spark: SparkSession, dir: String): DataFrame =

@@ -205,6 +205,33 @@ class FunctionsSpec extends SparkSuite {
     assert(ratio < 8.0, s"candidate growth $ratio looks super-linear (small=$small large=$large)")
   }
 
+  test("lshSelfPairs minCos pushdown emits the same pairs as post-filtering") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val pushed = Vectors.lshSelfPairs(emb, "vec_id", "embedding", dim = 64,
+        minCos = 0.4)
+      .select("query_id", "neighbor_id", "cos_sim").collect().toSet
+    val post = Vectors.lshSelfPairs(emb, "vec_id", "embedding", dim = 64)
+      .filter(col("cos_sim") >= 0.4)
+      .select("query_id", "neighbor_id", "cos_sim").collect().toSet
+    assert(pushed == post)
+    assert(pushed.nonEmpty)
+  }
+
+  test("lshScoredPairs finds planted increment copies with guaranteed recall") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    // queries = exact copies of 10 corpus vectors, re-keyed above the space
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val hits = Vectors.lshScoredPairs(corpus, queries, "vec_id", "embedding",
+        dim = 64, minCos = 0.99)
+      .collect().map(r => r.getLong(0) - 100000 -> r.getLong(1)).toSet
+    // every planted copy must surface exactly its source (identical
+    // vectors collide in every table; nothing else scores >= 0.99)
+    assert(hits == corpus.filter(col("vec_id") < 20)
+      .select("vec_id").collect().map(r => r.getLong(0) -> r.getLong(0)).toSet)
+  }
+
   test("IVF: nprobe == nlist degenerates to exact brute-force top-k") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)

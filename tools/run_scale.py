@@ -35,7 +35,7 @@ FAMILY = [
     "q57_dup_clusters", "q58_dup_clusters_lsh", "q62_semantic_dedup",
     "q81_duplicated_spans", "q105_dedup_inflation", "q108_containment",
     "q51_exact_nn", "q52_ivf_topk", "q27_lsh_topk", "q106_error_proximity",
-    "q152_ivf_partial_probe",
+    "q152_ivf_partial_probe", "q154_incremental_embedding",
     # TPC-H shapes: the classic join/agg plans must grow sublinearly too
     "q01_pricing_summary", "q13_revenue_nation", "q141_trade_flows",
     "q143_small_order_revenue", "q148_market_share", "q150_order_priority",
