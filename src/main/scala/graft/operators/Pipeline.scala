@@ -235,37 +235,49 @@ object Pipeline {
                                            dfCap: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Two LINEAR aggregates over the (id, gh) rows — per-doc distinct-gram
-    // count and per-gram document frequency — and nothing else ever touches
-    // the full gram table. In particular df=1 grams (the overwhelming
-    // majority in a high-entropy corpus: 94% of the 10× probe) can open no
-    // pair by definition, so they are kept OUT of every join and out of the
-    // ranking window; without this the gram⋈dfreq join and the per-doc rank
-    // window each process the whole corpus — the probe's 11×-at-10× regime.
+    // count and per-gram document frequency — and nothing else ever
+    // touches the full gram table: df=1 grams (the overwhelming majority
+    // in a high-entropy corpus: 94% of the 10× probe) can open no pair by
+    // definition, so they are kept OUT of every join and out of the
+    // ranking window — without this the gram⋈dfreq join and the rank
+    // window each process the whole corpus, the probe's 11×-at-10×
+    // regime. On the opposite (gram-dense) corpus shape, where df=1
+    // pruning removes almost nothing and 26M rows flow through here, the
+    // stage pays exactly ONE window exchange (rank AND the per-doc
+    // shared-row count share the partitionBy(id) exchange — no separate
+    // shared-rows re-aggregate) and ONE stats join that feeds both join
+    // sides (the r10 profile showed a sharedStats aggregate plus two
+    // separate stats joins were half the stage wall there).
     val stats = grams.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val dfreq2 = grams.groupBy("gh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
     val shared = grams.join(dfreq2, Seq("gh")) // only grams ≥2 docs share
-    val sharedStats = shared.groupBy("id").agg(count(lit(1)).as("n_shared"))
     // canonical global gram order: rarest first (df asc), gh the
-    // deterministic tie-break — properties of the GRAM, identical in every
-    // doc, which is what makes the prefix argument valid. Under it a doc's
-    // df=1 grams (u = n_sh − n_shared of them) all sort BEFORE its shared
-    // grams, so a shared rare gram's rank in the doc's full rare sequence
-    // is u + its rank among the doc's shared rare grams — the window only
-    // ever ranks shared rows. Capped grams (df > dfCap) sit outside the
-    // rare sequence entirely, exactly as in the soundness proof.
-    val rareShared = shared.filter(col("df") <= dfCap)
-      .join(stats, Seq("id")).join(sharedStats, Seq("id"))
-    val ranked = rareShared.withColumn("rk_sh",
-      row_number().over(Window.partitionBy("id").orderBy("df", "gh")))
+    // deterministic tie-break — properties of the GRAM, identical in
+    // every doc, which is what makes the prefix argument valid. Under it
+    // a doc's df=1 grams (u = n_sh − n_shared of them) all sort BEFORE
+    // its shared grams and capped grams (df > dfCap, the largest df
+    // values) sort last, so a shared rare gram's rank in the doc's full
+    // rare sequence is u + its rank among the doc's shared grams — the
+    // window only ever ranks shared rows, and u comes from the count
+    // window over the same exchange.
+    val byDoc = Window.partitionBy("id")
+    val ranked = shared
+      .withColumn("rk_sh", row_number().over(byDoc.orderBy("df", "gh")))
+      .withColumn("n_shared", count(lit(1)).over(byDoc))
+      .join(stats, Seq("id"))
     // prefix length n − ⌈0.9·n⌉ + 1 = ⌊n/10⌋ + 1 (write n = 10q + r:
     // ⌈9n/10⌉ = 9q + r, so the expression collapses to q + 1) — floor on
-    // a small exact integer quotient, no FP hazard
+    // a small exact integer quotient, no FP hazard. Capped grams sit
+    // outside the rare sequence (they sort after every sub-cap gram, so
+    // sub-cap ranks are unaffected) and may not open pairs — the df
+    // filters apply after the rank, exactly as in the soundness proof.
     val prefix = ranked
       .filter(col("n_sh") - col("n_shared") + col("rk_sh") <=
-              floor(col("n_sh") / 10) + 1)
+              floor(col("n_sh") / 10) + 1 &&
+              col("df") <= dfCap)
       .select(col("gh"), col("id").as("id_p"), col("n_sh").as("n_p"))
-    val full = shared.filter(col("df") <= dfCap).join(stats, Seq("id"))
+    val full = ranked.filter(col("df") <= dfCap)
       .select(col("gh"), col("id").as("id_f"), col("n_sh").as("n_f"))
     prefix.join(full, Seq("gh"))
       // the prefix side must be the pair's (n, id)-lexicographic smaller

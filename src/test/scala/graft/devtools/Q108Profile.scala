@@ -29,6 +29,33 @@ object Q108Profile {
         time("stats_groupby")(grams.groupBy("id").agg(count(lit(1))).count())
         time("dfreq2_groupby")(grams.groupBy("gh").agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2).count())
+        // decomposition of the candidate stage (mirrors
+        // containmentCandidates internals): how much of its wall is the
+        // rank window vs the prefix⋈full join vs the pair dedup
+        locally {
+          import org.apache.spark.sql.expressions.Window
+          val stats = grams.groupBy("id").agg(count(lit(1)).as("n_sh"))
+          val dfreq2 = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+            .filter(col("df") >= 2)
+          val shared = grams.join(dfreq2, Seq("gh"))
+          val sharedStats = shared.groupBy("id").agg(count(lit(1)).as("n_shared"))
+          val rareShared = shared.filter(col("df") <= 256)
+            .join(stats, Seq("id")).join(sharedStats, Seq("id"))
+          val ranked = rareShared.withColumn("rk_sh",
+            row_number().over(Window.partitionBy("id").orderBy("df", "gh")))
+          time("ranked_rows")(ranked.count())
+          val prefix = ranked
+            .filter(col("n_sh") - col("n_shared") + col("rk_sh") <=
+                    floor(col("n_sh") / 10) + 1)
+            .select(col("gh"), col("id").as("id_p"), col("n_sh").as("n_p"))
+          time("prefix_rows")(prefix.count())
+          val full = shared.filter(col("df") <= 256).join(stats, Seq("id"))
+            .select(col("gh"), col("id").as("id_f"), col("n_sh").as("n_f"))
+          time("rawjoin_rows")(prefix.join(full, Seq("gh"))
+            .filter(col("n_p") < col("n_f") ||
+                    (col("n_p") === col("n_f") && col("id_p") < col("id_f")))
+            .count())
+        }
         time("candidates")(Pipeline.containmentCandidates(grams).count())
       }
       graft.core.Mat.releaseAll(blocking = true)
