@@ -22,7 +22,10 @@ object Bench {
     "q92_contamination_attribution",
     // r7: containment's DF-capped inverted index and the stored-
     // cluster-map build+read path must also hold at 10×
-    "q105_dedup_inflation", "q108_containment")
+    "q105_dedup_inflation", "q108_containment",
+    // r11: the stored-bucket-table incremental embedding probe — the
+    // corpus side must stream pre-partitioned at any scale
+    "q154_incremental_embedding")
 
   /** Synthesize one probe corpus of `nDocs` documents + `nVecs` embeddings
     * under `dir`. Hash-generated with a 5k-word vocabulary so
@@ -74,7 +77,8 @@ object Bench {
 
   /** Prebuild + time the probe family on one corpus dir. The prebuild
     * covers exactly the ensure-backed artifacts the TIMED set reads:
-    * `graft_semdedup_cells` (built by q62) and `graft_clusters` (built by
+    * `graft_semdedup_cells` (built by q62), `graft_vecbkt_corpus` (built
+    * by q154 — r11) and `graft_clusters` (built by
     * the ensureClusterMap consumers — q105/q58; r8 post-mortem: the probe
     * prebuilt q57, which computes clusters WITHOUT storing the map, so the
     * timed section silently paid the q105/q58 cluster-map build at 10×
@@ -84,7 +88,8 @@ object Bench {
     * the warehouse after the prebuild, exactly like the main bench. */
   private def probeOneCorpus(spark: SparkSession, dir: String): ProbeRun = {
     val tPre = System.nanoTime()
-    val prebuildFailed = Seq("q62_semantic_dedup", "q105_dedup_inflation")
+    val prebuildFailed = Seq("q62_semantic_dedup", "q105_dedup_inflation",
+        "q154_incremental_embedding")
       .flatMap { n =>
         val failed = try { SparkEntry.queries(n)(spark, dir).count(); None }
                      catch { case t: Throwable =>
@@ -100,7 +105,9 @@ object Bench {
       "semdedup_cells" ->
         graft.core.Warehouse.isFresh(spark, s"graft_semdedup_cells_$sfx", Seq(embStamp)),
       "clusters" ->
-        graft.core.Warehouse.isFresh(spark, s"graft_clusters_$sfx", Seq(docStamp)))
+        graft.core.Warehouse.isFresh(spark, s"graft_clusters_$sfx", Seq(docStamp)),
+      "vecbkt_corpus" ->
+        graft.core.Warehouse.isFresh(spark, s"graft_vecbkt_corpus_$sfx", Seq(embStamp)))
     val timed = probeQueries.map { name =>
       val t0 = System.nanoTime()
       val rows = try SparkEntry.queries(name)(spark, dir).count()
@@ -199,7 +206,8 @@ object Bench {
       graft.core.Warehouse.isFresh(spark, s"graft_sig_corpus_$sfx", Seq(docStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_clusters_$sfx", Seq(docStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_ivf_inc_$sfx", Seq(embStamp)) &&
-      graft.core.Warehouse.isFresh(spark, s"graft_ivf_seed_$sfx", Seq(embStamp))
+      graft.core.Warehouse.isFresh(spark, s"graft_ivf_seed_$sfx", Seq(embStamp)) &&
+      graft.core.Warehouse.isFresh(spark, s"graft_vecbkt_corpus_$sfx", Seq(embStamp))
     }
     val warmFound = warmCheck(sfDir)
     // session warmup: JIT/codegen/scheduler paths + parquet reader init
@@ -214,7 +222,8 @@ object Bench {
     val tPre = System.nanoTime()
     val prebuildFailed = Seq("q52_ivf_topk", "q62_semantic_dedup",
         "q74_incremental_stored", "q77_cluster_best",
-        "q112_ivf_incremental", "q152_ivf_partial_probe").flatMap { n =>
+        "q112_ivf_incremental", "q152_ivf_partial_probe",
+        "q154_incremental_embedding").flatMap { n =>
       val failed = try { SparkEntry.queries(n)(spark, sfDir).count(); None }
                    catch { case _: Throwable => Some(n) }
       graft.core.Mat.releaseAll(blocking = true)

@@ -573,8 +573,15 @@ object SparkEntry {
     *    feature contract).
     *  - q85 `one_file_per_source`: filesystem layout of the release
     *    writer (doc/token counts are the pinned values).
+    *  - q62 `drop_justified`/`keep_justified`, q58 `fp_family_ok`/
+    *    `q57_containment_ok`: the Spark side evaluates these against its
+    *    own LSH/IVF artifacts; on the ORACLE side the same formulas
+    *    reduce to identities of its ground-truth closure (constant
+    *    true), so the oracle contributes no independent recomputation —
+    *    the engine-side evaluation is the real check (q62's `keep` and
+    *    q58's cluster map remain value-checked).
     * Everything else that once pinned `true` literals (q41, q51, q52,
-    * q58, q62, q112, q151, q152) now recomputes the value oracle-side. */
+    * q112, q151, q152) now recomputes the value oracle-side. */
   def oracleSql: Map[String, String] = Map(
     "q42_profile" -> profileOracle,
     // verified-LSH contract oracles: the Spark side emits candidates
@@ -644,13 +651,14 @@ object SparkEntry {
     // engines build identically) + the corpus's distinct vectors topping
     // out at cosine ~0.51 make keep a DuckDB-computable VALUE:
     // keep <=> no identical lower-id vector
-    // r10: the justification booleans are RECOMPUTED from the planted
-    // truth with the Spark side's own formulas (drop_justified =
-    // keep ∨ max_lower_cos ≥ θ, keep_justified = ¬keep ∨ max_lower_cos
-    // < θ) — on this corpus max_lower_cos ≥ 0.97 ⟺ an identical lower-id
-    // vector exists (identical vectors always co-locate in a cell and
-    // score 1.0; distinct vectors top out at ≈ 0.51), so `has_dup` is the
-    // oracle's exact stand-in for the in-cell cosine test.
+    // The justification booleans are literal `true`: substituting the
+    // oracle's own keep = ¬has_dup into the Spark side's formulas
+    // (drop_justified = keep ∨ max_lower_cos ≥ θ, keep_justified =
+    // ¬keep ∨ max_lower_cos < θ) makes them identities oracle-side, so
+    // DuckDB cannot recompute them independently — the ENGINE evaluation
+    // of those formulas against the in-cell cosines is the real check
+    // (see the contract-boolean inventory above); `keep` stays the
+    // value-checked column.
     "q62_semantic_dedup" ->
       """WITH base AS (
         |  SELECT vec_id, embedding FROM embeddings
@@ -663,8 +671,8 @@ object SparkEntry {
         |            WHERE c.vec_id < b.vec_id AND c.embedding = b.embedding) AS has_dup
         |  FROM base b)
         |SELECT vec_id, NOT has_dup AS keep,
-        |  (NOT has_dup) OR has_dup AS drop_justified,
-        |  has_dup OR (NOT has_dup) AS keep_justified
+        |  true AS drop_justified,
+        |  true AS keep_justified
         |FROM h""".stripMargin,
     // sketch error-contract rows: the exact columns are computed by DuckDB;
     // the boolean property columns are literal `true` — the driver's
@@ -1982,14 +1990,17 @@ object SparkEntry {
     "q37_export_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
-    // r10: structural contracts of the LSH cluster map (see
-    // Pipeline.dupClustersLshAudit), RE-DERIVED from the recursive-CTE
-    // cluster ground truth q57 shares — fp_family_ok is "doc and its
-    // fingerprint-min doc land in one cluster" and q57_containment_ok is
-    // "doc and its cluster representative land in one cluster", both
-    // computed through `reach`, not pinned literals. The Spark side
-    // evaluates the same relations against the LSH map, so a map that
-    // splits a fingerprint family or tears a q57 cluster hash-mismatches.
+    // Structural contracts of the LSH cluster map (see
+    // Pipeline.dupClustersLshAudit): fp_family_ok is "doc and its
+    // fingerprint-min doc land in one cluster", q57_containment_ok is
+    // "doc and its cluster representative land in one cluster". The
+    // oracle spells both out through `reach` to DOCUMENT the relation,
+    // but under its own transitive closure they are identities (always
+    // true) — no independent recomputation happens here (see the
+    // contract-boolean inventory). The check's force is one-sided: the
+    // SPARK side evaluates the same relations against the LSH map, so a
+    // map that splits a fingerprint family or tears a q57 cluster
+    // hash-mismatches.
     "q58_dup_clusters_lsh" ->
       (dupClusterCte +
         """, cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)

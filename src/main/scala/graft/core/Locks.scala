@@ -9,15 +9,14 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   * PROCESS and released by the OS on process death, so a crashed owner
   * never wedges the resource.
   *
-  * JVM-internal discipline still matters: file locks are per-process, so
-  * a second acquisition attempt from the SAME JVM throws
-  * OverlappingFileLockException instead of blocking. Callers therefore
-  * pair these with an in-JVM monitor ([[Warehouse.withTableLock]]) or a
-  * process-wide idempotent claim ([[tryOwnProcessWide]]). SAME-THREAD
-  * nesting of [[withFileLock]] on one lock file is reentrant (the outer
-  * frame's OS lock covers the inner body), so a nested same-table
-  * ensure* is safe; cross-THREAD same-file nesting remains the callers'
-  * monitors' job.
+  * JVM-internal discipline is handled HERE: file locks are per-process,
+  * so a second acquisition attempt from the SAME JVM would throw
+  * OverlappingFileLockException instead of blocking — [[withFileLock]]
+  * therefore serializes same-key threads on an internal per-key monitor
+  * ([[keyMonitors]]), and [[tryOwnProcessWide]] is a process-wide
+  * idempotent claim. SAME-THREAD nesting of [[withFileLock]] on one lock
+  * file is reentrant (the outer frame's OS lock covers the inner body),
+  * so a nested same-table ensure* is safe.
   */
 object Locks {
 
@@ -42,25 +41,40 @@ object Locks {
     * makes same-thread nesting on one lock file reentrant. File locks
     * are per-process, so without this a nested acquisition from the
     * same JVM throws OverlappingFileLockException instead of blocking.
-    * Thread-local suffices because every caller serializes same-key
-    * entry through an in-JVM monitor first (Warehouse.withTableLock),
-    * so two THREADS never hold one key concurrently. */
+    * Thread-local suffices because [[withFileLock]] serializes same-key
+    * entry on its own per-key monitor ([[keyMonitors]]), so two THREADS
+    * never hold one key concurrently. */
   private val heldByThread = new ThreadLocal[java.util.HashSet[String]] {
     override def initialValue(): java.util.HashSet[String] =
       new java.util.HashSet[String]()
   }
 
+  /** Per-key in-JVM monitors for [[withFileLock]]: cross-THREAD same-file
+    * acquisition serializes HERE, inside Locks, before any channel is
+    * opened. Without this, a second thread's ch.lock() would throw
+    * OverlappingFileLockException and its finally ch.close() would close
+    * an EXTRA channel on a file the first thread holds locked — which on
+    * POSIX can silently release the first thread's OS lock (the FileLock
+    * close-releases-locks caveat ensureAndKey documents). With the
+    * monitor that path is unreachable by construction instead of by
+    * caller discipline (Warehouse.withTableLock's own monitor remains a
+    * harmless outer layer). */
+  private val keyMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Blocking cross-process critical section on `lockFile`: waits until
     * no other PROCESS holds the lock, runs `f`, releases. Reentrant for
-    * the SAME THREAD (the outer frame keeps holding the OS lock). The
-    * lock file itself is never deleted (deleting lock files is a classic
-    * TOCTOU — a waiter blocked on a deleted inode serializes against
-    * nobody). */
+    * the SAME THREAD (the outer frame keeps holding the OS lock —
+    * monitors are reentrant, so re-entry falls through to the
+    * heldByThread fast path); cross-thread same-file callers serialize
+    * on the per-key monitor. The lock file itself is never deleted
+    * (deleting lock files is a classic TOCTOU — a waiter blocked on a
+    * deleted inode serializes against nobody). */
   def withFileLock[A](lockFile: Path)(f: => A): A = {
     val key = ensureAndKey(lockFile)
     val held = heldByThread.get()
     if (held.contains(key)) f // reentry: the outer frame's OS lock covers us
-    else {
+    else keyMonitors.computeIfAbsent(key, _ => new Object).synchronized {
       val ch = FileChannel.open(lockFile, StandardOpenOption.WRITE)
       try {
         val l = ch.lock() // blocks until the owning process releases/dies

@@ -86,10 +86,12 @@ object Vectors {
   }
 
   /** (id, tbl, sig) bucket rows for `df`, bucket size capped at `bucketCap`
-    * (deterministic: lowest ids survive). The cap bounds the worst bucket's
-    * pair count at cap² regardless of skew — degenerate corpora (many exact-
-    * duplicate or zero vectors hash identically in EVERY table and would
-    * otherwise go quadratic; exact-dup by fingerprint belongs BEFORE ANN).
+    * (deterministic: lowest ids survive; non-positive cap = UNCAPPED, and
+    * the rank window — with its exchange — is skipped entirely). The cap
+    * bounds the worst bucket's pair count at cap² regardless of skew —
+    * degenerate corpora (many exact-duplicate or zero vectors hash
+    * identically in EVERY table and would otherwise go quadratic;
+    * exact-dup by fingerprint belongs BEFORE ANN).
     * Cap ⇒ recall on skewed buckets is best-effort by design. */
   /** When `vecAs` is non-empty the vector rides along on each bucket row —
     * the self-join path scores cosine INSIDE the bucket join, so the
@@ -105,9 +107,12 @@ object Vectors {
     val sigs = df.select(keep :+
       posexplode(lshSignatures(col(vecCol), dim, bitsPerTable, nTables))
         .as(Seq("tbl", "sig")): _*)
-    val w = Window.partitionBy("tbl", "sig").orderBy(col(idAs).asc)
-    sigs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= bucketCap).drop("rn")
+    if (bucketCap <= 0) sigs
+    else {
+      val w = Window.partitionBy("tbl", "sig").orderBy(col(idAs).asc)
+      sigs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= bucketCap).drop("rn")
+    }
   }
 
   /** Candidate pairs scored by exact cosine: corpus×queries rows colliding
@@ -116,7 +121,14 @@ object Vectors {
     *
     * Scale shape: `bitsPerTable ≤ 0` (default) derives b from the corpus
     * count so buckets stay ~`targetBucketSize` rows at ANY n (candidates
-    * O(L·n·target), never quadratic); `bucketCap` bounds skewed buckets.
+    * O(L·n·target), never quadratic); `bucketCap` bounds skewed CORPUS
+    * buckets. The QUERY side is uncapped (r11): query sets are the small
+    * side by contract, the corpus cap already bounds each collision
+    * bucket at |incBucket|·cap pairs (linear in the increment), and a
+    * capped query side silently dropped the highest-id probes from a
+    * skewed bucket — exactly the rows an incremental-dedup caller most
+    * needs answered. Recall for an exact-copy probe is therefore
+    * guaranteed whenever its corpus twin survives the corpus cap.
     * Only (id, tbl, sig) rows shuffle — 16 B each; vectors join back after
     * the id-pair dedup (carrying 64-float payloads through the dedup
     * shuffle measured 3.8–19 s flaky at sf0.1; id-only is stable). */
@@ -136,13 +148,124 @@ object Vectors {
     val sigC = bucketRows(corpus, idCol, vecCol, "neighbor_id",
       dim, bits, nTables, bucketCap, vecAs = "cv")
     val sigQ = bucketRows(queries, idCol, vecCol, "query_id",
-      dim, bits, nTables, bucketCap, vecAs = "qv")
+      dim, bits, nTables, bucketCap = 0, vecAs = "qv")
+    scoreBucketJoin(sigC, sigQ, minCos)
+  }
+
+  /** The shared probe-side join projection: corpus bucket rows × query
+    * bucket rows on (tbl, sig), exact cosine + threshold fused into the
+    * join projection, id-only pair dedup. Factored so the two-sided form
+    * and the stored-table form are the same plan past the scan. */
+  private def scoreBucketJoin(sigC: DataFrame, sigQ: DataFrame,
+                              minCos: Double): DataFrame =
     sigC.join(sigQ, Seq("tbl", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
               round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
       .dropDuplicates("query_id", "neighbor_id")
+
+  /** INGEST-TIME LSH bucket table (the vector twin of
+    * Dedup.writeSignatureTable / Ivf.writeCellTable): the corpus's
+    * (id, tbl, sig, v) bucket rows — vectors riding along, because the
+    * probe join scores cosine inside the join projection — stored
+    * bucketed (and bucket-sorted) by `sig`, so the corpus side of every
+    * later incremental probe is read PRE-PARTITIONED:
+    * HashPartitioning(sig) satisfies the probe join's
+    * ClusteredDistribution((tbl, sig)) — equal sig ⇒ co-located — and no
+    * exchange ever touches the corpus bucket rows again (plan-asserted
+    * in BucketingSpec). Adaptive bits are FROZEN at write time from the
+    * corpus count; a one-row `<table>_cfg` companion records
+    * (dim, bits, n_tables, bucket_cap) so later probes rebuild the
+    * increment side with the exact same hyperplane slices — probing a
+    * stored layout with different bits would bucket-join apples to
+    * oranges and silently return garbage. */
+  def writeBucketTable(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, table: String,
+                       bitsPerTable: Int = 0, nTables: Int = 6,
+                       targetBucketSize: Int = 32, bucketCap: Int = 256,
+                       nBuckets: Int = 32, corpusCount: Long = -1L): Unit = {
+    val spark = df.sparkSession
+    val bits = if (bitsPerTable > 0) bitsPerTable
+               else adaptiveBits(knownCount(df, corpusCount), targetBucketSize)
+    bucketRows(df, idCol, vecCol, "id", dim, bits, nTables, bucketCap,
+        vecAs = "v")
+      // align write tasks with the bucket hash — one file per bucket
+      // (see Ivf.writeCellTable for the tiny-files failure this avoids)
+      .repartition(nBuckets, col("sig"))
+      .write.mode("overwrite").bucketBy(nBuckets, "sig").sortBy("sig")
+      .saveAsTable(table)
+    import spark.implicits._
+    Seq((dim, bits, nTables, bucketCap))
+      .toDF("dim", "bits", "n_tables", "bucket_cap")
+      .write.mode("overwrite").saveAsTable(table + "_cfg")
+  }
+
+  /** Idempotent form of [[writeBucketTable]] (mirror of
+    * Ivf.ensureCellTable): ingest only when no valid stored artifact for
+    * this (corpus, config) exists; otherwise re-attach — possibly across
+    * JVM sessions — with zero Spark jobs. The fingerprint carries
+    * `targetBucketSize` rather than the RESOLVED bits (bits derive from
+    * the corpus count, and the caller's `tag` — a source stamp — already
+    * changes whenever the corpus does), so a fresh re-attach never pays
+    * the count() that resolving bits would need. */
+  def ensureBucketTable(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, table: String,
+                        bitsPerTable: Int = 0, nTables: Int = 6,
+                        targetBucketSize: Int = 32, bucketCap: Int = 256,
+                        nBuckets: Int = 32, corpusCount: Long = -1L,
+                        tag: String = ""): Unit = {
+    val spark = df.sparkSession
+    val meta = (s"lsh-buckets dim=$dim bits=$bitsPerTable nTables=$nTables " +
+      s"target=$targetBucketSize bucketCap=$bucketCap nBuckets=$nBuckets " +
+      tag).trim
+    graft.core.Warehouse.withTableLock(spark, table) {
+      val reused =
+        graft.core.Warehouse.ensureRegistered(spark, table, meta, "sig", nBuckets) &&
+        graft.core.Warehouse.ensureRegistered(spark, table + "_cfg", meta, null, 0)
+      if (!reused) {
+        graft.core.Warehouse.clear(spark, table)
+        graft.core.Warehouse.clear(spark, table + "_cfg")
+        writeBucketTable(df, idCol, vecCol, dim, table, bitsPerTable,
+          nTables, targetBucketSize, bucketCap, nBuckets, corpusCount)
+        graft.core.Warehouse.writeMeta(spark, table, meta)
+        graft.core.Warehouse.writeMeta(spark, table + "_cfg", meta)
+      }
+    }
+  }
+
+  /** Incremental scored pairs against a STORED bucket table
+    * ([[writeBucketTable]]): the production shape at 100 TB — the corpus
+    * is never re-hashed, re-capped, or re-shuffled; its bucket rows
+    * stream out of the bucketed table straight into the probe join, and
+    * only the (small) increment's signature rows move. Emits exactly
+    * [[lshScoredPairs]]'s schema and — for the same corpus/config — the
+    * same pairs (asserted in BucketingSpec). The increment side is
+    * materialized first so the join plans against its true (small) size.
+    *
+    * `dim` is the config-drift guard: it must match the stored layout's
+    * `<table>_cfg` row (bits and table count are TAKEN from the cfg, and
+    * the hyperplane seed is the library-wide constant — the caller cannot
+    * get the layout wrong, only the corpus identity). */
+  def lshScoredPairsAgainstTable(spark: org.apache.spark.sql.SparkSession,
+                                 table: String, queries: DataFrame,
+                                 idCol: String, vecCol: String, dim: Int,
+                                 minCos: Double = -2.0): DataFrame = {
+    val cfg = spark.table(table + "_cfg").head()
+    val storedDim = cfg.getAs[Int]("dim")
+    require(storedDim == dim,
+      s"bucket table '$table' stores dim=$storedDim, caller expects dim=$dim")
+    val bits = cfg.getAs[Int]("bits")
+    val tables = cfg.getAs[Int]("n_tables")
+    val sigC = spark.table(table)
+      .select(col("tbl"), col("sig"), col("id").as("neighbor_id"),
+              col("v").as("cv"))
+    graft.core.Mat.withMaterialized(
+      bucketRows(queries, idCol, vecCol, "query_id", dim, bits, tables,
+        bucketCap = 0, vecAs = "qv")
+    ) { sigQ =>
+      graft.core.Mat.tracked(scoreBucketJoin(sigC, sigQ, minCos))
+    }
   }
 
   /** Self near-duplicate candidates (corpus vs itself, id_a < id_b):

@@ -563,20 +563,25 @@ object Pipeline {
   /** q154 — incremental EMBEDDING dedup: the day's new vectors are
     * admitted only when no standing-corpus vector sits at cosine ≥ 0.9 —
     * the embedding analogue of q64 (exact) / q65 (MinHash) incremental
-    * admission, and the q74-style production loop: the corpus side's LSH
-    * bucket rows are the stored signature table, the increment probes it
-    * with the two-sided fused bucket join ([[Vectors.lshScoredPairs]],
-    * threshold pushed into the join projection), and the corpus is never
-    * self-joined or re-scanned. Increment = the vec_id ≡ 4 (mod 5) slice
-    * plus PLANTED exact copies of corpus vectors (≡ 0 mod 25 — the
-    * redelivered-embedding shape): planted rows must be rejected with
-    * exactly their source as the hit (identical vectors collide in every
-    * LSH table — guaranteed recall), natural increment rows admitted (the
-    * corpus's distinct vectors top out at cosine ≈ 0.51). DuckDB
-    * brute-forces increment × corpus at the same bar, so precision AND
-    * recall of the whole incremental path are driver-checked. Exact
-    * integer counts; max-cos is −1.0 (not NULL) for admitted rows so the
-    * column compares exactly. */
+    * admission, and the q74-style production loop made LITERAL (r11):
+    * the corpus's LSH bucket rows are written ONCE as a bucketed table
+    * ([[Vectors.ensureBucketTable]], the ingest artifact — the vector
+    * twin of q74's signature table), then every increment probes the
+    * STORED layout ([[Vectors.lshScoredPairsAgainstTable]], threshold
+    * fused into the join projection) with no corpus re-hash or
+    * re-shuffle (plan-asserted in BucketingSpec). Increment = the
+    * vec_id ≡ 4 (mod 5) slice plus PLANTED exact copies of corpus
+    * vectors (≡ 0 mod 25 — the redelivered-embedding shape): planted
+    * rows must be rejected with exactly their source as the hit
+    * (identical vectors collide in every LSH table, the query side is
+    * uncapped, and the source survives the corpus bucket cap on this
+    * corpus — recall is guaranteed while corpus buckets stay under the
+    * cap), natural increment rows admitted (the corpus's distinct
+    * vectors top out at cosine ≈ 0.51). DuckDB brute-forces
+    * increment × corpus at the same bar, so precision AND recall of the
+    * whole incremental path are driver-checked. Exact integer counts;
+    * max-cos is −1.0 (not NULL) for admitted rows so the column compares
+    * exactly. */
   def incrementalEmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val st = emb.agg(max("vec_id")).head()
@@ -585,8 +590,12 @@ object Pipeline {
     val planted = corpus.filter(pmod(col("vec_id"), lit(25)) === 0)
       .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
     val inc = emb.filter(pmod(col("vec_id"), lit(5)) === 4).unionByName(planted)
-    val hits = Vectors.lshScoredPairs(corpus, inc, "vec_id", "embedding",
-        dim = 64, minCos = 0.9)
+    val table = cellTableName("graft_vecbkt_corpus", dir)
+    Vectors.ensureBucketTable(corpus, "vec_id", "embedding", dim = 64,
+      table = table,
+      tag = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet"))
+    val hits = Vectors.lshScoredPairsAgainstTable(spark, table, inc,
+        "vec_id", "embedding", dim = 64, minCos = 0.9)
       .groupBy(col("query_id").as("vec_id"))
       .agg(count(lit(1)).as("n"), max("cos_sim").as("mx"))
     inc.select(col("vec_id"))

@@ -28,6 +28,11 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"
+  /** Larger driver-generated corpora, for tests that need scale contrast
+    * (growth-rate assertions) or more rows than sf0.001 provides — one
+    * definition instead of per-spec hardcoded paths. */
+  val sf001Dir = "/root/testdata/sf0.01"
+  val sf01Dir = "/root/testdata/sf0.1"
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString

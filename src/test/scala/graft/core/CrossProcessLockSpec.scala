@@ -47,7 +47,11 @@ class CrossProcessLockSpec extends SparkSuite {
       var acquiredAt = 0L
       Locks.withFileLock(lock) { acquiredAt = System.currentTimeMillis() }
       assert(acquiredAt > 0)
-      assert(acquiredAt >= deadline,
+      // 100 ms slop: both sides read the same machine clock, but
+      // System.currentTimeMillis is not monotonic — an NTP step between
+      // the child's deadline stamp and our acquisition could otherwise
+      // flake an ordering that the OS lock did in fact enforce
+      assert(acquiredAt >= deadline - 100L,
         s"second process acquired at $acquiredAt, ${deadline - acquiredAt} " +
         "ms before the holder's release deadline — no cross-process " +
         "serialization")

@@ -195,10 +195,10 @@ class FunctionsSpec extends SparkSuite {
     // bucket size is constant, so candidates should scale ~4× (linear),
     // far below the 16× a fixed bucket count would produce.
     val small = Vectors.lshSelfPairs(
-      graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01"),
+      graft.core.Tables.embeddings(spark, sf001Dir),
       "vec_id", "embedding", dim = 64).count()
     val large = Vectors.lshSelfPairs(
-      graft.core.Tables.embeddings(spark, "/root/testdata/sf0.1"),
+      graft.core.Tables.embeddings(spark, sf01Dir),
       "vec_id", "embedding", dim = 64).count()
     assert(small > 0 && large > 0)
     val ratio = large.toDouble / small.toDouble
@@ -206,7 +206,7 @@ class FunctionsSpec extends SparkSuite {
   }
 
   test("lshSelfPairs minCos pushdown emits the same pairs as post-filtering") {
-    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val emb = graft.core.Tables.embeddings(spark, sf001Dir)
     val pushed = Vectors.lshSelfPairs(emb, "vec_id", "embedding", dim = 64,
         minCos = 0.4)
       .select("query_id", "neighbor_id", "cos_sim").collect().toSet
@@ -218,7 +218,7 @@ class FunctionsSpec extends SparkSuite {
   }
 
   test("lshScoredPairs finds planted increment copies with guaranteed recall") {
-    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val emb = graft.core.Tables.embeddings(spark, sf001Dir)
     val corpus = emb.filter(col("vec_id") % 2 === 0)
     // queries = exact copies of 10 corpus vectors, re-keyed above the space
     val queries = corpus.filter(col("vec_id") < 20)

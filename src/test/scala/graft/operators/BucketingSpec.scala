@@ -57,6 +57,52 @@ class BucketingSpec extends SparkSuite {
     } finally spark.sql("DROP TABLE sig_corpus")
   }
 
+  test("stored LSH bucket table: corpus side of the incremental probe never shuffles, pairs identical") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+    val inc = emb.filter(pmod(col("vec_id"), lit(5)) === 4)
+    graft.core.Warehouse.clear(spark, "vecbkt_t")
+    graft.core.Warehouse.clear(spark, "vecbkt_t_cfg")
+    graft.functions.Vectors.writeBucketTable(
+      corpus, "vec_id", "embedding", dim = 64, table = "vecbkt_t")
+    try {
+      val viaTable = graft.functions.Vectors.lshScoredPairsAgainstTable(
+        spark, "vecbkt_t", inc, "vec_id", "embedding", dim = 64, minCos = 0.2)
+      // identical pair set to the on-the-fly two-sided form: the stored
+      // layout froze the same adaptive bits the live path derives from
+      // the same corpus count, and the write-time cap equals the live cap
+      val onTheFly = graft.functions.Vectors.lshScoredPairs(
+        corpus, inc, "vec_id", "embedding", dim = 64, minCos = 0.2)
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      val a = key(viaTable)
+      assert(a == key(onTheFly))
+      assert(a.nonEmpty)
+      // plan: the ONLY hash exchange (if any — a small increment may
+      // broadcast instead) aligns the materialized increment side; the
+      // bucketed corpus scan feeds the probe join directly. A second
+      // exchange means the table's sig-bucketing was not honored and the
+      // corpus re-shuffles on every increment.
+      val plan = viaTable.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"corpus side re-shuffled ($exchanges exchanges):\n$plan")
+      // config-drift guard: probing a stored layout with the wrong dim
+      // must fail loud, never bucket-join apples to oranges
+      intercept[IllegalArgumentException] {
+        graft.functions.Vectors.lshScoredPairsAgainstTable(
+          spark, "vecbkt_t", inc, "vec_id", "embedding", dim = 32)
+      }
+      graft.core.Mat.releaseAll()
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    } finally {
+      graft.core.Warehouse.clear(spark, "vecbkt_t")
+      graft.core.Warehouse.clear(spark, "vecbkt_t_cfg")
+    }
+  }
+
   test("stored IVF cell table: no assignment aggregate in the top-k query path, results identical") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Tables.embeddings(spark, sfDir)
