@@ -263,10 +263,14 @@ object SparkEntry {
     // sessionization (the q44 session_window aggregation as a stream)
     "q108_containment"       -> Pipeline.containmentPairs _,
     "q109_stream_sessions"   -> ((s: SparkSession, dir: String) => {
+      // append + watermark + parquet sink (r11: the 100× gate OOM'd the
+      // old complete-mode/memory-sink form — see Streams scaladoc);
       // state partitions sized down for the bench box like q48/q63
+      val work = graft.core.TempDirs.tempDir("graft-q109")
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      try graft.streaming.Streams.streamSessionWindowsFromParquet(s, dir)
+      try graft.streaming.Streams
+        .streamSessionWindowsAppendFromParquet(s, dir, work, chunks = 4)
       finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
     // the canonical 6-table star join (TPC-H Q5 shape) and the daily
@@ -339,6 +343,10 @@ object SparkEntry {
     "q145_wav_decode"        -> Pipeline.wavDecode _,
     "q146_bmp_decode"        -> Pipeline.bmpDecode _,
     "q153_png_decode"        -> Pipeline.pngDecode _,
+    // r11: baseline-JPEG decode — the transform-coded format, real bytes
+    // through a real DCT/Huffman codec; the multimodal stub now covers
+    // only MP3/H.264-class codecs
+    "q155_jpeg_decode"       -> Pipeline.jpegDecode _,
     // incremental embedding admission: increment probes the corpus's LSH
     // bucket table two-sided, threshold fused into the join (r10)
     "q154_incremental_embedding" -> Pipeline.incrementalEmbeddingDedup _,
@@ -2052,9 +2060,15 @@ object SparkEntry {
         | o_orderdate AS 创建日期, o_totalprice AS 总价格
         |FROM orders""".stripMargin,
     "q44_session_windows" -> sessionWindowsSql,
-    // the STREAMING session_window run must emit the identical session
-    // set as the batch q44 — one oracle, two execution modes
-    "q109_stream_sessions" -> sessionWindowsSql,
+    // the STREAMING session_window run shares q44's batch session oracle,
+    // filtered to the sessions the FINAL watermark closed (append mode
+    // emits exactly those: session_end ≤ max(ts) − 10 min; staging is
+    // ts-range-ordered so nothing is late) — q48's convention on the
+    // session operator
+    "q109_stream_sessions" ->
+      (s"""WITH mx AS (SELECT max(ts) AS m FROM events)
+          |SELECT b.* FROM ($sessionWindowsSql) b, mx
+          |WHERE b.session_end <= mx.m - INTERVAL '10 minutes'""".stripMargin),
     // overlap coefficient |A∩B|/min(|A|,|B|) over the same shingle sets
     // as the q24 oracle; brute force is the spec, the engine's DF-capped
     // inverted index + exact verify must match it
@@ -2189,6 +2203,30 @@ object SparkEntry {
         |SELECT s.media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(h * (1 + 3*w) AS BIGINT) AS n_raw_bytes,
         |  sum_r, sum_g, sum_b, wsum
+        |FROM s JOIN a USING (media_id)""".stripMargin,
+    // the engine writes real baseline-JPEG bytes (DCT + canonical Huffman
+    // + 4:2:0 + restart markers) and decodes them back through the
+    // general baseline path; frames are flat per 8×8 luma block / 16×16
+    // chroma cell, so the lossy pipeline is EXACT (DC quantizer 8 — see
+    // Multimodal.Jpeg) and the oracle recomputes the decoded aggregates
+    // closed-form. wsum_y is position-weighted (q153's convention); the
+    // entropy-coded byte length is table-dependent and not compared.
+    "q155_jpeg_decode" ->
+      """WITH s AS (SELECT doc_id AS media_id, 8 + 4*(doc_id % 5) AS w,
+        |      8 + 8*(doc_id % 3) AS h FROM documents),
+        |p AS (SELECT media_id, y*w + x AS k,
+        |        (media_id*7 + 31*(x//8) + 17*(y//8)) % 256 AS yv,
+        |        (media_id*11 + 13*(x//16) + 7*(y//16)) % 256 AS cb,
+        |        (media_id*5 + 3*(x//16) + 29*(y//16)) % 256 AS cr
+        |      FROM s, unnest(range(0, w)) ux(x), unnest(range(0, h)) uy(y)),
+        |a AS (SELECT media_id, CAST(sum(yv) AS BIGINT) sum_y,
+        |             CAST(sum(cb) AS BIGINT) sum_cb,
+        |             CAST(sum(cr) AS BIGINT) sum_cr,
+        |             CAST(sum((k+1) * yv) AS BIGINT) AS wsum_y
+        |      FROM p GROUP BY 1)
+        |SELECT s.media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(((w + 15)//16) * ((h + 15)//16) AS BIGINT) AS n_mcus,
+        |  sum_y, sum_cb, sum_cr, wsum_y
         |FROM s JOIN a USING (media_id)""".stripMargin,
     // incremental embedding admission (q64's convention on the vector
     // table): DuckDB brute-forces increment × corpus cosine at the same

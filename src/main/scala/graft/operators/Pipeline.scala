@@ -2552,4 +2552,49 @@ object Pipeline {
       .toDF("media_id", "width", "height", "n_raw_bytes",
             "sum_r", "sum_g", "sum_b", "wsum")
   }
+
+  /** q155 — REAL image decode for the TRANSFORM-CODED case: deterministic
+    * YCbCr frames written as actual baseline-JPEG bytes
+    * ([[Multimodal.Jpeg]] — JFIF/DQT/DHT/SOF0/SOS markers, canonical
+    * Huffman entropy coding, forward DCT + quantization, 4:2:0 chroma
+    * subsampling, byte stuffing, DRI/RSTn on a third of the ids) and
+    * parsed back through the general baseline decoder (Huffman from the
+    * file's own DHT, dequant, IDCT, restart handling, upsampling, MCU
+    * crop). Frames are CONSTANT per 8×8 luma block / 16×16 chroma cell,
+    * which the flat-block DC-exactness argument (Jpeg scaladoc) makes
+    * LOSSLESS end-to-end — so the emitted aggregates over the DECODED
+    * planes are exact integers DuckDB recomputes closed-form, while the
+    * engine still runs the full lossy-codec machinery on real bytes.
+    * Widths sweep 8..24 so MCU padding + crop is exercised on
+    * non-multiple-of-16 shapes; wsum_y is position-weighted (q153's
+    * convention) so a shifted or transposed pixel breaks the match. The
+    * entropy-coded byte length is Huffman-table-dependent and
+    * deliberately not emitted. Narrow map, zero shuffle at any scale. */
+  def jpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 8 + 4 * (id % 5).toInt; val h = 8 + 8 * (id % 3).toInt
+          val ri = if (id % 3 == 0) 2 else 0
+          val bytes = Multimodal.Jpeg.synth(w, h,
+            (x, y) => ((id * 7 + 31 * (x / 8) + 17 * (y / 8)) % 256).toInt,
+            (x, y) => ((id * 11 + 13 * (x / 16) + 7 * (y / 16)) % 256).toInt,
+            (x, y) => ((id * 5 + 3 * (x / 16) + 29 * (y / 16)) % 256).toInt,
+            subsample = true, restartInterval = ri)
+          val d = Multimodal.Jpeg.decode(bytes)
+          var sy = 0L; var scb = 0L; var scr = 0L; var ws = 0L
+          var k = 0
+          while (k < d.y.length) {
+            sy += d.y(k); scb += d.cb(k); scr += d.cr(k)
+            ws += (k + 1).toLong * d.y(k)
+            k += 1
+          }
+          val mcus = ((w + 15) / 16).toLong * ((h + 15) / 16)
+          (id, w, h, mcus, sy, scb, scr, ws)
+        }
+      }
+      .toDF("media_id", "width", "height", "n_mcus",
+            "sum_y", "sum_cb", "sum_cr", "wsum_y")
+  }
 }

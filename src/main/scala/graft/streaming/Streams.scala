@@ -330,32 +330,67 @@ object Streams {
         })
       .toDF("event_id", "user_id", "tsMicros", "event_type", "value",
             "last_purchase_value")
-    val out = runToMemory(annotated, "graft_stream_locf")
-    out.select(col("event_id"), col("user_id"),
+    // parquet sink, not the in-memory table: this query emits one row PER
+    // EVENT, so a memory sink is O(corpus) DRIVER heap — the same class
+    // of failure the 100× gate caught on q109 (r11). The file sink keeps
+    // the driver at O(1); only the per-user scalar state lives in memory.
+    val out = s"$workDir/out"; val ckpt = s"$workDir/ckpt"
+    val q = annotated.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out).select(col("event_id"), col("user_id"),
       expr("cast(timestamp_micros(tsMicros) as timestamp_ntz)").as("ts"),
       col("event_type"), col("value"), col("last_purchase_value"))
   }
 
-  /** Streaming sessionization: the same 30-minute-gap `session_window`
-    * aggregation as the batch q44, run as a stream in complete mode (no
-    * watermark needed — every session, including still-open ones, is
-    * emitted, which makes the result batch-equivalent and oracle-
-    * checkable). The production shape adds a watermark + append mode so
-    * CLOSED sessions emit incrementally and state stays bounded by the
-    * gap + watermark horizon; session state is keyed by (user, session)
-    * and merged when late events bridge two open sessions — the merge
-    * logic is the engine's, identical in both modes. */
-  def streamSessionWindowsFromParquet(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = eventStreamWithInstantTs(spark, sfDir)
-    val agg = raw
+  /** Streaming sessionization, PRODUCTION shape (r11): the q44
+    * 30-minute-gap `session_window` aggregation under a watermark in
+    * APPEND mode to a parquet file sink — closed sessions emit
+    * incrementally, and state is bounded by the sessions still open
+    * inside the watermark horizon, never the session history. (The r10
+    * form ran complete mode into the in-memory sink; the 100× gate
+    * OOM'd it — 10M events make 9.5M sessions over a 100×-longer time
+    * axis, and complete mode re-materializes ALL of them in state and on
+    * the driver every trigger. Complete mode over session windows is
+    * inherently O(total-sessions); append is the only shape that
+    * scales.) Staging is range-partitioned by ts (q48's convention), so
+    * no event is ever late and the final sink holds exactly the sessions
+    * the final watermark closed: session_end ≤ max(ts) − 10 min — the
+    * predicate the DuckDB oracle applies to the batch gaps-and-islands
+    * sessions. Session merging across micro-batches (an event arriving
+    * within the gap extends the open session) is the engine's own state
+    * merge, exercised by every session that spans a chunk boundary. */
+  def streamSessionWindowsAppendFromParquet(spark: SparkSession, sfDir: String,
+                                            workDir: String,
+                                            chunks: Int = 4): DataFrame = {
+    val stage = s"$workDir/stage"; val out = s"$workDir/out"; val ckpt = s"$workDir/ckpt"
+    eventsWithInstantTs(spark, sfDir)
+      .repartitionByRange(chunks, col("ts"))
+      .write.mode("overwrite").parquet(stage)
+    val parts = new java.io.File(stage).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 60000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 60000L) }
+    val raw = spark.readStream.schema(stagedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val agg = raw.withWatermark("ts", "10 minutes")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      // long-cents state: micro-batch-order-independent (the cross-engine
+      // float rule all streaming sums follow); ONE division at the edge
       .agg(count(lit(1)).as("n_events"),
-           (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+           sum(round(col("value") * 100).cast("long")).as("cents"))
       .select(col("user_id"),
-              col("session_window.start").cast("timestamp_ntz").as("session_start"),
-              col("session_window.end").cast("timestamp_ntz").as("session_end"),
-              col("n_events"), col("sum_value"))
-    runToMemory(agg, "graft_stream_sessions", outputMode = "complete")
+              col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("n_events"), (col("cents") / 100.0).as("sum_value"))
+    val q = agg.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out)
+      .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+      .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
   }
 
   /** Drive a streaming DataFrame synchronously into an in-memory table and
