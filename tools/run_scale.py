@@ -41,6 +41,25 @@ FAMILY = [
     "q143_small_order_revenue", "q148_market_share", "q150_order_priority",
 ]
 
+# the sf10 ORACLE subset (r11, judge ask #3): FAMILY minus the two
+# O(n²)-oracle queries (q51 brute-force NN — ~2.3 h of DuckDB at 200k
+# vectors; q154 increment×corpus cosine — same class), plus the
+# release-gate, decontamination, streaming, and representative join/agg
+# families, all of whose oracles are linear(ish) at 100×. The streaming
+# entries are the ones whose sinks the r11 100× run hardened (q109 OOM'd
+# the old complete-mode memory sink; q114 was the same latent shape).
+SF10_SUBSET = [q for q in FAMILY if q not in
+               ("q51_exact_nn", "q154_incremental_embedding")] + [
+    "q35_stream_window", "q42_profile", "q48_stream_append",
+    "q59_decontaminate", "q63_stream_dedup", "q64_incremental_exact",
+    "q65_incremental_minhash", "q67_release_funnel", "q68_data_card",
+    "q71_stream_join", "q74_incremental_stored", "q76_decontaminate_spans",
+    "q82_stream_incremental_dedup", "q96_stream_release_admission",
+    "q107_locf_backfill", "q109_stream_sessions", "q113_salted_fact_join",
+    "q114_stream_locf", "q122_monthly_yoy", "q136_revenue_concentration",
+    "q147_adaptive_skew_join", "q155_jpeg_decode",
+]
+
 
 def sh(cmd, env=None, check=True):
     print("[scale] $ " + " ".join(cmd), flush=True)
@@ -109,9 +128,14 @@ def main():
     ap.add_argument("--skip-bench", action="store_true")
     ap.add_argument("--print-family", action="store_true",
                     help="print the family query list (for shell substitution)")
+    ap.add_argument("--print-sf10-subset", action="store_true",
+                    help="print the sf10 oracle-subset query list")
     a = ap.parse_args()
     if a.print_family:
         print(",".join(FAMILY))
+        return
+    if a.print_sf10_subset:
+        print(",".join(SF10_SUBSET))
         return
     if not a.scale_dir or not a.out_prefix:
         ap.error("--scale-dir and --out-prefix are required")
@@ -145,6 +169,12 @@ def main():
             art["queries"] = {k: v for k, v in art["queries"].items()
                               if k in keep}
             art["subset_of_suite"] = sorted(keep)
+            art["excluded"] = sorted(set(FAMILY) - keep)
+            if art["excluded"]:
+                art["excluded_reason"] = (
+                    "O(n^2) DuckDB oracle at this scale (q51 brute-force "
+                    "NN, q154 increment-x-corpus cosine); their engine "
+                    "sides still run in the BENCH families")
         art.update(st)
         ok = sum(1 for v in art["queries"].values()
                  if v["status"] in ("ok", "ok_subset"))
