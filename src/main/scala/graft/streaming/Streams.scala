@@ -140,6 +140,14 @@ object Streams {
   def streamWindowedFromParquet(spark: SparkSession, sfDir: String): DataFrame = {
     // watermarks require TIMESTAMP (an instant) — window on that, cast the
     // window bounds to ntz at the output edge (session TZ UTC → identity)
+    //
+    // Complete mode + memory sink is deliberate HERE and only here: its
+    // result is the (window × type) dashboard aggregate, whose
+    // cardinality is the time axis, not the corpus — ~4M rows at the
+    // measured 100× point (sf10 oracle subset, r11), fine for a driver.
+    // Anything whose result grows with the CORPUS must take the q48/q109
+    // append-to-file-sink shape instead (the 100× gate OOM'd q109's old
+    // complete-mode form — see streamSessionWindowsAppendFromParquet).
     val agg = windowedEventCounts(eventStreamWithInstantTs(spark, sfDir))
       .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
       .withColumn("window_end", col("window_end").cast("timestamp_ntz"))

@@ -71,7 +71,20 @@ def sh(cmd, env=None, check=True):
 def stamp(argv):
     commit = subprocess.check_output(
         ["git", "rev-parse", "HEAD"]).decode().strip()
-    dirty = subprocess.run(["git", "diff", "--quiet", "HEAD"]).returncode != 0
+    # the dirty check must EXCLUDE the artifacts this tool itself writes:
+    # regenerating point 1 of a multi-point curve would otherwise make
+    # points 2..n stamp as "-dirty" even though the CODE is clean (the
+    # exact r9/r10 mixed-stamp failure the curve of record suffered)
+    dirty = subprocess.run(
+        ["git", "diff", "--quiet", "HEAD", "--", ".",
+         ":(exclude)SCALE_sf1_CORRECTNESS.json",
+         ":(exclude)SCALE_sf1_BENCH.json",
+         ":(exclude)SCALE_sf3_CORRECTNESS.json",
+         ":(exclude)SCALE_sf3_BENCH.json",
+         ":(exclude)SCALE_sf10_CORRECTNESS.json",
+         ":(exclude)SCALE_sf10_BENCH.json",
+         ":(exclude)SCALE_FAMILY_CURVE.json",
+         ":(exclude)bench_detail.json"]).returncode != 0
     return {
         "commit": commit + ("-dirty" if dirty else ""),
         "generated_by": "python3 tools/run_scale.py " + " ".join(argv),
