@@ -347,6 +347,8 @@ object SparkEntry {
     // through a real DCT/Huffman codec; the multimodal stub now covers
     // only MP3/H.264-class codecs
     "q155_jpeg_decode"       -> Pipeline.jpegDecode _,
+    "q156_gif_decode"        -> Pipeline.gifDecode _,
+    "q157_g711_decode"       -> Pipeline.g711Decode _,
     // incremental embedding admission: increment probes the corpus's LSH
     // bucket table two-sided, threshold fused into the join (r10)
     "q154_incremental_embedding" -> Pipeline.incrementalEmbeddingDedup _,
@@ -1490,14 +1492,19 @@ object SparkEntry {
         |SELECT CAST(dau.d AS TIMESTAMP) AS day, dau.dau, wau.wau,
         |  CAST(dau.dau AS DOUBLE)/CAST(wau.wau AS DOUBLE) AS stickiness
         |FROM dau JOIN wau ON wau.day = dau.d""".stripMargin,
-    // the inequality join IS the oracle spec (quadratic is fine at
-    // oracle SF; the engine's bin rewrite must produce the same counts)
+    // the inequality join IS the oracle spec; written as BETWEEN-style
+    // range bounds (identical semantics to abs(diff) <= 300 s — A/B
+    // checked value-identical at sf0.1) so DuckDB plans an IEJoin
+    // instead of a nested loop: the abs() form was quadratic and took
+    // ~1 h at the 100x gate, the range form is seconds (r11
+    // oracle-feasibility rewrite, same rule as q51's sample gate)
     "q106_error_proximity" ->
       """WITH e AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
         |p AS (SELECT ts FROM events WHERE event_type = 'purchase')
         |SELECT e.event_id, CAST(count(p.ts) AS BIGINT) AS n_nearby
         |FROM e LEFT JOIN p
-        |  ON abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300000000
+        |  ON p.ts >= e.ts - INTERVAL 300 SECOND
+        | AND p.ts <= e.ts + INTERVAL 300 SECOND
         |GROUP BY 1""".stripMargin,
     "q107_locf_backfill" -> locfSql,
     "q114_stream_locf" -> locfSql,
@@ -2227,6 +2234,61 @@ object SparkEntry {
         |SELECT s.media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(((w + 15)//16) * ((h + 15)//16) AS BIGINT) AS n_mcus,
         |  sum_y, sum_cb, sum_cr, wsum_y
+        |FROM s JOIN a USING (media_id)""".stripMargin,
+    // the engine writes real GIF87a bytes (global color table + variable-
+    // width LZW with clear/EOI, width growth and sub-block chunking) and
+    // LZW-decodes them back; the oracle recomputes the palette-expanded
+    // pixel aggregates closed-form — wsum is position-weighted (q153's
+    // convention). The LZW-coded length is match-order-dependent and not
+    // compared.
+    "q156_gif_decode" ->
+      """WITH s AS (SELECT doc_id AS media_id, 4 + doc_id % 5 AS w,
+        |      5 + doc_id % 4 AS h FROM documents),
+        |p AS (SELECT media_id, y*w + x AS k, (media_id + 5*x + 7*y) % 16 AS j
+        |      FROM s, unnest(range(0, w)) ux(x), unnest(range(0, h)) uy(y)),
+        |c AS (SELECT media_id, k, (media_id*3 + j*17) % 256 AS r,
+        |        (media_id*7 + j*23) % 256 AS g, (media_id*11 + j*29) % 256 AS bb
+        |      FROM p),
+        |a AS (SELECT media_id, CAST(sum(r) AS BIGINT) sum_r,
+        |             CAST(sum(g) AS BIGINT) sum_g,
+        |             CAST(sum(bb) AS BIGINT) sum_b,
+        |             CAST(sum((k+1) * (r*65536 + g*256 + bb)) AS BIGINT) AS wsum
+        |      FROM c GROUP BY 1)
+        |SELECT s.media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  sum_r, sum_g, sum_b, wsum
+        |FROM s JOIN a USING (media_id)""".stripMargin,
+    // the engine writes real G.711 μ-law/A-law WAV bytes and expands them
+    // to linear PCM16; the oracle recomputes the ITU-T G.711 expansion
+    // closed-form per byte (μ: complement → (mantissa·8+132)·2^exp − 132;
+    // A: XOR 0x55 → segment expansion, inverted sign bit) — exact-integer
+    // sums, so one wrong table entry or sign fails the hash
+    "q157_g711_decode" ->
+      """WITH s AS (SELECT doc_id AS media_id, 200 + doc_id % 101 AS n,
+        |      CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 6 END AS tag
+        |    FROM documents),
+        |b AS (SELECT media_id, tag, (media_id*7919 + i*104729) % 256 AS bv
+        |      FROM s, unnest(range(0, n)) AS u(i)),
+        |e AS (SELECT media_id,
+        |        CASE WHEN tag = 7 THEN
+        |          CASE WHEN 255 - bv >= 128 THEN -1 ELSE 1 END *
+        |          ((((255 - bv) % 16) * 8 + 132)
+        |           * (1 << (((255 - bv) // 16) % 8)) - 132)
+        |        ELSE
+        |          CASE WHEN xor(bv, 85) >= 128 THEN 1 ELSE -1 END *
+        |          CASE WHEN (xor(bv, 85) // 16) % 8 = 0
+        |               THEN (xor(bv, 85) % 16) * 16 + 8
+        |               ELSE ((xor(bv, 85) % 16) * 16 + 264)
+        |                    * (1 << ((xor(bv, 85) // 16) % 8 - 1)) END
+        |        END AS val
+        |      FROM b),
+        |a AS (SELECT media_id, CAST(sum(val) AS BIGINT) sample_sum,
+        |             CAST(sum(val*val) AS BIGINT) sample_sumsq,
+        |             CAST(max(abs(val)) AS BIGINT) peak_abs
+        |      FROM e GROUP BY 1)
+        |SELECT s.media_id, CAST(tag AS INT) AS fmt_tag,
+        |  CAST(46 + n + n % 2 AS BIGINT) AS n_bytes,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(n AS INT) AS n_samples,
+        |  sample_sum, sample_sumsq, peak_abs
         |FROM s JOIN a USING (media_id)""".stripMargin,
     // incremental embedding admission (q64's convention on the vector
     // table): DuckDB brute-forces increment × corpus cosine at the same

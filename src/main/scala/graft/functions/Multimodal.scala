@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   * pure JVM and oracle-checked end-to-end (q145/q146 write real bytes and
   * match decoded aggregates against closed-form arithmetic), [[Png]]
   * is a real zlib-compressed codec (chunk CRCs, Inflater, all five
-  * scanline filters — q153), and [[Jpeg]] is a real baseline
+  * scanline filters — q153), [[Jpeg]] is a real baseline
   * sequential-DCT codec (marker walk, canonical Huffman from DHT,
   * dequant, IDCT, 4:2:0 chroma upsampling, restart markers — q155; pure
-  * math, no library). Only NON-DCT compressed audio/video (MP3/H.264-
-  * class) remains stubbed via `decodeStub`'s deterministic
+  * math, no library), [[Gif]] is a real dictionary-coded codec (GIF87a
+  * with true variable-width LZW — q156), and [[G711]] expands the
+  * companded telephony formats (μ-law/A-law WAV — q157). Only
+  * PERCEPTUAL audio/video (MP3/H.264-class) remains stubbed via
+  * `decodeStub`'s deterministic
   * pseudo-features; a production deployment swaps that one function for
   * a JNI/javacv codec without touching the surrounding plumbing: decode
   * runs inside `mapPartitions` (the Scala analogue of PySpark's
@@ -91,11 +94,15 @@ object Multimodal {
   /** REAL audio codec for the uncompressed case: RIFF/WAVE PCM16 needs no
     * external library, so for WAV payloads the decode step is an actual
     * byte-format parser, not a stub — chunk walk, fmt validation,
-    * little-endian sample extraction. (Compressed codecs remain stubbed:
-    * no codec libs in this container.) */
+    * little-endian sample extraction. Also expands the G.711-companded
+    * telephony formats (fmt 6/7 — see [[G711]]) to linear PCM16;
+    * transform-coded audio (MP3-class) remains stubbed: no codec libs in
+    * this container. */
   object Wav {
     final case class Decoded(sampleRate: Int, channels: Int,
-                             bitsPerSample: Int, samples: Array[Short])
+                             bitsPerSample: Int, samples: Array[Short],
+                             /** WAVE fmt tag: 1 PCM, 6 A-law, 7 μ-law */
+                             formatTag: Int = 1)
 
     private def le16(v: Int): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
@@ -131,30 +138,94 @@ object Multimodal {
       require(fourcc() == "RIFF", "not a RIFF file")
       b.getInt // riff size
       require(fourcc() == "WAVE", "not a WAVE file")
-      var rate = -1; var channels = -1; var bits = -1
+      var rate = -1; var channels = -1; var bits = -1; var fmtTag = -1
       var samples: Array[Short] = null
       while (b.remaining() >= 8 && samples == null) {
         val id = fourcc(); val size = b.getInt
         id match {
           case "fmt " =>
-            val fmt = b.getShort
-            require(fmt == 1, s"not PCM (fmt=$fmt)")
+            fmtTag = b.getShort.toInt
+            require(fmtTag == 1 || fmtTag == 6 || fmtTag == 7,
+              s"unsupported WAVE format (fmt=$fmtTag)")
             channels = b.getShort.toInt
             rate = b.getInt
             b.getInt; b.getShort // byte rate, block align
             bits = b.getShort.toInt
-            require(bits == 16, s"only PCM16 supported (bits=$bits)")
-            b.position(b.position() + (size - 16)) // fmt extensions
+            if (fmtTag == 1) require(bits == 16, s"only PCM16 supported (bits=$bits)")
+            else require(bits == 8, s"G.711 is 8-bit (bits=$bits)")
+            b.position(b.position() + (size - 16)) // fmt extensions (cbSize)
           case "data" =>
             require(rate > 0, "data chunk before fmt")
-            samples = Array.fill(size / 2)(b.getShort)
+            samples =
+              if (fmtTag == 1) Array.fill(size / 2)(b.getShort)
+              else {
+                val raw = new Array[Byte](size); b.get(raw)
+                val expand: Int => Int =
+                  if (fmtTag == 7) G711.ulawToPcm else G711.alawToPcm
+                raw.map(v => expand(v & 0xff).toShort)
+              }
           case _ => b.position(b.position() + size + (size & 1)) // skip, pad
         }
       }
       require(samples != null, "no data chunk")
-      Decoded(rate, channels, bits, samples)
+      Decoded(rate, channels, bits, samples, fmtTag)
     }
   }
+
+  /** REAL audio codec for the COMPANDED case: ITU-T G.711 μ-law and
+    * A-law expansion to linear PCM16 — the log-companded 8-bit telephony
+    * format (public ITU-T Recommendation G.711, 1972). Stateless per
+    * sample, so unlike ADPCM the decode is closed-form arithmetic the
+    * oracle can recompute in SQL: μ-law is complement → (mantissa·8 +
+    * 132) << exponent − 132 with bit 7 as sign; A-law is XOR 0x55 →
+    * segment expansion with INVERTED sign convention (bit 7 set means
+    * positive). Spec vectors pinned in the unit test: 0xFF→0 and
+    * 0x80→+32124 (μ), 0x55→−8 and 0x2A→−32256 (A).
+    *
+    * Reference behavior: the reference platform stores media blobs
+    * opaquely (web_scheduler.py upload handling); decode surfaces are
+    * the training-pipeline extension. */
+  object G711 {
+    /** μ-law byte → linear PCM16 (BIAS 0x84). */
+    def ulawToPcm(b: Int): Int = {
+      val u = (~b) & 0xff
+      val v = ((((u & 0xf) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+      if ((u & 0x80) != 0) -v else v
+    }
+
+    /** A-law byte → linear PCM16 (even bits inverted on the wire). */
+    def alawToPcm(b: Int): Int = {
+      val a = (b ^ 0x55) & 0xff
+      val exp = (a >> 4) & 7
+      val man = a & 0xf
+      val v = if (exp == 0) (man << 4) + 8
+              else ((man << 4) + 0x108) << (exp - 1)
+      if ((a & 0x80) != 0) v else -v
+    }
+
+    /** Mono companded WAV writer: fmt tag 7 (μ-law) or 6 (A-law),
+      * 8 bits/sample, 18-byte fmt chunk (non-PCM formats carry the
+      * cbSize extension field — fmt size 16 here would be malformed),
+      * and a RIFF pad byte when the data chunk is odd-sized. */
+    def synth(formatTag: Int, sampleRate: Int, data: Array[Byte]): Array[Byte] = {
+      require(formatTag == 6 || formatTag == 7, s"not G.711 (tag=$formatTag)")
+      val pad = data.length & 1
+      val out = java.nio.ByteBuffer.allocate(12 + 26 + 8 + data.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII"))
+        .putInt(4 + 26 + 8 + data.length + pad)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(18)
+        .putShort(formatTag.toShort).putShort(1) // mono
+        .putInt(sampleRate).putInt(sampleRate) // byte rate: 1 byte/sample
+        .putShort(1).putShort(8) // block align, bits
+        .putShort(0) // cbSize
+        .put("data".getBytes("US-ASCII")).putInt(data.length)
+        .put(data)
+      out.array() // trailing pad byte (if any) stays zero
+    }
+  }
+
 
   /** REAL image codec for the uncompressed case: 24-bit bottom-up BMP —
     * file/info header validation, BGR order, 4-byte row padding. The
@@ -210,6 +281,252 @@ object Multimodal {
         }
       }
       Decoded(width, height, pixels)
+    }
+  }
+
+  /** REAL image codec for the DICTIONARY-CODED case: GIF87a — logical
+    * screen descriptor, packed global color table, image descriptor and
+    * true variable-width LZW (clear/EOI codes, code width growth 5→12,
+    * dictionary reset at 4096, KwKwK self-reference, 255-byte
+    * sub-blocks). The encoder and decoder share nothing but the spec;
+    * a bit-packing or dictionary bug on either side breaks the exact
+    * pixel aggregates. Complements Png (entropy/zlib) and Jpeg
+    * (transform-coded): this is the dictionary-coded family.
+    *
+    * Reference behavior: the reference platform stores media blobs
+    * opaquely (web_scheduler.py upload handling); the decode surface is
+    * the training-pipeline extension, spec per GIF87a (CompuServe 1987,
+    * public domain spec) and Welch's LZW (IEEE Computer 1984). */
+  object Gif {
+    final case class Decoded(width: Int, height: Int,
+                             /** row-major top-down (r,g,b) triples */
+                             pixels: Array[(Int, Int, Int)])
+
+    private val MinCodeSize = 4 // 16-color palette
+
+    /** Write a single-frame GIF87a with a 16-entry global color table.
+      * `palette(j)` gives color j; `pix(x,y)` gives the palette index. */
+    def synth(width: Int, height: Int,
+              palette: Int => (Int, Int, Int),
+              pix: (Int, Int) => Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF87a".getBytes("US-ASCII"))
+      // logical screen descriptor: w, h (LE16), packed, bg index, aspect
+      out.write(width & 0xff); out.write(width >> 8)
+      out.write(height & 0xff); out.write(height >> 8)
+      // global color table flag=1, color resolution=7, size bits = 3 (2^4)
+      out.write(0x80 | (7 << 4) | 3)
+      out.write(0); out.write(0)
+      var j = 0
+      while (j < 16) {
+        val (r, g, b) = palette(j)
+        out.write(r); out.write(g); out.write(b)
+        j += 1
+      }
+      // image descriptor: separator, left, top, w, h, packed (no LCT)
+      out.write(0x2c)
+      out.write(0); out.write(0); out.write(0); out.write(0)
+      out.write(width & 0xff); out.write(width >> 8)
+      out.write(height & 0xff); out.write(height >> 8)
+      out.write(0)
+      out.write(MinCodeSize)
+      out.write(lzwEncode(Array.tabulate(width * height)(k =>
+        pix(k % width, k / width))))
+      out.write(0) // block terminator
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
+    /** GIF-variant LZW: clear code emitted first, codes packed LSB-first,
+      * dictionary reset via clear code when the table fills at 4096.
+      * Code-width accounting is keyed to the DATA-CODE COUNT since the
+      * last clear (`cnt`), not the real dictionary size: the decoder's
+      * table add for code *n* mirrors the encoder's add at code *n−1*
+      * (one behind), and the encoder's final pre-EOI code has no add at
+      * all — counting emitted/read data codes on both sides is the one
+      * scheme that keeps the width of every code position, EOI included,
+      * bit-identical. Returns the data sub-block stream (length-prefixed
+      * 255-byte chunks, no 0 terminator). */
+    private def lzwEncode(indexes: Array[Int]): Array[Byte] = {
+      val clear = 1 << MinCodeSize
+      val eoi = clear + 1
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nAcc = 0
+      var codeWidth = MinCodeSize + 1
+      def put(code: Int): Unit = {
+        acc |= code.toLong << nAcc; nAcc += codeWidth
+        while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
+      }
+      var dict = new java.util.HashMap[Long, Integer]()
+      var cnt = eoi + 1 // next add slot AND width counter (equal on this side)
+      put(clear)
+      var w = -1
+      var i = 0
+      while (i < indexes.length) {
+        val k = indexes(i)
+        if (w < 0) w = k
+        else {
+          val key = w.toLong << 12 | k.toLong
+          val hit = dict.get(key)
+          if (hit != null) w = hit.intValue()
+          else if (cnt < 4096) {
+            put(w)
+            dict.put(key, Integer.valueOf(cnt))
+            cnt += 1
+            if (cnt == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+            w = k
+          } else { // table full: flush w, reset via clear
+            put(w)
+            put(clear)
+            dict = new java.util.HashMap[Long, Integer]()
+            cnt = eoi + 1
+            codeWidth = MinCodeSize + 1
+            w = k
+          }
+        }
+        i += 1
+      }
+      if (w >= 0) {
+        put(w) // flush code has no add, but still advances the width counter
+        cnt += 1
+        if (cnt == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+      }
+      put(eoi)
+      if (nAcc > 0) bits.write((acc & 0xff).toInt)
+      // chunk into 255-byte sub-blocks
+      val raw = bits.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      var off = 0
+      while (off < raw.length) {
+        val n = math.min(255, raw.length - off)
+        out.write(n)
+        out.write(raw, off, n)
+        off += n
+      }
+      out.toByteArray
+    }
+
+    /** Parse + LZW-decode a GIF87a/89a stream; throws on malformed
+      * input. Handles extension blocks (skip), KwKwK codes, width
+      * growth and clear-code resets. */
+    def decode(bytes: Array[Byte]): Decoded = {
+      var p = 0
+      def u8(): Int = {
+        require(p < bytes.length, "truncated GIF")
+        val v = bytes(p) & 0xff; p += 1; v
+      }
+      def u16(): Int = { val v = u8(); v | (u8() << 8) }
+      require(bytes.length >= 13, "truncated GIF")
+      val sig = new String(bytes, 0, 6, "US-ASCII"); p = 6
+      require(sig == "GIF87a" || sig == "GIF89a", s"not a GIF: $sig")
+      val sw = u16(); val sh = u16()
+      val packed = u8(); u8(); u8() // bg index, aspect
+      val gctSize = if ((packed & 0x80) != 0) 2 << (packed & 7) else 0
+      val palette = Array.fill(gctSize)((u8(), u8(), u8()))
+      var result: Decoded = null
+      while (result == null) {
+        u8() match {
+          case 0x3b => throw new IllegalArgumentException("trailer before image")
+          case 0x21 => // extension: label, then sub-blocks
+            u8()
+            var n = u8()
+            while (n != 0) {
+              require(p + n <= bytes.length, "truncated GIF")
+              p += n; n = u8()
+            }
+          case 0x2c =>
+            u16(); u16() // left, top
+            val w = u16(); val h = u16()
+            val ip = u8()
+            require((ip & 0x80) == 0, "local color tables unsupported")
+            require((ip & 0x40) == 0, "interlace unsupported")
+            require(w <= sw && h <= sh, "image exceeds screen")
+            val minCode = u8()
+            // gather sub-blocks
+            val data = new java.io.ByteArrayOutputStream()
+            var n = u8()
+            while (n != 0) {
+              require(p + n <= bytes.length, "truncated GIF")
+              data.write(bytes, p, n); p += n; n = u8()
+            }
+            val idx = lzwDecode(data.toByteArray, minCode, w * h)
+            require(palette.nonEmpty, "no global color table")
+            result = Decoded(w, h, idx.map { j =>
+              require(j < palette.length, s"index $j outside palette")
+              palette(j)
+            })
+          case other =>
+            throw new IllegalArgumentException(f"unknown block 0x$other%02x")
+        }
+      }
+      result
+    }
+
+    private def lzwDecode(data: Array[Byte], minCode: Int,
+                          nPixels: Int): Array[Int] = {
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      var codeWidth = minCode + 1
+      var acc = 0L; var nAcc = 0; var p = 0
+      def next(): Int = {
+        while (nAcc < codeWidth) {
+          require(p < data.length, "LZW stream truncated")
+          acc |= (data(p) & 0xffL) << nAcc; p += 1; nAcc += 8
+        }
+        val v = (acc & ((1L << codeWidth) - 1)).toInt
+        acc >>= codeWidth; nAcc -= codeWidth
+        v
+      }
+      val out = new Array[Int](nPixels)
+      var outN = 0
+      // table of sequences: prefix code + final byte per entry
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Int](4096)
+      var nextFree = eoi + 1 // real table slot (lags the encoder by one add)
+      var cnt = eoi + 1 // width counter: one per data code, mirrors encoder
+      var prev = -1
+      val stack = new Array[Int](4096)
+      def emit(code: Int): Int = { // writes sequence, returns first index
+        var d = 0; var c = code
+        while (c >= clear) { stack(d) = suffix(c); d += 1; c = prefix(c) }
+        val first = c
+        require(outN + d + 1 <= nPixels, "LZW output overflows image")
+        out(outN) = first; outN += 1
+        while (d > 0) { d -= 1; out(outN) = stack(d); outN += 1 }
+        first
+      }
+      var done = false
+      while (!done) {
+        val code = next()
+        if (code == eoi) done = true
+        else if (code == clear) {
+          nextFree = eoi + 1; cnt = eoi + 1
+          codeWidth = minCode + 1; prev = -1
+        } else {
+          if (prev < 0) {
+            require(code < clear, "first code after clear must be literal")
+            emit(code); prev = code
+          } else {
+            require(code < clear || code <= nextFree, s"bad LZW code $code")
+            val first =
+              if (code == nextFree) { // KwKwK: sequence = prev + first(prev)
+                val f = emit(prev)
+                require(outN + 1 <= nPixels, "LZW output overflows image")
+                out(outN) = f; outN += 1
+                f
+              } else emit(code)
+            if (nextFree < 4096) {
+              prefix(nextFree) = prev; suffix(nextFree) = first
+              nextFree += 1
+            }
+            prev = code
+          }
+          cnt += 1
+          if (cnt == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        }
+      }
+      require(outN == nPixels, s"decoded $outN of $nPixels pixels")
+      out
     }
   }
 

@@ -2597,4 +2597,78 @@ object Pipeline {
       .toDF("media_id", "width", "height", "n_mcus",
             "sum_y", "sum_cb", "sum_cr", "wsum_y")
   }
+
+  /** q156 — REAL image decode for the DICTIONARY-CODED case: deterministic
+    * 16-color frames written as actual GIF87a bytes ([[Multimodal.Gif]] —
+    * logical screen descriptor, packed global color table, image
+    * descriptor, variable-width LZW with clear/EOI codes, width growth
+    * 5→12 and 255-byte sub-blocks) and parsed back through the LZW
+    * decoder (KwKwK self-reference, dictionary reset at 4096 — the big
+    * cases live in the unit spec; the query sweeps sizes 4×5..8×8 so the
+    * sub-block and palette paths run on every row). Completes the codec
+    * family taxonomy: Wav/Bmp uncompressed, Png entropy-coded (zlib),
+    * Jpeg transform-coded, Gif dictionary-coded. The emitted aggregates
+    * are exact integers over the DECODED palette-expanded pixels; wsum is
+    * position-weighted (q153's convention) so a shifted or transposed
+    * pixel breaks the oracle match. The LZW-coded byte length is
+    * match-order-dependent and deliberately not emitted. Narrow map, zero
+    * shuffle at any scale. */
+  def gifDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 4 + (id % 5).toInt; val h = 5 + (id % 4).toInt
+          val bytes = Multimodal.Gif.synth(w, h,
+            j => (((id * 3 + j * 17) % 256).toInt,
+                  ((id * 7 + j * 23) % 256).toInt,
+                  ((id * 11 + j * 29) % 256).toInt),
+            (x, y) => ((id + 5L * x + 7L * y) % 16L).toInt)
+          val d = Multimodal.Gif.decode(bytes)
+          var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+          var k = 0
+          while (k < d.pixels.length) {
+            val (r, g, b) = d.pixels(k)
+            sr += r; sg += g; sb += b
+            ws += (k + 1).toLong * ((r.toLong << 16) | (g.toLong << 8) | b.toLong)
+            k += 1
+          }
+          (id, d.width, d.height, sr, sg, sb, ws)
+        }
+      }
+      .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b", "wsum")
+  }
+
+  /** q157 — REAL audio decode for the COMPANDED case: deterministic
+    * telephony byte streams written as actual G.711 WAV files
+    * ([[Multimodal.G711]] — fmt tag 7 μ-law / 6 A-law, 18-byte fmt chunk
+    * with cbSize, RIFF pad byte on odd data sizes) and expanded back to
+    * linear PCM16 through [[Multimodal.Wav]]'s chunk walker (the decode
+    * path real telephony corpora take). Both companding laws run on every
+    * other row; the emitted aggregates (sum / sum-of-squares / peak over
+    * the EXPANDED samples) are exact integers the oracle recomputes from
+    * the closed-form ITU-T G.711 expansion arithmetic — a table,
+    * sign-convention, or header bug on either side breaks the match.
+    * Narrow map, zero shuffle at any scale. */
+  def g711Decode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 200 + (id % 101).toInt
+          val tag = if (id % 2 == 0) 7 else 6
+          val data = Array.tabulate(n)(i =>
+            ((id * 7919L + i.toLong * 104729L) % 256L).toByte)
+          val bytes = Multimodal.G711.synth(tag, 8000, data)
+          val d = Multimodal.Wav.decode(bytes)
+          val sum = d.samples.foldLeft(0L)(_ + _)
+          val sumSq = d.samples.foldLeft(0L)((a, v) => a + v.toLong * v)
+          val peak = d.samples.foldLeft(0L)((a, v) => math.max(a, math.abs(v.toLong)))
+          (id, d.formatTag, bytes.length.toLong, d.sampleRate, d.samples.length,
+           sum, sumSq, peak)
+        }
+      }
+      .toDF("media_id", "fmt_tag", "n_bytes", "sample_rate", "n_samples",
+            "sample_sum", "sample_sumsq", "peak_abs")
+  }
 }

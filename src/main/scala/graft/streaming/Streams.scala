@@ -141,17 +141,33 @@ object Streams {
     // watermarks require TIMESTAMP (an instant) — window on that, cast the
     // window bounds to ntz at the output edge (session TZ UTC → identity)
     //
-    // Complete mode + memory sink is deliberate HERE and only here: its
-    // result is the (window × type) dashboard aggregate, whose
-    // cardinality is the time axis, not the corpus — ~4M rows at the
-    // measured 100× point (sf10 oracle subset, r11), fine for a driver.
-    // Anything whose result grows with the CORPUS must take the q48/q109
-    // append-to-file-sink shape instead (the 100× gate OOM'd q109's old
-    // complete-mode form — see streamSessionWindowsAppendFromParquet).
+    // Complete MODE is deliberate HERE and only here: its result is the
+    // (window × type) dashboard aggregate, whose cardinality is the time
+    // axis, not the corpus — so re-emitting the full aggregate each
+    // trigger is bounded. The SINK is a foreachBatch distributed parquet
+    // overwrite, not the in-memory table: complete mode re-emits the FULL
+    // aggregate every trigger, so overwrite-with-the-latest-batch is
+    // batch-equivalent, and the result never materializes on the driver
+    // (the old memory sink's LocalTableScan carried the ~4M-row aggregate
+    // as a ~280 MB task-closure payload into Verify's parquet write at
+    // the 100× point — the r11 run flagged it; at 1000× it would be
+    // driver-OOM). Anything whose result grows with the CORPUS must take
+    // the q48/q109 append-to-file-sink shape instead (the 100× gate
+    // OOM'd q109's old complete-mode form — see
+    // streamSessionWindowsAppendFromParquet).
     val agg = windowedEventCounts(eventStreamWithInstantTs(spark, sfDir))
       .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
       .withColumn("window_end", col("window_end").cast("timestamp_ntz"))
-    runToMemory(agg, "graft_stream_events", outputMode = "complete")
+    val work = graft.core.TempDirs.tempDir("graft-q35")
+    val out = s"$work/result"
+    val q = agg.writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out)
   }
 
   /** The PRODUCTION streaming shape: the same windowed aggregation in

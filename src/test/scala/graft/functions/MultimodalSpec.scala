@@ -231,4 +231,89 @@ class MultimodalSpec extends SparkSuite {
       assert(d.cb(y * w + x) == cb && d.cr(y * w + x) == 163)
     }
   }
+
+  // ---- G.711 companded audio ----
+
+  test("G711: mu-law and A-law spec vectors and table symmetry") {
+    // ITU-T G.711 published table endpoints
+    assert(Multimodal.G711.ulawToPcm(0xff) == 0) // +0
+    assert(Multimodal.G711.ulawToPcm(0x7f) == 0) // -0
+    assert(Multimodal.G711.ulawToPcm(0x80) == 32124) // max positive
+    assert(Multimodal.G711.ulawToPcm(0x00) == -32124) // max negative
+    assert(Multimodal.G711.alawToPcm(0xd5) == 8) // smallest positive
+    assert(Multimodal.G711.alawToPcm(0x55) == -8) // smallest negative
+    assert(Multimodal.G711.alawToPcm(0xaa) == 32256) // max positive
+    assert(Multimodal.G711.alawToPcm(0x2a) == -32256) // max negative
+    // b and b^0x80 are exact negations in both codings -> tables sum to 0
+    assert((0 until 256).map(Multimodal.G711.ulawToPcm).sum == 0)
+    assert((0 until 256).map(Multimodal.G711.alawToPcm).sum == 0)
+    // mu-law magnitude is monotonic within the positive half
+    val pos = (0x80 to 0xff).map(Multimodal.G711.ulawToPcm).reverse
+    assert(pos == pos.sorted)
+  }
+
+  test("G711 WAV roundtrip: fmt 6/7 parse, 18-byte fmt chunk, odd-size pad") {
+    val data = Array.tabulate(255)(i => ((i * 7) % 256).toByte) // odd length
+    for (tag <- Seq(6, 7)) {
+      val bytes = Multimodal.G711.synth(tag, 8000, data)
+      assert(bytes.length == 12 + 26 + 8 + 255 + 1) // incl. RIFF pad byte
+      val d = Multimodal.Wav.decode(bytes)
+      assert(d.formatTag == tag && d.sampleRate == 8000)
+      assert(d.samples.length == 255)
+      val expand: Int => Int =
+        if (tag == 7) Multimodal.G711.ulawToPcm else Multimodal.G711.alawToPcm
+      assert(d.samples.toSeq == data.toSeq.map(b => expand(b & 0xff).toShort))
+    }
+  }
+
+  test("Wav.decode still rejects non-audio formats loudly") {
+    val pcm = Multimodal.Wav.synth(16000, Array[Short](1, 2, 3))
+    // corrupt the format tag to 2 (ADPCM, unsupported)
+    pcm(20) = 2
+    intercept[IllegalArgumentException](Multimodal.Wav.decode(pcm))
+  }
+
+  // ---- GIF87a / LZW ----
+
+  private def gifPalette(id: Long)(j: Int): (Int, Int, Int) =
+    (((id * 3 + j * 17) % 256).toInt, ((id * 7 + j * 23) % 256).toInt,
+     ((id * 11 + j * 29) % 256).toInt)
+
+  test("Gif roundtrip: structured pixels across sizes") {
+    for (id <- 0L until 24L) {
+      val w = 4 + (id % 5).toInt; val h = 5 + (id % 4).toInt
+      val pix = (x: Int, y: Int) => ((id + 5 * x + 7 * y) % 16).toInt
+      val d = Multimodal.Gif.decode(Multimodal.Gif.synth(w, h, gifPalette(id), pix))
+      assert(d.width == w && d.height == h)
+      val expect = Array.tabulate(w * h)(k => gifPalette(id)(pix(k % w, k / w)))
+      assert(d.pixels.toSeq == expect.toSeq)
+    }
+  }
+
+  test("Gif LZW: constant image triggers the KwKwK code path") {
+    val d = Multimodal.Gif.decode(
+      Multimodal.Gif.synth(16, 16, gifPalette(5L), (_, _) => 3))
+    assert(d.pixels.forall(_ == gifPalette(5L)(3)))
+  }
+
+  test("Gif LZW: large image crosses width growth and the 4096 reset") {
+    // 256x256 = 64k hash-noisy pixels: average LZW match length stays
+    // short, so the code table fills past 4095 several times over -> the
+    // encoder must emit mid-stream clears; every width 5..12 is used
+    val pix = (x: Int, y: Int) =>
+      (((x * 2654435761L + y * 40503L) >> 3) % 16).toInt
+    val d = Multimodal.Gif.decode(Multimodal.Gif.synth(256, 256, gifPalette(9L), pix))
+    assert(d.width == 256 && d.height == 256)
+    val expect = Array.tabulate(256 * 256)(k => gifPalette(9L)(pix(k % 256, k / 256)))
+    assert(d.pixels.toSeq == expect.toSeq)
+  }
+
+  test("Gif.decode fails loud on malformed input") {
+    val good = Multimodal.Gif.synth(5, 5, gifPalette(1L), (x, y) => (x + y) % 16)
+    intercept[IllegalArgumentException](
+      Multimodal.Gif.decode("NOTAGIF".getBytes("US-ASCII") ++ good))
+    // truncated LZW stream
+    intercept[IllegalArgumentException](
+      Multimodal.Gif.decode(good.dropRight(8) :+ 0.toByte :+ 0x3b.toByte))
+  }
 }

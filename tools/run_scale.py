@@ -57,7 +57,8 @@ SF10_SUBSET = [q for q in FAMILY if q not in
     "q82_stream_incremental_dedup", "q96_stream_release_admission",
     "q107_locf_backfill", "q109_stream_sessions", "q113_salted_fact_join",
     "q114_stream_locf", "q122_monthly_yoy", "q136_revenue_concentration",
-    "q147_adaptive_skew_join", "q155_jpeg_decode",
+    "q147_adaptive_skew_join", "q155_jpeg_decode", "q156_gif_decode",
+    "q157_g711_decode",
 ]
 
 
