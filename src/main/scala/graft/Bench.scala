@@ -25,7 +25,10 @@ object Bench {
     "q105_dedup_inflation", "q108_containment",
     // r11: the stored-bucket-table incremental embedding probe — the
     // corpus side must stream pre-partitioned at any scale
-    "q154_incremental_embedding")
+    "q154_incremental_embedding",
+    // r11: int8-quantized retrieval quality — O(panel·n) by construction,
+    // so its probe ratio must track the corpus linearly
+    "q158_int8_quant_recall")
 
   /** Synthesize one probe corpus of `nDocs` documents + `nVecs` embeddings
     * under `dir`. Hash-generated with a 5k-word vocabulary so

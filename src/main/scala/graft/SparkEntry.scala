@@ -362,6 +362,9 @@ object SparkEntry {
     "q151_bpe_roundtrip"     -> Pipeline.bpeRoundtrip _,
     // partial-probe IVF: provable per-query monotonicity + degeneracy
     "q152_ivf_partial_probe" -> Pipeline.ivfRecallProfile _,
+    // int8-quantized retrieval quality: top-10 overlap + top-1 agreement
+    // of the 4x-compressed scoring vs float cosine over a 50-query panel
+    "q158_int8_quant_recall" -> Pipeline.int8QuantRecall _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1821,6 +1824,55 @@ object SparkEntry {
         |    AS monotone_ok,
         |  max(CASE WHEN np = 16 THEN r END) = 5 AS exact_at_full
         |FROM rec GROUP BY 1""".stripMargin,
+    // int8 quantization recomputed end-to-end: the quantizer uses floor
+    // (bit-deterministic for any IEEE input — round()'s half-up-on-
+    // shortest-string semantics differ across engines), its dot/norms are
+    // exact integers (≤127²·64 ≈ 2²⁰, exactly representable even in
+    // float64 sums), and both rankings reuse q51's round-6 + id tie-break
+    // idiom; q_l1/q_sumsq pin the raw quantized vector so a table error
+    // fails the hash independent of ranking agreement
+    "q158_int8_quant_recall" ->
+      """WITH mm AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+        |      ELSE CAST(floor(x::DOUBLE * 127 / m + 0.5) AS INT) END) AS q
+        |  FROM mm),
+        |qq AS (
+        |  SELECT vec_id, embedding, q,
+        |    list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS nsq
+        |  FROM qv),
+        |p AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                 b.embedding::DOUBLE[]), 6) AS f_cos,
+        |    round(list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[])
+        |          / (sqrt(a.nsq) * sqrt(b.nsq)), 6) AS i_cos
+        |  FROM qq a JOIN qq b ON a.vec_id < 50 AND b.vec_id <> a.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY f_cos DESC, neighbor_id ASC) AS rf,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY i_cos DESC, neighbor_id ASC) AS ri
+        |  FROM p),
+        |agg AS (
+        |  SELECT query_id,
+        |    CAST(sum(CASE WHEN rf <= 10 AND ri <= 10 THEN 1 ELSE 0 END) AS INT)
+        |      AS overlap_at_10,
+        |    max(CASE WHEN rf = 1 THEN neighbor_id END) AS top1_float,
+        |    max(CASE WHEN ri = 1 THEN neighbor_id END) AS top1_int8
+        |  FROM r GROUP BY 1),
+        |ql AS (
+        |  SELECT vec_id AS query_id,
+        |    CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS q_l1,
+        |    CAST(nsq AS BIGINT) AS q_sumsq
+        |  FROM qq WHERE vec_id < 50)
+        |SELECT ql.query_id, q_l1, q_sumsq, overlap_at_10, top1_float, top1_int8
+        |FROM ql JOIN agg USING (query_id)""".stripMargin,
     "q150_order_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders

@@ -383,4 +383,32 @@ object Vectors {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
+
+  // ---- int8 symmetric quantization (the 4x storage-compression path) ----
+
+  /** Symmetric per-vector int8 quantization: `q_i = floor(x_i·127/m + ½)`
+    * with `m = max|x_i|` (an all-zero vector quantizes to all zeros). The
+    * extremes land EXACTLY on ±127 (x=m → floor(127.5)=127, x=−m →
+    * floor(−126.5)=−127), so no clamp is needed, and `floor` — unlike
+    * `round`, whose half-up-on-shortest-decimal-string semantics differ
+    * across engines — is bit-deterministic for any IEEE input, which is
+    * what lets a second engine recompute the quantizer exactly. */
+  def quantizeInt8(v: Column): Column = {
+    val d = asDouble(v)
+    val m = array_max(transform(d, x => abs(x)))
+    transform(d, x =>
+      when(m === lit(0.0), lit(0))
+        .otherwise(floor(x * lit(127.0) / m + lit(0.5)).cast("int")))
+  }
+
+  /** Exact-integer dot product of two int arrays (long accumulator — no
+    * float rounding anywhere, so both sides of a cross-engine compare get
+    * the same integer). */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Exact-integer L1 norm of an int array. */
+  def l1Long(a: Column): Column =
+    aggregate(transform(a, x => abs(x.cast("long"))), lit(0L), (acc, v) => acc + v)
 }

@@ -497,6 +497,63 @@ object Pipeline {
     Vectors.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
   }
 
+  /** q158 — int8-quantized retrieval quality IN THE INTEGER DOMAIN:
+    * quantize every embedding to symmetric int8 ([[Vectors.quantizeInt8]] —
+    * the 4× storage-compression format a 100 TB float32 corpus ships in)
+    * and rank by the exact-integer dot product — the compressed-domain
+    * kernel an int8 SIMD scorer actually executes — never dequantizing.
+    * Completes the quantization audit stack: q72 bounds reconstruction
+    * error, q73 checks top-1 after DEQUANTIZING back to float, q158
+    * measures what production retrieval over the compressed vectors
+    * returns: over a fixed 50-query panel against the FULL corpus, top-10
+    * overlap vs float cosine and the top-1 under each scoring. Both rankings use q51's proven idiom — round(score, 6) then
+    * id tie-break — and the int8 score's inputs (dot and squared norms)
+    * are exact longs, so its double division/sqrt is bit-identical across
+    * engines; `q_l1`/`q_sumsq` pin the quantizer's raw output so a wrong
+    * table entry fails the hash even if rankings happen to agree. One
+    * broadcast of the panel, one corpus scan, one exchange on query_id
+    * shared by both rank windows (50·n rows — at the 100 TB point this is
+    * the measurement harness; production retrieval composes the same
+    * quantizer with the IVF/LSH paths of q52/q27). */
+  def int8QuantRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val quant = emb.select(col("vec_id"), col("embedding"),
+      Vectors.quantizeInt8(col("embedding")).as("qv"))
+    val withNorm = quant.withColumn("nsq", Vectors.dotLong(col("qv"), col("qv")))
+    val panel = broadcast(withNorm.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+              col("qv").as("q_qv"), col("nsq").as("q_nsq")))
+    val scored = withNorm
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+              col("qv").as("c_qv"), col("nsq").as("c_nsq"))
+      .join(panel, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Vectors.cosine(col("q_emb"), col("c_emb")), 6).as("f_cos"),
+        round(Vectors.dotLong(col("q_qv"), col("c_qv")).cast("double") /
+              (sqrt(col("q_nsq").cast("double")) * sqrt(col("c_nsq").cast("double"))), 6)
+          .as("i_cos"))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("f_cos").desc, col("neighbor_id").asc)
+    val wi = Window.partitionBy("query_id")
+      .orderBy(col("i_cos").desc, col("neighbor_id").asc)
+    val ranked = scored
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("ri", row_number().over(wi))
+      .filter(col("rf") <= 10 || col("ri") <= 10)
+    val agg = ranked.groupBy("query_id").agg(
+      sum(when(col("rf") <= 10 && col("ri") <= 10, 1).otherwise(0))
+        .cast("int").as("overlap_at_10"),
+      max(when(col("rf") === 1, col("neighbor_id"))).as("top1_float"),
+      max(when(col("ri") === 1, col("neighbor_id"))).as("top1_int8"))
+    agg.join(
+      panel.select(col("query_id"), Vectors.l1Long(col("q_qv")).as("q_l1"),
+                   col("q_nsq").as("q_sumsq")),
+      Seq("query_id"))
+      .select(col("query_id"), col("q_l1"), col("q_sumsq"),
+              col("overlap_at_10"), col("top1_float"), col("top1_int8"))
+  }
+
   /** LSH-bucketed ANN variant (scale path; recall < 1 by design). The raw
     * top-k surface is [[graft.functions.Vectors.lshTopK]] (library API);
     * library callers use it directly. */

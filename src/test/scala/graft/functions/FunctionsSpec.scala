@@ -464,4 +464,43 @@ class FunctionsSpec extends SparkSuite {
     assert(top.map(_.getLong(2)).toSeq == Seq(3L, 1L)) // ranked by cosine
     assert(top.forall(_.getLong(0) == 0L))
   }
+
+  test("quantizeInt8: extremes land exactly on ±127, zero vector stays zero") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(2f, -2f, 1f, 0f)),   // m=2: exact ±127, midpoint, zero
+      (1L, Array(0f, 0f, 0f, 0f)),    // all-zero: no div-by-zero, all 0
+      (2L, Array(-0.5f, 0.25f, 0.5f, -0.125f))) // negative max magnitude
+      .toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"), Vectors.quantizeInt8(col("embedding")).as("q"),
+        Vectors.dotLong(Vectors.quantizeInt8(col("embedding")),
+                        Vectors.quantizeInt8(col("embedding"))).as("nsq"),
+        Vectors.l1Long(Vectors.quantizeInt8(col("embedding"))).as("l1"))
+      .orderBy("vec_id").collect()
+    assert(out(0).getSeq[Int](1) == Seq(127, -127, 64, 0)) // floor(63.5+0.5)=64
+    assert(out(1).getSeq[Int](1) == Seq(0, 0, 0, 0))
+    // m=0.5: -0.5→-127, 0.25→floor(64)=64, 0.5→127, -0.125→floor(-31.25)=-32
+    assert(out(2).getSeq[Int](1) == Seq(-127, 64, 127, -32))
+    assert(out(0).getLong(2) == 127L*127 + 127L*127 + 64L*64)
+    assert(out(0).getLong(3) == 127L + 127 + 64)
+  }
+
+  test("int8QuantRecall: panel shape, rank bounds, top1_float matches brute force") {
+    val out = graft.operators.Pipeline.int8QuantRecall(spark, sf001Dir)
+    val rows = out.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(r => r.getInt(3) >= 0 && r.getInt(3) <= 10))
+    // the float-side top-1 must agree with the established brute-force path
+    val emb = graft.core.Tables.embeddings(spark, sf001Dir)
+    val expected = Vectors.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(4) == expected(r.getLong(0)),
+        s"query ${r.getLong(0)}: float top1 ${r.getLong(4)} != brute ${expected(r.getLong(0))}")
+    }
+    // int8 at 64 dims preserves most of the ranking: sane quality floor
+    val meanOverlap = rows.map(_.getInt(3)).sum.toDouble / rows.length
+    assert(meanOverlap >= 8.0, s"int8 top-10 overlap degraded to $meanOverlap")
+  }
 }

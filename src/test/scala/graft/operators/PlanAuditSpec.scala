@@ -484,6 +484,22 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("q158 int8 recall: one shared exchange for both rank windows, panel broadcasts") {
+    val plan = executedPlan("q158_int8_quant_recall")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // both row_number windows and the group-by key on query_id: ONE
+    // hashpartitioning exchange serves all three
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(exchanges == 1, s"rank windows should share one exchange:\n$plan")
+    // the 50-query panel rides a broadcast (nested-loop against the non-equi
+    // self-pair filter — the corpus side never shuffles to meet it)
+    assert(finalPlan.contains("BroadcastNestedLoopJoin") ||
+           finalPlan.contains("BroadcastHashJoin"),
+      s"panel join did not broadcast:\n$plan")
+    assert(!finalPlan.contains("CartesianProduct"),
+      s"panel join degenerated to a cross product:\n$plan")
+  }
+
   test("q67 funnel: six stages fold into one aggregate, never re-scans per stage") {
     val plan = executedPlan("q67_release_funnel")
     // flags construction reads the corpus a bounded handful of times
