@@ -352,6 +352,11 @@ object SparkEntry {
     // incremental embedding admission: increment probes the corpus's LSH
     // bucket table two-sided, threshold fused into the join (r10)
     "q154_incremental_embedding" -> Pipeline.incrementalEmbeddingDedup _,
+    // the same admission loop STREAMED: micro-batches probe the stored
+    // bucket table via foreachBatch (q82's shape on the vector side);
+    // shares q154's brute-force cosine oracle, so batch/stream parity is
+    // oracle-checked
+    "q159_stream_embedding_admission" -> Pipeline.streamEmbeddingAdmission _,
     // adaptive skew join: histogram-gated salting under q13's oracle
     "q147_adaptive_skew_join" -> Relational.revenueByNationAdaptiveSkew _,
     // TPC-H Q8/Q15/Q4 shapes
@@ -2349,7 +2354,14 @@ object SparkEntry {
     // (precision — corpus cross-pairs top out at ≈ 0.51) are checked as
     // values; max-cos is −1.0 for admitted rows so the double compares
     // exactly (planted hits are exact copies: cosine 1.0 in both engines)
-    "q154_incremental_embedding" ->
+    "q154_incremental_embedding" -> incEmbeddingOracle,
+    // identical admission contract, streamed per micro-batch against the
+    // same stored bucket table — one oracle, two query paths (the
+    // q65/q74/q82 convention on the vector side)
+    "q159_stream_embedding_admission" -> incEmbeddingOracle,
+  )
+
+  private lazy val incEmbeddingOracle: String =
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 4),
         |inc AS (
@@ -2369,6 +2381,5 @@ object SparkEntry {
         |  coalesce(m.n, 0) > 0 AS is_near_dup,
         |  coalesce(m.n, 0) = 0 AS admit,
         |  round(coalesce(m.mx, -1.0), 4) AS max_corpus_cos
-        |FROM inc i LEFT JOIN m USING (vec_id)""".stripMargin,
-  )
+        |FROM inc i LEFT JOIN m USING (vec_id)""".stripMargin
 }

@@ -175,10 +175,73 @@ case class LshSignatures(child: Expression, planes: Array[Double],
     copy(child = newChild)
 }
 
+/** Exact-integer dot product of two int arrays in ONE fused
+  * code-generated loop (long accumulator — bit-identical to the
+  * interpreted `zip_with`/`aggregate` composition, which dispatches two
+  * lambdas per element across three array traversals). This is q158's
+  * per-pair hot kernel: panel×corpus integer dots, the compressed-domain
+  * scoring an int8 SIMD engine runs.
+  */
+case class Int8Dot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"int8_dot expects array<int>, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getInt(i).toLong * b.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((long) $a.getInt($i)) * ((long) $b.getInt($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8Dot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column wrapper: fused cosine similarity. */
   def cosine_sim(a: Column, b: Column): Column =
     ColumnShim.column(CosineSim(ColumnShim.expression(a),
+      ColumnShim.expression(b)))
+
+  /** Column wrapper: fused exact-long integer dot product. */
+  def int8_dot(a: Column, b: Column): Column =
+    ColumnShim.column(Int8Dot(ColumnShim.expression(a),
       ColumnShim.expression(b)))
 
   /** Column wrapper: all LSH table signatures in one fused loop. */

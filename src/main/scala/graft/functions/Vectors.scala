@@ -401,12 +401,19 @@ object Vectors {
         .otherwise(floor(x * lit(127.0) / m + lit(0.5)).cast("int")))
   }
 
-  /** Exact-integer dot product of two int arrays (long accumulator — no
-    * float rounding anywhere, so both sides of a cross-engine compare get
-    * the same integer). */
-  def dotLong(a: Column, b: Column): Column =
+  /** Interpreted composition form (kept for the bit-identity spec);
+    * `dotLong` below is the fused native expression used on hot paths. */
+  def dotLongHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, v) => acc + v)
+
+  /** Exact-integer dot product of two int arrays (long accumulator — no
+    * float rounding anywhere, so both sides of a cross-engine compare get
+    * the same integer). Fused single-loop Catalyst expression with
+    * codegen; integer sums are order-independent, so it is exactly
+    * [[dotLongHof]]. */
+  def dotLong(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.int8_dot(a, b)
 
   /** Exact-integer L1 norm of an int array. */
   def l1Long(a: Column): Column =

@@ -665,6 +665,62 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** q159 — q154's embedding admission as a STREAMING loop (the q82 "state
+    * is a table" shape on the vector side): increments arrive in
+    * micro-batches and each batch probes the SAME stored LSH bucket table
+    * ([[graft.functions.Vectors.ensureBucketTable]]) via foreachBatch —
+    * stateless stream, durable state, no growing executor state at any
+    * corpus size. Completes the production-loop symmetry the repo
+    * established for MinHash (q65 two-sided ≡ q74 stored ≡ q82 streamed):
+    * q41/q154/q159 are now the same triangle for embeddings. Emits exactly
+    * q154's per-increment admission columns, so the two paths share one
+    * brute-force cosine oracle — batch/stream parity is oracle-checked,
+    * not just spec-asserted. */
+  def streamEmbeddingAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val st = emb.agg(max("vec_id")).head()
+    val offset = if (st.isNullAt(0)) 1L else st.getLong(0) + 1L
+    val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+    val planted = corpus.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+    val inc = emb.filter(pmod(col("vec_id"), lit(5)) === 4).unionByName(planted)
+    val table = cellTableName("graft_vecbkt_corpus", dir)
+    Vectors.ensureBucketTable(corpus, "vec_id", "embedding", dim = 64,
+      table = table,
+      tag = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet"))
+    val work = graft.core.TempDirs.tempDir("graft-q159")
+    val stage = s"$work/stage"; val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    inc.repartition(4).write.mode("overwrite").parquet(stage)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", "long")
+      .add("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    // 2 files/trigger over 4 staged files → 2 genuine micro-batches, both
+    // probing the one static bucket table (per-batch probe sets are
+    // disjoint by vec_id, so appended results union to q154's exactly)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(stage)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hits = Vectors.lshScoredPairsAgainstTable(spark, table, batch,
+            "vec_id", "embedding", dim = 64, minCos = 0.9)
+          .groupBy(col("query_id").as("vec_id"))
+          .agg(count(lit(1)).as("n"), max("cos_sim").as("mx"))
+        batch.select(col("vec_id"))
+          .join(hits, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("n"), lit(0L)).as("n_corpus_dups"),
+            (coalesce(col("n"), lit(0L)) > 0).as("is_near_dup"),
+            (coalesce(col("n"), lit(0L)) === 0).as("admit"),
+            round(coalesce(col("mx"), lit(-1.0)), 4).as("max_corpus_cos"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out).orderBy("vec_id")
+  }
+
   /** Documents as an opaque-binary media table (payload = utf-8 bytes here;
     * at scale: real image/audio payloads with the same schema). */
   private def mediaTable(spark: SparkSession, dir: String): DataFrame =

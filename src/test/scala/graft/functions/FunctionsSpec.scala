@@ -485,6 +485,23 @@ class FunctionsSpec extends SparkSuite {
     assert(out(0).getLong(3) == 127L + 127 + 64)
   }
 
+  test("int8_dot fused expression is bit-identical to the HOF composition") {
+    import spark.implicits._
+    val df = graft.core.Tables.embeddings(spark, sf001Dir)
+      .select(col("vec_id"), Vectors.quantizeInt8(col("embedding")).as("q"))
+    val pairs = df.as("a").join(df.as("b"),
+      col("a.vec_id") + 1 === col("b.vec_id"))
+    val diff = pairs.select(
+        Vectors.dotLong(col("a.q"), col("b.q")).as("fused"),
+        Vectors.dotLongHof(col("a.q"), col("b.q")).as("hof"))
+      .filter(col("fused") =!= col("hof")).count()
+    assert(diff == 0L)
+    // and the empty/degenerate shape: zero-length arrays dot to 0
+    val z = Seq((Array.empty[Int], Array.empty[Int])).toDF("x", "y")
+      .select(Vectors.dotLong(col("x"), col("y"))).head().getLong(0)
+    assert(z == 0L)
+  }
+
   test("int8QuantRecall: panel shape, rank bounds, top1_float matches brute force") {
     val out = graft.operators.Pipeline.int8QuantRecall(spark, sf001Dir)
     val rows = out.collect()

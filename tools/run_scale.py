@@ -188,8 +188,8 @@ def main():
             if art["excluded"]:
                 art["excluded_reason"] = (
                     "O(n^2) DuckDB oracle at this scale (q51 brute-force "
-                    "NN, q154 increment-x-corpus cosine); their engine "
-                    "sides still run in the BENCH families")
+                    "NN; q154/q159 increment-x-corpus cosine); their "
+                    "engine sides still run in the BENCH families")
         art.update(st)
         ok = sum(1 for v in art["queries"].values()
                  if v["status"] in ("ok", "ok_subset"))
