@@ -370,6 +370,9 @@ object SparkEntry {
     // int8-quantized retrieval quality: top-10 overlap + top-1 agreement
     // of the 4x-compressed scoring vs float cosine over a 50-query panel
     "q158_int8_quant_recall" -> Pipeline.int8QuantRecall _,
+    // product quantization + ADC (IVF-PQ's scan kernel) at 64x
+    // compression, all-integer arithmetic vs the exact int8 ranking
+    "q160_pq_adc_recall" -> Pipeline.pqAdcRecall _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1878,6 +1881,65 @@ object SparkEntry {
         |  FROM qq WHERE vec_id < 50)
         |SELECT ql.query_id, q_l1, q_sumsq, overlap_at_10, top1_float, top1_int8
         |FROM ql JOIN agg USING (query_id)""".stripMargin,
+    // the full PQ pipeline recomputed in SQL: same int8 quantizer, the
+    // seeded codebook (16 lowest-id vectors' subvectors), argmin-L2
+    // encode with lowest-index tie-break, ADC scoring, both rankings —
+    // every quantity an exact integer (list_dot_product over ::DOUBLE[]
+    // of ≤127 ints is exact: sums < 2^21), so no float idiom is needed
+    "q160_pq_adc_recall" ->
+      """WITH mm AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+        |      ELSE CAST(floor(x::DOUBLE*127/m + 0.5) AS INT) END) AS q
+        |  FROM mm),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q
+        |          FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 16)),
+        |ss AS (SELECT unnest(range(0, 8)) AS s),
+        |cb AS (SELECT ss.s, seeds.j,
+        |         list_slice(seeds.q, ss.s*8 + 1, ss.s*8 + 8) AS c
+        |       FROM ss, seeds),
+        |sub AS (SELECT vec_id, ss.s, list_slice(q, ss.s*8+1, ss.s*8+8) AS sub
+        |        FROM qv, ss),
+        |enc0 AS (SELECT sub.vec_id, sub.s, cb.j,
+        |    CAST(list_dot_product(sub.sub::DOUBLE[], sub.sub::DOUBLE[])
+        |       + list_dot_product(cb.c::DOUBLE[], cb.c::DOUBLE[])
+        |       - 2*list_dot_product(sub.sub::DOUBLE[], cb.c::DOUBLE[])
+        |       AS BIGINT) AS d
+        |  FROM sub JOIN cb ON cb.s = sub.s),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d ASC, j ASC) rn FROM enc0) WHERE rn = 1),
+        |panel AS (SELECT vec_id AS query_id, q FROM qv WHERE vec_id < 50),
+        |psub AS (SELECT query_id, ss.s,
+        |           list_slice(q, ss.s*8+1, ss.s*8+8) AS sub
+        |         FROM panel, ss),
+        |adc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum(list_dot_product(p.sub::DOUBLE[], cb.c::DOUBLE[]))
+        |         AS BIGINT) AS adc_score
+        |  FROM psub p JOIN codes c ON c.s = p.s AND c.vec_id <> p.query_id
+        |  JOIN cb ON cb.s = c.s AND cb.j = c.code
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT p.query_id, v.vec_id AS neighbor_id,
+        |    CAST(list_dot_product(p.q::DOUBLE[], v.q::DOUBLE[]) AS BIGINT) AS ex
+        |  FROM panel p JOIN qv v ON v.vec_id <> p.query_id),
+        |r AS (SELECT e.query_id, e.neighbor_id, ex, adc_score,
+        |    row_number() OVER (PARTITION BY e.query_id
+        |        ORDER BY ex DESC, e.neighbor_id ASC) AS re,
+        |    row_number() OVER (PARTITION BY e.query_id
+        |        ORDER BY adc_score DESC, e.neighbor_id ASC) AS rp
+        |  FROM exact e JOIN adc a
+        |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+        |SELECT query_id,
+        |  CAST(sum(CASE WHEN re <= 10 AND rp <= 10 THEN 1 ELSE 0 END) AS INT)
+        |    AS overlap_at_10,
+        |  max(CASE WHEN re = 1 THEN neighbor_id END) AS top1_exact,
+        |  max(CASE WHEN rp = 1 THEN neighbor_id END) AS top1_pq,
+        |  CAST(max(CASE WHEN re = 1 THEN ex END) AS BIGINT) AS exact_top1_score,
+        |  CAST(max(CASE WHEN rp = 1 THEN adc_score END) AS BIGINT)
+        |    AS adc_top1_score
+        |FROM r GROUP BY 1""".stripMargin,
     "q150_order_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders

@@ -233,6 +233,148 @@ case class Int8Dot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization encoder over an int8-quantized vector in ONE fused
+  * code-generated loop: for each of `m` subspaces of `dsub` dims, the index
+  * of the codebook centroid minimizing exact-integer squared L2 distance
+  * (ties to the LOWEST index — deterministic, SQL-reproducible). `codebook`
+  * is flattened (m × k × dsub) row-major: centroid j of subspace s starts
+  * at (s*k + j)*dsub. All arithmetic is exact long — no float anywhere, so
+  * a second engine recomputes every code bit-identically.
+  */
+case class PqEncode(child: Expression, codebook: Array[Int], m: Int,
+                    k: Int, dsub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case dt =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_encode expects array<int>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0; var bestD = Long.MaxValue
+      var j = 0
+      while (j < k) {
+        val base = (s * k + j) * dsub
+        var d = 0L
+        var i = 0
+        while (i < dsub) {
+          val diff = (v.getInt(s * dsub + i) - codebook(base + i)).toLong
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", codebook, "int[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val codes = ctx.freshName("codes"); val s = ctx.freshName("s")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD"); val base = ctx.freshName("base")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int[] $codes = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $best = 0; long $bestD = Long.MAX_VALUE;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    int $base = ($s * $k + $j) * $dsub;
+         |    long $d = 0L;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      long $diff = (long) ($v.getInt($s * $dsub + $i) - $cbRef[$base + $i]);
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $j; }
+         |  }
+         |  $codes[$s] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance (ADC) score between an UNCOMPRESSED int8 query and a
+  * PQ-ENCODED corpus vector: Σ_s dot(query_sub_s, centroid[s][codes_s]) —
+  * the lookup-table kernel IVF-PQ scans cells with, here as one fused
+  * exact-long loop (the query side never decodes the corpus).
+  */
+case class AdcScore(left: Expression, right: Expression, codebook: Array[Int],
+                    m: Int, k: Int, dsub: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"adc_score expects (array<int> query, array<int> codes), got " +
+            s"${l.simpleString} / ${r.simpleString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val q = l.asInstanceOf[ArrayData]
+    val codes = r.asInstanceOf[ArrayData]
+    var acc = 0L
+    var s = 0
+    while (s < m) {
+      val base = (s * k + codes.getInt(s)) * dsub
+      var i = 0
+      while (i < dsub) {
+        acc += q.getInt(s * dsub + i).toLong * codebook(base + i).toLong
+        i += 1
+      }
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", codebook, "int[]")
+    nullSafeCodeGen(ctx, ev, (q, codes) => {
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val base = ctx.freshName("base")
+      s"""
+         |long $acc = 0L;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $base = ($s * $k + $codes.getInt($s)) * $dsub;
+         |  for (int $i = 0; $i < $dsub; $i++) {
+         |    $acc += ((long) $q.getInt($s * $dsub + $i)) * ((long) $cbRef[$base + $i]);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column wrapper: fused cosine similarity. */
   def cosine_sim(a: Column, b: Column): Column =
@@ -243,6 +385,17 @@ object VectorExpressions {
   def int8_dot(a: Column, b: Column): Column =
     ColumnShim.column(Int8Dot(ColumnShim.expression(a),
       ColumnShim.expression(b)))
+
+  /** Column wrapper: PQ codes over an int8-quantized vector. */
+  def pq_encode(v: Column, codebook: Array[Int], m: Int, k: Int,
+                dsub: Int): Column =
+    ColumnShim.column(PqEncode(ColumnShim.expression(v), codebook, m, k, dsub))
+
+  /** Column wrapper: fused ADC score (int8 query × PQ codes). */
+  def adc_score(q: Column, codes: Column, codebook: Array[Int],
+                m: Int, k: Int, dsub: Int): Column =
+    ColumnShim.column(AdcScore(ColumnShim.expression(q),
+      ColumnShim.expression(codes), codebook, m, k, dsub))
 
   /** Column wrapper: all LSH table signatures in one fused loop. */
   def lsh_signatures(v: Column, planesFlat: Array[Double],

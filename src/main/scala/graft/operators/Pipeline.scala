@@ -665,6 +665,75 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** q160 — product quantization with asymmetric-distance (ADC) scoring,
+    * entirely in the integer domain: int8-quantize (q158's quantizer),
+    * split into 8 subspaces × 8 dims, encode each corpus vector as 8
+    * 4-bit codes against a SEEDED codebook (the 16 lowest-id quantized
+    * vectors' subvectors — q152's deterministic seed-quantizer
+    * convention, SQL-reproducible), and rank by the ADC kernel
+    * Σ_s dot(query_sub, centroid[code_s]) — the cell-scan scoring loop of
+    * IVF-PQ (Jégou et al., TPAMI 2011), at 64× compression vs float32
+    * (4 B codes vs 256 B per vector). Every quantity — squared-L2 encode
+    * distances, ADC scores, exact int8 dots — is an exact long, so ties,
+    * rankings, and scores are bit-reproducible by a second engine with NO
+    * float-parity idiom needed anywhere. Emits top-10 overlap + top-1 of
+    * ADC vs the exact int8 dot ranking it approximates, both top-1 scores
+    * pinned. Synthetic near-orthogonal embeddings are PQ's adversarial
+    * case (no cluster structure for a codebook to exploit), so the
+    * measured overlap here is a floor, not typical fidelity — the query
+    * verifies the MACHINERY end-to-end; real embedding manifolds rank far
+    * better. One broadcast panel, one corpus scan, one shared exchange
+    * (q158's plan shape); encode is a narrow map. */
+  def pqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 8; val K = 16; val DSUB = 8
+    val quant = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Vectors.quantizeInt8(col("embedding")).as("qv"))
+    // codebook: 16 lowest-id quantized vectors (driver-small by contract,
+    // the Ivf centroid-collect convention)
+    val seeds = quant.orderBy("vec_id").limit(K).collect()
+    val cb = new Array[Int](M * K * DSUB)
+    seeds.zipWithIndex.foreach { case (row, j) =>
+      val q = row.getAs[scala.collection.Seq[Int]]("qv")
+      var s = 0
+      while (s < M) {
+        var i = 0
+        while (i < DSUB) {
+          cb((s * K + j) * DSUB + i) = q(s * DSUB + i)
+          i += 1
+        }
+        s += 1
+      }
+    }
+    val coded = quant.withColumn("codes",
+      graft.expressions.VectorExpressions.pq_encode(col("qv"), cb, M, K, DSUB))
+    val panel = broadcast(coded.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv")))
+    val scored = coded
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("c_qv"), col("codes"))
+      .join(panel, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.expressions.VectorExpressions.int8_dot(col("q_qv"), col("c_qv"))
+          .as("ex"),
+        graft.expressions.VectorExpressions
+          .adc_score(col("q_qv"), col("codes"), cb, M, K, DSUB).as("adc"))
+    val we = Window.partitionBy("query_id")
+      .orderBy(col("ex").desc, col("neighbor_id").asc)
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("re", row_number().over(we))
+      .withColumn("rp", row_number().over(wp))
+      .filter(col("re") <= 10 || col("rp") <= 10)
+      .groupBy("query_id").agg(
+        sum(when(col("re") <= 10 && col("rp") <= 10, 1).otherwise(0))
+          .cast("int").as("overlap_at_10"),
+        max(when(col("re") === 1, col("neighbor_id"))).as("top1_exact"),
+        max(when(col("rp") === 1, col("neighbor_id"))).as("top1_pq"),
+        max(when(col("re") === 1, col("ex"))).as("exact_top1_score"),
+        max(when(col("rp") === 1, col("adc"))).as("adc_top1_score"))
+  }
+
   /** q159 — q154's embedding admission as a STREAMING loop (the q82 "state
     * is a table" shape on the vector side): increments arrive in
     * micro-batches and each batch probes the SAME stored LSH bucket table

@@ -485,6 +485,32 @@ class FunctionsSpec extends SparkSuite {
     assert(out(0).getLong(3) == 127L + 127 + 64)
   }
 
+  test("pq_encode: zero-distance self-codes, lowest-index tie-break; adc_score manual") {
+    import spark.implicits._
+    import graft.expressions.VectorExpressions
+    // 2 subspaces × 2 dims, 3 centroids; centroids 1 and 2 are identical
+    // in subspace 1 (tie → lowest index)
+    val cb = Array(
+      /* s=0 */ 1, 2,   10, 20,   5, 5,
+      /* s=1 */ 3, 4,   -7, -8,   -7, -8)
+    val df = Seq(
+      (0L, Array(1, 2, 3, 4)),     // = centroid 0 in both subspaces
+      (1L, Array(10, 20, -7, -8)), // s0 → 1; s1 ties between 1,2 → 1
+      (2L, Array(6, 6, 0, 0)))     // s0: d(c0)=41,d(c1)=212,d(c2)=2 → 2; s1: d(c0)=25,d(c1/2)=113 → 0
+      .toDF("vec_id", "v")
+    val out = df.select(col("vec_id"),
+        VectorExpressions.pq_encode(col("v"), cb, 2, 3, 2).as("codes"))
+      .orderBy("vec_id").collect()
+    assert(out(0).getSeq[Int](1) == Seq(0, 0))
+    assert(out(1).getSeq[Int](1) == Seq(1, 1))
+    assert(out(2).getSeq[Int](1) == Seq(2, 0))
+    // ADC: query (1,1,1,1) vs codes (2,1): dot((1,1),(5,5)) + dot((1,1),(-7,-8))
+    val adc = Seq((Array(1, 1, 1, 1), Array(2, 1))).toDF("q", "codes")
+      .select(VectorExpressions.adc_score(col("q"), col("codes"), cb, 2, 3, 2))
+      .head().getLong(0)
+    assert(adc == (5 + 5) + (-7 - 8))
+  }
+
   test("int8_dot fused expression is bit-identical to the HOF composition") {
     import spark.implicits._
     val df = graft.core.Tables.embeddings(spark, sf001Dir)
