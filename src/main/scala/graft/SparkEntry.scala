@@ -373,6 +373,9 @@ object SparkEntry {
     // product quantization + ADC (IVF-PQ's scan kernel) at 64x
     // compression, all-integer arithmetic vs the exact int8 ranking
     "q160_pq_adc_recall" -> Pipeline.pqAdcRecall _,
+    // the composed production index: stored IVF cells coarse-probed,
+    // PQ codes ADC-scored within the probed cells only
+    "q161_ivfpq_topk" -> Pipeline.ivfPqTopK _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -1940,6 +1943,68 @@ object SparkEntry {
         |  CAST(max(CASE WHEN rp = 1 THEN adc_score END) AS BIGINT)
         |    AS adc_top1_score
         |FROM r GROUP BY 1""".stripMargin,
+    // the composed IVF-PQ index recomputed whole in SQL: q152's seeded
+    // cells + assignment/probe tie-breaks (assignment cos DESC, cid DESC
+    // = Spark's max-struct; probe cos DESC, cid ASC), q160's codebook and
+    // argmin-L2 codes, ADC scores as exact integers, top-5 per query
+    "q161_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |        v AS cvec
+        |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+        |asg AS (SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC,
+        |                 c.cid DESC) AS rn
+        |    FROM e, cents c) WHERE rn = 1),
+        |qf AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 50),
+        |pr AS (SELECT query_id, cid FROM (
+        |    SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC,
+        |                 c.cid ASC) AS prk
+        |    FROM qf q, cents c) WHERE prk <= 4),
+        |mm AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+        |      ELSE CAST(floor(x::DOUBLE*127/m + 0.5) AS INT) END) AS q
+        |  FROM mm),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q
+        |          FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 16)),
+        |ss AS (SELECT unnest(range(0, 8)) AS s),
+        |cb AS (SELECT ss.s, seeds.j,
+        |         list_slice(seeds.q, ss.s*8 + 1, ss.s*8 + 8) AS c
+        |       FROM ss, seeds),
+        |sub AS (SELECT vec_id, ss.s, list_slice(q, ss.s*8+1, ss.s*8+8) AS sub
+        |        FROM qv, ss),
+        |enc0 AS (SELECT sub.vec_id, sub.s, cb.j,
+        |    CAST(list_dot_product(sub.sub::DOUBLE[], sub.sub::DOUBLE[])
+        |       + list_dot_product(cb.c::DOUBLE[], cb.c::DOUBLE[])
+        |       - 2*list_dot_product(sub.sub::DOUBLE[], cb.c::DOUBLE[])
+        |       AS BIGINT) AS d
+        |  FROM sub JOIN cb ON cb.s = sub.s),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d ASC, j ASC) rn FROM enc0) WHERE rn = 1),
+        |psub AS (SELECT q.vec_id AS query_id, ss.s,
+        |           list_slice(q.q, ss.s*8+1, ss.s*8+8) AS sub
+        |         FROM qv q, ss WHERE q.vec_id < 50),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM pr p JOIN asg a USING (cid) WHERE a.vec_id <> p.query_id),
+        |adc AS (SELECT c.query_id, c.neighbor_id,
+        |    CAST(sum(list_dot_product(ps.sub::DOUBLE[], cb.c::DOUBLE[]))
+        |         AS BIGINT) AS adc_score
+        |  FROM cand c
+        |  JOIN codes cd ON cd.vec_id = c.neighbor_id
+        |  JOIN psub ps ON ps.query_id = c.query_id AND ps.s = cd.s
+        |  JOIN cb ON cb.s = cd.s AND cb.j = cd.code
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_score
+        |FROM (SELECT query_id, neighbor_id, adc_score, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC)
+        |      AS rank
+        |  FROM adc) WHERE rank <= 5""".stripMargin,
     "q150_order_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders

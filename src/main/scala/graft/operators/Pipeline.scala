@@ -734,6 +734,73 @@ object Pipeline {
         max(when(col("rp") === 1, col("adc"))).as("adc_top1_score"))
   }
 
+  /** q161 — the composed production ANN index: IVF coarse cells + PQ
+    * fine codes + ADC scoring (IVF-ADC, Jégou et al., TPAMI 2011). The
+    * coarse layer is the SAME stored seeded cell table q152 ensures
+    * (ingest once, query forever); the fine layer is q160's seeded PQ
+    * codebook. A query ranks the 16 centroids by float cosine (q152's
+    * probe idiom), scans only its top-4 cells, and ADC-scores the
+    * candidates — corpus/4 of the vectors touched, each via 4 B of codes
+    * instead of 256 B of floats: the memory- and compute-scaling story of
+    * a 100 TB vector index, where cells are storage partitions and codes
+    * live inline in the cell layout (here the codes join by id — an
+    * ingest-time co-location detail). Scores and the final ranking are
+    * exact longs; only the cell-probe ranking is float (q152's proven
+    * cross-engine idiom). Emits the top-5 per query with pinned ADC
+    * scores; the oracle recomputes assignment, probe, codebook, codes,
+    * and scores from scratch in SQL. */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 8; val K = 16; val DSUB = 8; val NPROBE = 4; val TOPK = 5
+    val emb = Tables.embeddings(spark, dir)
+    val table = cellTableName("graft_ivf_seed", dir)
+    Ivf.ensureCellTable(emb, "vec_id", "embedding", dim = 64, nlist = 16, table,
+      tag = "seed-centroids " +
+        graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet"),
+      model = Some(Ivf.seedModel(emb, "vec_id", "embedding", nlist = 16)))
+    val quant = emb.select(col("vec_id"),
+      Vectors.quantizeInt8(col("embedding")).as("qv"))
+    val seeds = quant.orderBy("vec_id").limit(K).collect()
+    val cb = new Array[Int](M * K * DSUB)
+    seeds.zipWithIndex.foreach { case (row, j) =>
+      val q = row.getAs[scala.collection.Seq[Int]]("qv")
+      var s = 0
+      while (s < M) {
+        var i = 0
+        while (i < DSUB) {
+          cb((s * K + j) * DSUB + i) = q(s * DSUB + i)
+          i += 1
+        }
+        s += 1
+      }
+    }
+    val codes = quant.withColumn("codes",
+      graft.expressions.VectorExpressions.pq_encode(col("qv"), cb, M, K, DSUB))
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        Vectors.quantizeInt8(col("embedding")).as("q_qv"))
+    val cents = spark.table(table + "_centroids")
+    val probes = queries.join(broadcast(cents))
+      .withColumn("__rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(Vectors.cosine(col("q_emb"), col("cvec")).desc, col("cid").asc)))
+      .filter(col("__rk") <= NPROBE)
+      .select(col("query_id"), col("q_qv"), col("cid"))
+    val cand = Ivf.cellsFromTable(spark, table)
+      .select(col("cid"), col("id").as("neighbor_id"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(codes, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.expressions.VectorExpressions
+          .adc_score(col("q_qv"), col("codes"), cb, M, K, DSUB).as("adc_score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= TOPK)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("adc_score"))
+  }
+
   /** q159 — q154's embedding admission as a STREAMING loop (the q82 "state
     * is a table" shape on the vector side): increments arrive in
     * micro-batches and each batch probes the SAME stored LSH bucket table

@@ -500,6 +500,20 @@ class PlanAuditSpec extends SparkSuite {
       s"panel join degenerated to a cross product:\n$plan")
   }
 
+  test("q161 IVF-PQ: probes broadcast onto the cell table, no cartesian") {
+    val plan = executedPlan("q161_ivfpq_topk")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the 50x4 probe rows ride a broadcast HASH join into the bucketed
+    // cell scan (keyed on cid), and the codes attach by another hash
+    // join — the corpus side never shuffles to meet the query panel.
+    // (The 50x16 panel-to-centroid fan-out inside the probe subquery is a
+    // broadcast nested-loop by construction, like Ivf.probeCells.)
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"cell/code joins did not broadcast-hash:\n$plan")
+    assert(!finalPlan.contains("CartesianProduct"),
+      s"a join degenerated to a cross product:\n$plan")
+  }
+
   test("q67 funnel: six stages fold into one aggregate, never re-scans per stage") {
     val plan = executedPlan("q67_release_funnel")
     // flags construction reads the corpus a bounded handful of times
