@@ -89,7 +89,15 @@ object Bench {
     * prebuild" finding). Prebuild failures are COLLECTED AND REPORTED,
     * never swallowed, and the per-artifact warm flags are re-derived from
     * the warehouse after the prebuild, exactly like the main bench. */
-  private def probeOneCorpus(spark: SparkSession, dir: String): ProbeRun = {
+  /** `reps`: the probe's timed section repeats and records per-query
+    * MEDIANS, exactly like the main bench — r11 post-mortem: the probe's
+    * single-sample timings inherited whatever page-cache state the session
+    * left behind (the driver's artifact of record showed q67 at 19.6× for
+    * 10× data while the same-head committed snapshot showed 2.2×; the
+    * 100× gate showed ≤8× for 100×). A median of 3 cannot be faked by one
+    * cold first pass, so back-to-back runs agree. */
+  private def probeOneCorpus(spark: SparkSession, dir: String,
+                             reps: Int): ProbeRun = {
     val tPre = System.nanoTime()
     val prebuildFailed = Seq("q62_semantic_dedup", "q105_dedup_inflation",
         "q154_incremental_embedding")
@@ -111,17 +119,24 @@ object Bench {
         graft.core.Warehouse.isFresh(spark, s"graft_clusters_$sfx", Seq(docStamp)),
       "vecbkt_corpus" ->
         graft.core.Warehouse.isFresh(spark, s"graft_vecbkt_corpus_$sfx", Seq(embStamp)))
-    val timed = probeQueries.map { name =>
-      val t0 = System.nanoTime()
-      val rows = try SparkEntry.queries(name)(spark, dir).count()
-                 catch { case t: Throwable =>
-                   println(s"[bench] PROBE QUERY FAILED: $name: $t"); -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // result consumed — drop tracked blocks. BLOCKING: a non-blocking
-      // unpersist future from the last probe query can outlive the final
-      // drain (its queue entry is already gone) and race spark.stop()
-      graft.core.Mat.releaseAll(blocking = true)
-      (name, sec, rows)
+    val runs = (1 to math.max(1, reps)).map { _ =>
+      probeQueries.map { name =>
+        val t0 = System.nanoTime()
+        val rows = try SparkEntry.queries(name)(spark, dir).count()
+                   catch { case t: Throwable =>
+                     println(s"[bench] PROBE QUERY FAILED: $name: $t"); -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // result consumed — drop tracked blocks. BLOCKING: a non-blocking
+        // unpersist future from the last probe query can outlive the final
+        // drain (its queue entry is already gone) and race spark.stop()
+        graft.core.Mat.releaseAll(blocking = true)
+        (name, sec, rows)
+      }
+    }
+    val timed = runs.head.indices.map { i =>
+      val name = runs.head(i)._1
+      val secs = runs.map(_(i)._2).sorted
+      (name, secs(secs.length / 2), runs.map(_(i)._3).min)
     }
     ProbeRun(prebuildSec, prebuildFailed, warmByArtifact, timed)
   }
@@ -136,15 +151,15 @@ object Bench {
     * sf1-measured 2.4×/1.6×/1.7× for reasons that were corpus shape and
     * a missing cluster-map prebuild, not plan growth). */
   private def scaleProbe(spark: SparkSession, sfDir: String,
-                         factor: Int): String = {
+                         factor: Int, reps: Int): String = {
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     val dir1 = graft.core.TempDirs.tempDir("graft-probe-1x")
     val dirN = graft.core.TempDirs.tempDir("graft-probe-Nx")
     synthProbeCorpus(spark, dir1, nDocs, nVecs)
     synthProbeCorpus(spark, dirN, nDocs * factor, nVecs * factor)
-    val r1 = probeOneCorpus(spark, dir1)
-    val rN = probeOneCorpus(spark, dirN)
+    val r1 = probeOneCorpus(spark, dir1, reps)
+    val rN = probeOneCorpus(spark, dirN, reps)
     println(f"[bench] probe prebuild (untimed in ratios): " +
       f"1x ${r1.prebuildSec}%.1f s, ${factor}x ${rN.prebuildSec}%.1f s")
     val sec1 = r1.timed.map(t => t._1 -> t._2).toMap
@@ -285,7 +300,7 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("0")) ""
       else {
         val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
-        scaleProbe(spark, sfDir, factor)
+        scaleProbe(spark, sfDir, factor, reps)
       }
     val detailJson =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"rows":$rowsJson,"failed":$failedJson,"sf":"$sfDir","warehouse_warm":$warmAfter,"warehouse_warm_found":$warmFound,"prebuild_failed":${prebuildFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},"prebuild_sec":$prebuildSec$probeJson}"""

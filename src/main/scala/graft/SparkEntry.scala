@@ -1841,7 +1841,9 @@ object SparkEntry {
     // exact integers (≤127²·64 ≈ 2²⁰, exactly representable even in
     // float64 sums), and both rankings reuse q51's round-6 + id tie-break
     // idiom; q_l1/q_sumsq pin the raw quantized vector so a table error
-    // fails the hash independent of ranking agreement
+    // fails the hash independent of ranking agreement. NULLIF mirrors
+    // Spark's divide-by-zero-is-NULL for a hypothetical all-zero vector
+    // (quantizeInt8 maps it to all-zero q, nsq = 0)
     "q158_int8_quant_recall" ->
       """WITH mm AS (
         |  SELECT vec_id, embedding,
@@ -1861,7 +1863,7 @@ object SparkEntry {
         |    round(list_cosine_similarity(a.embedding::DOUBLE[],
         |                                 b.embedding::DOUBLE[]), 6) AS f_cos,
         |    round(list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[])
-        |          / (sqrt(a.nsq) * sqrt(b.nsq)), 6) AS i_cos
+        |          / NULLIF(sqrt(a.nsq) * sqrt(b.nsq), 0), 6) AS i_cos
         |  FROM qq a JOIN qq b ON a.vec_id < 50 AND b.vec_id <> a.vec_id),
         |r AS (
         |  SELECT query_id, neighbor_id,

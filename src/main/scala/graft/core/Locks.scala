@@ -58,7 +58,16 @@ object Locks {
     * close-releases-locks caveat ensureAndKey documents). With the
     * monitor that path is unreachable by construction instead of by
     * caller discipline (Warehouse.withTableLock's own monitor remains a
-    * harmless outer layer). */
+    * harmless outer layer).
+    *
+    * Entries are never removed: one Object per distinct lock-file path
+    * for the JVM's lifetime. Bounded by construction today — lock files
+    * exist only per warehouse TABLE and per catalog ROOT, both small
+    * finite sets. If a future caller keys locks by something unbounded
+    * (per-tempdir, per-request), add eviction here first. Note also that
+    * a thread blocked on the OS lock inside the monitor extends monitor
+    * hold time — acceptable because same-key waiters would queue either
+    * way; the monitor only changes WHERE they queue. */
   private val keyMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 

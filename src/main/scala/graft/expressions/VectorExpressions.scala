@@ -258,6 +258,10 @@ case class PqEncode(child: Expression, codebook: Array[Int], m: Int,
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    // corrupt input must fail loud, never encode against the wrong slice
+    if (v.numElements() < m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: input length ${v.numElements()} < ${m * dsub} (m*dsub)")
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -290,6 +294,9 @@ case class PqEncode(child: Expression, codebook: Array[Int], m: Int,
       val bestD = ctx.freshName("bestD"); val base = ctx.freshName("base")
       val diff = ctx.freshName("diff")
       s"""
+         |if ($v.numElements() < ${m * dsub})
+         |  throw new IllegalArgumentException("pq_encode: input length "
+         |    + $v.numElements() + " < ${m * dsub} (m*dsub)");
          |int[] $codes = new int[$m];
          |for (int $s = 0; $s < $m; $s++) {
          |  int $best = 0; long $bestD = Long.MAX_VALUE;
@@ -338,10 +345,23 @@ case class AdcScore(left: Expression, right: Expression, codebook: Array[Int],
   override def nullSafeEval(l: Any, r: Any): Any = {
     val q = l.asInstanceOf[ArrayData]
     val codes = r.asInstanceOf[ArrayData]
+    // an out-of-range code would silently index the NEXT subspace's
+    // centroids in the flattened codebook and return a wrong score —
+    // corrupt codes (torn artifact, config drift) must fail loud instead
+    if (q.numElements() < m * dsub)
+      throw new IllegalArgumentException(
+        s"adc_score: query length ${q.numElements()} < ${m * dsub} (m*dsub)")
+    if (codes.numElements() < m)
+      throw new IllegalArgumentException(
+        s"adc_score: codes length ${codes.numElements()} < $m (m)")
     var acc = 0L
     var s = 0
     while (s < m) {
-      val base = (s * k + codes.getInt(s)) * dsub
+      val c = codes.getInt(s)
+      if (c < 0 || c >= k)
+        throw new IllegalArgumentException(
+          s"adc_score: code $c at subspace $s out of range [0,$k)")
+      val base = (s * k + c) * dsub
       var i = 0
       while (i < dsub) {
         acc += q.getInt(s * dsub + i).toLong * codebook(base + i).toLong
@@ -357,10 +377,21 @@ case class AdcScore(left: Expression, right: Expression, codebook: Array[Int],
     nullSafeCodeGen(ctx, ev, (q, codes) => {
       val s = ctx.freshName("s"); val i = ctx.freshName("i")
       val acc = ctx.freshName("acc"); val base = ctx.freshName("base")
+      val c = ctx.freshName("c")
       s"""
+         |if ($q.numElements() < ${m * dsub})
+         |  throw new IllegalArgumentException("adc_score: query length "
+         |    + $q.numElements() + " < ${m * dsub} (m*dsub)");
+         |if ($codes.numElements() < $m)
+         |  throw new IllegalArgumentException("adc_score: codes length "
+         |    + $codes.numElements() + " < $m (m)");
          |long $acc = 0L;
          |for (int $s = 0; $s < $m; $s++) {
-         |  int $base = ($s * $k + $codes.getInt($s)) * $dsub;
+         |  int $c = $codes.getInt($s);
+         |  if ($c < 0 || $c >= $k)
+         |    throw new IllegalArgumentException("adc_score: code " + $c
+         |      + " at subspace " + $s + " out of range [0,$k)");
+         |  int $base = ($s * $k + $c) * $dsub;
          |  for (int $i = 0; $i < $dsub; $i++) {
          |    $acc += ((long) $q.getInt($s * $dsub + $i)) * ((long) $cbRef[$base + $i]);
          |  }

@@ -837,7 +837,7 @@ object Pipeline {
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(stage)
     val q = src.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val hits = Vectors.lshScoredPairsAgainstTable(spark, table, batch,
             "vec_id", "embedding", dim = 64, minCos = 0.9)
           .groupBy(col("query_id").as("vec_id"))
@@ -849,12 +849,19 @@ object Pipeline {
             (coalesce(col("n"), lit(0L)) > 0).as("is_near_dup"),
             (coalesce(col("n"), lit(0L)) === 0).as("admit"),
             round(coalesce(col("mx"), lit(-1.0)), 4).as("max_corpus_cos"))
-          .write.mode("append").parquet(out)
+          // foreachBatch is at-least-once: a batchId-keyed OVERWRITE makes
+          // a retried micro-batch idempotent (a bare append would write
+          // its admission rows twice), matching the exactly-once file
+          // sinks q109/q114 use
+          .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", ckpt).start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(out).orderBy("vec_id")
+    spark.read.parquet(out)
+      .select("vec_id", "n_corpus_dups", "is_near_dup", "admit",
+        "max_corpus_cos") // drop the batch_id partition-discovery column
+      .orderBy("vec_id")
   }
 
   /** Documents as an opaque-binary media table (payload = utf-8 bytes here;

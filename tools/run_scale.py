@@ -181,9 +181,11 @@ def main():
         # output" — drop them from the artifact, they were not checked
         if a.verify_queries:
             keep = set(a.verify_queries.split(","))
+            not_run = sorted(set(art["queries"]) - keep)
             art["queries"] = {k: v for k, v in art["queries"].items()
                               if k in keep}
             art["subset_of_suite"] = sorted(keep)
+            art["not_in_subset"] = not_run
             art["excluded"] = sorted(set(FAMILY) - keep)
             if art["excluded"]:
                 art["excluded_reason"] = (
@@ -193,6 +195,13 @@ def main():
         art.update(st)
         ok = sum(1 for v in art["queries"].values()
                  if v["status"] in ("ok", "ok_subset"))
+        # check_oracle counted every suite query a subset Verify run did
+        # not produce as a "no spark output" FAILURE; after the filter
+        # above the top-level counts must describe the CHECKED set only
+        # (r11 judge finding: a downstream reader of "fail": 115 concluded
+        # the 100x gate was 71% red when n_fail was 0)
+        art["ok"] = ok
+        art["fail"] = len(art["queries"]) - ok
         art["n_ok"] = ok
         art["n_fail"] = len(art["queries"]) - ok
         with open(cj, "w") as f:
