@@ -418,4 +418,220 @@ object Vectors {
   /** Exact-integer L1 norm of an int array. */
   def l1Long(a: Column): Column =
     aggregate(transform(a, x => abs(x.cast("long"))), lit(0L), (acc, v) => acc + v)
+
+  // ---- stored product-quantization codes (the ingest-time fine index) ----
+
+  /** SEEDED PQ codebook: the `k` lowest-id int8-quantized vectors'
+    * subvectors, flattened (m × k × dsub) row-major — centroid j of
+    * subspace s starts at (s*k + j)*dsub. Deterministic and exactly
+    * SQL-reproducible (row_number-limited seeds), which is what lets the
+    * PQ oracle queries recompute the WHOLE encode in DuckDB. Driver cost:
+    * one TakeOrdered collect of k rows. */
+  def seededPqCodebook(df: DataFrame, idCol: String, vecCol: String,
+                       m: Int, k: Int, dsub: Int): Array[Int] = {
+    val seeds = df
+      .select(col(idCol).as("__id"), quantizeInt8(col(vecCol)).as("__qv"))
+      .orderBy("__id").limit(k) // TakeOrderedAndProject
+      .collect()
+    require(seeds.length == k,
+      s"seededPqCodebook: corpus has ${seeds.length} vectors, need k=$k")
+    val cb = new Array[Int](m * k * dsub)
+    seeds.zipWithIndex.foreach { case (row, j) =>
+      val q = row.getAs[scala.collection.Seq[Int]]("__qv")
+      require(q.length >= m * dsub,
+        s"seededPqCodebook: vector length ${q.length} < ${m * dsub} (m*dsub)")
+      var s = 0
+      while (s < m) {
+        var i = 0
+        while (i < dsub) {
+          cb((s * k + j) * dsub + i) = q(s * dsub + i)
+          i += 1
+        }
+        s += 1
+      }
+    }
+    cb
+  }
+
+  /** TRAINED PQ codebook: per-subspace Lloyd k-means over the int8
+    * subvectors (Jégou et al., TPAMI 2011 §III — the quality upgrade over
+    * the seeded codebook, whose centroids are arbitrary corpus rows).
+    * Deterministic end-to-end (Ivf.train's conventions: hash-mod sample,
+    * md5-ranked init, fixed iteration count) and INTEGER-valued — means
+    * round with floor(x+0.5), so encode distances and ADC scores stay
+    * exact longs and the kernels ([[graft.expressions.VectorExpressions]])
+    * are shared verbatim with the seeded path.
+    *
+    * Scale shape: one pass per iteration over a DRIVER-BOUNDED sample
+    * (≤ maxSample rows × m subvector rows), centroids (m·k·dsub ints — a
+    * few KB) on the driver between iterations; empty cells keep their
+    * previous centroid. Training is ingest-time work; queries read the
+    * stored codebook. */
+  def trainedPqCodebook(df: DataFrame, idCol: String, vecCol: String,
+                        m: Int, k: Int, dsub: Int, iters: Int = 3,
+                        maxSample: Int = 100000): Array[Int] = {
+    val n = df.count() // metadata-only on an unfiltered parquet scan
+    val target = math.max(k.toLong, math.min(n, maxSample.toLong))
+    val mod = math.max(1L, n / math.max(1L, target))
+    val slices = (0 until m).map(s =>
+      struct(lit(s).as("s"), slice(col("__qv"), s * dsub + 1, dsub).as("sv")))
+    graft.core.Mat.withMaterialized(df
+      .filter(pmod(xxhash64(col(idCol).cast("string")), lit(mod)) === 0)
+      .select(col(idCol).as("__id"), quantizeInt8(col(vecCol)).as("__qv"))
+      .select(col("__id"), explode(array(slices: _*)).as("x"))
+      .select(col("__id"), col("x.s").as("s"), col("x.sv").as("sv"))
+    ) { sub =>
+      // init: per subspace, the k lowest-md5 sample subvectors (same
+      // md5-ranked convention as Ivf.train — partition-layout-independent)
+      val initRows = sub
+        .withColumn("__k", md5(col("__id").cast("string")))
+        .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("s")
+            .orderBy(col("__k"), col("__id"))))
+        .filter(col("__rn") <= k)
+        .select(col("s"), col("__k"), col("sv"))
+        .collect()
+      val cb = new Array[Int](m * k * dsub)
+      initRows.groupBy(_.getInt(0)).foreach { case (s, rows) =>
+        rows.sortBy(_.getString(1)).zipWithIndex.foreach { case (r, j) =>
+          val sv = r.getAs[scala.collection.Seq[Int]]("sv")
+          var i = 0
+          while (i < dsub) { cb((s * k + j) * dsub + i) = sv(i); i += 1 }
+        }
+      }
+      val spark = df.sparkSession
+      import spark.implicits._
+      (1 to iters).foreach { _ =>
+        // assignment: argmin exact-long L2 against the current centroids —
+        // the same objective and tie-break (lowest j on equal distance)
+        // PqEncode applies, so training optimizes exactly what the encoder
+        // will quantize with. Centroids ride a broadcast (m·k rows).
+        val cents = broadcast((for { s <- 0 until m; j <- 0 until k } yield
+          (s, j, (0 until dsub).map(i => cb((s * k + j) * dsub + i))))
+          .toDF("s", "j", "cvec"))
+        val d = dotLong(col("sv"), col("sv")) -
+          lit(2L) * dotLong(col("sv"), col("cvec")) +
+          dotLong(col("cvec"), col("cvec"))
+        // min(struct(d, j, sv)) = argmin with lowest-j tie-break; sv rides
+        // along (never orders — (d, j) is unique per group), saving the
+        // join-back that per-dimension means would otherwise need
+        val best = sub.join(cents, Seq("s"))
+          .select(col("__id"), col("s"),
+            struct(d.as("d"), col("j"), col("sv")).as("x"))
+          .groupBy("__id", "s").agg(min("x").as("b"))
+          .select(col("s"), col("b.j").as("j"), col("b.sv").as("sv"))
+        val avgCols = (0 until dsub).map(i =>
+          avg(element_at(col("sv"), i + 1)).as(s"d$i"))
+        val means = best.groupBy("s", "j")
+          .agg(avgCols.head, avgCols.tail: _*)
+          .collect() // m·k rows of dsub doubles — driver-tiny
+        means.foreach { r =>
+          val s = r.getInt(0); val j = r.getInt(1)
+          var i = 0
+          while (i < dsub) {
+            // floor(x+0.5): bit-deterministic integer rounding (the
+            // quantizeInt8 convention); empty cells are simply absent
+            // from `means` and keep their previous centroid
+            cb((s * k + j) * dsub + i) =
+              math.floor(r.getDouble(2 + i) + 0.5).toInt
+            i += 1
+          }
+        }
+      }
+      cb
+    }
+  }
+
+  /** INGEST-TIME PQ code table (the fine-index twin of
+    * [[graft.functions.Ivf.writeCellTable]]): every corpus vector's
+    * int8-quantize → PQ-encode, stored as (cid, id, codes) BUCKETED BY
+    * `cid` with the SAME bucket count as the coarse cell table it joins
+    * `cid` from — cells and codes of one IVF cell land in the same
+    * bucket, so an IVF-PQ probe scans its cells' codes straight off the
+    * bucketed layout (4 B of codes per vector instead of 256 B of
+    * floats) with no encode, no assignment, and no corpus exchange in
+    * the query path. At 100 TB the codes ARE the index: built once here,
+    * never re-derived per query (the r11 verdict's parity gap).
+    * `codebook` defaults to the seeded convention ([[seededPqCodebook]]
+    * — SQL-reproducible); pass a [[trainedPqCodebook]] for the quality
+    * variant. The codebook + config persist as `<table>_codebook` so a
+    * later session scores against EXACTLY the codebook the codes were
+    * encoded with. Returns the codebook. */
+  def writePqCodes(df: DataFrame, idCol: String, vecCol: String,
+                   cellTable: String, table: String,
+                   m: Int, k: Int, dsub: Int, nBuckets: Int = 32,
+                   codebook: Option[Array[Int]] = None): Array[Int] = {
+    val spark = df.sparkSession
+    val cb = codebook.getOrElse(seededPqCodebook(df, idCol, vecCol, m, k, dsub))
+    require(cb.length == m * k * dsub,
+      s"writePqCodes: codebook length ${cb.length} != ${m * k * dsub} (m*k*dsub)")
+    val coded = df.select(col(idCol).as("id"),
+      graft.expressions.VectorExpressions.pq_encode(
+        quantizeInt8(col(vecCol)), cb, m, k, dsub).as("codes"))
+    spark.table(cellTable).select(col("cid"), col("id"))
+      .join(coded, Seq("id"))
+      .select(col("cid"), col("id"), col("codes"))
+      // align write tasks with the bucket hash — one file per bucket
+      // (see Ivf.writeCellTable for the tiny-files failure this avoids)
+      .repartition(nBuckets, col("cid"))
+      .write.mode("overwrite").bucketBy(nBuckets, "cid").sortBy("cid")
+      .saveAsTable(table)
+    import spark.implicits._
+    Seq((m, k, dsub, cb.toSeq)).toDF("m", "k", "dsub", "cb")
+      .write.mode("overwrite").saveAsTable(table + "_codebook")
+    cb
+  }
+
+  /** Idempotent form of [[writePqCodes]] (the ensure* convention): ingest
+    * only when no valid stored artifact for this (corpus, codebook,
+    * config) exists, else re-attach — possibly across JVM sessions — with
+    * zero Spark jobs. The fingerprint carries m/k/dsub, the codebook
+    * identity (content hash for an explicit codebook, the seed convention
+    * otherwise), the coarse table it co-locates with, and the caller's
+    * `tag` (source stamp). Returns the STORED codebook, so query paths
+    * score against exactly what encoded the codes. */
+  def ensurePqCodes(df: DataFrame, idCol: String, vecCol: String,
+                    cellTable: String, table: String,
+                    m: Int, k: Int, dsub: Int, nBuckets: Int = 32,
+                    tag: String = "",
+                    codebook: Option[Array[Int]] = None): Array[Int] = {
+    val spark = df.sparkSession
+    val cbId = codebook.map(cb => "cb=" + java.util.Arrays.hashCode(cb))
+      .getOrElse("cb=seed-lowest-id")
+    val meta = (s"pq-codes m=$m k=$k dsub=$dsub $cbId cells=$cellTable " +
+      s"nBuckets=$nBuckets " + tag).trim
+    graft.core.Warehouse.withTableLock(spark, table) {
+      val reused =
+        graft.core.Warehouse.ensureRegistered(spark, table, meta, "cid", nBuckets) &&
+        graft.core.Warehouse.ensureRegistered(spark, table + "_codebook", meta, null, 0)
+      if (!reused) {
+        graft.core.Warehouse.clear(spark, table)
+        graft.core.Warehouse.clear(spark, table + "_codebook")
+        writePqCodes(df, idCol, vecCol, cellTable, table, m, k, dsub,
+          nBuckets, codebook)
+        graft.core.Warehouse.writeMeta(spark, table, meta)
+        graft.core.Warehouse.writeMeta(spark, table + "_codebook", meta)
+      }
+    }
+    pqCodebookFromTable(spark, table, m, k, dsub)
+  }
+
+  /** The stored codebook of a [[writePqCodes]] artifact, with the caller's
+    * expected config as the drift guard — scoring with a codebook other
+    * than the one the codes were encoded against would silently return
+    * garbage, so a mismatch fails loud. */
+  def pqCodebookFromTable(spark: org.apache.spark.sql.SparkSession,
+                          table: String, m: Int, k: Int,
+                          dsub: Int): Array[Int] = {
+    val row = spark.table(table + "_codebook").head()
+    require(row.getInt(0) == m && row.getInt(1) == k && row.getInt(2) == dsub,
+      s"pq table '$table' stores m=${row.getInt(0)} k=${row.getInt(1)} " +
+        s"dsub=${row.getInt(2)}, caller expects m=$m k=$k dsub=$dsub")
+    row.getSeq[Int](3).toArray
+  }
+
+  /** (cid, id, codes) rows of a stored PQ code layout. */
+  def pqCodesFromTable(spark: org.apache.spark.sql.SparkSession,
+                       table: String): DataFrame =
+    spark.table(table)
 }

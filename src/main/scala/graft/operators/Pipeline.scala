@@ -665,6 +665,25 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** The shared seeded PQ ingest for q160/q161/q162: ensure the seeded
+    * IVF cell table (the coarse layer — also the cid source the code
+    * table co-locates with) and the seeded PQ code table, returning
+    * (codes table name, stored codebook). Both ensures are warm no-ops
+    * after the first build of a corpus. */
+  private def ensureSeededPq(spark: SparkSession, dir: String,
+                             m: Int, k: Int, dsub: Int): (String, Array[Int]) = {
+    val emb = Tables.embeddings(spark, dir)
+    val stamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
+    val cellTable = cellTableName("graft_ivf_seed", dir)
+    Ivf.ensureCellTable(emb, "vec_id", "embedding", dim = 64, nlist = 16,
+      cellTable, tag = "seed-centroids " + stamp,
+      model = Some(Ivf.seedModel(emb, "vec_id", "embedding", nlist = 16)))
+    val codesTable = cellTableName("graft_pq_seed", dir)
+    val cb = Vectors.ensurePqCodes(emb, "vec_id", "embedding", cellTable,
+      codesTable, m, k, dsub, tag = stamp)
+    (codesTable, cb)
+  }
+
   /** q160 — product quantization with asymmetric-distance (ADC) scoring,
     * entirely in the integer domain: int8-quantize (q158's quantizer),
     * split into 8 subspaces × 8 dims, encode each corpus vector as 8
@@ -673,7 +692,11 @@ object Pipeline {
     * convention, SQL-reproducible), and rank by the ADC kernel
     * Σ_s dot(query_sub, centroid[code_s]) — the cell-scan scoring loop of
     * IVF-PQ (Jégou et al., TPAMI 2011), at 64× compression vs float32
-    * (4 B codes vs 256 B per vector). Every quantity — squared-L2 encode
+    * (4 B codes vs 256 B per vector). The codes + codebook are a STORED
+    * ingest artifact (r12, [[graft.functions.Vectors.ensurePqCodes]] —
+    * built once next to the seeded IVF cells, read forever): the query
+    * path joins the stored codes by id and never re-encodes the corpus
+    * (plan-asserted in BucketingSpec). Every quantity — squared-L2 encode
     * distances, ADC scores, exact int8 dots — is an exact long, so ties,
     * rankings, and scores are bit-reproducible by a second engine with NO
     * float-parity idiom needed anywhere. Emits top-10 overlap + top-1 of
@@ -682,31 +705,18 @@ object Pipeline {
     * case (no cluster structure for a codebook to exploit), so the
     * measured overlap here is a floor, not typical fidelity — the query
     * verifies the MACHINERY end-to-end; real embedding manifolds rank far
-    * better. One broadcast panel, one corpus scan, one shared exchange
-    * (q158's plan shape); encode is a narrow map. */
+    * better (q162 measures how much a TRAINED codebook buys back). One
+    * broadcast panel, one corpus scan, one shared exchange (q158's plan
+    * shape). */
   def pqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val M = 8; val K = 16; val DSUB = 8
+    val (codesTable, cb) = ensureSeededPq(spark, dir, M, K, DSUB)
     val quant = Tables.embeddings(spark, dir)
       .select(col("vec_id"), Vectors.quantizeInt8(col("embedding")).as("qv"))
-    // codebook: 16 lowest-id quantized vectors (driver-small by contract,
-    // the Ivf centroid-collect convention)
-    val seeds = quant.orderBy("vec_id").limit(K).collect()
-    val cb = new Array[Int](M * K * DSUB)
-    seeds.zipWithIndex.foreach { case (row, j) =>
-      val q = row.getAs[scala.collection.Seq[Int]]("qv")
-      var s = 0
-      while (s < M) {
-        var i = 0
-        while (i < DSUB) {
-          cb((s * K + j) * DSUB + i) = q(s * DSUB + i)
-          i += 1
-        }
-        s += 1
-      }
-    }
-    val coded = quant.withColumn("codes",
-      graft.expressions.VectorExpressions.pq_encode(col("qv"), cb, M, K, DSUB))
+    val coded = quant.join(
+      Vectors.pqCodesFromTable(spark, codesTable)
+        .select(col("id").as("vec_id"), col("codes")), Seq("vec_id"))
     val panel = broadcast(coded.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv")))
     val scored = coded
@@ -743,8 +753,11 @@ object Pipeline {
     * candidates — corpus/4 of the vectors touched, each via 4 B of codes
     * instead of 256 B of floats: the memory- and compute-scaling story of
     * a 100 TB vector index, where cells are storage partitions and codes
-    * live inline in the cell layout (here the codes join by id — an
-    * ingest-time co-location detail). Scores and the final ranking are
+    * live inline in the cell layout — LITERAL since r12: the stored code
+    * table ([[graft.functions.Vectors.ensurePqCodes]]) carries (cid, id,
+    * codes) bucketed by cid next to the cell table, and the probe scans
+    * it directly (no cells join, no per-run encode — plan-asserted in
+    * BucketingSpec). Scores and the final ranking are
     * exact longs; only the cell-probe ranking is float (q152's proven
     * cross-engine idiom). Emits the top-5 per query with pinned ADC
     * scores; the oracle recomputes assignment, probe, codebook, codes,
@@ -753,30 +766,13 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val M = 8; val K = 16; val DSUB = 8; val NPROBE = 4; val TOPK = 5
     val emb = Tables.embeddings(spark, dir)
+    // the codes table IS the candidate index (r12): it carries (cid, id,
+    // codes) bucketed by cid next to the cell table, so the probe scans
+    // its cells' 4 B codes straight off the stored layout — no cells
+    // join, no per-run corpus encode, no corpus exchange (plan-asserted
+    // in BucketingSpec)
+    val (codesTable, cb) = ensureSeededPq(spark, dir, M, K, DSUB)
     val table = cellTableName("graft_ivf_seed", dir)
-    Ivf.ensureCellTable(emb, "vec_id", "embedding", dim = 64, nlist = 16, table,
-      tag = "seed-centroids " +
-        graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet"),
-      model = Some(Ivf.seedModel(emb, "vec_id", "embedding", nlist = 16)))
-    val quant = emb.select(col("vec_id"),
-      Vectors.quantizeInt8(col("embedding")).as("qv"))
-    val seeds = quant.orderBy("vec_id").limit(K).collect()
-    val cb = new Array[Int](M * K * DSUB)
-    seeds.zipWithIndex.foreach { case (row, j) =>
-      val q = row.getAs[scala.collection.Seq[Int]]("qv")
-      var s = 0
-      while (s < M) {
-        var i = 0
-        while (i < DSUB) {
-          cb((s * K + j) * DSUB + i) = q(s * DSUB + i)
-          i += 1
-        }
-        s += 1
-      }
-    }
-    val codes = quant.withColumn("codes",
-      graft.expressions.VectorExpressions.pq_encode(col("qv"), cb, M, K, DSUB))
-      .select(col("vec_id").as("neighbor_id"), col("codes"))
     val queries = emb.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         Vectors.quantizeInt8(col("embedding")).as("q_qv"))
@@ -786,11 +782,10 @@ object Pipeline {
         .orderBy(Vectors.cosine(col("q_emb"), col("cvec")).desc, col("cid").asc)))
       .filter(col("__rk") <= NPROBE)
       .select(col("query_id"), col("q_qv"), col("cid"))
-    val cand = Ivf.cellsFromTable(spark, table)
-      .select(col("cid"), col("id").as("neighbor_id"))
+    val cand = Vectors.pqCodesFromTable(spark, codesTable)
+      .select(col("cid"), col("id").as("neighbor_id"), col("codes"))
       .join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .join(codes, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.expressions.VectorExpressions
           .adc_score(col("q_qv"), col("codes"), cb, M, K, DSUB).as("adc_score"))

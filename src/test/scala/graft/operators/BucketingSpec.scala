@@ -232,6 +232,71 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("stored PQ codes: bit-identical to live encode, probe path never re-encodes the corpus") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val M = 8; val K = 16; val DSUB = 8
+    Seq("pq_cells", "pq_cells_centroids", "pq_codes", "pq_codes_codebook")
+      .foreach(graft.core.Warehouse.clear(spark, _))
+    val model = graft.functions.Ivf.seedModel(emb, "vec_id", "embedding", nlist = 8)
+    graft.functions.Ivf.writeCellTable(emb, "vec_id", "embedding", dim = 64,
+      nlist = 8, table = "pq_cells", model = Some(model))
+    try {
+      val cb = graft.functions.Vectors.writePqCodes(emb, "vec_id", "embedding",
+        cellTable = "pq_cells", table = "pq_codes", m = M, k = K, dsub = DSUB)
+      // stored codes == a live encode of the same corpus, row for row
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).mkString(",")))
+        .sorted.toSeq
+      val stored = key(spark.table("pq_codes").select(col("id"), col("codes")))
+      val live = key(emb.select(col("vec_id"),
+        graft.expressions.VectorExpressions.pq_encode(
+          graft.functions.Vectors.quantizeInt8(col("embedding")), cb, M, K, DSUB)))
+      assert(stored == live)
+      assert(stored.nonEmpty)
+      // codebook round-trips; a config mismatch fails loud (drift guard)
+      assert(graft.functions.Vectors
+        .pqCodebookFromTable(spark, "pq_codes", M, K, DSUB).sameElements(cb))
+      intercept[IllegalArgumentException] {
+        graft.functions.Vectors.pqCodebookFromTable(spark, "pq_codes", 4, K, DSUB)
+      }
+      // the IVF-PQ probe path (q161's shape): candidates come straight off
+      // the stored (cid, id, codes) table — the plan must contain NO
+      // corpus encode (PqEncode exists only at ingest), NO assignment
+      // aggregate, and no exchange beyond the two query-side windows
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          graft.functions.Vectors.quantizeInt8(col("embedding")).as("q_qv"))
+      val cents = spark.table("pq_cells_centroids")
+      val probes = queries.join(broadcast(cents))
+        .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(graft.functions.Vectors.cosine(col("q_emb"), col("cvec")).desc,
+              col("cid").asc)))
+        .filter(col("__rk") <= 2)
+        .select(col("query_id"), col("q_qv"), col("cid"))
+      val cand = spark.table("pq_codes")
+        .join(broadcast(probes), Seq("cid"))
+        .filter(col("query_id") =!= col("id"))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          graft.expressions.VectorExpressions
+            .adc_score(col("q_qv"), col("codes"), cb, M, K, DSUB).as("adc_score"))
+      assert(cand.count() > 0)
+      val plan = cand.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.toLowerCase.contains("pqencode"),
+        s"corpus re-encoded in the probe path:\n$plan")
+      assert(!plan.contains("max(struct"),
+        s"assignment aggregate in the probe path:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"codes scan re-shuffled ($exchanges exchanges):\n$plan")
+      graft.core.Mat.releaseAll()
+    } finally Seq("pq_cells", "pq_cells_centroids", "pq_codes",
+      "pq_codes_codebook").foreach(graft.core.Warehouse.clear(spark, _))
+  }
+
   test("stored cluster map: warm consumers re-attach with zero propagation, values match a live run") {
     import org.apache.spark.sql.functions._
     val sfx = graft.core.Warehouse.corpusSuffix(sfDir)
