@@ -225,7 +225,9 @@ object Bench {
       graft.core.Warehouse.isFresh(spark, s"graft_clusters_$sfx", Seq(docStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_ivf_inc_$sfx", Seq(embStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_ivf_seed_$sfx", Seq(embStamp)) &&
-      graft.core.Warehouse.isFresh(spark, s"graft_vecbkt_corpus_$sfx", Seq(embStamp))
+      graft.core.Warehouse.isFresh(spark, s"graft_vecbkt_corpus_$sfx", Seq(embStamp)) &&
+      graft.core.Warehouse.isFresh(spark, s"graft_pq_seed_$sfx", Seq(embStamp)) &&
+      graft.core.Warehouse.isFresh(spark, s"graft_pq_train_$sfx", Seq(embStamp))
     }
     val warmFound = warmCheck(sfDir)
     // session warmup: JIT/codegen/scheduler paths + parquet reader init
@@ -241,7 +243,11 @@ object Bench {
     val prebuildFailed = Seq("q52_ivf_topk", "q62_semantic_dedup",
         "q74_incremental_stored", "q77_cluster_best",
         "q112_ivf_incremental", "q152_ivf_partial_probe",
-        "q154_incremental_embedding").flatMap { n =>
+        "q154_incremental_embedding",
+        // r12: the stored PQ code tables (q160/q161 read graft_pq_seed;
+        // q162 additionally reads graft_pq_train — its cold build runs
+        // the Lloyd training, which must not land in the timed section)
+        "q160_pq_adc_recall", "q162_pq_trained_audit").flatMap { n =>
       val failed = try { SparkEntry.queries(n)(spark, sfDir).count(); None }
                    catch { case _: Throwable => Some(n) }
       graft.core.Mat.releaseAll(blocking = true)

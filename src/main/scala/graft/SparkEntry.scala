@@ -376,6 +376,9 @@ object SparkEntry {
     // the composed production index: stored IVF cells coarse-probed,
     // PQ codes ADC-scored within the probed cells only
     "q161_ivfpq_topk" -> Pipeline.ivfPqTopK _,
+    // trained-vs-seeded PQ codebook quality contract: Lloyd-trained
+    // per-subspace centroids must beat the seeded floor by a margin
+    "q162_pq_trained_audit" -> Pipeline.pqTrainedAudit _,
   )
 
   /** q67/q68 oracle prelude: the per-doc release-gate flags CTE mirroring
@@ -606,6 +609,60 @@ object SparkEntry {
     *    q58's cluster map remain value-checked).
     * Everything else that once pinned `true` literals (q41, q51, q52,
     * q112, q151, q152) now recomputes the value oracle-side. */
+  /** Shared seeded-PQ CTE body (q160/q161/q162 oracles): the int8
+    * quantizer, the 16-lowest-id seeded codebook, and argmin-L2 codes
+    * with lowest-index tie-break — every quantity an exact integer. */
+  private val pqSeedCtes =
+    """mm AS (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
+      |  FROM embeddings),
+      |qv AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+      |      ELSE CAST(floor(x::DOUBLE*127/m + 0.5) AS INT) END) AS q
+      |  FROM mm),
+      |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q
+      |          FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 16)),
+      |ss AS (SELECT unnest(range(0, 8)) AS s),
+      |cb AS (SELECT ss.s, seeds.j,
+      |         list_slice(seeds.q, ss.s*8 + 1, ss.s*8 + 8) AS c
+      |       FROM ss, seeds),
+      |sub AS (SELECT vec_id, ss.s, list_slice(q, ss.s*8+1, ss.s*8+8) AS sub
+      |        FROM qv, ss),
+      |enc0 AS (SELECT sub.vec_id, sub.s, cb.j,
+      |    CAST(list_dot_product(sub.sub::DOUBLE[], sub.sub::DOUBLE[])
+      |       + list_dot_product(cb.c::DOUBLE[], cb.c::DOUBLE[])
+      |       - 2*list_dot_product(sub.sub::DOUBLE[], cb.c::DOUBLE[])
+      |       AS BIGINT) AS d
+      |  FROM sub JOIN cb ON cb.s = sub.s),
+      |codes AS (SELECT vec_id, s, j AS code FROM (
+      |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s
+      |        ORDER BY d ASC, j ASC) rn FROM enc0) WHERE rn = 1)""".stripMargin
+
+  /** Shared panel-ranking CTEs over [[pqSeedCtes]] (q160/q162): the
+    * 50-query panel ranked by exact int8 dots and by seeded-codebook ADC
+    * scores, both exact longs with the id tie-break. */
+  private val pqSeedRankCtes =
+    """panel AS (SELECT vec_id AS query_id, q FROM qv WHERE vec_id < 50),
+      |psub AS (SELECT query_id, ss.s,
+      |           list_slice(q, ss.s*8+1, ss.s*8+8) AS sub
+      |         FROM panel, ss),
+      |adc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+      |    CAST(sum(list_dot_product(p.sub::DOUBLE[], cb.c::DOUBLE[]))
+      |         AS BIGINT) AS adc_score
+      |  FROM psub p JOIN codes c ON c.s = p.s AND c.vec_id <> p.query_id
+      |  JOIN cb ON cb.s = c.s AND cb.j = c.code
+      |  GROUP BY 1, 2),
+      |exact AS (SELECT p.query_id, v.vec_id AS neighbor_id,
+      |    CAST(list_dot_product(p.q::DOUBLE[], v.q::DOUBLE[]) AS BIGINT) AS ex
+      |  FROM panel p JOIN qv v ON v.vec_id <> p.query_id),
+      |r AS (SELECT e.query_id, e.neighbor_id, ex, adc_score,
+      |    row_number() OVER (PARTITION BY e.query_id
+      |        ORDER BY ex DESC, e.neighbor_id ASC) AS re,
+      |    row_number() OVER (PARTITION BY e.query_id
+      |        ORDER BY adc_score DESC, e.neighbor_id ASC) AS rp
+      |  FROM exact e JOIN adc a
+      |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q42_profile" -> profileOracle,
     // verified-LSH contract oracles: the Spark side emits candidates
@@ -1890,53 +1947,11 @@ object SparkEntry {
     // seeded codebook (16 lowest-id vectors' subvectors), argmin-L2
     // encode with lowest-index tie-break, ADC scoring, both rankings —
     // every quantity an exact integer (list_dot_product over ::DOUBLE[]
-    // of ≤127 ints is exact: sums < 2^21), so no float idiom is needed
+    // of ≤127 ints is exact: sums < 2^21), so no float idiom is needed.
+    // The CTE bodies are shared with q161/q162 (pqSeedCtes/pqSeedRankCtes)
     "q160_pq_adc_recall" ->
-      """WITH mm AS (SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
-        |  FROM embeddings),
-        |qv AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
-        |      ELSE CAST(floor(x::DOUBLE*127/m + 0.5) AS INT) END) AS q
-        |  FROM mm),
-        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q
-        |          FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 16)),
-        |ss AS (SELECT unnest(range(0, 8)) AS s),
-        |cb AS (SELECT ss.s, seeds.j,
-        |         list_slice(seeds.q, ss.s*8 + 1, ss.s*8 + 8) AS c
-        |       FROM ss, seeds),
-        |sub AS (SELECT vec_id, ss.s, list_slice(q, ss.s*8+1, ss.s*8+8) AS sub
-        |        FROM qv, ss),
-        |enc0 AS (SELECT sub.vec_id, sub.s, cb.j,
-        |    CAST(list_dot_product(sub.sub::DOUBLE[], sub.sub::DOUBLE[])
-        |       + list_dot_product(cb.c::DOUBLE[], cb.c::DOUBLE[])
-        |       - 2*list_dot_product(sub.sub::DOUBLE[], cb.c::DOUBLE[])
-        |       AS BIGINT) AS d
-        |  FROM sub JOIN cb ON cb.s = sub.s),
-        |codes AS (SELECT vec_id, s, j AS code FROM (
-        |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s
-        |        ORDER BY d ASC, j ASC) rn FROM enc0) WHERE rn = 1),
-        |panel AS (SELECT vec_id AS query_id, q FROM qv WHERE vec_id < 50),
-        |psub AS (SELECT query_id, ss.s,
-        |           list_slice(q, ss.s*8+1, ss.s*8+8) AS sub
-        |         FROM panel, ss),
-        |adc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
-        |    CAST(sum(list_dot_product(p.sub::DOUBLE[], cb.c::DOUBLE[]))
-        |         AS BIGINT) AS adc_score
-        |  FROM psub p JOIN codes c ON c.s = p.s AND c.vec_id <> p.query_id
-        |  JOIN cb ON cb.s = c.s AND cb.j = c.code
-        |  GROUP BY 1, 2),
-        |exact AS (SELECT p.query_id, v.vec_id AS neighbor_id,
-        |    CAST(list_dot_product(p.q::DOUBLE[], v.q::DOUBLE[]) AS BIGINT) AS ex
-        |  FROM panel p JOIN qv v ON v.vec_id <> p.query_id),
-        |r AS (SELECT e.query_id, e.neighbor_id, ex, adc_score,
-        |    row_number() OVER (PARTITION BY e.query_id
-        |        ORDER BY ex DESC, e.neighbor_id ASC) AS re,
-        |    row_number() OVER (PARTITION BY e.query_id
-        |        ORDER BY adc_score DESC, e.neighbor_id ASC) AS rp
-        |  FROM exact e JOIN adc a
-        |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
-        |SELECT query_id,
+      ("WITH " + pqSeedCtes + ",\n" + pqSeedRankCtes + "\n" +
+        """SELECT query_id,
         |  CAST(sum(CASE WHEN re <= 10 AND rp <= 10 THEN 1 ELSE 0 END) AS INT)
         |    AS overlap_at_10,
         |  max(CASE WHEN re = 1 THEN neighbor_id END) AS top1_exact,
@@ -1944,13 +1959,13 @@ object SparkEntry {
         |  CAST(max(CASE WHEN re = 1 THEN ex END) AS BIGINT) AS exact_top1_score,
         |  CAST(max(CASE WHEN rp = 1 THEN adc_score END) AS BIGINT)
         |    AS adc_top1_score
-        |FROM r GROUP BY 1""".stripMargin,
+        |FROM r GROUP BY 1""".stripMargin),
     // the composed IVF-PQ index recomputed whole in SQL: q152's seeded
     // cells + assignment/probe tie-breaks (assignment cos DESC, cid DESC
     // = Spark's max-struct; probe cos DESC, cid ASC), q160's codebook and
     // argmin-L2 codes, ADC scores as exact integers, top-5 per query
     "q161_ivfpq_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
         |        v AS cvec
         |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
@@ -1965,31 +1980,8 @@ object SparkEntry {
         |        ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC,
         |                 c.cid ASC) AS prk
         |    FROM qf q, cents c) WHERE prk <= 4),
-        |mm AS (SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
-        |  FROM embeddings),
-        |qv AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
-        |      ELSE CAST(floor(x::DOUBLE*127/m + 0.5) AS INT) END) AS q
-        |  FROM mm),
-        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q
-        |          FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 16)),
-        |ss AS (SELECT unnest(range(0, 8)) AS s),
-        |cb AS (SELECT ss.s, seeds.j,
-        |         list_slice(seeds.q, ss.s*8 + 1, ss.s*8 + 8) AS c
-        |       FROM ss, seeds),
-        |sub AS (SELECT vec_id, ss.s, list_slice(q, ss.s*8+1, ss.s*8+8) AS sub
-        |        FROM qv, ss),
-        |enc0 AS (SELECT sub.vec_id, sub.s, cb.j,
-        |    CAST(list_dot_product(sub.sub::DOUBLE[], sub.sub::DOUBLE[])
-        |       + list_dot_product(cb.c::DOUBLE[], cb.c::DOUBLE[])
-        |       - 2*list_dot_product(sub.sub::DOUBLE[], cb.c::DOUBLE[])
-        |       AS BIGINT) AS d
-        |  FROM sub JOIN cb ON cb.s = sub.s),
-        |codes AS (SELECT vec_id, s, j AS code FROM (
-        |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s
-        |        ORDER BY d ASC, j ASC) rn FROM enc0) WHERE rn = 1),
-        |psub AS (SELECT q.vec_id AS query_id, ss.s,
+        |""".stripMargin + pqSeedCtes + ",\n" +
+        """psub AS (SELECT q.vec_id AS query_id, ss.s,
         |           list_slice(q.q, ss.s*8+1, ss.s*8+8) AS sub
         |         FROM qv q, ss WHERE q.vec_id < 50),
         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
@@ -2006,7 +1998,24 @@ object SparkEntry {
         |FROM (SELECT query_id, neighbor_id, adc_score, row_number() OVER
         |    (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC)
         |      AS rank
-        |  FROM adc) WHERE rank <= 5""".stripMargin,
+        |  FROM adc) WHERE rank <= 5""".stripMargin),
+    // q162's recomputable half: the seeded panel overlap sum (q160's
+    // machinery) and the seeded corpus distortion (argmin-L2 min-distance
+    // sum — exactly what the engine derives from the stored codes via the
+    // ||x-c||² identity); the trained-codebook contracts pin `true` (the
+    // q27/q75 convention — k-means lives only in this engine)
+    "q162_pq_trained_audit" ->
+      ("WITH " + pqSeedCtes + ",\n" + pqSeedRankCtes + ",\n" +
+        """perq AS (SELECT query_id,
+        |    sum(CASE WHEN re <= 10 AND rp <= 10 THEN 1 ELSE 0 END) AS ov
+        |  FROM r GROUP BY 1),
+        |dist AS (SELECT CAST(sum(md) AS BIGINT) AS ds FROM (
+        |    SELECT vec_id, s, min(d) AS md FROM enc0 GROUP BY 1, 2))
+        |SELECT CAST((SELECT count(*) FROM perq) AS INT) AS n_queries,
+        |  CAST((SELECT sum(ov) FROM perq) AS BIGINT) AS sum_overlap_seeded,
+        |  (SELECT ds FROM dist) AS sum_dist_seeded,
+        |  true AS trained_improves,
+        |  true AS trained_overlap_not_worse""".stripMargin),
     "q150_order_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders

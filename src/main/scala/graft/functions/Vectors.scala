@@ -585,21 +585,24 @@ object Vectors {
   /** Idempotent form of [[writePqCodes]] (the ensure* convention): ingest
     * only when no valid stored artifact for this (corpus, codebook,
     * config) exists, else re-attach — possibly across JVM sessions — with
-    * zero Spark jobs. The fingerprint carries m/k/dsub, the codebook
-    * identity (content hash for an explicit codebook, the seed convention
-    * otherwise), the coarse table it co-locates with, and the caller's
-    * `tag` (source stamp). Returns the STORED codebook, so query paths
-    * score against exactly what encoded the codes. */
+    * zero Spark jobs. The fingerprint carries m/k/dsub, `codebookId`
+    * (which NAMES the codebook construction — distinct constructions MUST
+    * use distinct ids, or a stale artifact silently serves the wrong
+    * codes), the coarse table it co-locates with, and the caller's `tag`
+    * (the corpus source stamp — which also invalidates corpus-derived
+    * codebooks like the trained variant). `codebook` is a THUNK evaluated
+    * only on a rebuild, so a warm re-attach never pays codebook training.
+    * Returns the STORED codebook, so query paths score against exactly
+    * what encoded the codes. */
   def ensurePqCodes(df: DataFrame, idCol: String, vecCol: String,
                     cellTable: String, table: String,
                     m: Int, k: Int, dsub: Int, nBuckets: Int = 32,
                     tag: String = "",
-                    codebook: Option[Array[Int]] = None): Array[Int] = {
+                    codebookId: String = "seed-lowest-id",
+                    codebook: () => Option[Array[Int]] = () => None): Array[Int] = {
     val spark = df.sparkSession
-    val cbId = codebook.map(cb => "cb=" + java.util.Arrays.hashCode(cb))
-      .getOrElse("cb=seed-lowest-id")
-    val meta = (s"pq-codes m=$m k=$k dsub=$dsub $cbId cells=$cellTable " +
-      s"nBuckets=$nBuckets " + tag).trim
+    val meta = (s"pq-codes m=$m k=$k dsub=$dsub cb=$codebookId " +
+      s"cells=$cellTable nBuckets=$nBuckets " + tag).trim
     graft.core.Warehouse.withTableLock(spark, table) {
       val reused =
         graft.core.Warehouse.ensureRegistered(spark, table, meta, "cid", nBuckets) &&
@@ -608,7 +611,7 @@ object Vectors {
         graft.core.Warehouse.clear(spark, table)
         graft.core.Warehouse.clear(spark, table + "_codebook")
         writePqCodes(df, idCol, vecCol, cellTable, table, m, k, dsub,
-          nBuckets, codebook)
+          nBuckets, codebook())
         graft.core.Warehouse.writeMeta(spark, table, meta)
         graft.core.Warehouse.writeMeta(spark, table + "_codebook", meta)
       }
@@ -634,4 +637,25 @@ object Vectors {
   def pqCodesFromTable(spark: org.apache.spark.sql.SparkSession,
                        table: String): DataFrame =
     spark.table(table)
+
+  /** Exact-long PQ quantization distortion of ONE int8 vector against its
+    * (stored) codes: Σ_s ||x_s − cb[s][code_s]||² — the objective
+    * [[trainedPqCodebook]] minimizes and the standard PQ codebook-quality
+    * metric (Jégou et al., TPAMI 2011 §V). Computed via the identity
+    * ||x−c||² = x·x − 2·x·c + c·c: the fused dot/ADC kernels do the heavy
+    * lifting and the centroid norms ride as an m·k-long literal — no
+    * re-encode (codes come from the stored artifact), no join, no
+    * shuffle. */
+  def pqDistortion(qv: Column, codes: Column, cb: Array[Int], m: Int,
+                   k: Int, dsub: Int): Column = {
+    val cnorm: Seq[Long] = (0 until m * k).map { sj =>
+      (0 until dsub).map { i => val v = cb(sj * dsub + i).toLong; v * v }.sum
+    }
+    val cn = aggregate(
+      zip_with(codes, sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(typedLit(cnorm), (s * lit(k) + c + 1).cast("int"))),
+      lit(0L), (acc, v) => acc + v)
+    dotLong(qv, qv) - lit(2L) *
+      graft.expressions.VectorExpressions.adc_score(qv, codes, cb, m, k, dsub) + cn
+  }
 }

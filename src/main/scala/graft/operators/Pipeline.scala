@@ -796,6 +796,97 @@ object Pipeline {
         col("neighbor_id"), col("adc_score"))
   }
 
+  /** q162 — trained-vs-seeded PQ codebook quality contract (the r11
+    * verdict's quality ask): a per-subspace Lloyd-trained codebook
+    * ([[graft.functions.Vectors.trainedPqCodebook]] — k-means over the
+    * int8 subvectors, integer centroids, deterministic) must beat the
+    * seeded one MATERIALLY on the objective training optimizes —
+    * quantization distortion, the standard PQ codebook-quality metric —
+    * and must not regress retrieval overlap. Both code sets are stored
+    * ingest artifacts (ensurePqCodes; the trained thunk runs only on a
+    * cold build); the query ranks the q160 panel against the full corpus
+    * under exact int8 dots, seeded ADC, and trained ADC in one scan
+    * (three windows sharing one exchange), sums each codebook's corpus
+    * distortion from the STORED codes (no re-encode), and emits ONE row:
+    * `n_queries`, `sum_overlap_seeded`, and `sum_dist_seeded` are all
+    * recomputed by the DuckDB oracle (q160's machinery + an argmin-L2
+    * distortion sum), pinning the shared machinery cross-engine;
+    * `trained_improves` (≥15% distortion reduction) and
+    * `trained_overlap_not_worse` are the engine-evaluated contracts the
+    * oracle pins `true` (k-means is this engine's — the q27/q75 recall-
+    * bar convention). Honest calibration on this ADVERSARIAL
+    * near-orthogonal corpus: training cuts distortion ~25-27% (measured
+    * 0.746 at sf0.001, 0.731 at sf0.01 — the 15% bar sits well inside)
+    * and lifts top-10 overlap only modestly (126→133, 118→132 of 500) —
+    * uniform data has little cluster structure to exploit; real embedding
+    * manifolds gain far more, and the distortion bar is the
+    * data-independent claim. */
+  def pqTrainedAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 8; val K = 16; val DSUB = 8
+    val (seedTable, seedCb) = ensureSeededPq(spark, dir, M, K, DSUB)
+    val emb = Tables.embeddings(spark, dir)
+    val stamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
+    val trainTable = cellTableName("graft_pq_train", dir)
+    val trainCb = Vectors.ensurePqCodes(emb, "vec_id", "embedding",
+      cellTableName("graft_ivf_seed", dir), trainTable, M, K, DSUB,
+      tag = stamp, codebookId = "trained-lloyd iters=10 maxSample=100000",
+      codebook = () => Some(Vectors.trainedPqCodebook(
+        emb, "vec_id", "embedding", M, K, DSUB, iters = 10)))
+    val quant = emb.select(col("vec_id"),
+      Vectors.quantizeInt8(col("embedding")).as("qv"))
+    val coded = quant
+      .join(Vectors.pqCodesFromTable(spark, seedTable)
+        .select(col("id").as("vec_id"), col("codes").as("codes_s")), Seq("vec_id"))
+      .join(Vectors.pqCodesFromTable(spark, trainTable)
+        .select(col("id").as("vec_id"), col("codes").as("codes_t")), Seq("vec_id"))
+    val panel = broadcast(coded.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv")))
+    val scored = coded
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("c_qv"),
+        col("codes_s"), col("codes_t"))
+      .join(panel, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.expressions.VectorExpressions.int8_dot(col("q_qv"), col("c_qv"))
+          .as("ex"),
+        graft.expressions.VectorExpressions
+          .adc_score(col("q_qv"), col("codes_s"), seedCb, M, K, DSUB).as("adc_s"),
+        graft.expressions.VectorExpressions
+          .adc_score(col("q_qv"), col("codes_t"), trainCb, M, K, DSUB).as("adc_t"))
+    val we = Window.partitionBy("query_id")
+      .orderBy(col("ex").desc, col("neighbor_id").asc)
+    val ws = Window.partitionBy("query_id")
+      .orderBy(col("adc_s").desc, col("neighbor_id").asc)
+    val wt = Window.partitionBy("query_id")
+      .orderBy(col("adc_t").desc, col("neighbor_id").asc)
+    val perq = scored
+      .withColumn("re", row_number().over(we))
+      .withColumn("rs", row_number().over(ws))
+      .withColumn("rt", row_number().over(wt))
+      .filter(col("re") <= 10 || col("rs") <= 10 || col("rt") <= 10)
+      .groupBy("query_id").agg(
+        sum(when(col("re") <= 10 && col("rs") <= 10, 1).otherwise(0)).as("ov_s"),
+        sum(when(col("re") <= 10 && col("rt") <= 10, 1).otherwise(0)).as("ov_t"))
+    // corpus quantization distortion under each codebook, from the STORED
+    // codes (no re-encode): one narrow scan, global partial aggregate
+    val dists = coded.agg(
+      sum(Vectors.pqDistortion(col("qv"), col("codes_s"), seedCb, M, K, DSUB))
+        .as("dist_s"),
+      sum(Vectors.pqDistortion(col("qv"), col("codes_t"), trainCb, M, K, DSUB))
+        .as("dist_t"))
+    perq.agg(
+      count(lit(1)).cast("int").as("n_queries"),
+      sum("ov_s").as("sum_overlap_seeded"),
+      sum("ov_t").as("ov_t_sum"))
+      .crossJoin(dists) // two one-row aggregates — broadcast, not cartesian
+      .select(col("n_queries"), col("sum_overlap_seeded"),
+        col("dist_s").as("sum_dist_seeded"),
+        (col("dist_t") * lit(100L) <= col("dist_s") * lit(85L))
+          .as("trained_improves"),
+        (col("ov_t_sum") >= col("sum_overlap_seeded"))
+          .as("trained_overlap_not_worse"))
+  }
+
   /** q159 — q154's embedding admission as a STREAMING loop (the q82 "state
     * is a table" shape on the vector side): increments arrive in
     * micro-batches and each batch probes the SAME stored LSH bucket table
