@@ -17,9 +17,11 @@ import graft.sqlx.Sql
   * synchronously (Spark parallelizes within the job), and appends run logs.
   *
   * Execution is pluggable so tests inject fake executors; the default
-  * dispatches task_type='sql' through [[graft.sqlx.Sql.runScript]] and
+  * dispatches task_type='sql' through [[graft.sqlx.Sql.runScript]],
   * task_type='python' through a subprocess with the reference's 300 s
-  * timeout (S8, web_scheduler.py:736-829).
+  * timeout (S8, web_scheduler.py:736-829), and task_type='admission'
+  * through [[AdmissionTask]] — the engine's recurring dedup/admission
+  * loop as a first-class schedulable job.
   */
 final class Scheduler(
     spark: SparkSession,
@@ -168,6 +170,11 @@ object Scheduler {
         }
       case "python" =>
         task.scriptPath.toRight("python task without script_path").flatMap(runPython)
+      case "admission" =>
+        // the engine's scheduled dedup/admission loop (see AdmissionTask):
+        // scriptPath carries "<embedding|minhash>:<corpusDir>"
+        task.scriptPath.toRight("admission task without spec in script_path")
+          .flatMap(AdmissionTask.run(spark, _))
       case other => Left(s"unknown task type '$other'")
     }
 

@@ -63,6 +63,66 @@ class OrchestratorSpec extends SparkSuite {
       s"daemon leaked storage blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
 
+  test("admission task type: one tick runs the embedding admission loop e2e, logs, gates") {
+    val store = new CatalogStore(spark, tmpDir("adm"))
+    import spark.implicits._
+    // task 1: the embedding admission loop over the test corpus, due now;
+    // task 2: gated on task 1 (dependency must block until 1 has a log);
+    // task 3: a malformed spec — must fail loud into task_logs
+    store.overwrite(spark.createDataset(Seq(
+      Task(1L, "admit-embeddings", "admission",
+        Some("embedding:" + sfDir), None, 600L, None, None, isActive = true,
+        None, 0, 0, None, Timestamp.valueOf(t0)),
+      Task(2L, "post-admit-report", "admission",
+        Some("embedding:" + sfDir), None, 600L, None, None, isActive = true,
+        Some("1"), 0, 0, None, Timestamp.valueOf(t0)),
+      Task(3L, "bad-spec", "admission",
+        Some("nonsense"), None, 600L, None, None, isActive = true,
+        None, 0, 0, None, Timestamp.valueOf(t0)))), "tasks")
+    store.overwrite(spark.createDataset(Seq.empty[SqlAlert]), "sql_alerts")
+    var now = t0
+    val sched = new Scheduler(spark, store,
+      Scheduler.defaultExecutor(spark, store), () => now)
+    val orch = new Orchestrator(spark, store, sched,
+      new AlertService(spark, store, new InMemoryNotifier, tmpDir("adm_exp"),
+        () => now), () => now)
+
+    // tick 1: task 1 executes the real q159 loop (stored bucket table +
+    // micro-batch probes); task 2 blocks — its dependency has never run
+    // (ST4's never-run-blocks rule); task 3 fails loud
+    val (r1, _) = orch.tick()
+    assert(r1.find(_.taskId == 1L).map(_.action).contains("executed"))
+    assert(r1.find(_.taskId == 1L).flatMap(_.status).contains("success"))
+    assert(r1.find(_.taskId == 2L).map(_.action).contains("blocked_dependency"))
+    assert(r1.find(_.taskId == 3L).map(_.action).contains("executed"))
+    assert(r1.find(_.taskId == 3L).flatMap(_.status).contains("failed"))
+    val logs1 = store.read[TaskLog]("task_logs").collect()
+    val ok1 = logs1.find(l => l.taskId == 1L && l.status == "success")
+    assert(ok1.isDefined, s"no success log for task 1: ${logs1.toSeq}")
+    // the log message carries the real admission outcome: the q159 corpus
+    // plants exact copies that MUST be rejected, and natural increment
+    // rows that must be admitted — both counts nonzero
+    val msg = ok1.get.message
+    val m = "admitted=(\\d+) rejected=(\\d+)".r.findFirstMatchIn(msg)
+    assert(m.isDefined, s"unexpected admission log message: $msg")
+    assert(m.get.group(1).toLong > 0, s"no admissions: $msg")
+    assert(m.get.group(2).toLong > 0, s"no rejections (planted dups missed): $msg")
+    assert(logs1.exists(l => l.taskId == 3L && l.status == "failed" &&
+      l.message.contains("admission task spec")))
+
+    // tick 2: task 1 not due (600 s cadence); task 2's dependency now has
+    // a success log, so IT runs the loop
+    now = t0.plusSeconds(5)
+    val (r2, _) = orch.tick()
+    assert(r2.find(_.taskId == 1L).map(_.action).contains("not_due"))
+    assert(r2.find(_.taskId == 2L).map(_.action).contains("executed"))
+    assert(r2.find(_.taskId == 2L).flatMap(_.status).contains("success"))
+
+    // daemon hygiene: the admission runs tracked materializations (probe
+    // increments) — tick end must have released them
+    assert(graft.core.Mat.liveCount == 0)
+  }
+
   test("runLoop: daemon ticks until stopped (ST1)") {
     val store = new CatalogStore(spark, tmpDir("loop"))
     import spark.implicits._
