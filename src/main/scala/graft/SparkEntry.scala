@@ -1999,23 +1999,25 @@ object SparkEntry {
         |    (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC)
         |      AS rank
         |  FROM adc) WHERE rank <= 5""".stripMargin),
-    // q162's recomputable half: the seeded panel overlap sum (q160's
-    // machinery) and the seeded corpus distortion (argmin-L2 min-distance
-    // sum — exactly what the engine derives from the stored codes via the
-    // ||x-c||² identity); the trained-codebook contracts pin `true` (the
-    // q27/q75 convention — k-means lives only in this engine)
+    // q162's recomputable half: the seeded panel×corpus ADC score-error
+    // sum (q160's exact/adc CTEs) and the seeded corpus distortion
+    // (argmin-L2 min-distance sum — exactly what the engine derives from
+    // the stored codes via the ||x-c||² identity); the trained-codebook
+    // contracts pin `true` (the q27/q75 convention — k-means lives only
+    // in this engine). The `r` CTE rides along unused (shared text).
     "q162_pq_trained_audit" ->
       ("WITH " + pqSeedCtes + ",\n" + pqSeedRankCtes + ",\n" +
-        """perq AS (SELECT query_id,
-        |    sum(CASE WHEN re <= 10 AND rp <= 10 THEN 1 ELSE 0 END) AS ov
-        |  FROM r GROUP BY 1),
+        """err AS (SELECT count(*) AS n,
+        |    CAST(sum(abs(e.ex - a.adc_score)) AS BIGINT) AS es
+        |  FROM exact e JOIN adc a
+        |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
         |dist AS (SELECT CAST(sum(md) AS BIGINT) AS ds FROM (
         |    SELECT vec_id, s, min(d) AS md FROM enc0 GROUP BY 1, 2))
-        |SELECT CAST((SELECT count(*) FROM perq) AS INT) AS n_queries,
-        |  CAST((SELECT sum(ov) FROM perq) AS BIGINT) AS sum_overlap_seeded,
+        |SELECT CAST((SELECT n FROM err) AS BIGINT) AS n_pairs,
+        |  (SELECT es FROM err) AS sum_adc_err_seeded,
         |  (SELECT ds FROM dist) AS sum_dist_seeded,
         |  true AS trained_improves,
-        |  true AS trained_overlap_not_worse""".stripMargin),
+        |  true AS trained_err_better""".stripMargin),
     "q150_order_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders
