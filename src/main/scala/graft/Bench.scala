@@ -100,7 +100,10 @@ object Bench {
                              reps: Int): ProbeRun = {
     val tPre = System.nanoTime()
     val prebuildFailed = Seq("q62_semantic_dedup", "q105_dedup_inflation",
-        "q154_incremental_embedding")
+        "q154_incremental_embedding",
+        // r13: q158 reads the stored int8 table; its build (one quantize
+        // pass) is ingest work and must not land in the timed ratios
+        "q158_int8_quant_recall")
       .flatMap { n =>
         val failed = try { SparkEntry.queries(n)(spark, dir).count(); None }
                      catch { case t: Throwable =>
@@ -118,7 +121,9 @@ object Bench {
       "clusters" ->
         graft.core.Warehouse.isFresh(spark, s"graft_clusters_$sfx", Seq(docStamp)),
       "vecbkt_corpus" ->
-        graft.core.Warehouse.isFresh(spark, s"graft_vecbkt_corpus_$sfx", Seq(embStamp)))
+        graft.core.Warehouse.isFresh(spark, s"graft_vecbkt_corpus_$sfx", Seq(embStamp)),
+      "int8" ->
+        graft.core.Warehouse.isFresh(spark, s"graft_int8_$sfx", Seq(embStamp)))
     val runs = (1 to math.max(1, reps)).map { _ =>
       probeQueries.map { name =>
         val t0 = System.nanoTime()
@@ -227,7 +232,8 @@ object Bench {
       graft.core.Warehouse.isFresh(spark, s"graft_ivf_seed_$sfx", Seq(embStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_vecbkt_corpus_$sfx", Seq(embStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_pq_seed_$sfx", Seq(embStamp)) &&
-      graft.core.Warehouse.isFresh(spark, s"graft_pq_train_$sfx", Seq(embStamp))
+      graft.core.Warehouse.isFresh(spark, s"graft_pq_train_$sfx", Seq(embStamp)) &&
+      graft.core.Warehouse.isFresh(spark, s"graft_int8_$sfx", Seq(embStamp))
     }
     val warmFound = warmCheck(sfDir)
     // session warmup: JIT/codegen/scheduler paths + parquet reader init
@@ -247,7 +253,9 @@ object Bench {
         // r12: the stored PQ code tables (q160/q161 read graft_pq_seed;
         // q162 additionally reads graft_pq_train — its cold build runs
         // the Lloyd training, which must not land in the timed section)
-        "q160_pq_adc_recall", "q162_pq_trained_audit").flatMap { n =>
+        "q160_pq_adc_recall", "q162_pq_trained_audit",
+        // r13: the stored int8 quantization table (graft_int8)
+        "q158_int8_quant_recall").flatMap { n =>
       val failed = try { SparkEntry.queries(n)(spark, sfDir).count(); None }
                    catch { case _: Throwable => Some(n) }
       graft.core.Mat.releaseAll(blocking = true)

@@ -638,6 +638,35 @@ object SparkEntry {
       |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s
       |        ORDER BY d ASC, j ASC) rn FROM enc0) WHERE rn = 1)""".stripMargin
 
+  /** q162's trained-codebook sums, calibrated per gate corpus (r13): the
+    * Lloyd training lives only in this engine, so the oracle cannot
+    * recompute `sum_adc_err_trained` / `sum_dist_trained` — instead the
+    * measured values are COMMITTED here and the oracle emits them as
+    * literals, keyed by corpus identity, so any regression in the trained
+    * path (training, encode, storage, ADC) changes a hash-checked value.
+    * The key is `count(*) FROM lineitem` — the one gate table whose
+    * cardinality is distinct at every SF (embeddings collide: sf0.001 and
+    * sf0.01 both hold 500 vectors). An uncalibrated corpus yields NULL
+    * oracle-side against a real engine value — a LOUD red, by design
+    * (calibrate before gating a new SF; the engine's own ≥12%/≥5%
+    * improvement contracts remain corpus-independent). Values measured
+    * 2026-08-15 at the r13 head; deterministic per corpus (md5-ranked
+    * init, fixed iterations, integer centroids). */
+  private val q162TrainedPins: Seq[(Long, (Long, Long))] = Seq(
+    6000L     -> (280606840L,    43290967L),    // /root/testdata/sf0.001
+    60000L    -> (280486794L,    43301759L),    // /root/testdata/sf0.01
+    600000L   -> (1187026170L,   187494073L),   // /root/testdata/sf0.1
+    6000000L  -> (12053736677L,  1933796678L),  // data/sf1 (10×)
+    18000000L -> (36321722802L,  5826545715L),  // data/sf3 (30×)
+    60000000L -> (120972109183L, 19452939372L)) // data/sf10 (100×)
+
+  /** One pinned-literal CASE over [[q162TrainedPins]] (no ELSE → NULL =
+    * loud mismatch on an uncalibrated corpus). */
+  private def q162Pin(pick: ((Long, Long)) => Long): String =
+    "CAST(CASE (SELECT count(*) FROM lineitem) " +
+      q162TrainedPins.map { case (n, v) => s"WHEN $n THEN ${pick(v)}" }
+        .mkString(" ") + " END AS BIGINT)"
+
   /** Shared panel-ranking CTEs over [[pqSeedCtes]] (q160/q162): the
     * 50-query panel ranked by exact int8 dots and by seeded-codebook ADC
     * scores, both exact longs with the id tie-break. */
@@ -2004,7 +2033,10 @@ object SparkEntry {
     // (argmin-L2 min-distance sum — exactly what the engine derives from
     // the stored codes via the ||x-c||² identity); the trained-codebook
     // contracts pin `true` (the q27/q75 convention — k-means lives only
-    // in this engine). The `r` CTE rides along unused (shared text).
+    // in this engine), and the trained SUMS are pinned as per-corpus
+    // calibrated literals (q162TrainedPins — r13, advisor ask: a
+    // trained-path regression must move a hashed VALUE, not only flip a
+    // boolean near its bar). The `r` CTE rides along unused (shared text).
     "q162_pq_trained_audit" ->
       ("WITH " + pqSeedCtes + ",\n" + pqSeedRankCtes + ",\n" +
         """err AS (SELECT count(*) AS n,
@@ -2016,7 +2048,10 @@ object SparkEntry {
         |SELECT CAST((SELECT n FROM err) AS BIGINT) AS n_pairs,
         |  (SELECT es FROM err) AS sum_adc_err_seeded,
         |  (SELECT ds FROM dist) AS sum_dist_seeded,
-        |  true AS trained_improves,
+        |""".stripMargin +
+        s"  ${q162Pin(_._1)} AS sum_adc_err_trained,\n" +
+        s"  ${q162Pin(_._2)} AS sum_dist_trained,\n" +
+        """  true AS trained_improves,
         |  true AS trained_err_better""".stripMargin),
     "q150_order_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders

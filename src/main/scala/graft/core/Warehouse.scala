@@ -81,6 +81,15 @@ object Warehouse {
               fragments: Seq[String]): Boolean =
     metaOf(spark, table).exists(m => fragments.forall(m.contains))
 
+  /** The raw on-disk fingerprint of `table`, if any — for DERIVED
+    * artifacts that must invalidate when an UPSTREAM artifact's config
+    * changes (a PQ code table keyed by a coarse cell table's cids is only
+    * valid for the cell layout that assigned them): the derived
+    * fingerprint folds this string in, so an upstream rebuild under a new
+    * config — same table NAME, new meta — reads as stale downstream. */
+  def fingerprintOf(spark: SparkSession, table: String): Option[String] =
+    metaOf(spark, table)
+
   private def dirOf(spark: SparkSession, table: String): Path = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val p = if (wh.startsWith("file:")) java.net.URI.create(wh).getPath else wh

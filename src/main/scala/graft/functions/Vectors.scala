@@ -491,6 +491,16 @@ object Vectors {
         .filter(col("__rn") <= k)
         .select(col("s"), col("__k"), col("sv"))
         .collect()
+      // an undersized sample (corpus or hash-mod too small) would leave
+      // all-zero centroids silently training and encoding — fail loud,
+      // exactly like seededPqCodebook's k-seed require
+      val perSubspace = initRows.groupBy(_.getInt(0)).view.mapValues(_.length)
+      (0 until m).foreach { s =>
+        val got = perSubspace.getOrElse(s, 0)
+        require(got == k,
+          s"trainedPqCodebook: subspace $s sampled only $got of k=$k init " +
+            s"vectors — corpus too small for this k (need >= $k sampled rows)")
+      }
       val cb = new Array[Int](m * k * dsub)
       initRows.groupBy(_.getInt(0)).foreach { case (s, rows) =>
         rows.sortBy(_.getString(1)).zipWithIndex.foreach { case (r, j) =>
@@ -588,8 +598,12 @@ object Vectors {
     * zero Spark jobs. The fingerprint carries m/k/dsub, `codebookId`
     * (which NAMES the codebook construction — distinct constructions MUST
     * use distinct ids, or a stale artifact silently serves the wrong
-    * codes), the coarse table it co-locates with, and the caller's `tag`
-    * (the corpus source stamp — which also invalidates corpus-derived
+    * codes), the coarse table it co-locates with — NAME and stored
+    * FINGERPRINT both, so rebuilding the cell table under a new config
+    * (nlist, seed model, bucket count) invalidates the codes even though
+    * the cell table's name is unchanged (cids from the old layout would
+    * otherwise silently re-attach) — and the caller's `tag` (the corpus
+    * source stamp — which also invalidates corpus-derived
     * codebooks like the trained variant). `codebook` is a THUNK evaluated
     * only on a rebuild, so a warm re-attach never pays codebook training.
     * Returns the STORED codebook, so query paths score against exactly
@@ -601,8 +615,16 @@ object Vectors {
                     codebookId: String = "seed-lowest-id",
                     codebook: () => Option[Array[Int]] = () => None): Array[Int] = {
     val spark = df.sparkSession
+    // the cell table's OWN fingerprint rides along (hashed — it embeds
+    // the corpus stamp and every cell-layout config), so cids always come
+    // from the cell layout these codes were encoded against; an absent
+    // upstream meta reads as a distinct value and forces a rebuild
+    val cellFp = graft.core.Warehouse.fingerprintOf(spark, cellTable)
+      .map(s => java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString)
+      .getOrElse("absent")
     val meta = (s"pq-codes m=$m k=$k dsub=$dsub cb=$codebookId " +
-      s"cells=$cellTable nBuckets=$nBuckets " + tag).trim
+      s"cells=$cellTable cellsMeta=$cellFp nBuckets=$nBuckets " + tag).trim
     graft.core.Warehouse.withTableLock(spark, table) {
       val reused =
         graft.core.Warehouse.ensureRegistered(spark, table, meta, "cid", nBuckets) &&
@@ -636,6 +658,42 @@ object Vectors {
   /** (cid, id, codes) rows of a stored PQ code layout. */
   def pqCodesFromTable(spark: org.apache.spark.sql.SparkSession,
                        table: String): DataFrame =
+    spark.table(table)
+
+  /** INGEST-TIME int8 quantization table: every corpus vector stored as
+    * (id, v, qv, nsq) — the float vector, its int8 quantization, and the
+    * cached squared norm. This is the production int8 index: quantization
+    * is write-time work, and every scoring query (q158's recall audit,
+    * int8 retrieval) reads the codes instead of re-deriving them per run
+    * — the same build-once contract as the IVF cell and PQ code tables.
+    * The float vector rides along because the AUDIT queries score both
+    * domains in one scan; a pure retrieval deployment would drop it. */
+  def writeInt8Table(df: DataFrame, idCol: String, vecCol: String,
+                     table: String): Unit =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        quantizeInt8(col(vecCol)).as("qv"))
+      .withColumn("nsq", dotLong(col("qv"), col("qv")))
+      .write.mode("overwrite").saveAsTable(table)
+
+  /** Idempotent form of [[writeInt8Table]] (the ensure* convention):
+    * rebuild only when no valid stored artifact exists for this corpus,
+    * else re-attach with zero Spark jobs. */
+  def ensureInt8Table(df: DataFrame, idCol: String, vecCol: String,
+                      table: String, tag: String = ""): Unit = {
+    val spark = df.sparkSession
+    val meta = ("int8-quant " + tag).trim
+    graft.core.Warehouse.withTableLock(spark, table) {
+      if (!graft.core.Warehouse.ensureRegistered(spark, table, meta, null, 0)) {
+        graft.core.Warehouse.clear(spark, table)
+        writeInt8Table(df, idCol, vecCol, table)
+        graft.core.Warehouse.writeMeta(spark, table, meta)
+      }
+    }
+  }
+
+  /** (id, v, qv, nsq) rows of a stored int8 layout ([[writeInt8Table]]). */
+  def int8FromTable(spark: org.apache.spark.sql.SparkSession,
+                    table: String): DataFrame =
     spark.table(table)
 
   /** Exact-long PQ quantization distortion of ONE int8 vector against its

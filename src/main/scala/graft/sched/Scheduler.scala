@@ -19,9 +19,11 @@ import graft.sqlx.Sql
   * Execution is pluggable so tests inject fake executors; the default
   * dispatches task_type='sql' through [[graft.sqlx.Sql.runScript]],
   * task_type='python' through a subprocess with the reference's 300 s
-  * timeout (S8, web_scheduler.py:736-829), and task_type='admission'
+  * timeout (S8, web_scheduler.py:736-829), task_type='admission'
   * through [[AdmissionTask]] — the engine's recurring dedup/admission
-  * loop as a first-class schedulable job.
+  * loop as a first-class schedulable job — and task_type='compact'
+  * through [[CompactionTask]], the streaming-sink small-file
+  * maintenance job.
   */
 final class Scheduler(
     spark: SparkSession,
@@ -175,6 +177,11 @@ object Scheduler {
         // scriptPath carries "<embedding|minhash>:<corpusDir>"
         task.scriptPath.toRight("admission task without spec in script_path")
           .flatMap(AdmissionTask.run(spark, _))
+      case "compact" =>
+        // streaming-sink small-file maintenance (see CompactionTask):
+        // scriptPath carries "<sinkDir>:<targetMB>:<closed|all>"
+        task.scriptPath.toRight("compact task without spec in script_path")
+          .flatMap(CompactionTask.run(spark, _))
       case other => Left(s"unknown task type '$other'")
     }
 

@@ -565,6 +565,13 @@ class FunctionsSpec extends SparkSuite {
     // q162's contract bar: Lloyd training must cut quantization distortion
     // by ≥15% (measured ~25% on this corpus)
     assert(dt * 100 <= ds * 85, s"trained distortion $dt not ≤ 0.85 × seeded $ds")
+    // r13: a sample smaller than k must fail LOUD (the seeded path's
+    // require), never train on silently-zero centroids
+    val tiny = emb.filter(col("vec_id") < K - 1)
+    val e = intercept[IllegalArgumentException] {
+      Vectors.trainedPqCodebook(tiny, "vec_id", "embedding", M, K, DSUB)
+    }
+    assert(e.getMessage.contains("corpus too small"), e.getMessage)
     graft.core.Mat.releaseAll()
   }
 

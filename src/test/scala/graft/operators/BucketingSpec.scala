@@ -297,6 +297,49 @@ class BucketingSpec extends SparkSuite {
       "pq_codes_codebook").foreach(graft.core.Warehouse.clear(spark, _))
   }
 
+  test("PQ codes fingerprint folds the cell table's config: a cell rebuild invalidates stored codes") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val M = 8; val K = 16; val DSUB = 8
+    val tables = Seq("fpc_cells", "fpc_cells_centroids",
+      "fpc_codes", "fpc_codes_codebook")
+    tables.foreach(graft.core.Warehouse.clear(spark, _))
+    try {
+      var builds = 0
+      // the codebook thunk is evaluated ONLY on a (re)build — a counter on
+      // it observes exactly the rebuild decisions the fingerprint makes
+      def ensure(): Unit = {
+        graft.functions.Vectors.ensurePqCodes(emb, "vec_id", "embedding",
+          cellTable = "fpc_cells", table = "fpc_codes",
+          m = M, k = K, dsub = DSUB,
+          codebook = () => { builds += 1; None })
+        ()
+      }
+      graft.functions.Ivf.ensureCellTable(emb, "vec_id", "embedding",
+        dim = 64, nlist = 4, table = "fpc_cells")
+      ensure()
+      assert(builds == 1, "cold ensure must build")
+      ensure()
+      assert(builds == 1, "unchanged configs must re-attach, not rebuild")
+      // rebuild the coarse layout under a NEW config — same table NAME:
+      // before r13 the codes fingerprint recorded only the name, so the
+      // stale code table re-attached with cids from the old layout (the
+      // one wrong-answer-capable latent of the r12 review)
+      graft.functions.Ivf.ensureCellTable(emb, "vec_id", "embedding",
+        dim = 64, nlist = 8, table = "fpc_cells")
+      ensure()
+      assert(builds == 2, "a cell-config change must invalidate stored codes")
+      // the re-encoded codes carry cids from the NEW layout
+      val cellCids = spark.table("fpc_cells").select("cid")
+        .distinct().collect().map(_.getInt(0)).toSet
+      val codeCids = spark.table("fpc_codes").select("cid")
+        .distinct().collect().map(_.getInt(0)).toSet
+      assert(codeCids.nonEmpty && codeCids.subsetOf(cellCids),
+        s"code cids $codeCids not in rebuilt cell layout $cellCids")
+    } finally tables.foreach(graft.core.Warehouse.clear(spark, _))
+  }
+
   test("stored cluster map: warm consumers re-attach with zero propagation, values match a live run") {
     import org.apache.spark.sql.functions._
     val sfx = graft.core.Warehouse.corpusSuffix(sfDir)

@@ -123,6 +123,80 @@ class OrchestratorSpec extends SparkSuite {
     assert(graft.core.Mat.liveCount == 0)
   }
 
+  test("compact task type: one tick compacts a streaming sink's closed partitions e2e") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sink = tmpDir("csink") + "/out"
+    // a foreachBatch-shaped sink: 3 batch partitions × 8 tiny files each
+    (0 to 2).foreach { b =>
+      spark.range(b * 100, (b + 1) * 100).toDF("id").repartition(8)
+        .write.parquet(s"$sink/batch_id=$b")
+    }
+    def files(b: Int) = new java.io.File(s"$sink/batch_id=$b")
+      .listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    def values() = spark.read.parquet(sink).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val before = values()
+    assert(before.size == 300 && (0 to 2).forall(files(_) == 8))
+
+    val store = new CatalogStore(spark, tmpDir("cmp"))
+    // task 1: compact closed partitions, due now; task 2: full compaction
+    // gated on task 1 (dependency must block until 1 has a success log);
+    // task 3: malformed spec — fails loud into task_logs
+    store.overwrite(spark.createDataset(Seq(
+      Task(1L, "compact-closed", "compact",
+        Some(s"$sink:128:closed"), None, 600L, None, None, isActive = true,
+        None, 0, 0, None, Timestamp.valueOf(t0)),
+      Task(2L, "compact-final", "compact",
+        Some(s"$sink:128:all"), None, 600L, None, None, isActive = true,
+        Some("1"), 0, 0, None, Timestamp.valueOf(t0)),
+      Task(3L, "bad-spec", "compact",
+        Some("nonsense"), None, 600L, None, None, isActive = true,
+        None, 0, 0, None, Timestamp.valueOf(t0)))), "tasks")
+    store.overwrite(spark.createDataset(Seq.empty[SqlAlert]), "sql_alerts")
+    var now = t0
+    val sched = new Scheduler(spark, store,
+      Scheduler.defaultExecutor(spark, store), () => now)
+    val orch = new Orchestrator(spark, store, sched,
+      new AlertService(spark, store, new InMemoryNotifier, tmpDir("cmp_exp"),
+        () => now), () => now)
+
+    // tick 1: closed partitions (0, 1) collapse to one file each; the
+    // highest batch — the only one a stream restart could replay — is
+    // untouched; rows and values survive byte-for-byte
+    val (r1, _) = orch.tick()
+    assert(r1.find(_.taskId == 1L).flatMap(_.status).contains("success"))
+    assert(r1.find(_.taskId == 2L).map(_.action).contains("blocked_dependency"))
+    assert(r1.find(_.taskId == 3L).flatMap(_.status).contains("failed"))
+    assert(files(0) == 1 && files(1) == 1 && files(2) == 8,
+      s"expected 1/1/8 files, got ${files(0)}/${files(1)}/${files(2)}")
+    assert(values() == before, "compaction changed the sink's rows")
+    val logs1 = store.read[TaskLog]("task_logs").collect()
+    assert(logs1.exists(l => l.taskId == 1L && l.status == "success" &&
+      l.message.contains("rewritten=2")), s"log: ${logs1.toSeq}")
+    assert(logs1.exists(l => l.taskId == 3L && l.status == "failed" &&
+      l.message.contains("compact task spec")))
+
+    // tick 2: the gated full compaction runs — final partition compacts too
+    now = t0.plusSeconds(5)
+    val (r2, _) = orch.tick()
+    assert(r2.find(_.taskId == 2L).flatMap(_.status).contains("success"))
+    assert(files(2) == 1, s"scope=all left ${files(2)} files in the final partition")
+    assert(values() == before)
+
+    // idempotency: a retried run rewrites nothing
+    val again = CompactionTask.run(spark, s"$sink:128:all")
+    assert(again.exists(_.contains("rewritten=0")), s"not idempotent: $again")
+
+    // a file-sink directory with a transaction log is refused loudly
+    val fs = tmpDir("fsink")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(fs, "_spark_metadata"))
+    val refused = CompactionTask.run(spark, s"$fs:128:all")
+    assert(refused.isLeft && refused.swap.exists(_.contains("_spark_metadata")))
+  }
+
   test("runLoop: daemon ticks until stopped (ST1)") {
     val store = new CatalogStore(spark, tmpDir("loop"))
     import spark.implicits._

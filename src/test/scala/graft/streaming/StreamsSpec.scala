@@ -90,6 +90,61 @@ class StreamsSpec extends SparkSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("dedupStreamBatch: a replayed micro-batch is idempotent (batchId-keyed overwrite)") {
+    import graft.operators.Pipeline
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val table = "q82_replay_sigs"
+    graft.core.Warehouse.clear(spark, table)
+    try {
+      graft.functions.Dedup.ensureSignatureTable(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 4), "doc_id", "text",
+        table, k = 48, bands = 12)
+      val out = tmpDir("q82replay") + "/out"
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      def pairs() = spark.read.parquet(out).select("inc_id", "corpus_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      Pipeline.dedupStreamBatch(spark, docs, table, batch, batchId = 0L, out)
+      val once = pairs()
+      assert(once.nonEmpty, "fixture corpus should contain verified pairs")
+      // at-least-once replay of the SAME micro-batch: the sink must hold
+      // exactly the first attempt's pairs, not two copies
+      Pipeline.dedupStreamBatch(spark, docs, table, batch, batchId = 0L, out)
+      assert(pairs() == once, "replayed batch duplicated the sink")
+      graft.core.Mat.releaseAll()
+    } finally graft.core.Warehouse.clear(spark, table)
+  }
+
+  test("releaseAdmissionBatch: a replayed micro-batch re-admits exactly its first attempt") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    val work = tmpDir("q96replay")
+    val out = s"$work/out"; val fpDir = s"$work/fps"
+    val good = "alpha beta gamma delta epsilon and the of to here"
+    val good2 = "omega psi chi phi upsilon tau rho"
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "src9", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val evalSet = Seq.empty[Long].toDF("gh")
+    Pipeline.releaseAdmissionBatch(spark, mk(Seq(5L -> good)), 0L,
+      evalSet, out, fpDir)
+    // batch 1: 42 is fresh (admit), 400 duplicates batch 0's fingerprint
+    val b1 = mk(Seq(42L -> good2, 400L -> good))
+    Pipeline.releaseAdmissionBatch(spark, b1, 1L, evalSet, out, fpDir)
+    def admitted() = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val first = admitted()
+    assert(first == Set(5L, 42L), s"expected {5, 42}, got $first")
+    // at-least-once replay of batch 1: its OWN first-attempt fingerprints
+    // (including 42's) must not read as seen_before — the strictly-earlier
+    // filter is what keeps the replay ≡ the first attempt — and neither
+    // the admission sink nor the fingerprint state may double up
+    Pipeline.releaseAdmissionBatch(spark, b1, 1L, evalSet, out, fpDir)
+    assert(admitted() == first, "replayed batch changed the admission sink")
+    val fpCount = spark.read.parquet(fpDir).count()
+    assert(fpCount == 3, s"fingerprint state should hold 3 rows, got $fpCount")
+  }
+
   test("streamReleaseAdmission: cross-batch first-arrival dedup equals batch min-id semantics") {
     import spark.implicits._
     import graft.operators.Pipeline
