@@ -32,9 +32,11 @@ import org.apache.spark.sql.SparkSession
   * target file count is skipped, so re-running the task — retry after a
   * transient failure, an over-eager cadence — is a no-op. Each partition
   * swap is rename-based (write aside, rename away, rename in), so a crash
-  * mid-task leaves every partition either fully old or fully new, with at
-  * most one hidden leftover dir that the next run cleans up; hidden
-  * (dot-prefixed) names are invisible to Spark's file index throughout.
+  * mid-task leaves every partition fully old, fully new, or — in the
+  * window between the two renames — fully present in its hidden `.old`;
+  * the next run RESTORES a `.old` whose live dir is missing before
+  * reaping leftovers, so no crash point loses data. Hidden (dot-prefixed)
+  * names are invisible to Spark's file index throughout.
   *
   * Directories carrying a `_spark_metadata` transaction log (the built-in
   * file sink: q48/q109/q114) are REFUSED loudly: their readers resolve
@@ -75,9 +77,22 @@ object CompactionTask {
       return Left(s"compact: $dir is a file-sink with a _spark_metadata " +
         "transaction log; rewriting its files would orphan the log " +
         "(use a batchId-keyed foreachBatch sink for compactable streams)")
-    // recover any leftover from a crashed previous run before re-listing
+    // recover leftovers from a crashed previous run before re-listing.
+    // A crash between the two renames leaves the partition ONLY in its
+    // hidden `.old` (the rename away happened, the rename in did not) —
+    // restore it FIRST; blindly deleting both leftovers there would lose
+    // the partition. With the live dir present, `.old` is a fully-swapped
+    // duplicate and `.tmp` is at best a complete copy — both reaped.
     Files.list(root).iterator().asScala
-      .filter(_.getFileName.toString.matches("\\.batch_id=.*\\.(tmp|old)"))
+      .filter(_.getFileName.toString.matches("\\.batch_id=.*\\.old"))
+      .toList.foreach { oldDir =>
+        val live = root.resolve(
+          oldDir.getFileName.toString.stripPrefix(".").stripSuffix(".old"))
+        if (!Files.exists(live)) Files.move(oldDir, live)
+        else deleteRecursively(oldDir)
+      }
+    Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\.batch_id=.*\\.tmp"))
       .toList.foreach(deleteRecursively)
     val batches = Files.list(root).iterator().asScala
       .filter(p => Files.isDirectory(p) &&

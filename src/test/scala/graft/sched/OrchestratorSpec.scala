@@ -195,6 +195,30 @@ class OrchestratorSpec extends SparkSuite {
       java.nio.file.Paths.get(fs, "_spark_metadata"))
     val refused = CompactionTask.run(spark, s"$fs:128:all")
     assert(refused.isLeft && refused.swap.exists(_.contains("_spark_metadata")))
+
+    // crash recovery: a run that died BETWEEN the two renames leaves the
+    // partition only in its hidden `.old` (plus a complete `.tmp`) — the
+    // next run must RESTORE it, not reap it (a blind leftover delete
+    // would lose the partition)
+    import java.nio.file.{Files => JF, Paths => JP}
+    JF.move(JP.get(s"$sink/batch_id=0"), JP.get(s"$sink/.batch_id=0.old"))
+    spark.range(0, 100).toDF("id").coalesce(1)
+      .write.parquet(s"$sink/.batch_id=0.tmp") // the in-flight rewrite
+    val recovered = CompactionTask.run(spark, s"$sink:128:all")
+    assert(recovered.isRight, s"recovery run failed: $recovered")
+    assert(JF.isDirectory(JP.get(s"$sink/batch_id=0")),
+      "crashed partition not restored from its .old")
+    assert(!JF.exists(JP.get(s"$sink/.batch_id=0.tmp")) &&
+      !JF.exists(JP.get(s"$sink/.batch_id=0.old")), "leftovers not reaped")
+    assert(values() == before, "crash recovery changed the sink's rows")
+
+    // ...and with the live dir present, stale leftovers are reaped without
+    // touching it
+    spark.range(500, 510).toDF("id").coalesce(1)
+      .write.parquet(s"$sink/.batch_id=1.old")
+    val reaped = CompactionTask.run(spark, s"$sink:128:all")
+    assert(reaped.isRight && !JF.exists(JP.get(s"$sink/.batch_id=1.old")))
+    assert(values() == before)
   }
 
   test("runLoop: daemon ticks until stopped (ST1)") {
