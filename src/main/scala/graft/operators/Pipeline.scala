@@ -854,16 +854,24 @@ object Pipeline {
         maxSample = MAX_SAMPLE)))
     val quant = emb.select(col("vec_id"),
       Vectors.quantizeInt8(col("embedding")).as("qv"))
-    // ONE corpus scan: quantize + both code-table joins materialize once
-    // (tracked — the returned frame is consumed by the caller, the session
-    // owner's releaseAll drains the blocks); panel, errs, and dists below
-    // all read the checkpointed rows instead of three plan copies of the
-    // join subtree — at 100 TB that is 3 corpus scans down to 1
-    val coded = graft.core.Mat.tracked(quant
+    // `coded` is consumed by three branches (panel, errs, dists) — three
+    // plan copies of the join subtree. MEASURED ADJUDICATION (r13,
+    // devtools.Q162Shape): materializing it once (localCheckpoint) is a
+    // PESSIMIZATION at every scale — 0.78 s → 2.14 s at sf0.1 and 0.77 s
+    // → 9.2 s at the 100× corpus — because the "redundant" scans are
+    // narrow bucketed code-table reads (4–36 B/row, zero exchange, fully
+    // fused into each consumer's whole-stage codegen), while a checkpoint
+    // pays a full write + read of the joined rows AND breaks codegen
+    // fusion at the LogicalRDD boundary. Re-scanning cheap columnar
+    // storage beats materializing into expensive row storage; the same
+    // trade at 100 TB, where the block write would also pressure executor
+    // storage. (The r12 review deferred a withMaterialized wrap here; the
+    // measurement rejects it.)
+    val coded = quant
       .join(Vectors.pqCodesFromTable(spark, seedTable)
         .select(col("id").as("vec_id"), col("codes").as("codes_s")), Seq("vec_id"))
       .join(Vectors.pqCodesFromTable(spark, trainTable)
-        .select(col("id").as("vec_id"), col("codes").as("codes_t")), Seq("vec_id")))
+        .select(col("id").as("vec_id"), col("codes").as("codes_t")), Seq("vec_id"))
     val panel = broadcast(coded.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv")))
     // ADC score error |exact − adc| summed over panel×corpus: a CONTINUOUS
