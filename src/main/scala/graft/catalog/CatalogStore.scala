@@ -342,8 +342,10 @@ final class CatalogStore(spark: SparkSession, root: String) {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
+      finally s.close()
     }
 }
 

@@ -153,10 +153,14 @@ object Warehouse {
     val p = Paths.get(path)
     if (!Files.exists(p)) return "absent"
     val files: Seq[Path] =
-      if (Files.isDirectory(p))
-        Files.walk(p).filter(Files.isRegularFile(_))
+      if (Files.isDirectory(p)) {
+        // close the walk stream: this runs per query execution, and an
+        // unclosed Files.walk leaks a directory fd each call
+        val s = Files.walk(p)
+        try s.filter(Files.isRegularFile(_))
           .toArray.map(_.asInstanceOf[Path]).toSeq
-      else Seq(p)
+        finally s.close()
+      } else Seq(p)
     val size = files.map(Files.size(_)).sum
     val mtime = files.map(Files.getLastModifiedTime(_).toMillis).max
     s"src=$size:$mtime"
@@ -168,8 +172,10 @@ object Warehouse {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val d = dirOf(spark, table)
     if (Files.exists(d)) {
-      Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+      val s = Files.walk(d)
+      try s.sorted(Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
     }
   }
 }

@@ -83,21 +83,20 @@ object CompactionTask {
     // restore it FIRST; blindly deleting both leftovers there would lose
     // the partition. With the live dir present, `.old` is a fully-swapped
     // duplicate and `.tmp` is at best a complete copy — both reaped.
-    Files.list(root).iterator().asScala
+    listDir(root)
       .filter(_.getFileName.toString.matches("\\.batch_id=.*\\.old"))
-      .toList.foreach { oldDir =>
+      .foreach { oldDir =>
         val live = root.resolve(
           oldDir.getFileName.toString.stripPrefix(".").stripSuffix(".old"))
         if (!Files.exists(live)) Files.move(oldDir, live)
         else deleteRecursively(oldDir)
       }
-    Files.list(root).iterator().asScala
+    listDir(root)
       .filter(_.getFileName.toString.matches("\\.batch_id=.*\\.tmp"))
-      .toList.foreach(deleteRecursively)
-    val batches = Files.list(root).iterator().asScala
+      .foreach(deleteRecursively)
+    val batches = listDir(root)
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("batch_id="))
-      .toList
       .sortBy(p => p.getFileName.toString.stripPrefix("batch_id=").toLong)
     if (batches.isEmpty)
       return Left(s"compact: $dir has no batch_id=N partitions " +
@@ -133,16 +132,28 @@ object CompactionTask {
       s"files=$filesBefore->$filesAfter scope=$scope")
   }
 
+  /** Directory entries, with the underlying stream CLOSED before
+    * returning — `Files.list` holds an open directory handle until
+    * closed, and a scheduler running compaction on a cadence for months
+    * must not leak one fd per listing. */
+  private def listDir(d: Path): List[Path] = {
+    val s = Files.list(d)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   /** Parquet data files of one partition dir (hidden/_SUCCESS excluded —
     * the same visibility rule Spark's file index applies). */
   private def dataFiles(d: Path): List[Path] =
-    Files.list(d).iterator().asScala.filter { p =>
+    listDir(d).filter { p =>
       val n = p.getFileName.toString
       Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
-    }.toList
+    }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
 }
