@@ -693,6 +693,94 @@ object Pipeline {
     (codesTable, cb)
   }
 
+  /** The TRAINED-codebook PQ ingest for q162 (and the index task):
+    * ensure the trained code table (Lloyd k-means codebook via
+    * [[graft.functions.Vectors.trainedPqCodebook]], codes against the
+    * same coarse cell layout the seeded table co-locates with), returning
+    * (codes table name, stored codebook). The cache id is DERIVED from
+    * the training params so the fingerprint cannot drift from the
+    * construction; the codebook thunk only runs on a rebuild. Requires
+    * the seeded coarse cells ([[ensureSeededPq]]) to exist. */
+  private[graft] def ensureTrainedPq(spark: SparkSession, dir: String,
+      m: Int = 8, k: Int = 16, dsub: Int = 8,
+      iters: Int = 10, maxSample: Int = 100000): (String, Array[Int]) = {
+    val emb = Tables.embeddings(spark, dir)
+    val stamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
+    val trainTable = cellTableName("graft_pq_train", dir)
+    val cb = Vectors.ensurePqCodes(emb, "vec_id", "embedding",
+      cellTableName("graft_ivf_seed", dir), trainTable, m, k, dsub,
+      tag = stamp, codebookId = s"trained-lloyd iters=$iters maxSample=$maxSample",
+      codebook = () => Some(Vectors.trainedPqCodebook(
+        emb, "vec_id", "embedding", m, k, dsub, iters = iters,
+        maxSample = maxSample)))
+    (trainTable, cb)
+  }
+
+  /** ONE-CALL corpus index build — every canonical write-time artifact
+    * the query paths re-attach to, each via its idempotent `ensure*`
+    * (warm re-attach when the stored fingerprint matches, rebuild when
+    * the corpus or any config changed). This is the engine's INGEST step
+    * as a single entry point, scheduled in production as
+    * task_type='index' ([[graft.sched.IndexTask]]) — the root of the
+    * task DAG: admission tasks depend on it (they probe these artifacts),
+    * compaction tasks maintain the sinks its consumers append.
+    *
+    * Returns (table, rebuilt) per artifact — `rebuilt=false` means the
+    * stored artifact was fresh and the call re-attached with zero Spark
+    * jobs, so a cadence-scheduled index task is a cheap no-op between
+    * corpus refreshes.
+    *
+    * Two variant tables stay QUERY-OWNED by design: q62's semantic-dedup
+    * cells (its nlist derives from the query's planted-corpus size) and
+    * q154's corpus-only incremental cells (an index-maintenance DEMO —
+    * building it here would defeat that query's add-without-retrain
+    * point). The bench prebuild builds them by running those queries. */
+  def ensureCorpusIndex(spark: SparkSession, dir: String): Seq[(String, Boolean)] = {
+    val docStamp = graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet")
+    val embStamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    def name(p: String) = cellTableName(p, dir)
+    // build order matters only for the PQ pair: codes co-locate with (and
+    // fingerprint against) the seeded coarse cells, so cells land first
+    val builds: Seq[(String, String, () => Unit)] = Seq(
+      // MinHash signature table (q74/q82's banded-probe corpus artifact)
+      (name("graft_sig_corpus"), docStamp, () =>
+        Dedup.ensureSignatureTable(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 4), "doc_id", "text",
+          name("graft_sig_corpus"), k = 48, bands = 12, tag = docStamp)),
+      // duplicate-cluster map (q57's propagation, read by q77/q79/q105)
+      (name("graft_clusters"), docStamp, () => { ensureClusterMap(spark, dir); () }),
+      // IVF coarse cells (q52/q152's ANN layout)
+      (name("graft_ivf_cells"), embStamp, () =>
+        Ivf.ensureCellTable(emb, "vec_id", "embedding", dim = 64, nlist = 16,
+          name("graft_ivf_cells"), tag = embStamp)),
+      // seeded coarse cells + seeded PQ codes (q160/q161/q162's index)
+      (name("graft_ivf_seed"), embStamp, () => { ensureSeededPq(spark, dir, 8, 16, 8); () }),
+      (name("graft_pq_seed"), embStamp, () => { ensureSeededPq(spark, dir, 8, 16, 8); () }),
+      // trained PQ codes (q162's Lloyd codebook)
+      (name("graft_pq_train"), embStamp, () => { ensureTrainedPq(spark, dir); () }),
+      // int8 quantized corpus + cached norms (q158's integer index)
+      (name("graft_int8"), embStamp, () =>
+        Vectors.ensureInt8Table(emb, "vec_id", "embedding", name("graft_int8"),
+          tag = embStamp)),
+      // LSH bucket table over the standing corpus (q41/q159's probe side)
+      (name("graft_vecbkt_corpus"), embStamp, () =>
+        Vectors.ensureBucketTable(emb.filter(pmod(col("vec_id"), lit(5)) =!= 4),
+          "vec_id", "embedding", dim = 64, table = name("graft_vecbkt_corpus"),
+          tag = embStamp)))
+    // snapshot freshness BEFORE any build: one entry's ensure can build a
+    // sibling artifact too (ensureSeededPq covers cells AND codes), and
+    // the report must reflect the pre-task state, not mid-task effects
+    val warm = builds.map { case (t, stampFrag, _) =>
+      graft.core.Warehouse.isFresh(spark, t, Seq(stampFrag))
+    }
+    builds.zip(warm).map { case ((t, _, build), w) =>
+      build()
+      (t, !w)
+    }
+  }
+
   /** q160 — product quantization with asymmetric-distance (ADC) scoring,
     * entirely in the integer domain: int8-quantize (q158's quantizer),
     * split into 8 subspaces × 8 dims, encode each corpus vector as 8
@@ -844,14 +932,8 @@ object Pipeline {
     val ITERS = 10; val MAX_SAMPLE = 100000
     val (seedTable, seedCb) = ensureSeededPq(spark, dir, M, K, DSUB)
     val emb = Tables.embeddings(spark, dir)
-    val stamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
-    val trainTable = cellTableName("graft_pq_train", dir)
-    val trainCb = Vectors.ensurePqCodes(emb, "vec_id", "embedding",
-      cellTableName("graft_ivf_seed", dir), trainTable, M, K, DSUB,
-      tag = stamp, codebookId = s"trained-lloyd iters=$ITERS maxSample=$MAX_SAMPLE",
-      codebook = () => Some(Vectors.trainedPqCodebook(
-        emb, "vec_id", "embedding", M, K, DSUB, iters = ITERS,
-        maxSample = MAX_SAMPLE)))
+    val (trainTable, trainCb) =
+      ensureTrainedPq(spark, dir, M, K, DSUB, ITERS, MAX_SAMPLE)
     val quant = emb.select(col("vec_id"),
       Vectors.quantizeInt8(col("embedding")).as("qv"))
     // `coded` is consumed by three branches (panel, errs, dists) — three

@@ -21,9 +21,10 @@ import graft.sqlx.Sql
   * task_type='python' through a subprocess with the reference's 300 s
   * timeout (S8, web_scheduler.py:736-829), task_type='admission'
   * through [[AdmissionTask]] — the engine's recurring dedup/admission
-  * loop as a first-class schedulable job — and task_type='compact'
+  * loop as a first-class schedulable job — task_type='compact'
   * through [[CompactionTask]], the streaming-sink small-file
-  * maintenance job.
+  * maintenance job, and task_type='index' through [[IndexTask]], the
+  * corpus index build (the root of the index→admission→compact DAG).
   */
 final class Scheduler(
     spark: SparkSession,
@@ -182,6 +183,11 @@ object Scheduler {
         // scriptPath carries "<sinkDir>:<targetMB>:<closed|all>"
         task.scriptPath.toRight("compact task without spec in script_path")
           .flatMap(CompactionTask.run(spark, _))
+      case "index" =>
+        // corpus index build — every stored write-time artifact via its
+        // idempotent ensure* (see IndexTask): scriptPath carries "<corpusDir>"
+        task.scriptPath.toRight("index task without spec in script_path")
+          .flatMap(IndexTask.run(spark, _))
       case other => Left(s"unknown task type '$other'")
     }
 

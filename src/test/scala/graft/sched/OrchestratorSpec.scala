@@ -221,6 +221,74 @@ class OrchestratorSpec extends SparkSuite {
     assert(values() == before)
   }
 
+  test("index task type: one tick builds the corpus index e2e; warm no-op; gates admission") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    // a COPY of the gate corpus gets its own corpusSuffix, so the first
+    // run must BUILD every artifact (nothing shared with other specs) and
+    // the warm/built split in the log is deterministic
+    val corpus = tmpDir("idxcorpus")
+    Seq("documents.parquet", "embeddings.parquet").foreach { f =>
+      JF.copy(JP.get(sfDir, f), JP.get(corpus, f))
+    }
+
+    val store = new CatalogStore(spark, tmpDir("idx"))
+    import spark.implicits._
+    // task 1: the index build, due now; task 2: the admission loop GATED
+    // on task 1 — the production DAG (an admission pass must never probe
+    // artifacts that were never built); task 3: a missing corpus dir —
+    // must fail loud into task_logs
+    store.overwrite(spark.createDataset(Seq(
+      Task(1L, "build-index", "index",
+        Some(corpus), None, 600L, None, None, isActive = true,
+        None, 0, 0, None, Timestamp.valueOf(t0)),
+      Task(2L, "admit-embeddings", "admission",
+        Some("embedding:" + corpus), None, 600L, None, None, isActive = true,
+        Some("1"), 0, 0, None, Timestamp.valueOf(t0)),
+      Task(3L, "bad-dir", "index",
+        Some(corpus + "/nope"), None, 600L, None, None, isActive = true,
+        None, 0, 0, None, Timestamp.valueOf(t0)))), "tasks")
+    store.overwrite(spark.createDataset(Seq.empty[SqlAlert]), "sql_alerts")
+    var now = t0
+    val sched = new Scheduler(spark, store,
+      Scheduler.defaultExecutor(spark, store), () => now)
+    val orch = new Orchestrator(spark, store, sched,
+      new AlertService(spark, store, new InMemoryNotifier, tmpDir("idx_exp"),
+        () => now), () => now)
+
+    // tick 1: the index task builds all 8 canonical artifacts; the gated
+    // admission blocks (never-run dependency); the bad dir fails loud
+    val (r1, _) = orch.tick()
+    assert(r1.find(_.taskId == 1L).flatMap(_.status).contains("success"))
+    assert(r1.find(_.taskId == 2L).map(_.action).contains("blocked_dependency"))
+    assert(r1.find(_.taskId == 3L).flatMap(_.status).contains("failed"))
+    val logs1 = store.read[TaskLog]("task_logs").collect()
+    val ok1 = logs1.find(l => l.taskId == 1L && l.status == "success")
+    assert(ok1.isDefined, s"no success log for the index task: ${logs1.toSeq}")
+    assert(ok1.get.message.contains("built=8 warm=0"),
+      s"first run must build everything: ${ok1.get.message}")
+    assert(logs1.exists(l => l.taskId == 3L && l.status == "failed" &&
+      l.message.contains("no such corpus directory")))
+
+    // tick 2: the dependency now has a success log — the admission loop
+    // runs against the artifacts the index task just built (its own
+    // ensure calls re-attach WARM; a rebuild here would mean the index
+    // task's fingerprints don't match the query paths')
+    now = t0.plusSeconds(5)
+    val (r2, _) = orch.tick()
+    assert(r2.find(_.taskId == 2L).flatMap(_.status).contains("success"))
+    val msg2 = store.read[TaskLog]("task_logs").collect()
+      .find(l => l.taskId == 2L && l.status == "success").map(_.message)
+    assert(msg2.exists(_.contains("admitted=")), s"admission log: $msg2")
+
+    // idempotency: a re-run between corpus refreshes is a warm no-op
+    val again = IndexTask.run(spark, corpus)
+    assert(again.exists(_.contains("built=0 warm=8")),
+      s"re-run must warm-attach everything: $again")
+
+    // daemon hygiene: no leaked tracked materializations
+    assert(graft.core.Mat.liveCount == 0)
+  }
+
   test("runLoop: daemon ticks until stopped (ST1)") {
     val store = new CatalogStore(spark, tmpDir("loop"))
     import spark.implicits._
