@@ -28,7 +28,11 @@ object Bench {
     "q154_incremental_embedding",
     // r11: int8-quantized retrieval quality — O(panel·n) by construction,
     // so its probe ratio must track the corpus linearly
-    "q158_int8_quant_recall")
+    "q158_int8_quant_recall",
+    // r13: the two-stage IVF-PQ serving path — stage 1 is a cell-probed
+    // 4 B/vector code scan, stage 2 a broadcast against the stored int8
+    // table; the composition must stay sublinear like q161
+    "q163_ivfpq_rerank")
 
   /** Synthesize one probe corpus of `nDocs` documents + `nVecs` embeddings
     * under `dir`. Hash-generated with a 5k-word vocabulary so
@@ -103,7 +107,10 @@ object Bench {
         "q154_incremental_embedding",
         // r13: q158 reads the stored int8 table; its build (one quantize
         // pass) is ingest work and must not land in the timed ratios
-        "q158_int8_quant_recall")
+        "q158_int8_quant_recall",
+        // r13: q163 reads the seeded cell + PQ code tables too — build
+        // them on the probe corpus via q160 (same ensure path)
+        "q160_pq_adc_recall")
       .flatMap { n =>
         val failed = try { SparkEntry.queries(n)(spark, dir).count(); None }
                      catch { case t: Throwable =>

@@ -376,6 +376,9 @@ object SparkEntry {
     // the composed production index: stored IVF cells coarse-probed,
     // PQ codes ADC-scored within the probed cells only
     "q161_ivfpq_topk" -> Pipeline.ivfPqTopK _,
+    // IVF-PQ with exact re-ranking: ADC top-20 shortlist, exact int8
+    // top-5 — the production two-stage serving path
+    "q163_ivfpq_rerank" -> Pipeline.ivfPqRerank _,
     // trained-vs-seeded PQ codebook quality contract: Lloyd-trained
     // per-subspace centroids must beat the seeded floor by a margin
     "q162_pq_trained_audit" -> Pipeline.pqTrainedAudit _,
@@ -637,6 +640,41 @@ object SparkEntry {
       |codes AS (SELECT vec_id, s, j AS code FROM (
       |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s
       |        ORDER BY d ASC, j ASC) rn FROM enc0) WHERE rn = 1)""".stripMargin
+
+  /** Shared IVF-PQ probe CTEs (q161/q163 oracles): seeded centroids,
+    * corpus cell assignment, the 50-query panel's top-4 probed cells, and
+    * the probed candidates' ADC scores over [[pqSeedCtes]] — everything
+    * through the approximate shortlist, before any final ranking. */
+  private val ivfPqProbeCtes =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+      |        v AS cvec
+      |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+      |asg AS (SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC,
+      |                 c.cid DESC) AS rn
+      |    FROM e, cents c) WHERE rn = 1),
+      |qf AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 50),
+      |pr AS (SELECT query_id, cid FROM (
+      |    SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC,
+      |                 c.cid ASC) AS prk
+      |    FROM qf q, cents c) WHERE prk <= 4),
+      |""".stripMargin + pqSeedCtes + ",\n" +
+    """psub AS (SELECT q.vec_id AS query_id, ss.s,
+      |           list_slice(q.q, ss.s*8+1, ss.s*8+8) AS sub
+      |         FROM qv q, ss WHERE q.vec_id < 50),
+      |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM pr p JOIN asg a USING (cid) WHERE a.vec_id <> p.query_id),
+      |adc AS (SELECT c.query_id, c.neighbor_id,
+      |    CAST(sum(list_dot_product(ps.sub::DOUBLE[], cb.c::DOUBLE[]))
+      |         AS BIGINT) AS adc_score
+      |  FROM cand c
+      |  JOIN codes cd ON cd.vec_id = c.neighbor_id
+      |  JOIN psub ps ON ps.query_id = c.query_id AND ps.s = cd.s
+      |  JOIN cb ON cb.s = cd.s AND cb.j = cd.code
+      |  GROUP BY 1, 2)""".stripMargin
 
   /** q162's trained-codebook sums, calibrated per gate corpus (r13): the
     * Lloyd training lives only in this engine, so the oracle cannot
@@ -1994,40 +2032,33 @@ object SparkEntry {
     // = Spark's max-struct; probe cos DESC, cid ASC), q160's codebook and
     // argmin-L2 codes, ADC scores as exact integers, top-5 per query
     "q161_ivfpq_topk" ->
-      ("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-        |        v AS cvec
-        |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
-        |asg AS (SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC,
-        |                 c.cid DESC) AS rn
-        |    FROM e, cents c) WHERE rn = 1),
-        |qf AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 50),
-        |pr AS (SELECT query_id, cid FROM (
-        |    SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id
-        |        ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC,
-        |                 c.cid ASC) AS prk
-        |    FROM qf q, cents c) WHERE prk <= 4),
-        |""".stripMargin + pqSeedCtes + ",\n" +
-        """psub AS (SELECT q.vec_id AS query_id, ss.s,
-        |           list_slice(q.q, ss.s*8+1, ss.s*8+8) AS sub
-        |         FROM qv q, ss WHERE q.vec_id < 50),
-        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-        |  FROM pr p JOIN asg a USING (cid) WHERE a.vec_id <> p.query_id),
-        |adc AS (SELECT c.query_id, c.neighbor_id,
-        |    CAST(sum(list_dot_product(ps.sub::DOUBLE[], cb.c::DOUBLE[]))
-        |         AS BIGINT) AS adc_score
-        |  FROM cand c
-        |  JOIN codes cd ON cd.vec_id = c.neighbor_id
-        |  JOIN psub ps ON ps.query_id = c.query_id AND ps.s = cd.s
-        |  JOIN cb ON cb.s = cd.s AND cb.j = cd.code
-        |  GROUP BY 1, 2)
-        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_score
+      ("WITH " + ivfPqProbeCtes + "\n" +
+        """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_score
         |FROM (SELECT query_id, neighbor_id, adc_score, row_number() OVER
         |    (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC)
         |      AS rank
         |  FROM adc) WHERE rank <= 5""".stripMargin),
+    // the two-stage path: ADC top-20 shortlist per query (q161's probe
+    // CTEs), then EXACT int8 dots re-rank the shortlist — both scores in
+    // the output, so every row the re-rank reorders is value-checked
+    "q163_ivfpq_rerank" ->
+      ("WITH " + ivfPqProbeCtes + ",\n" +
+        """sl AS (SELECT query_id, neighbor_id, adc_score FROM (
+        |    SELECT query_id, neighbor_id, adc_score, row_number() OVER
+        |        (PARTITION BY query_id ORDER BY adc_score DESC,
+        |         neighbor_id ASC) AS arank
+        |    FROM adc) WHERE arank <= 20),
+        |ex AS (SELECT s.query_id, s.neighbor_id, s.adc_score,
+        |    CAST(list_dot_product(q1.q::DOUBLE[], q2.q::DOUBLE[])
+        |         AS BIGINT) AS exact_score
+        |  FROM sl s JOIN qv q1 ON q1.vec_id = s.query_id
+        |            JOIN qv q2 ON q2.vec_id = s.neighbor_id)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+        |       exact_score, adc_score
+        |FROM (SELECT query_id, neighbor_id, exact_score, adc_score,
+        |    row_number() OVER (PARTITION BY query_id
+        |        ORDER BY exact_score DESC, neighbor_id ASC) AS rank
+        |  FROM ex) WHERE rank <= 5""".stripMargin),
     // q162's recomputable half: the seeded panel×corpus ADC score-error
     // sum (q160's exact/adc CTEs) and the seeded corpus distortion
     // (argmin-L2 min-distance sum — exactly what the engine derives from

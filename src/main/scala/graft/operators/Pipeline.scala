@@ -893,6 +893,65 @@ object Pipeline {
         col("neighbor_id"), col("adc_score"))
   }
 
+  /** q163 — IVF-PQ retrieval with EXACT RE-RANKING, the full production
+    * two-stage serving path (Jégou et al. 2011 §VII: ADC orders an
+    * approximate shortlist, exact distances re-order it): q161's
+    * cell-probed ADC scan produces a top-R shortlist per query (R=20 —
+    * 4× the final k, the standard over-retrieve), then the shortlist
+    * alone is scored EXACTLY in the int8 domain (q158's fused `Int8Dot`
+    * kernel against the STORED int8 table) and the top-k is taken on the
+    * exact scores. Stage-1 cost is q161's — corpus/4 touched at
+    * 4 B/vector, no cells join, no per-run encode; stage-2 touches
+    * panel×R rows resolved through ONE narrow exchange-free scan of the
+    * stored (id, qv) table with the shortlist broadcast — the batch-ANN
+    * shape, amortized over the whole query panel (a low-latency serving
+    * deployment would point-read the R ids instead; same artifact,
+    * different access path). Output carries BOTH scores, so every row
+    * where exact order disagrees with ADC order is visible — the
+    * re-rank's value is oracle-checked, not asserted. */
+  def ivfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 8; val K = 16; val DSUB = 8; val NPROBE = 4; val R = 20; val TOPK = 5
+    val emb = Tables.embeddings(spark, dir)
+    val (codesTable, cb) = ensureSeededPq(spark, dir, M, K, DSUB)
+    val cellTable = cellTableName("graft_ivf_seed", dir)
+    val int8Table = cellTableName("graft_int8", dir)
+    Vectors.ensureInt8Table(emb, "vec_id", "embedding", int8Table,
+      tag = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet"))
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        Vectors.quantizeInt8(col("embedding")).as("q_qv"))
+    val cents = spark.table(cellTable + "_centroids")
+    val probes = queries.join(broadcast(cents))
+      .withColumn("__rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(Vectors.cosine(col("q_emb"), col("cvec")).desc, col("cid").asc)))
+      .filter(col("__rk") <= NPROBE)
+      .select(col("query_id"), col("q_qv"), col("cid"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    val shortlist = Vectors.pqCodesFromTable(spark, codesTable)
+      .select(col("cid"), col("id").as("neighbor_id"), col("codes"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("q_qv"), col("neighbor_id"),
+        graft.expressions.VectorExpressions
+          .adc_score(col("q_qv"), col("codes"), cb, M, K, DSUB).as("adc_score"))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= R)
+    val wEx = Window.partitionBy("query_id")
+      .orderBy(col("exact_score").desc, col("neighbor_id").asc)
+    Vectors.int8FromTable(spark, int8Table)
+      .select(col("id").as("neighbor_id"), col("qv").as("n_qv"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adc_score"),
+        graft.expressions.VectorExpressions
+          .int8_dot(col("q_qv"), col("n_qv")).as("exact_score"))
+      .withColumn("rank", row_number().over(wEx))
+      .filter(col("rank") <= TOPK)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("exact_score"), col("adc_score"))
+  }
+
   /** q162 — trained-vs-seeded PQ codebook quality contract (the r11
     * verdict's quality ask): a per-subspace Lloyd-trained codebook
     * ([[graft.functions.Vectors.trainedPqCodebook]] — k-means over the

@@ -528,6 +528,24 @@ class PlanAuditSpec extends SparkSuite {
       s"a join degenerated to a cross product:\n$plan")
   }
 
+  test("q163 IVF-PQ rerank: shortlist broadcasts onto the int8 scan, no corpus exchange for it") {
+    val plan = executedPlan("q163_ivfpq_rerank")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // stage 2: the panel×20 shortlist must ride a BROADCAST into the
+    // stored int8 table's narrow (id, qv) scan — a shuffle of the int8
+    // corpus to meet 1000 shortlist rows would be the scale-killer here
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"shortlist did not broadcast-hash onto the int8 scan:\n$plan")
+    assert(!finalPlan.contains("CartesianProduct") &&
+           !finalPlan.contains("SortMergeJoin"),
+      s"the rerank join degenerated (cross product or corpus sort-merge):\n$plan")
+    // the exact vectors come from the STORED artifact, not a re-quantize:
+    // no quantize_int8 over the corpus side (the query side's 50 rows
+    // are quantized in-plan by design)
+    val int8Scans = "graft_int8".r.findAllIn(finalPlan).size
+    assert(int8Scans >= 1, s"rerank did not read the stored int8 table:\n$plan")
+  }
+
   test("q67 funnel: six stages fold into one aggregate, never re-scans per stage") {
     val plan = executedPlan("q67_release_funnel")
     // flags construction reads the corpus a bounded handful of times
