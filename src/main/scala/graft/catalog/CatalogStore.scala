@@ -257,7 +257,11 @@ final class CatalogStore(spark: SparkSession, root: String) {
     * only add files); only the swap + carry-over holds the lock, so an
     * append either completes before the swap (carried over via the
     * snapshot diff — part-file names are unique) or briefly waits and
-    * lands in the new live dir. Crash-safety: the tmp/bak swap of
+    * lands in the new live dir. A FULL rewrite (overwrite/upsert/delete)
+    * completing during the unlocked window invalidates the snapshot
+    * entirely — the locked swap detects it (live no longer ⊇ snapshot)
+    * and YIELDS the cycle rather than sweeping the racer's new state on
+    * top of stale compacted rows. Crash-safety: the tmp/bak swap of
     * [[overwrite]] plus a manifest of the snapshotted file set written
     * before the swap — recover() uses it to sweep straggler appends out
     * of a `.bak` orphaned between the moves and the carry-over, instead
@@ -278,6 +282,12 @@ final class CatalogStore(spark: SparkSession, root: String) {
     // live, to be carried over after the swap
     val snapshot = lockFor(table).synchronized {
       recover(table)
+      // same torn-file pass read() runs: a crash mid-append leaves a part
+      // file without parquet magic, and snapshotting it would make EVERY
+      // compaction attempt of this table throw in the Spark rewrite below
+      // until an unrelated read() happens to quarantine it — for a
+      // rarely-read log table the small-files debt then grows unboundedly
+      quarantineTorn(table)
       deleteRecursively(ctmp)
       // a `.bak` surviving recover() here can only be overwrite residue
       // (live exists, no manifest — a crash between overwrite's tmp→live
@@ -307,6 +317,17 @@ final class CatalogStore(spark: SparkSession, root: String) {
       // a fresh `.bak`; fail-safe is to clear it BEFORE the manifest
       // exists, so recover() can never mistake its files for stragglers
       deleteRecursively(bak)
+      // YIELD if a FULL REWRITE (overwrite/upsert/delete) completed during
+      // the unlocked Spark rewrite: its part files are all new names, so
+      // the snapshot diff below would sweep the racer's ENTIRE new state on
+      // top of the compacted OLD snapshot — resurrecting rows the racer
+      // deleted and duplicating rows it kept. Only append deltas (live ⊇
+      // snapshot still holds: appends never remove snapshot files) may
+      // carry over; compaction of a stale snapshot must skip this cycle.
+      if (!snapshot.subsetOf(parquetFiles(live))) {
+        deleteRecursively(ctmp)
+        return false
+      }
       Files.write(manifestPath(table), snapshot.mkString("\n").getBytes("UTF-8"))
       Files.move(live, bak, StandardCopyOption.ATOMIC_MOVE)
       Files.move(ctmp, live, StandardCopyOption.ATOMIC_MOVE)

@@ -1119,6 +1119,16 @@ object Pipeline {
       }
       .option("checkpointLocation", ckpt).start()
     try q.processAllAvailable() finally q.stop()
+    // an IDLE increment stages zero files → no micro-batch ever fires and
+    // the sink dir is never created; an idle day must read as zero
+    // admissions, not throw path-not-found into the task's failure path
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("vec_id", "long").add("n_corpus_dups", "long")
+          .add("is_near_dup", "boolean").add("admit", "boolean")
+          .add("max_corpus_cos", "double"))
     spark.read.parquet(out)
       .select("vec_id", "n_corpus_dups", "is_near_dup", "admit",
         "max_corpus_cos") // drop the batch_id partition-discovery column
@@ -2105,6 +2115,14 @@ object Pipeline {
       }
       .option("checkpointLocation", ckpt).start()
     try q.processAllAvailable() finally q.stop()
+    // same idle-increment guard as streamEmbeddingAdmission: zero staged
+    // files → zero batches → the sink dir was never created
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("inc_id", "long").add("corpus_id", "long")
+          .add("jaccard", "double"))
     spark.read.parquet(out)
       .select("inc_id", "corpus_id", "jaccard") // drop the partition column
       .orderBy("inc_id", "corpus_id")

@@ -356,9 +356,15 @@ object Relational {
     Tables.events(spark, dir)
       .withColumn("prev_ts", lag("ts", 1).over(w))
       .withColumn("is_new",
+        // unix_micros, NOT unix_timestamp: the latter floors to whole
+        // seconds, so a true gap in (1800 s, 1801 s) would compare ≤ 1800
+        // here while the oracle's fractional epoch() sees > 1800 — the
+        // 30-minute rule must bind on true timestamps (same convention as
+        // dormantUsers/purchaseGaps below)
         when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts").cast("timestamp")) -
-            unix_timestamp(col("prev_ts").cast("timestamp")) > 1800, 1).otherwise(0))
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > 1800L * 1000000L,
+          1).otherwise(0))
       .groupBy("user_id")
       .agg(sum("is_new").as("n_sessions"), count(lit(1)).as("n_events"))
   }

@@ -39,8 +39,13 @@ object AdmissionTask {
         try {
           val out = graft.operators.Pipeline.streamEmbeddingAdmission(spark, dir)
             .agg(
-              sum(when(col("admit"), 1L).otherwise(0L)).as("admitted"),
-              sum(when(col("admit"), 0L).otherwise(1L)).as("rejected"))
+              // coalesce: sum() over ZERO rows is NULL — an idle increment
+              // (no new vectors today) must log admitted=0 success, not NPE
+              // into the retry/alert path as a spurious failure
+              coalesce(sum(when(col("admit"), 1L).otherwise(0L)), lit(0L))
+                .as("admitted"),
+              coalesce(sum(when(col("admit"), 0L).otherwise(1L)), lit(0L))
+                .as("rejected"))
             .head()
           Right(s"embedding admission: admitted=${out.getLong(0)} " +
             s"rejected=${out.getLong(1)}")

@@ -210,16 +210,31 @@ object Scheduler {
     import java.util.concurrent.TimeUnit
     val f = new java.io.File(path)
     if (!f.exists()) return Left(s"script not found: $path")
-    val pb = new ProcessBuilder("python3", f.getName)
-    pb.directory(f.getParentFile)
-    pb.redirectErrorStream(false)
-    val p = pb.start()
-    val done = p.waitFor(300, TimeUnit.SECONDS)
-    if (!done) { p.destroyForcibly(); return Left(s"script timeout (300s): $path") }
-    def decode(in: java.io.InputStream) =
-      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    val out = decode(p.getInputStream); val err = decode(p.getErrorStream)
-    if (p.exitValue() == 0) Right(s"exit=0\n$out")
-    else Left(s"exit=${p.exitValue()}\n$err\n$out")
+    // Output is redirected to temp FILES, not pipes: reading pipes only
+    // after waitFor deadlocks once a chatty script fills the ~64 KiB pipe
+    // buffer — the script blocks on write, waitFor burns the full 300 s,
+    // and a healthy run is falsely logged as a timeout. Files have no
+    // backpressure, so the child always runs to completion.
+    val outF = java.nio.file.Files.createTempFile("graft-py-out", ".log").toFile
+    val errF = java.nio.file.Files.createTempFile("graft-py-err", ".log").toFile
+    try {
+      val pb = new ProcessBuilder("python3", f.getName)
+      pb.directory(f.getParentFile)
+      pb.redirectOutput(outF)
+      pb.redirectError(errF)
+      val p = pb.start()
+      val done = p.waitFor(300, TimeUnit.SECONDS)
+      if (!done) {
+        p.destroyForcibly()
+        p.waitFor(10, TimeUnit.SECONDS) // let the kill land before temp cleanup
+        return Left(s"script timeout (300s): $path")
+      }
+      def decode(file: java.io.File) = new String(
+        java.nio.file.Files.readAllBytes(file.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val out = decode(outF); val err = decode(errF)
+      if (p.exitValue() == 0) Right(s"exit=0\n$out")
+      else Left(s"exit=${p.exitValue()}\n$err\n$out")
+    } finally { outF.delete(); errF.delete() }
   }
 }

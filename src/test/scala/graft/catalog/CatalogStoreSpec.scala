@@ -248,6 +248,58 @@ class CatalogStoreSpec extends SparkSuite {
       java.nio.file.Paths.get(root, "task_logs.compact-manifest")))
   }
 
+  test("full rewrite landing during compaction's unlocked window makes compaction YIELD — no resurrection, no duplication") {
+    val root = tmpDir("cat")
+    val store = new CatalogStore(spark, root)
+    import spark.implicits._
+    def log(i: Int) = TaskLog(i.toLong, 10, "success", s"m$i",
+      ts(f"2026-01-01 10:${i}%02d:00"))
+    (1 to 6).foreach(i => store.append(spark.createDataset(Seq(log(i))), "task_logs"))
+    // a DELETE (read-modify-overwrite → ALL-new part file names) completes
+    // while the compaction rewrite runs unlocked. Pre-fix, the locked swap
+    // carried over every one of the racer's files onto the compacted OLD
+    // snapshot: id 1 resurrected AND ids 2-6 duplicated. The fix detects
+    // live ⊉ snapshot and yields the cycle.
+    val ran = store.compactIfFragmented[TaskLog]("task_logs", maxFiles = 4,
+      numPartitions = 2,
+      beforeSwap = () => store.delete[TaskLog]("task_logs", _.id == 1))
+    assert(!ran, "compaction of a stale snapshot must yield, not swap")
+    val rows = store.read[TaskLog]("task_logs").collect()
+    assert(rows.map(_.id).sorted.toSeq == (2L to 6L),
+      s"racer's delete corrupted: ${rows.map(_.id).sorted.toSeq}")
+    // no residue, and the NEXT (unraced) cycle compacts normally
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "task_logs.bak")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "task_logs.ctmp")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "task_logs.compact-manifest")))
+    (7 to 10).foreach(i => store.append(spark.createDataset(Seq(log(i))), "task_logs"))
+    assert(store.compactIfFragmented[TaskLog]("task_logs", maxFiles = 4,
+      numPartitions = 2))
+    assert(store.read[TaskLog]("task_logs").collect().map(_.id).sorted.toSeq ==
+      (2L to 10L))
+  }
+
+  test("torn part file does not wedge compaction (quarantined before snapshot)") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("cat")
+    val store = new CatalogStore(spark, root)
+    import spark.implicits._
+    def log(i: Int) = TaskLog(i.toLong, 10, "success", s"m$i",
+      ts(f"2026-01-01 10:${i}%02d:00"))
+    (1 to 6).foreach(i => store.append(spark.createDataset(Seq(log(i))), "task_logs"))
+    // crash mid-append residue on a RARELY-READ table: pre-fix every
+    // compaction attempt threw in the Spark rewrite (no quarantine pass ran
+    // until some unrelated read()), so the small-files debt grew unboundedly
+    val torn = Paths.get(root, "task_logs", "part-torn-crash.snappy.parquet")
+    Files.write(torn, ("PAR1" + "x" * 64).getBytes("US-ASCII"))
+    assert(store.compactIfFragmented[TaskLog]("task_logs", maxFiles = 4,
+      numPartitions = 2))
+    assert(store.read[TaskLog]("task_logs").collect().map(_.id).sorted.toSeq ==
+      (1L to 6L))
+    assert(Files.exists(Paths.get(root, "task_logs.quarantine")
+      .resolve("part-torn-crash.snappy.parquet")), "torn file preserved")
+  }
+
   test("two store instances over one root serialize (shared per-root locks)") {
     val root = tmpDir("cat")
     val a = new CatalogStore(spark, root)

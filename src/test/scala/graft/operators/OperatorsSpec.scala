@@ -214,6 +214,30 @@ class OperatorsSpec extends SparkSuite {
     assert(coh == Map(0 -> ((1L, 1L, 1.0)), 2 -> ((1L, 1L, 1.0))))
   }
 
+  test("q30 sessionize binds the 30-min rule on true timestamps: a fractional 1800.5 s gap starts a new session") {
+    import spark.implicits._
+    val dir = tmpDir("sess")
+    val S = 1000000000L // 1 s in ns (events.ts fixture is int64 nanos)
+    val t0 = 1704067200L * S
+    Seq(
+      // user 1: gap of exactly 1800 s → SAME session (rule is strict >)
+      (1L, t0, 1L), (2L, t0 + 1800 * S, 1L),
+      // user 2: fractional gap 1800.5 s → NEW session. unix_timestamp
+      // flooring read this diff as 1800 whole seconds and merged the
+      // sessions while the oracle's fractional epoch() split them
+      (3L, t0, 2L), (4L, t0 + 1800 * S + S / 2, 2L),
+      // user 3: 1801 s → new session under either arithmetic (control)
+      (5L, t0, 3L), (6L, t0 + 1801 * S, 3L))
+      .toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = Relational.sessionize(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L),
+      s"fractional-gap sessionization wrong: $got")
+  }
+
   test("q106 proximity: ±5-minute boundary is inclusive and pairs cross bin edges") {
     import spark.implicits._
     val dir = tmpDir("prox")

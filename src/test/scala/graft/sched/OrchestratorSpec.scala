@@ -123,6 +123,28 @@ class OrchestratorSpec extends SparkSuite {
     assert(graft.core.Mat.liveCount == 0)
   }
 
+  test("admission task: an EMPTY increment logs admitted=0 success, not a spurious failure") {
+    import spark.implicits._
+    val dir = tmpDir("admempty")
+    // every vec_id lands in the CORPUS partition (vec_id%5 != 4, %25 != 0)
+    // → the staged increment is empty: an idle day. Pre-fix this NPE'd in
+    // the task's agg (sum over zero rows is NULL) and the idle day was
+    // logged "failed", firing retry/alerts for nothing.
+    Seq(1L, 6L, 11L, 16L)
+      .map(i => (i, Array.tabulate(64)(j => ((i + j) % 7).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = AdmissionTask.run(spark, "embedding:" + dir)
+    assert(r == Right("embedding admission: admitted=0 rejected=0"), s"got $r")
+    // the minhash arm over an idle documents increment behaves the same
+    Seq((1L, "alpha beta gamma delta", "en", "web", 22L),
+        (2L, "epsilon zeta eta theta", "en", "web", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r2 = AdmissionTask.run(spark, "minhash:" + dir)
+    assert(r2 == Right("minhash admission: dup_pairs=0 rejected_docs=0"), s"got $r2")
+  }
+
   test("compact task type: one tick compacts a streaming sink's closed partitions e2e") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -23,6 +23,19 @@ class ScriptExecSpec extends AnyFunSuite {
     assert(r.swap.exists(e => e.contains("exit=3") && e.contains("boom")))
   }
 
+  test("chatty script (>pipe-buffer stdout) completes instead of deadlocking into a false timeout") {
+    // 4 MiB of stdout — far past the ~64 KiB pipe buffer. Pre-fix the child
+    // blocked on write while the parent sat in waitFor, burned the 300 s
+    // budget, and a HEALTHY run was logged as a timeout.
+    val r = Scheduler.runPython(writeScript(
+      "import sys\n" +
+      "for _ in range(4096):\n" +
+      "    sys.stdout.write('x' * 1024)\n" +
+      "print('\\nDONE-MARKER')\n"))
+    assert(r.isRight, s"chatty script failed: ${r.swap.getOrElse("")}")
+    assert(r.exists(_.contains("DONE-MARKER")), "full stdout captured")
+  }
+
   test("missing script is an error, not an exception") {
     assert(Scheduler.runPython("/nonexistent/job.py").isLeft)
   }
