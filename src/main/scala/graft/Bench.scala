@@ -130,7 +130,15 @@ object Bench {
       "vecbkt_corpus" ->
         graft.core.Warehouse.isFresh(spark, s"graft_vecbkt_corpus_$sfx", Seq(embStamp)),
       "int8" ->
-        graft.core.Warehouse.isFresh(spark, s"graft_int8_$sfx", Seq(embStamp)))
+        graft.core.Warehouse.isFresh(spark, s"graft_int8_$sfx", Seq(embStamp)),
+      // the timed q163 reads the seeded cell + PQ code tables (built by the
+      // q160 prebuild) — the flags must cover what the timed set READS, or
+      // a prebuild regression shows warm while the timed section pays the
+      // build (the r8 "flag contradicts its own prebuild" class)
+      "ivf_seed" ->
+        graft.core.Warehouse.isFresh(spark, s"graft_ivf_seed_$sfx", Seq(embStamp)),
+      "pq_seed" ->
+        graft.core.Warehouse.isFresh(spark, s"graft_pq_seed_$sfx", Seq(embStamp)))
     val runs = (1 to math.max(1, reps)).map { _ =>
       probeQueries.map { name =>
         val t0 = System.nanoTime()
@@ -172,13 +180,23 @@ object Bench {
     synthProbeCorpus(spark, dirN, nDocs * factor, nVecs * factor)
     val r1 = probeOneCorpus(spark, dir1, reps)
     val rN = probeOneCorpus(spark, dirN, reps)
+    // the probe corpora are throwaway temp dirs, so their ensure*
+    // artifacts (keyed by the md5 corpusSuffix of a never-repeating path)
+    // would strand in the warehouse forever — sweep them now that the
+    // timings are taken; the main corpus's artifacts are untouched
+    graft.core.Warehouse.sweepCorpus(spark, dir1)
+    graft.core.Warehouse.sweepCorpus(spark, dirN)
     println(f"[bench] probe prebuild (untimed in ratios): " +
       f"1x ${r1.prebuildSec}%.1f s, ${factor}x ${rN.prebuildSec}%.1f s")
-    val sec1 = r1.timed.map(t => t._1 -> t._2).toMap
+    val run1 = r1.timed.map(t => t._1 -> (t._2, t._3)).toMap
     val entries = rN.timed.map { case (name, secN, rowsN) =>
-      val s1 = sec1.getOrElse(name, -1.0)
-      val ratio = if (s1 > 0 && rowsN >= 0) secN / s1 else -1.0
-      s"""\"$name\":{\"sec_1x\":$s1,\"sec\":$secN,\"rows\":$rowsN,\"ratio\":$ratio}"""
+      val (s1, rows1) = run1.getOrElse(name, (-1.0, -1L))
+      // a FAILED 1× run's error time must never become a denominator — it
+      // would print as a plausible-looking super-linear ratio. Either side
+      // failing nulls the ratio; rows_1x ships so the reader sees why.
+      val ratio =
+        if (s1 > 0 && rows1 >= 0 && rowsN >= 0) (secN / s1).toString else "null"
+      s"""\"$name\":{\"sec_1x\":$s1,\"rows_1x\":$rows1,\"sec\":$secN,\"rows\":$rowsN,\"ratio\":$ratio}"""
     }.mkString(",")
     def warmJson(r: ProbeRun) = r.warmByArtifact
       .map { case (k, v) => s"""\"$k\":$v""" }.mkString("{", ",", "}")
@@ -193,6 +211,14 @@ object Bench {
       s""""scale_probe_${factor}x_warehouse_warm":$warmAll"""
   }
 
+  /** An empty filter var would bench NOTHING and report a clean value=0
+    * success; a typo'd name would silently vanish — both fail loud. */
+  private[graft] def validateFilter(f: Set[String]): Unit = {
+    require(f.nonEmpty, "SPARK_GRAFT_BENCH_QUERIES is set but names no queries")
+    val unknown = f -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(",")}")
+  }
+
   /** Time each query; rows = -1 marks a FAILED query (never silently
     * folded into a timing — BenchVerifyLoudSpec pins this contract). */
   private[graft] def timeQueries(spark: SparkSession, sfDir: String,
@@ -200,7 +226,13 @@ object Bench {
       : Seq[(String, Double, Long)] =
     queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val rows = try fn(spark, sfDir).count() catch { case t: Throwable =>
+        // say WHY, like Verify does — a swallowed message leaves a failed
+        // query distinguishable only by rows=-1 with no diagnosis anywhere
+        println(s"[bench] QUERY FAILED: $name: " +
+          Option(t.getMessage).getOrElse(t.getClass.getName).take(300))
+        -1L
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       // the query's RESULT was just consumed (count) — release the blocks
       // its operators tracked, exactly like the scheduler daemon does at
@@ -288,10 +320,7 @@ object Bench {
     // silently bench nothing.
     val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    filter.foreach { f =>
-      val unknown = f -- SparkEntry.queries.keySet
-      require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(",")}")
-    }
+    filter.foreach(validateFilter)
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => filter.forall(_.contains(q._1)))
     val runs = (1 to reps).map(_ => timeQueries(spark, sfDir, qlist))
@@ -313,7 +342,11 @@ object Bench {
     val rowsJson = results.map { case (k, _, _, r) => s"\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // `value` sums OK queries only: folding a failed query's (often tiny)
+    // error time into the total would read a regression-to-failure as a
+    // SPEEDUP, betrayed only by n_failed. The failed list still ships.
+    val total = results.collect { case (_, med, _, rows) if rows >= 0 => med }
+      .sum
     // scale probe for the dedup/ANN family (disable: SPARK_GRAFT_SCALE_PROBE=0;
     // growth factor via SPARK_GRAFT_SCALE_FACTOR, default 10 — larger
     // factors are the "would it survive 100×" evidence run on demand)
@@ -323,27 +356,42 @@ object Bench {
         val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
         scaleProbe(spark, sfDir, factor, reps)
       }
+    // JSON string escape for interpolated PATHS (sfDir, detail path): a
+    // quote or backslash in a path would corrupt the artifact of record;
+    // same escaper shape as Verify's q()
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val detailJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"rows":$rowsJson,"failed":$failedJson,"sf":"$sfDir","warehouse_warm":$warmAfter,"warehouse_warm_found":$warmFound,"prebuild_failed":${prebuildFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},"prebuild_sec":$prebuildSec$probeJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"rows":$rowsJson,"failed":$failedJson,"sf":"${esc(sfDir)}","warehouse_warm":$warmAfter,"warehouse_warm_found":$warmFound,"prebuild_failed":${prebuildFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},"prebuild_sec":$prebuildSec$probeJson}"""
     // r3 post-mortem: the metric line printed BEFORE spark.stop() was
     // displaced out of the driver's 2000-char stdout tail by a shutdown
     // stack-trace flood. r4 post-mortem: with 73 queries the single metric
     // line grew to ~3.1 kB and the tail capture clipped its HEAD, so
-    // nothing parsed. Order of record now: drain every scope BLOCKING,
-    // stop the session, print the FULL detail (per-query map + probe) to
-    // stdout and a file, then print a COMPACT summary (<500 bytes) as the
-    // very last stdout line so any tail window holds a parseable object.
-    graft.core.Mat.releaseAllScopes(blocking = true)
-    spark.stop()
+    // nothing parsed. Order of record now: write the detail FILE first (a
+    // completed run's results survive any shutdown throw), drain every
+    // scope BLOCKING and stop the session under a try (a shutdown error
+    // must not displace the results it follows), print the FULL detail to
+    // stdout, then print a COMPACT summary (<500 bytes) as the very last
+    // stdout line so any tail window holds a parseable object.
     val detailPath = java.nio.file.Paths.get("bench_detail.json")
     java.nio.file.Files.write(detailPath,
       (detailJson + "\n").getBytes("UTF-8"))
+    try {
+      graft.core.Mat.releaseAllScopes(blocking = true)
+      spark.stop()
+    } catch { case t: Throwable =>
+      println(s"[bench] shutdown error (results already written): $t")
+    }
     println(detailJson)
     if (failed.nonEmpty)
-      println(s"[bench] FAILED ${failed.size} queries (timed values are " +
-        s"error times, not query times): ${failed.sorted.mkString(", ")}")
+      println(s"[bench] FAILED ${failed.size} queries (excluded from value): " +
+        failed.sorted.mkString(", "))
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir","warehouse_warm":$warmAfter,"warehouse_warm_found":$warmFound,"prebuild_sec":$prebuildSec,"detail":"${detailPath.toAbsolutePath}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"${esc(sfDir)}","warehouse_warm":$warmAfter,"warehouse_warm_found":$warmFound,"prebuild_sec":$prebuildSec,"detail":"${esc(detailPath.toAbsolutePath.toString)}"}"""
     println(compact)
   }
 }

@@ -27,14 +27,29 @@ object Verify {
             .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case _: Throwable => () }
         Some(name)
-      } finally graft.core.Mat.releaseAll()
+      } finally
+        // BLOCKING, like Bench at every boundary: a non-blocking unpersist
+        // future from the final query can outlive its queue entry and race
+        // spark.stop() into a shutdown stack-trace flood (the r3 failure)
+        graft.core.Mat.releaseAll(blocking = true)
     }
+
+  /** A typo'd filter name must fail loud, not silently vanish from the
+    * correctness report with _failed.json=[] (the r1/r6 failure mode). */
+  private[graft] def validateFilter(f: Set[String]): Unit = {
+    require(f.nonEmpty, "query-name filter given but names no queries")
+    val unknown = f -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown verify queries: ${unknown.mkString(",")}")
+  }
 
   def main(args: Array[String]): Unit = {
     // optional 3rd arg (dev only): comma-separated query-name filter
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2)
+        Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    only.foreach(validateFilter)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     // one session factory for every entry point (GraftSession: UTC, micros
     // parquet timestamps for the DuckDB oracle, AQE) — r6 post-mortem:

@@ -161,6 +161,10 @@ object Warehouse {
           .toArray.map(_.asInstanceOf[Path]).toSeq
         finally s.close()
       } else Seq(p)
+    // an existing but FILE-LESS directory (an interrupted corpus write)
+    // must read "absent" like the missing-path case — not crash the
+    // caller's startup with `empty.max`
+    if (files.isEmpty) return "absent"
     val size = files.map(Files.size(_)).sum
     val mtime = files.map(Files.getLastModifiedTime(_).toMillis).max
     s"src=$size:$mtime"
@@ -168,6 +172,25 @@ object Warehouse {
 
   /** Drop the catalog entry AND the directory (managed saveAsTable refuses
     * a pre-existing non-empty location, so a rebuild must start clean). */
+  /** Drop every `graft_*_<sfx>` artifact of one corpus — catalog entries
+    * and directories. For THROWAWAY corpora (Bench's synthetic probe dirs
+    * live in fresh temp paths, so their md5 corpusSuffix never repeats):
+    * without a sweep each probe run strands its ensure* tables in the
+    * warehouse forever, and the 10× set is 10×-sized. */
+  def sweepCorpus(spark: SparkSession, corpusDir: String): Unit = {
+    val sfx = corpusSuffix(corpusDir)
+    val wh = dirOf(spark, "x").getParent
+    if (!Files.exists(wh)) return
+    val s = Files.list(wh)
+    val tables =
+      try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+        // contains, not endsWith: sibling artifacts suffix the corpus key
+        // (e.g. `<table>_<sfx>_centroids`)
+        .filter(n => n.startsWith("graft_") && n.contains("_" + sfx)).toSeq
+      finally s.close()
+    tables.foreach(clear(spark, _))
+  }
+
   def clear(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val d = dirOf(spark, table)

@@ -40,7 +40,14 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // a dimension mismatch (512-dim vs 768-dim config drift) must fail
+    // loud like the PqEncode/AdcScore siblings — silently truncating to
+    // the shorter vector scores plausible-but-wrong similarities
+    // corpus-wide with no signal
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: dimension mismatch ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
     val af = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val bf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -64,7 +71,10 @@ case class CosineSim(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements())
+         |  throw new IllegalArgumentException("cosine_sim: dimension mismatch "
+         |    + $a.numElements() + " vs " + $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double x = (double) $a.$aGet($i);
@@ -118,7 +128,13 @@ case class LshSignatures(child: Expression, planes: Array[Double],
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val n = math.min(dim, v.numElements())
+    // shorter-than-plane vectors must fail loud (PqEncode's posture):
+    // projecting a truncated prefix hashes every row into systematically
+    // wrong buckets — a corpus-wide silent recall collapse
+    if (v.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"lsh_signatures: input length ${v.numElements()} < $dim (plane dim)")
+    val n = dim
     val sigs = new Array[Int](nTables)
     var t = 0
     while (t < nTables) {
@@ -152,7 +168,10 @@ case class LshSignatures(child: Expression, planes: Array[Double],
       val j = ctx.freshName("j"); val proj = ctx.freshName("proj")
       val sig = ctx.freshName("sig"); val base = ctx.freshName("base")
       s"""
-         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |if ($v.numElements() < $dim)
+         |  throw new IllegalArgumentException("lsh_signatures: input length "
+         |    + $v.numElements() + " < $dim (plane dim)");
+         |int $n = $dim;
          |int[] $sigs = new int[$nTables];
          |for (int $t = 0; $t < $nTables; $t++) {
          |  int $sig = 0;
@@ -204,7 +223,12 @@ case class Int8Dot(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // same loud-mismatch posture as cosine_sim: a truncated dot is a
+    // plausible-but-wrong score, never a valid computation
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"int8_dot: dimension mismatch ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -219,7 +243,10 @@ case class Int8Dot(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements())
+         |  throw new IllegalArgumentException("int8_dot: dimension mismatch "
+         |    + $a.numElements() + " vs " + $b.numElements());
+         |int $n = $a.numElements();
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((long) $a.getInt($i)) * ((long) $b.getInt($i));

@@ -83,6 +83,16 @@ object Dedup {
       explode(array(graft.expressions.TextExpressions.shingle_minhash(
         Text.tokens(col(textCol)), w, k))).as("sig"))
 
+  /** Loud config guard shared by every band-join entry point: bands > k
+    * makes r = 0, so every row hashes an EMPTY signature slice into ONE
+    * global bucket and the search silently collapses to the cap's lowest
+    * ids; a non-dividing k silently drops the trailing signature
+    * components from every band. Both are corpus-wide-wrong-results
+    * states, never valid configs. */
+  private def requireBanding(k: Int, bands: Int): Unit =
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"invalid MinHash banding: k=$k must be a positive multiple of bands=$bands")
+
   /** Banded form of an (id, sig) signature frame: one row per (band,
     * bandHash), bucket-CAPPED at `bucketCap` rows per (band, bh)
     * (deterministic: lowest ids survive), mirroring Vectors.bucketRows: a
@@ -106,6 +116,7 @@ object Dedup {
                         k: Int = 32, bands: Int = 8,
                         threshold: Double = 0.5,
                         bucketCap: Int = 256): DataFrame = {
+    requireBanding(k, bands)
     val r = k / bands
     val sig = minhashSignatures(df, idCol, textCol, k)
     // Materialize the banded signatures before the self-join: a self-join
@@ -162,6 +173,7 @@ object Dedup {
                                k: Int = 32, bands: Int = 8,
                                threshold: Double = 0.5,
                                bucketCap: Int = 256): DataFrame = {
+    requireBanding(k, bands)
     val r = k / bands
     graft.core.Mat.withMaterialized(
       bandedSignatures(minhashSignatures(corpus, idCol, textCol, k),
@@ -185,7 +197,8 @@ object Dedup {
     * so only the (small) increment shuffles to align. */
   def writeSignatureTable(df: DataFrame, idCol: String, textCol: String,
                           table: String, k: Int = 32, bands: Int = 8,
-                          bucketCap: Int = 256, nBuckets: Int = 32): Unit =
+                          bucketCap: Int = 256, nBuckets: Int = 32): Unit = {
+    requireBanding(k, bands)
     bandedSignatures(minhashSignatures(df, idCol, textCol, k),
         bands, k / bands, bucketCap)
       // one file per bucket (write tasks aligned with the bucket hash) —
@@ -194,16 +207,20 @@ object Dedup {
       .repartition(nBuckets, col("bh"))
       .write.mode("overwrite").bucketBy(nBuckets, "bh").sortBy("bh")
       .saveAsTable(table)
+  }
 
   /** Idempotent form of [[writeSignatureTable]] (mirror of
     * Ivf.ensureCellTable): ingest only when no valid stored artifact for
     * this (corpus, config) exists; otherwise re-attach — possibly across
     * JVM sessions — with zero Spark jobs. */
-  def ensureSignatureTable(df: DataFrame, idCol: String, textCol: String,
-                           table: String, k: Int = 32, bands: Int = 8,
-                           bucketCap: Int = 256, nBuckets: Int = 32,
-                           tag: String = ""): Unit = {
-    val spark = df.sparkSession
+  def ensureSignatureTable(
+      // by-name df: a warm re-attach must not pay the corpus DataFrame's
+      // construction (file listing + schema job) — see Ivf.ensureCellTable
+      df: => DataFrame, idCol: String, textCol: String,
+      table: String, k: Int = 32, bands: Int = 8,
+      bucketCap: Int = 256, nBuckets: Int = 32,
+      tag: String = ""): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
     // `tag` carries input identity beyond the config (e.g. the source
     // stamp) — a tag change is a different artifact and must rebuild
     val meta = (s"minhash-sig k=$k bands=$bands bucketCap=$bucketCap " +
@@ -226,6 +243,7 @@ object Dedup {
                                     k: Int = 32, bands: Int = 8,
                                     threshold: Double = 0.5,
                                     bucketCap: Int = 256): DataFrame = {
+    requireBanding(k, bands)
     // config-drift guard: a stored table written with different k/bands
     // would band-join over different signature slices and score nulls —
     // silently meaningless candidates. A limit-1 scan checks k; the band

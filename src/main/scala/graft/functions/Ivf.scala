@@ -197,11 +197,18 @@ object Ivf {
     * artifact is re-attached via an external bucketed table (zero Spark
     * jobs). This is the call sites' production semantics: ingest once,
     * query forever; re-invoking a query must not re-pay its ingest. */
-  def ensureCellTable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                      nlist: Int, table: String, nBuckets: Int = 32,
-                      tag: String = "",
-                      model: Option[Model] = None): Unit = {
-    val spark = df.sparkSession
+  def ensureCellTable(
+      // BY-NAME df: even CONSTRUCTING the corpus DataFrame costs a file
+      // listing + footer schema job — at 100 TB a non-trivial scan of
+      // object-store metadata — and a warm re-attach never touches the
+      // data. Same for `model`: callers pass `Some(seedModel(...))`, whose
+      // TakeOrdered collect must run only on a REBUILD (a strict argument
+      // charged that job to every warm call, twice per index-task tick).
+      df: => DataFrame, idCol: String, vecCol: String, dim: Int,
+      nlist: Int, table: String, nBuckets: Int = 32,
+      tag: String = "",
+      model: => Option[Model] = None): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
     // `tag` carries any INPUT-shaping parameter beyond the quantizer
     // config (e.g. q62's planted-key offset) — a tag change is a
     // different artifact and must rebuild, not reuse

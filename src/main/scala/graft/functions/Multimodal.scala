@@ -142,6 +142,11 @@ object Multimodal {
       var samples: Array[Short] = null
       while (b.remaining() >= 8 && samples == null) {
         val id = fourcc(); val size = b.getInt
+        // a corrupt NEGATIVE size would rewind the cursor (the skip arm
+        // advances by size) and spin this loop forever — one bad blob
+        // must fail loud, not hang an executor core
+        require(size >= 0 && size <= b.remaining(),
+          s"corrupt WAVE chunk '$id': size=$size with ${b.remaining()} bytes left")
         id match {
           case "fmt " =>
             fmtTag = b.getShort.toInt

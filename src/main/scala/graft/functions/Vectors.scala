@@ -209,13 +209,15 @@ object Vectors {
     * the corpus count, and the caller's `tag` — a source stamp — already
     * changes whenever the corpus does), so a fresh re-attach never pays
     * the count() that resolving bits would need. */
-  def ensureBucketTable(df: DataFrame, idCol: String, vecCol: String,
-                        dim: Int, table: String,
-                        bitsPerTable: Int = 0, nTables: Int = 6,
-                        targetBucketSize: Int = 32, bucketCap: Int = 256,
-                        nBuckets: Int = 32, corpusCount: Long = -1L,
-                        tag: String = ""): Unit = {
-    val spark = df.sparkSession
+  def ensureBucketTable(
+      // by-name df — warm re-attach skips DataFrame construction entirely
+      df: => DataFrame, idCol: String, vecCol: String,
+      dim: Int, table: String,
+      bitsPerTable: Int = 0, nTables: Int = 6,
+      targetBucketSize: Int = 32, bucketCap: Int = 256,
+      nBuckets: Int = 32, corpusCount: Long = -1L,
+      tag: String = ""): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
     val meta = (s"lsh-buckets dim=$dim bits=$bitsPerTable nTables=$nTables " +
       s"target=$targetBucketSize bucketCap=$bucketCap nBuckets=$nBuckets " +
       tag).trim
@@ -608,13 +610,16 @@ object Vectors {
     * only on a rebuild, so a warm re-attach never pays codebook training.
     * Returns the STORED codebook, so query paths score against exactly
     * what encoded the codes. */
-  def ensurePqCodes(df: DataFrame, idCol: String, vecCol: String,
-                    cellTable: String, table: String,
-                    m: Int, k: Int, dsub: Int, nBuckets: Int = 32,
-                    tag: String = "",
-                    codebookId: String = "seed-lowest-id",
-                    codebook: () => Option[Array[Int]] = () => None): Array[Int] = {
-    val spark = df.sparkSession
+  def ensurePqCodes(
+      // by-name df: a warm re-attach must not pay the corpus DataFrame's
+      // construction (file listing + schema job) — see Ivf.ensureCellTable
+      df: => DataFrame, idCol: String, vecCol: String,
+      cellTable: String, table: String,
+      m: Int, k: Int, dsub: Int, nBuckets: Int = 32,
+      tag: String = "",
+      codebookId: String = "seed-lowest-id",
+      codebook: () => Option[Array[Int]] = () => None): Array[Int] = {
+    val spark = org.apache.spark.sql.SparkSession.active
     // the cell table's OWN fingerprint rides along (hashed — it embeds
     // the corpus stamp and every cell-layout config), so cids always come
     // from the cell layout these codes were encoded against; an absent
@@ -625,6 +630,10 @@ object Vectors {
       .getOrElse("absent")
     val meta = (s"pq-codes m=$m k=$k dsub=$dsub cb=$codebookId " +
       s"cells=$cellTable cellsMeta=$cellFp nBuckets=$nBuckets " + tag).trim
+    // memo key: warehouse + table + FULL meta — a rebuild changes the meta
+    // and so the key, making a stale memo entry unreachable by design
+    val memoKey = spark.conf.get("spark.sql.warehouse.dir") + "|" + table +
+      "|" + meta
     graft.core.Warehouse.withTableLock(spark, table) {
       val reused =
         graft.core.Warehouse.ensureRegistered(spark, table, meta, "cid", nBuckets) &&
@@ -632,14 +641,25 @@ object Vectors {
       if (!reused) {
         graft.core.Warehouse.clear(spark, table)
         graft.core.Warehouse.clear(spark, table + "_codebook")
-        writePqCodes(df, idCol, vecCol, cellTable, table, m, k, dsub,
+        val cb = writePqCodes(df, idCol, vecCol, cellTable, table, m, k, dsub,
           nBuckets, codebook())
         graft.core.Warehouse.writeMeta(spark, table, meta)
         graft.core.Warehouse.writeMeta(spark, table + "_codebook", meta)
+        codebookMemo.put(memoKey, cb)
       }
     }
-    pqCodebookFromTable(spark, table, m, k, dsub)
+    // warm calls read the stored codebook ONCE per session per artifact:
+    // without the memo every warm caller (each q160-q163 run, every
+    // index-task tick) paid a 1-row head() job for an immutable value
+    codebookMemo.computeIfAbsent(memoKey,
+      _ => pqCodebookFromTable(spark, table, m, k, dsub))
   }
+
+  /** Session cache of stored PQ codebooks, keyed by (warehouse, table,
+    * full meta). Bounded by the number of distinct artifacts (each value
+    * is m·k·dsub ints — ~4 KB at the canonical 8×16×8). */
+  private val codebookMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
 
   /** The stored codebook of a [[writePqCodes]] artifact, with the caller's
     * expected config as the drift guard — scoring with a codebook other
@@ -678,9 +698,11 @@ object Vectors {
   /** Idempotent form of [[writeInt8Table]] (the ensure* convention):
     * rebuild only when no valid stored artifact exists for this corpus,
     * else re-attach with zero Spark jobs. */
-  def ensureInt8Table(df: DataFrame, idCol: String, vecCol: String,
-                      table: String, tag: String = ""): Unit = {
-    val spark = df.sparkSession
+  def ensureInt8Table(
+      // by-name df — warm re-attach skips DataFrame construction entirely
+      df: => DataFrame, idCol: String, vecCol: String,
+      table: String, tag: String = ""): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
     val meta = ("int8-quant " + tag).trim
     graft.core.Warehouse.withTableLock(spark, table) {
       if (!graft.core.Warehouse.ensureRegistered(spark, table, meta, null, 0)) {

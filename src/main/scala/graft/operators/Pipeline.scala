@@ -681,7 +681,9 @@ object Pipeline {
     * after the first build of a corpus. */
   private def ensureSeededPq(spark: SparkSession, dir: String,
                              m: Int, k: Int, dsub: Int): (String, Array[Int]) = {
-    val emb = Tables.embeddings(spark, dir)
+    // lazy: the ensures take df by-name, so a warm re-attach never pays
+    // the corpus DataFrame construction (file listing + schema job)
+    lazy val emb = Tables.embeddings(spark, dir)
     val stamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
     val cellTable = cellTableName("graft_ivf_seed", dir)
     Ivf.ensureCellTable(emb, "vec_id", "embedding", dim = 64, nlist = 16,
@@ -704,7 +706,7 @@ object Pipeline {
   private[graft] def ensureTrainedPq(spark: SparkSession, dir: String,
       m: Int = 8, k: Int = 16, dsub: Int = 8,
       iters: Int = 10, maxSample: Int = 100000): (String, Array[Int]) = {
-    val emb = Tables.embeddings(spark, dir)
+    lazy val emb = Tables.embeddings(spark, dir) // see ensureSeededPq
     val stamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
     val trainTable = cellTableName("graft_pq_train", dir)
     val cb = Vectors.ensurePqCodes(emb, "vec_id", "embedding",
@@ -738,46 +740,53 @@ object Pipeline {
   def ensureCorpusIndex(spark: SparkSession, dir: String): Seq[(String, Boolean)] = {
     val docStamp = graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet")
     val embStamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // lazy + by-name ensures: a fully-warm tick constructs NO DataFrames
+    // at all (even spark.read.parquet costs a file listing + schema job —
+    // at 100 TB, an object-store metadata scan per tick for nothing)
+    lazy val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    lazy val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     def name(p: String) = cellTableName(p, dir)
     // build order matters only for the PQ pair: codes co-locate with (and
     // fingerprint against) the seeded coarse cells, so cells land first
-    val builds: Seq[(String, String, () => Unit)] = Seq(
+    val builds: Seq[(String, () => Unit)] = Seq(
       // MinHash signature table (q74/q82's banded-probe corpus artifact)
-      (name("graft_sig_corpus"), docStamp, () =>
+      (name("graft_sig_corpus"), () =>
         Dedup.ensureSignatureTable(
           docs.filter(pmod(col("doc_id"), lit(5)) =!= 4), "doc_id", "text",
           name("graft_sig_corpus"), k = 48, bands = 12, tag = docStamp)),
       // duplicate-cluster map (q57's propagation, read by q77/q79/q105)
-      (name("graft_clusters"), docStamp, () => { ensureClusterMap(spark, dir); () }),
+      (name("graft_clusters"), () => { ensureClusterMap(spark, dir); () }),
       // IVF coarse cells (q52/q152's ANN layout)
-      (name("graft_ivf_cells"), embStamp, () =>
+      (name("graft_ivf_cells"), () =>
         Ivf.ensureCellTable(emb, "vec_id", "embedding", dim = 64, nlist = 16,
           name("graft_ivf_cells"), tag = embStamp)),
       // seeded coarse cells + seeded PQ codes (q160/q161/q162's index)
-      (name("graft_ivf_seed"), embStamp, () => { ensureSeededPq(spark, dir, 8, 16, 8); () }),
-      (name("graft_pq_seed"), embStamp, () => { ensureSeededPq(spark, dir, 8, 16, 8); () }),
+      (name("graft_ivf_seed"), () => { ensureSeededPq(spark, dir, 8, 16, 8); () }),
+      (name("graft_pq_seed"), () => { ensureSeededPq(spark, dir, 8, 16, 8); () }),
       // trained PQ codes (q162's Lloyd codebook)
-      (name("graft_pq_train"), embStamp, () => { ensureTrainedPq(spark, dir); () }),
+      (name("graft_pq_train"), () => { ensureTrainedPq(spark, dir); () }),
       // int8 quantized corpus + cached norms (q158's integer index)
-      (name("graft_int8"), embStamp, () =>
+      (name("graft_int8"), () =>
         Vectors.ensureInt8Table(emb, "vec_id", "embedding", name("graft_int8"),
           tag = embStamp)),
       // LSH bucket table over the standing corpus (q41/q159's probe side)
-      (name("graft_vecbkt_corpus"), embStamp, () =>
+      (name("graft_vecbkt_corpus"), () =>
         Vectors.ensureBucketTable(emb.filter(pmod(col("vec_id"), lit(5)) =!= 4),
           "vec_id", "embedding", dim = 64, table = name("graft_vecbkt_corpus"),
           tag = embStamp)))
-    // snapshot freshness BEFORE any build: one entry's ensure can build a
-    // sibling artifact too (ensureSeededPq covers cells AND codes), and
-    // the report must reflect the pre-task state, not mid-task effects
-    val warm = builds.map { case (t, stampFrag, _) =>
-      graft.core.Warehouse.isFresh(spark, t, Seq(stampFrag))
-    }
-    builds.zip(warm).map { case ((t, _, build), w) =>
+    // snapshot each artifact's FULL stored fingerprint BEFORE any build
+    // (one entry's ensure can build a sibling too — ensureSeededPq covers
+    // cells AND codes); "rebuilt" = the fingerprint changed during the
+    // task. This is the ensures' own rebuild predicate (full-meta
+    // equality), so a CONFIG-triggered rebuild — same corpus stamp, new
+    // meta — logs built, where a stamp-fragment isFresh snapshot misread
+    // it as warm and the task log lost the rebuild's trigger.
+    val before = builds.map { case (t, _) =>
+      t -> graft.core.Warehouse.fingerprintOf(spark, t)
+    }.toMap
+    builds.map { case (t, build) =>
       build()
-      (t, !w)
+      (t, graft.core.Warehouse.fingerprintOf(spark, t) != before(t))
     }
   }
 

@@ -19,6 +19,13 @@ object SkewJoin {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  nSalts: Int, saltBy: Column,
                  joinType: String = "inner"): DataFrame = {
+    // right/full-outer would emit nSalts copies of every UNMATCHED right
+    // row (each replica fails the join independently) — same guard as
+    // saltedJoinHeavyKeys; semi/anti never return right rows, so they
+    // compose with the replication safely
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi",
+        "leftanti", "anti")(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/semi/anti, got $joinType")
     val salted = left.withColumn("__salt", pmod(hash(saltBy), lit(nSalts)))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))

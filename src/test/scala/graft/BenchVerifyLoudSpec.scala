@@ -19,6 +19,17 @@ class BenchVerifyLoudSpec extends SparkSuite {
     assert(r("bad") == -1L)
   }
 
+  test("both mains reject an empty or typo'd query filter loudly") {
+    // a typo must not silently vanish from the report (_failed.json=[]),
+    // and an empty filter must not bench nothing as a value=0 success
+    intercept[IllegalArgumentException](Verify.validateFilter(Set.empty))
+    intercept[IllegalArgumentException](Verify.validateFilter(Set("q01_typo")))
+    intercept[IllegalArgumentException](Bench.validateFilter(Set.empty))
+    intercept[IllegalArgumentException](Bench.validateFilter(Set("q01_typo")))
+    Verify.validateFilter(Set("q01_pricing_summary")) // known names pass
+    Bench.validateFilter(Set("q01_pricing_summary"))
+  }
+
   test("Verify.dumpQueries writes a driver-visible error parquet in place of a failing query") {
     val out = tmpDir("verify-loud")
     val failed = Verify.dumpQueries(spark, sfDir, out, Seq("good" -> ok, "bad" -> boom))

@@ -600,6 +600,64 @@ class FunctionsSpec extends SparkSuite {
     assert(engine == brute, s"pqDistortion $engine != brute-force $brute")
   }
 
+  test("minhash banding rejects invalid k/bands configs loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
+    // bands > k → r = 0: every row would hash an EMPTY slice into ONE
+    // bucket and search silently collapses to the cap's lowest ids
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.minhashCandidates(docs, "doc_id", "text", k = 8, bands = 16))
+    assert(e1.getMessage.contains("banding"), e1.getMessage)
+    // non-dividing k silently drops trailing signature components
+    intercept[IllegalArgumentException](
+      Dedup.minhashCandidates(docs, "doc_id", "text", k = 10, bands = 4))
+    intercept[IllegalArgumentException](
+      Dedup.minhashCandidatesAgainst(docs, docs, "doc_id", "text",
+        k = 10, bands = 4))
+    intercept[IllegalArgumentException](
+      Dedup.writeSignatureTable(docs, "doc_id", "text", "graft_badband_t",
+        k = 8, bands = 16))
+    intercept[IllegalArgumentException](
+      Dedup.minhashCandidatesAgainstTable(spark, "graft_any_t", docs,
+        "doc_id", "text", k = 10, bands = 4))
+    // the valid production config still passes the guard
+    assert(Dedup.minhashCandidates(docs, "doc_id", "text",
+      k = 48, bands = 12).columns.nonEmpty)
+  }
+
+  test("cosine_sim / int8_dot / lsh_signatures fail loud on dimension mismatch") {
+    import spark.implicits._
+    def rootMsgs(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
+      sb.toString
+    }
+    // a 512-vs-768-dim config drift used to silently truncate to the
+    // shorter vector and score plausible-but-wrong similarities
+    // corpus-wide — now the same loud posture as the PQ kernels
+    val mism = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val e1 = intercept[Throwable](mism.select(
+      graft.expressions.VectorExpressions.cosine_sim(col("a"), col("b"))).collect())
+    assert(rootMsgs(e1).contains("cosine_sim"), s"unexpected: $e1")
+    val mismI = Seq((Seq(1, 2, 3), Seq(1, 2))).toDF("a", "b")
+    val e2 = intercept[Throwable](mismI.select(
+      graft.expressions.VectorExpressions.int8_dot(col("a"), col("b"))).collect())
+    assert(rootMsgs(e2).contains("int8_dot"), s"unexpected: $e2")
+    // lsh_signatures: vector shorter than the plane dimension
+    val planes = Array.fill(2 * 4 * 3)(0.5) // 2 tables × 4 bits × dim 3
+    val shortV = Seq(Tuple1(Seq(1.0f, 2.0f))).toDF("v")
+    val e3 = intercept[Throwable](shortV.select(
+      graft.expressions.VectorExpressions.lsh_signatures(col("v"), planes, 4, 2))
+      .collect())
+    assert(rootMsgs(e3).contains("lsh_signatures"), s"unexpected: $e3")
+    // equal dims still score
+    val ok = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+      .select(graft.expressions.VectorExpressions.cosine_sim(col("a"), col("b")))
+      .collect().head.getDouble(0)
+    assert(math.abs(ok - 1.0) < 1e-9)
+  }
+
   test("PQ kernels fail loud on corrupt input, never mis-score silently") {
     import spark.implicits._
     def rootMsgs(t: Throwable): String = {

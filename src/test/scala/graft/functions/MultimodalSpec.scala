@@ -61,6 +61,20 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.Wav.decode("nonsense-bytes".getBytes))
     val mp3ish = bytes.clone(); mp3ish(0) = 'I'; mp3ish(1) = 'D'
     intercept[IllegalArgumentException](Multimodal.Wav.decode(mp3ish))
+    // a NEGATIVE chunk size (corrupt length field on a skipped chunk) must
+    // fail loud — pre-guard it rewound the cursor and spun the chunk walk
+    // forever, hanging an executor core on one bad blob
+    val negChunk = extra.array().clone()
+    val nb = java.nio.ByteBuffer.wrap(negChunk)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    nb.putInt(40, -8) // the spliced LIST chunk's size field
+    val e = intercept[IllegalArgumentException](Multimodal.Wav.decode(negChunk))
+    assert(e.getMessage.contains("corrupt WAVE chunk"), e.getMessage)
+    // and an overlong size (past the remaining bytes) fails the same way
+    val bigChunk = extra.array().clone()
+    java.nio.ByteBuffer.wrap(bigChunk)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(40, Int.MaxValue)
+    intercept[IllegalArgumentException](Multimodal.Wav.decode(bigChunk))
   }
 
   test("Bmp: 24bpp writer/parser roundtrip incl. the row-padding arithmetic") {

@@ -38,6 +38,16 @@ class OperatorsSpec extends SparkSuite {
     val plainLeft = left.join(right, Seq("k"), "left").count()
     val saltedLeft = SkewJoin.saltedJoin(left, right, "k", 8, col("row_id"), "left").count()
     assert(plainLeft == saltedLeft)
+    // semi/anti compose with the salt replication (no right rows emitted)
+    assert(SkewJoin.saltedJoin(left, right, "k", 8, col("row_id"),
+      "left_semi").count() == left.join(right, Seq("k"), "left_semi").count())
+    // right/full-outer would emit nSalts copies of every unmatched right
+    // row — the blanket variant now guards like saltedJoinHeavyKeys
+    val e = intercept[IllegalArgumentException](
+      SkewJoin.saltedJoin(left, right, "k", 8, col("row_id"), "right_outer"))
+    assert(e.getMessage.contains("saltedJoin"), e.getMessage)
+    intercept[IllegalArgumentException](
+      SkewJoin.saltedJoin(left, right, "k", 8, col("row_id"), "full_outer"))
   }
 
   test("heavy-key salting: only the hot key salts; result equals plain join") {

@@ -302,10 +302,27 @@ class OrchestratorSpec extends SparkSuite {
       .find(l => l.taskId == 2L && l.status == "success").map(_.message)
     assert(msg2.exists(_.contains("admitted=")), s"admission log: $msg2")
 
-    // idempotency: a re-run between corpus refreshes is a warm no-op
-    val again = IndexTask.run(spark, corpus)
+    // idempotency: a re-run between corpus refreshes is a warm no-op —
+    // and a genuinely ZERO-JOB one: the seed-model collect is a by-name
+    // thunk evaluated only on rebuild, and stored codebook reads memoize,
+    // so a cadence-scheduled index task costs nothing between refreshes
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobCounter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(jobCounter)
+    val again =
+      try {
+        val r = IndexTask.run(spark, corpus)
+        Thread.sleep(1000) // listener bus is async — let events drain
+        r
+      } finally spark.sparkContext.removeSparkListener(jobCounter)
     assert(again.exists(_.contains("built=0 warm=8")),
       s"re-run must warm-attach everything: $again")
+    assert(jobs.get() == 0, s"warm index tick ran ${jobs.get()} Spark jobs")
 
     // daemon hygiene: no leaked tracked materializations
     assert(graft.core.Mat.liveCount == 0)
