@@ -1514,7 +1514,8 @@ object SparkEntry {
         |             WHERE len(t) >= 2)
         |       GROUP BY 1, 2)
         |SELECT w1, w2, c_xy,
-        |  CAST(c_xy * n.n AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS lift
+        |  (CAST(c_xy AS DOUBLE) * CAST(n.n AS DOUBLE)) /
+        |    (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
         |FROM bc, n
         |JOIN u u1 ON u1.w = bc.w1
         |JOIN u u2 ON u2.w = bc.w2

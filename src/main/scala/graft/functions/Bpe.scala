@@ -23,6 +23,19 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Bpe {
 
+  /** Per-partition memo cap: the Zipf assumption bounds a NATURAL
+    * vocabulary, but a code/base64/UUID-heavy partition at 100 TB has
+    * near-unbounded distinct "words" and an uncapped memo OOMs the
+    * executor. Clear-on-threshold keeps the memoization win (the hot head
+    * of the distribution re-fills instantly) with a hard memory bound. */
+  private val MemoCap = 1 << 20
+  private def memoGet[V](memo: scala.collection.mutable.Map[String, V],
+                         k: String, compute: => V): V = {
+    if (memo.size >= MemoCap) memo.clear()
+    memo.getOrElseUpdate(k, compute)
+  }
+
+
   /** Offline-trained merges table (tools/train_bpe.py over the sf0.01
     * documents corpus, 24 merges; classic highest-pair-frequency training,
     * ties to the lexicographically smallest pair). Rank = position. */
@@ -160,7 +173,7 @@ object Bpe {
             // dotless ı) would diverge from the oracle's ASCII lower()
             val w = t.toLowerCase(java.util.Locale.ROOT)
             if (alpha.matcher(w).matches())
-              n += memo.getOrElseUpdate(w, encode(w, table).length)
+              n += memoGet(memo, w, encode(w, table).length)
             else n += 1
           }
           Row(id, n)
@@ -205,7 +218,7 @@ object Bpe {
             val w = t.toLowerCase(java.util.Locale.ROOT)
             val enc =
               if (alpha.matcher(w).matches())
-                memo.getOrElseUpdate(w, encode(w, table).mkString(" "))
+                memoGet(memo, w, encode(w, table).mkString(" "))
               else t
             if (sb.length > 0) sb.append(' ')
             sb.append(enc)
@@ -269,7 +282,7 @@ object Bpe {
             // a corrupting merge table
             val decoded =
               if (alpha.matcher(w).matches())
-                memo.getOrElseUpdate(w, encode(w, table).mkString(""))
+                memoGet(memo, w, encode(w, table).mkString(""))
               else t // digits/symbols pass through untouched
             if (decoded == w || !alpha.matcher(w).matches()) ok += 1
             if (sb.length > 0) sb.append(' ')

@@ -303,7 +303,19 @@ object Dedup {
     *
     * Scale shape: one codegen pass computes the fingerprint; 4 rows per
     * doc shuffle (8-byte band key + 8-byte hash); buckets cap like every
-    * LSH path here (identical docs collide in all 4 bands). */
+    * LSH path here (identical docs collide in all 4 bands).
+    *
+    * VALIDITY BOUND of the recall guarantee: 2^16 band keys × the
+    * `bucketCap` (256 default) id-ordered retention cap ≈ 16.8M rows per
+    * band before AVERAGE buckets start truncating — past that, high-id
+    * docs fall out of over-full buckets and the pigeonhole guarantee
+    * quietly stops holding for them (recall degrades to best-effort, the
+    * same posture every capped LSH path here takes on SKEWED buckets).
+    * For corpora beyond ~10^7 rows, shard the banding by a corpus
+    * partition key (the guarantee is per-shard) or raise `bucketCap`
+    * with the executor-memory budget; widening the band keys themselves
+    * would change the fingerprint layout this operator's stored-artifact
+    * consumers pin. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3,
                         bucketCap: Int = 256): DataFrame = {

@@ -77,7 +77,15 @@ object Vectors {
   /** Bits per LSH table sized to the corpus: 2^b buckets ≈ n / target ⇒
     * expected bucket size stays ~`targetBucketSize` as n grows, so expected
     * candidate pairs grow O(n·target), not O(n²/2^b). At 100 TB (n ≈ 10^9)
-    * this gives b ≈ 25 — still a few KB of hyperplanes in the plan. */
+    * this gives b ≈ 25 — still a few KB of hyperplanes in the plan.
+    *
+    * VALIDITY BOUND: the `maxBits` ceiling (26) means AVERAGE buckets
+    * exceed the 256 `bucketCap` beyond n ≈ 2^26 × 256 ≈ 1.7×10^10 rows —
+    * past that the id-ordered cap truncates typical buckets, not just
+    * skewed ones, and recall degrades for high-id rows. For corpora
+    * beyond ~10^10 vectors, raise `maxBits` together with the planes'
+    * plan-size budget (each extra bit doubles buckets at +dim×nTables
+    * doubles of hyperplane constants) rather than trusting the default. */
   def adaptiveBits(n: Long, targetBucketSize: Int = 32,
                    minBits: Int = 4, maxBits: Int = 26): Int = {
     val b = math.ceil(math.log(math.max(1L, n).toDouble / targetBucketSize) /

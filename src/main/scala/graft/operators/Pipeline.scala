@@ -1303,8 +1303,12 @@ object Pipeline {
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("c_xy"),
-        ((col("c_xy") * col("n")).cast("double") /
-         (col("c1") * col("c2")).cast("double")).as("lift"))
+        // cast BEFORE multiplying (unigramScore's shape): at ~1e13 corpus
+        // tokens `c1*c2` wraps Long silently and corrupts the lift top-20;
+        // the double product is exact below 2^53 (all gate SFs) and merely
+        // rounds beyond, matching the oracle's same-shape arithmetic
+        ((col("c_xy").cast("double") * col("n").cast("double")) /
+         (col("c1").cast("double") * col("c2").cast("double"))).as("lift"))
       .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
       .limit(20)
   }
@@ -2174,12 +2178,28 @@ object Pipeline {
     val stage = s"$work/stage"; val out = s"$work/out"
     val ckpt = s"$work/ckpt"; val fpDir = s"$work/fps"
     val mx = docs.agg(max("doc_id")).head().getLong(0)
+    // each append's part-file name is a fresh UUID (no name order), so the
+    // range each file holds is tracked by LISTING DIFF as it lands
+    val staged = scala.collection.mutable.ArrayBuffer[java.io.File]()
     (0 until 3).foreach { i =>
+      val before = Option(new java.io.File(stage).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith("part-")).map(_.getName).toSet
       docs.filter(col("doc_id") >= lit(i * (mx + 1) / 3) &&
                   col("doc_id") < lit((i + 1) * (mx + 1) / 3))
         .coalesce(1) // ONE file per range: intra-range files would share
         .write.mode(if (i == 0) "overwrite" else "append").parquet(stage)
-      Thread.sleep(50) // separate mtimes: the file source replays in id order
+      staged ++= new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !before(f.getName))
+    }
+    // EXPLICIT strictly-increasing mtimes (60 s apart): the file source
+    // replays in mtime order, and the id-order arrival contract is what
+    // makes first-arrival-wins ≡ min-id-per-fingerprint below. A sleep
+    // between writes ties on coarse-mtime filesystems — the replay order
+    // must not depend on filesystem timestamp resolution.
+    val base = System.currentTimeMillis() - staged.length * 60000L
+    staged.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 60000L)
     }
     val schema = docs.schema
     val inc = spark.readStream.schema(schema)

@@ -69,11 +69,13 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"),
            round(avg("c_acctbal"), 4).as("avg_bal"))
 
-  /** J1/A1 — fact ⋈ dim aggregate: revenue per market segment. Customer is the
-    * small side → broadcast; orders aggregates map-side first. */
+  /** J1/A1 — fact ⋈ dim aggregate: revenue per market segment. Customer is
+    * the smaller side but GROWS with SF, so the join strategy stays with
+    * AQE (broadcast at small SF, sort-merge once it outgrows the budget —
+    * q143's adjudicated pattern); forcing broadcast would OOM at 100 TB. */
   def revenueBySegment(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"))
       .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("total_price"),
            count(lit(1)).as("n_orders"))
@@ -149,11 +151,13 @@ object Relational {
            (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
 
   /** J3/J4-shape — multi-way join: fact ⋈ fact ⋈ dim ⋈ dim, aggregated.
-    * lineitem⋈orders shuffles on orderkey; customer/nation broadcast. */
+    * lineitem⋈orders shuffles on orderkey; nation (25 rows at ANY SF)
+    * broadcasts explicitly, customer grows with SF so its strategy stays
+    * with AQE — see revenueBySegment. */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
       // scaled-integer revenue (r9 sf10 fix — see pricingSummary): exact
@@ -177,7 +181,7 @@ object Relational {
       // (orderkey, linenumber) is the row identity → salt is uniform AND
       // deterministic (never rand() — re-runs must salt identically)
       saltBy = struct(col("l_orderkey"), col("l_linenumber")))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
       // scaled-integer revenue (r9 sf10 fix — see pricingSummary): exact
@@ -207,7 +211,7 @@ object Relational {
         // lineitems per order top out near 7 at any SF (TPC-H shape);
         // a key past 100 is genuine skew, not tail variance
         heavyThreshold = 100L)
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
       // scaled-integer revenue (r9 sf10 fix — see pricingSummary): exact

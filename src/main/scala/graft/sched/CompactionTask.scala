@@ -36,7 +36,18 @@ import org.apache.spark.sql.SparkSession
   * window between the two renames — fully present in its hidden `.old`;
   * the next run RESTORES a `.old` whose live dir is missing before
   * reaping leftovers, so no crash point loses data. Hidden (dot-prefixed)
-  * names are invisible to Spark's file index throughout.
+  * names are invisible to Spark's file index.
+  *
+  * READER visibility: the swap is NOT atomic for concurrent scans — local
+  * directory swaps cannot be. Between the two renames the partition is
+  * entirely absent, so a scan of a LIVE sink racing the swap can read one
+  * closed partition short (or hit FileNotFound if it listed pre-swap). No
+  * data is ever lost (crash recovery restores `.old`); the exposure is a
+  * transiently incomplete read. Operationally: schedule compaction gated
+  * on the writer's cadence (the task dependency already expresses "not
+  * while the writer runs") and have consumers of a maintained sink read
+  * off-peak or retry — the same contract object stores give rename-based
+  * maintenance jobs.
   *
   * Directories carrying a `_spark_metadata` transaction log (the built-in
   * file sink: q48/q109/q114) are REFUSED loudly: their readers resolve

@@ -24,6 +24,21 @@ import org.apache.spark.sql.types.StructType
   */
 object Streams {
 
+  /** Explicit strictly-increasing mtimes (60 s apart) on the staged chunk
+    * files, in NAME order — which is range order for a repartitionByRange
+    * write. The file source orders by modification time, and back-to-back
+    * writes on a coarse-mtime filesystem can TIE, making arrival order
+    * (and any first-arrival-wins semantics downstream) nondeterministic;
+    * explicit stamps remove the filesystem from the contract. Returns the
+    * staged files for callers that add replay copies. */
+  private def staggerMtimes(stage: String): Array[java.io.File] = {
+    val parts = new java.io.File(stage).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 60000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 60000L) }
+    parts
+  }
+
   /** Batch-load events with `ts` as an INSTANT timestamp, ready for
     * watermarking (watermarks want TimestampType). Delegates the
     * nanos-vs-native parquet mapping to [[graft.core.Tables.load]]
@@ -194,12 +209,7 @@ object Streams {
     eventsWithInstantTs(spark, sfDir)
       .repartitionByRange(chunks, col("ts"))
       .write.mode("overwrite").parquet(stage)
-    // the file source orders by modification time — stagger mtimes so the
-    // time-ordered chunks also ARRIVE in time order (ties are unstable)
-    val parts = new java.io.File(stage).listFiles()
-      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
-    val base = System.currentTimeMillis() - parts.length * 60000L
-    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 60000L) }
+    staggerMtimes(stage)
     val raw = spark.readStream.schema(stagedSchema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
     val agg = windowedEventCounts(raw)
@@ -280,10 +290,7 @@ object Streams {
     eventsWithInstantTs(spark, sfDir)
       .repartitionByRange(chunks, col("ts"))
       .write.mode("overwrite").parquet(stage)
-    val parts = new java.io.File(stage).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val base = System.currentTimeMillis() - parts.length * 60000L
-    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 60000L) }
+    staggerMtimes(stage)
     // 2 files per trigger → 2 micro-batches over 4 chunks: batch 2's
     // purchases must match batch 1's buffered clicks, so cross-batch join
     // state is exercised, while per-batch state-commit cost stays halved
@@ -332,10 +339,7 @@ object Streams {
     eventsWithInstantTs(spark, sfDir)
       .repartitionByRange(chunks, col("ts"))
       .write.mode("overwrite").parquet(stage)
-    val parts = new java.io.File(stage).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val base = System.currentTimeMillis() - parts.length * 60000L
-    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 60000L) }
+    staggerMtimes(stage)
     val raw = spark.readStream.schema(stagedSchema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsMicros"),
@@ -392,10 +396,7 @@ object Streams {
     eventsWithInstantTs(spark, sfDir)
       .repartitionByRange(chunks, col("ts"))
       .write.mode("overwrite").parquet(stage)
-    val parts = new java.io.File(stage).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val base = System.currentTimeMillis() - parts.length * 60000L
-    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 60000L) }
+    staggerMtimes(stage)
     val raw = spark.readStream.schema(stagedSchema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
     val agg = raw.withWatermark("ts", "10 minutes")

@@ -16,6 +16,13 @@ import sys
 
 inputs = sys.argv[1:]
 arts = [json.load(open(p)) for p in inputs]
+# every input must be stamped at ONE clean code commit: mixing points from
+# different heads (or a -dirty stamp) is the r9/r10 mixed-stamp hazard one
+# level up — the curve would silently blend two codebases
+commits = sorted({a.get("commit", "?") for a in arts})
+if len(commits) != 1 or any(c.endswith("-dirty") or c == "?" for c in commits):
+    raise SystemExit(f"input artifacts are not one clean commit: {commits} "
+                     f"(regenerate the stale points at HEAD first)")
 base = arts[0]["base"]
 points = []
 for p, a in zip(inputs, arts):
@@ -25,7 +32,10 @@ for p, a in zip(inputs, arts):
     points.append((factor, p, a))
 points.sort()
 
-family = sorted(arts[0]["dedup_ann_cluster_family"].keys())
+# UNION of every point's family keys: taking only the first artifact's
+# silently dropped queries benched only at later points
+family = sorted(set().union(
+    *[a["dedup_ann_cluster_family"].keys() for a in arts]))
 curve = {}
 for q in family:
     b = base["queries"].get(q)
@@ -37,7 +47,15 @@ for q in family:
         # each artifact's own base timing normalizes its point (same-run
         # pairing controls box-load drift between runs)
         b_own = a["base"]["queries"].get(q)
-        if s is not None and b_own:
+        # a query that FAILED at either side of a point has an error time,
+        # not a wall — publishing it would flatter the curve; null it and
+        # say so
+        failed = (q in a["scale"].get("failed", []) or
+                  q in a["base"].get("failed", []))
+        if failed:
+            row["ratios"][f"{factor}x"] = None
+            row.setdefault("failed_points", []).append(f"{factor}x")
+        elif s is not None and b_own:
             row["ratios"][f"{factor}x"] = round(s / b_own, 2)
     curve[q] = row
 

@@ -28,7 +28,13 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # sort by NON-float columns first: positional compare at atol=1e-9 can
+    # cross-pair rows if a float sort key differs below tolerance between
+    # engines, emitting a FALSE FAIL; the rounding conventions make purely
+    # float-keyed results rare, and float columns still tie-break last
+    cols = list(df.columns)
+    order = [c for c in cols if df[c].dtype.kind != 'f'] +             [c for c in cols if df[c].dtype.kind == 'f']
+    df = df.sort_values(by=order).reset_index(drop=True)
     return df
 
 def main():
@@ -52,8 +58,14 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output"); fail += 1
             record("fail", -1, "no spark output"); continue
-        spark_df = pd.concat([pd.read_parquet(f) for f in files])
-        duck_df = con.sql(oracle[name]).df()
+        # per-query isolation: one malformed result/oracle must not abort
+        # the loop before JSON_OUT is written (the r9 crash-then-skip mode)
+        try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in files])
+            duck_df = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"ERR  {name}: {type(e).__name__}: {e}"); fail += 1
+            record("err", -1, f"{type(e).__name__}: {e}"); continue
         if name in SUBSET:
             # engine side is a documented deterministic sample: restrict the
             # oracle to the sampled keys, then the usual exact compare
@@ -61,6 +73,16 @@ def main():
             if len(spark_df) == 0 or key not in spark_df.columns:
                 print(f"FAIL {name}: empty/keyless subset result"); fail += 1
                 record("fail", len(spark_df), "empty subset"); continue
+            # minimum sampled fraction: accepting ANY non-empty result would
+            # let a 99%-row-loss bug read ok_subset; the documented samples
+            # keep well over 0.5% of the oracle's rows
+            min_rows = max(1, int(0.005 * len(duck_df)))
+            if len(spark_df) < min_rows:
+                print(f"FAIL {name}: subset kept {len(spark_df)} rows, "
+                      f"< {min_rows} (0.5% of {len(duck_df)} oracle rows)")
+                fail += 1
+                record("fail", len(spark_df), "subset below min fraction")
+                continue
             duck_df = duck_df[duck_df[key].isin(spark_df[key].unique())]
         s, d = norm(spark_df), norm(duck_df)
         if list(s.columns) != list(d.columns):
@@ -70,19 +92,23 @@ def main():
             print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}"); fail += 1
             record("fail", len(s), f"rows {len(s)} vs {len(d)}"); continue
         mismatch = []
-        for c in s.columns:
-            a, b = s[c], d[c]
-            if str(a.dtype) != str(b.dtype):
-                mismatch.append(f"dtype[{c}]: {a.dtype} vs {b.dtype}")
-                continue
-            if a.dtype.kind == 'f':
-                import numpy as np
-                neq = ~(np.isclose(a, b, rtol=0, atol=1e-9) | (a.isna() & b.isna()))
-            else:
-                neq = ~((a == b) | (a.isna() & b.isna()))
-            if neq.any():
-                i = neq.idxmax()
-                mismatch.append(f"val[{c}] row{i}: spark={a[i]!r} duck={b[i]!r} ({int(neq.sum())} diffs)")
+        try:
+            for c in s.columns:
+                a, b = s[c], d[c]
+                if str(a.dtype) != str(b.dtype):
+                    mismatch.append(f"dtype[{c}]: {a.dtype} vs {b.dtype}")
+                    continue
+                if a.dtype.kind == 'f':
+                    import numpy as np
+                    neq = ~(np.isclose(a, b, rtol=0, atol=1e-9) | (a.isna() & b.isna()))
+                else:
+                    neq = ~((a == b) | (a.isna() & b.isna()))
+                if neq.any():
+                    i = neq.idxmax()
+                    mismatch.append(f"val[{c}] row{i}: spark={a[i]!r} duck={b[i]!r} ({int(neq.sum())} diffs)")
+        except Exception as e:
+            print(f"ERR  {name}: compare threw {type(e).__name__}: {e}"); fail += 1
+            record("err", len(s), f"compare: {type(e).__name__}: {e}"); continue
         if mismatch:
             print(f"FAIL {name}: " + "; ".join(mismatch[:3])); fail += 1
             record("fail", len(s), "; ".join(mismatch[:3]))

@@ -18,10 +18,11 @@ def load(path):
     with open(path) as f:
         d = json.load(f)
     if "queries" in d and isinstance(d["queries"], dict):
-        return d["queries"], d.get("value")
+        return d["queries"], d.get("value"), set(d.get("failed", []))
     # a run_scale BENCH artifact carries base/scale sections — diff the base
     if "base" in d and isinstance(d.get("base"), dict):
-        return d["base"]["queries"], d["base"].get("total_sec")
+        return (d["base"]["queries"], d["base"].get("total_sec"),
+                set(d["base"].get("failed", [])))
     raise SystemExit(
         f"{path}: no 'queries' sec-map found (driver BENCH_r*.json files "
         f"only embed a truncated tail — diff the committed per-round "
@@ -39,9 +40,20 @@ def main():
                          "(sub-150 ms walls are timer noise)")
     a = ap.parse_args()
 
-    qo, to = load(a.old)
-    qn, tn = load(a.new)
-    both = sorted(set(qo) & set(qn))
+    qo, to, fo = load(a.old)
+    qn, tn, fn = load(a.new)
+    # a FAILED query's recorded time is an error time, not a wall: a
+    # regression-to-failure would otherwise print as the round's biggest
+    # FASTER win. Headline them first and keep them out of the diff.
+    if fo or fn:
+        newly_failed = sorted(fn - fo)
+        if newly_failed:
+            print(f"REGRESSED TO FAILURE in {a.new}: "
+                  f"{', '.join(newly_failed)}")
+        fixed = sorted(fo - fn)
+        if fixed:
+            print(f"failed in {a.old}, now passing: {', '.join(fixed)}")
+    both = sorted((set(qo) & set(qn)) - fo - fn)
     rows = []
     for q in both:
         o, n = qo[q], qn[q]

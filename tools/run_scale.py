@@ -157,6 +157,7 @@ def main():
         ap.error("--scale-dir and --out-prefix are required")
 
     st = stamp(sys.argv[1:])
+    oracle_failed = False
 
     if a.gen and not os.path.exists(os.path.join(a.scale_dir, "MANIFEST.json")):
         sh(["sbt", "-batch",
@@ -181,8 +182,21 @@ def main():
         # queries filtered out of a subset Verify run read as "no spark
         # output" — drop them from the artifact, they were not checked
         if a.verify_queries:
-            keep = set(a.verify_queries.split(","))
-            not_run = sorted(set(art["queries"]) - keep)
+            keep = set(q.strip() for q in a.verify_queries.split(",")
+                       if q.strip())
+            # every REQUESTED name must appear in the checked set: a typo'd
+            # or rows-only (no-oracle) name would otherwise silently vanish
+            # from the artifact and the gate would report green on less
+            # coverage than asked for
+            missing = sorted(keep - set(art["queries"]))
+            if missing:
+                print(f"[scale] ERROR: requested verify queries never "
+                      f"checked (typo or no oracle entry): "
+                      f"{', '.join(missing)}", flush=True)
+                for m in missing:
+                    art["queries"][m] = {"status": "err", "rows": -1,
+                                         "err": "requested but never checked"}
+            not_run = sorted(set(art["queries"]) - keep - set(missing))
             art["queries"] = {k: v for k, v in art["queries"].items()
                               if k in keep}
             art["subset_of_suite"] = sorted(keep)
@@ -209,6 +223,7 @@ def main():
             json.dump(art, f, indent=1)
         print(f"[scale] {cj}: {ok} ok / {len(art['queries']) - ok} fail",
               flush=True)
+        oracle_failed = (len(art["queries"]) - ok) > 0
 
     if not a.skip_bench:
         base_d = bench(a.base, a.reps, a.cpus, a.bench_queries)
@@ -216,7 +231,10 @@ def main():
         ratios = {}
         for q, s in scale_d["queries"].items():
             b = base_d["queries"].get(q)
-            if b and b > 0 and scale_d["rows"].get(q, -1) >= 0:
+            # BOTH sides must have succeeded: a failed base run's error
+            # time as denominator prints a plausible super-linear ratio
+            if (b and b > 0 and scale_d["rows"].get(q, -1) >= 0
+                    and base_d["rows"].get(q, -1) >= 0):
                 ratios[q] = round(s / b, 2)
         med = sorted(ratios.values())[len(ratios) // 2] if ratios else None
         fam = {q: {"base_sec": round(base_d["queries"][q], 2),
@@ -242,6 +260,14 @@ def main():
             json.dump(art, f, indent=1)
         print(f"[scale] {bj}: total ratio {art['total_ratio']}, "
               f"median query ratio {med}", flush=True)
+
+    if oracle_failed:
+        # the artifacts are stamped and the bench already ran (a crash
+        # before it was the r9 failure mode) — but the EXIT CODE must not
+        # read green when the oracle went red, or a scripted caller
+        # publishes a failed gate as evidence
+        print("[scale] ORACLE FAILURES above — exiting non-zero", flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
