@@ -80,7 +80,18 @@ object Bench {
   private final case class ProbeRun(prebuildSec: Double,
                                     prebuildFailed: Seq[String],
                                     warmByArtifact: Seq[(String, Boolean)],
-                                    timed: Seq[(String, Double, Long)])
+                                    timed: Seq[(String, Double, Long)],
+                                    ccRounds: Map[String, Int])
+
+  /** Propagation round counts observed for the cluster queries this run
+    * (q57/q58 run live label propagation): ships in the artifacts so a
+    * wall-clock drift is attributable — round count grew = plan/convergence
+    * regression; same rounds, longer wall = box load. */
+  private def ccRoundsFor(name: String): Option[(String, Int)] =
+    if (name.startsWith("q57_") || name.startsWith("q58_")) {
+      val r = graft.operators.Pipeline.lastCcRounds
+      if (r >= 0) Some(name -> r) else None
+    } else None
 
   /** Prebuild + time the probe family on one corpus dir. The prebuild
     * covers exactly the ensure-backed artifacts the TIMED set reads:
@@ -139,6 +150,7 @@ object Bench {
         graft.core.Warehouse.isFresh(spark, s"graft_ivf_seed_$sfx", Seq(embStamp)),
       "pq_seed" ->
         graft.core.Warehouse.isFresh(spark, s"graft_pq_seed_$sfx", Seq(embStamp)))
+    val ccRounds = scala.collection.mutable.Map[String, Int]()
     val runs = (1 to math.max(1, reps)).map { _ =>
       probeQueries.map { name =>
         val t0 = System.nanoTime()
@@ -146,6 +158,7 @@ object Bench {
                    catch { case t: Throwable =>
                      println(s"[bench] PROBE QUERY FAILED: $name: $t"); -1L }
         val sec = (System.nanoTime() - t0) / 1e9
+        if (rows >= 0) ccRoundsFor(name).foreach { case (n, r) => ccRounds(n) = r }
         // result consumed — drop tracked blocks. BLOCKING: a non-blocking
         // unpersist future from the last probe query can outlive the final
         // drain (its queue entry is already gone) and race spark.stop()
@@ -158,7 +171,7 @@ object Bench {
       val secs = runs.map(_(i)._2).sorted
       (name, secs(secs.length / 2), runs.map(_(i)._3).min)
     }
-    ProbeRun(prebuildSec, prebuildFailed, warmByArtifact, timed)
+    ProbeRun(prebuildSec, prebuildFailed, warmByArtifact, timed, ccRounds.toMap)
   }
 
   /** Synthetic-growth probe: time the dedup/ANN family on a 1× AND a
@@ -196,7 +209,11 @@ object Bench {
       // failing nulls the ratio; rows_1x ships so the reader sees why.
       val ratio =
         if (s1 > 0 && rows1 >= 0 && rowsN >= 0) (secN / s1).toString else "null"
-      s"""\"$name\":{\"sec_1x\":$s1,\"rows_1x\":$rows1,\"sec\":$secN,\"rows\":$rowsN,\"ratio\":$ratio}"""
+      val cc = (r1.ccRounds.get(name), rN.ccRounds.get(name)) match {
+        case (Some(a), Some(b)) => s""",\"cc_rounds_1x\":$a,\"cc_rounds\":$b"""
+        case _ => ""
+      }
+      s"""\"$name\":{\"sec_1x\":$s1,\"rows_1x\":$rows1,\"sec\":$secN,\"rows\":$rowsN,\"ratio\":$ratio$cc}"""
     }.mkString(",")
     def warmJson(r: ProbeRun) = r.warmByArtifact
       .map { case (k, v) => s"""\"$k\":$v""" }.mkString("{", ",", "}")
@@ -234,6 +251,9 @@ object Bench {
         -1L
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      if (rows >= 0) ccRoundsFor(name).foreach { case (n, r) =>
+        mainCcRounds(n) = r
+      }
       // the query's RESULT was just consumed (count) — release the blocks
       // its operators tracked, exactly like the scheduler daemon does at
       // tick end. Untimed lifecycle bookkeeping; blocking so no unpersist
@@ -241,6 +261,10 @@ object Bench {
       graft.core.Mat.releaseAll(blocking = true)
       (name, sec, rows)
     }
+
+  /** cc-round observations of the MAIN timed set (last rep wins — the
+    * count is corpus-deterministic, reps agree). */
+  private val mainCcRounds = scala.collection.mutable.Map[String, Int]()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -365,8 +389,10 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    val ccJson = mainCcRounds.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"rows":$rowsJson,"failed":$failedJson,"sf":"${esc(sfDir)}","warehouse_warm":$warmAfter,"warehouse_warm_found":$warmFound,"prebuild_failed":${prebuildFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},"prebuild_sec":$prebuildSec$probeJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"rows":$rowsJson,"failed":$failedJson,"cc_rounds":$ccJson,"sf":"${esc(sfDir)}","warehouse_warm":$warmAfter,"warehouse_warm_found":$warmFound,"prebuild_failed":${prebuildFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},"prebuild_sec":$prebuildSec$probeJson}"""
     // r3 post-mortem: the metric line printed BEFORE spark.stop() was
     // displaced out of the driver's 2000-char stdout tail by a shutdown
     // stack-trace flood. r4 post-mortem: with 73 queries the single metric

@@ -90,8 +90,16 @@ final class SmtpNotifier(
       cmd(s"MAIL FROM:<$from>", 250)
       cmd(s"RCPT TO:<$rcpt>", 250)
       cmd("DATA", 354)
+      // normalize to CRLF FIRST: RFC 5321 §2.3.8 requires CRLF line
+      // endings, and alert bodies are built with \n — sending bare LFs
+      // violates the spec (strict servers bounce), and a lax server that
+      // treats LF as a line break could see a '.'-prefixed "line" the
+      // CRLF-only dot-stuffing pass below never saw (truncating the
+      // message at a '.'-led preview line)
+      val crlf = message.replace("\r\n", "\n").replace("\r", "\n")
+        .replace("\n", "\r\n")
       // dot-stuffing (RFC 5321 §4.5.2): a body line starting '.' gets one more
-      val stuffed = message.split("\r\n", -1)
+      val stuffed = crlf.split("\r\n", -1)
         .map(l => if (l.startsWith(".")) "." + l else l).mkString("\r\n")
       out.write(stuffed); out.write("\r\n.\r\n"); out.flush()
       reply(in, 250)

@@ -350,6 +350,22 @@ final class CatalogStore(spark: SparkSession, root: String) {
       overwrite(spark.createDataset(merged), table)
     }
 
+  /** Read-modify-write of the rows matching `pred` under the table lock:
+    * re-reads the CURRENT rows and applies `f` to them, so a caller that
+    * only wants to stamp one field (run-now's lastRun, the scheduler's
+    * next_run advance) cannot revert a concurrent admin edit by upserting
+    * a stale pre-execution snapshot — the lost-update the plain
+    * read-early-then-upsert shape had. Returns the matched count. */
+  def updateRows[T <: Product: TypeTag](table: String, pred: T => Boolean,
+                                        f: T => T): Int =
+    lockFor(table).synchronized {
+      val existing = read[T](table).collect().toSeq
+      val updated = existing.map(r => if (pred(r)) f(r) else r)
+      implicit val enc: Encoder[T] = Encoders.product[T]
+      overwrite(spark.createDataset(updated), table)
+      existing.count(pred)
+    }
+
   /** Delete rows by key predicate (FK-guard checks live in callers,
     * web_scheduler.py:3920-3938). */
   def delete[T <: Product: TypeTag](table: String, pred: T => Boolean): Long =
@@ -362,12 +378,7 @@ final class CatalogStore(spark: SparkSession, root: String) {
     }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-      finally s.close()
-    }
+    graft.core.Fs.deleteRecursively(p)
 }
 
 object CatalogStore {

@@ -84,14 +84,31 @@ object Locks {
     val held = heldByThread.get()
     if (held.contains(key)) f // reentry: the outer frame's OS lock covers us
     else keyMonitors.computeIfAbsent(key, _ => new Object).synchronized {
-      val ch = FileChannel.open(lockFile, StandardOpenOption.WRITE)
-      try {
-        val l = ch.lock() // blocks until the owning process releases/dies
-        held.add(key)
-        try f finally { held.remove(key); l.release() }
-      } finally ch.close()
+      // overlap guard: if THIS process already owns the file process-wide
+      // ([[tryOwnProcessWide]]), opening a second channel here would throw
+      // OverlappingFileLockException and — worse — its close() could drop
+      // the standing claim (the POSIX close-releases-locks caveat). The
+      // claim already excludes other processes and the monitor serializes
+      // in-JVM threads, so the section is covered without a new channel.
+      if (owned.containsKey(key)) f
+      else {
+        val ch = FileChannel.open(lockFile, StandardOpenOption.WRITE)
+        try {
+          val l = ch.lock() // blocks until the owning process releases/dies
+          held.add(key)
+          activeScoped.add(key)
+          try f finally {
+            held.remove(key); activeScoped.remove(key); l.release()
+          }
+        } finally ch.close()
+      }
     }
   }
+
+  /** Keys currently inside a [[withFileLock]] scoped section (any thread)
+    * — the mirror-image overlap guard for [[tryOwnProcessWide]]. */
+  private val activeScoped =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Process-lifetime ownership claims, keyed by lock-file path. */
   private val owned =
@@ -110,6 +127,15 @@ object Locks {
     // second open+close on an owned file could release the held OS lock
     // on POSIX (see ensureAndKey)
     if (owned.containsKey(key)) return true
+    // overlap guard: claiming a file that is mid-[[withFileLock]] in this
+    // process would open+close a second channel on it — on POSIX the
+    // close can silently release the scoped holder's OS lock. The two
+    // primitives use disjoint lock files by design; composing them on one
+    // file is a caller bug that must fail loud, not corrupt locking.
+    if (activeScoped.contains(key))
+      throw new IllegalStateException(
+        s"lock file '$lockFile' is in scoped withFileLock use in this " +
+        "process; process-wide ownership claims must use a distinct file")
     val ch = FileChannel.open(lockFile, StandardOpenOption.WRITE)
     val l =
       try ch.tryLock()

@@ -16,15 +16,23 @@ object TempDirs {
 
   private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
 
-  Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    dirs.forEach { d =>
-      try {
-        if (Files.exists(d))
-          Files.walk(d).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
-      } catch { case _: Exception => () }
-    }
-  }, "graft-scratch-sweep"))
+  // Hadoop's ShutdownHookManager at a priority BELOW its default (10),
+  // which is where Spark registers stream/committer shutdown — a plain
+  // Runtime hook runs UNORDERED w.r.t. Spark's, so the sweep could race a
+  // still-stopping stream's final sink writes and delete files mid-commit.
+  // Ordered registration makes "deletion is last" true by contract, not
+  // by luck.
+  org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+    new Runnable {
+      override def run(): Unit = dirs.forEach { d =>
+        try {
+          if (Files.exists(d))
+            Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+              .forEach(p => try Files.deleteIfExists(p)
+                            catch { case _: Exception => () })
+        } catch { case _: Exception => () }
+      }
+    }, 5)
 
   /** A fresh temp directory, swept at JVM exit. */
   def tempDir(prefix: String): String = {

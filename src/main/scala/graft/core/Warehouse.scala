@@ -79,7 +79,15 @@ object Warehouse {
     * will actually do). */
   def isFresh(spark: SparkSession, table: String,
               fragments: Seq[String]): Boolean =
-    metaOf(spark, table).exists(m => fragments.forall(m.contains))
+    metaOf(spark, table).exists { m =>
+      // single-token fragments (the common case: one source stamp) match
+      // WHOLE meta tokens, not substrings — raw containment could
+      // prefix-match a stamp ("src=123:456" inside "src=123:4567") and
+      // mislabel a stale artifact warm. Multi-token fragments keep
+      // substring semantics (they carry their own delimiters).
+      val toks = m.split("\\s+").toSet
+      fragments.forall(f => if (f.contains(" ")) m.contains(f) else toks(f))
+    }
 
   /** The raw on-disk fingerprint of `table`, if any — for DERIVED
     * artifacts that must invalidate when an UPSTREAM artifact's config
@@ -193,12 +201,6 @@ object Warehouse {
 
   def clear(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val d = dirOf(spark, table)
-    if (Files.exists(d)) {
-      val s = Files.walk(d)
-      try s.sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      finally s.close()
-    }
+    Fs.deleteRecursively(dirOf(spark, table))
   }
 }

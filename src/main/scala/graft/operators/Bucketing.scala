@@ -25,16 +25,30 @@ object Bucketing {
                    key: String, joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
 
-  /** True when the physical plan contains a shuffle exchange. String-based:
-    * under AQE the plan root is an AdaptiveSparkPlanExec whose subtree is
-    * not visible to `collect` until execution, but the rendered plan shows
-    * shuffles as `Exchange hashpartitioning`/`rangepartitioning` (broadcast
-    * exchanges render as `BroadcastExchange` and don't match). */
+  /** True when the physical plan contains a shuffle exchange. Two probes,
+    * both AQE-aware (the regression guard must not silently void itself):
+    * a typed walk that UNWRAPS every AdaptiveSparkPlanExec (its current
+    * subtree is not a `children` member, so a plain collect sees nothing
+    * under AQE), and a rendered-string match for ANY `Exchange <dist>`
+    * spelling — hash, range, SinglePartition, RoundRobinPartitioning —
+    * while excluding `BroadcastExchange` (word-boundary regex, not a
+    * substring, precisely because "BroadcastExchange" contains
+    * "Exchange"). */
   def hasShuffle(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan): Boolean = {
+      var found = false
+      p.foreach {
+        case _: ShuffleExchangeLike => found = true
+        case a: AdaptiveSparkPlanExec => if (walk(a.executedPlan)) found = true
+        case _ => ()
+      }
+      found
+    }
     val s = df.queryExecution.executedPlan.toString
-    s.contains("Exchange hashpartitioning") ||
-      s.contains("Exchange rangepartitioning") ||
-      df.queryExecution.executedPlan.collect { case e: ShuffleExchangeLike => e }.nonEmpty
+    walk(df.queryExecution.executedPlan) ||
+      "(?<![A-Za-z])Exchange ".r.findFirstIn(s).isDefined
   }
 
   def assertNoShuffle(df: DataFrame): Unit =

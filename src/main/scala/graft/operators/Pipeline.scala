@@ -1535,6 +1535,14 @@ object Pipeline {
     * Every iteration materializes its label frames
     * and releases the previous ones (core.Mat) — bounded storage no
     * matter how many rounds run. */
+  /** Round count of the most recent [[connectedComponents]] run in this
+    * JVM. Bench records it next to q57/q58's timings so the artifact can
+    * distinguish a PLAN regression (round count grew) from box-load noise
+    * (same rounds, longer wall) — the r13 driver probe showed q57 at 6.2×
+    * while two same-head builder runs read ≤3.8×, and without the round
+    * count the artifact could not say which kind of drift that was. */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
   private[graft] def connectedComponents(ids: DataFrame,
                                          edges: DataFrame,
                                          maxIter: Int = 25): DataFrame =
@@ -1613,6 +1621,7 @@ object Pipeline {
         col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("is_canonical")))
       Mat.release(labels, blocking = true) // last scope-exit before return
+      lastCcRounds = iter
       (out, iter)
     }
   }

@@ -161,10 +161,5 @@ object CompactionTask {
     }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally s.close()
-    }
+    graft.core.Fs.deleteRecursively(p)
 }

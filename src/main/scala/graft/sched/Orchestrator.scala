@@ -23,7 +23,10 @@ final class Orchestrator(
     alerts: AlertService,
     clock: () => LocalDateTime = () => LocalDateTime.now()) {
 
-  private val alertGuard = new InFlightGuard
+  /** In-flight alert checks — PUBLIC for the same reason Scheduler.inFlight
+    * is: the API's manual check must share this set or it can race the
+    * scheduled check of the same alert (duplicate emails). */
+  val alertGuard = new InFlightGuard
   private var tickCount = 0L
 
   /** Every ~10 min of 1 s ticks, compact log tables whose append-file

@@ -33,7 +33,10 @@ final class Scheduler(
     clock: () => LocalDateTime = () => LocalDateTime.now(),
     taskNotifier: Option[graft.alerts.TaskNotifier] = None) {
 
-  private val guard = new InFlightGuard
+  /** In-flight task runs — PUBLIC so the API's run-now routes through the
+    * SAME set as the scheduled loop (a manual run racing the scheduled run
+    * of one task double-executed it; wire this instance into AdminApi). */
+  val inFlight = new InFlightGuard
   @volatile private var logSeq = 0L
 
   final case class TickResult(taskId: Long, name: String, action: String,
@@ -72,7 +75,7 @@ final class Scheduler(
     val knownIds = tasks.map(_.id).toSet
 
     tasks.toSeq.map { task =>
-      if (!guard.tryAcquire(task.id)) {
+      if (!inFlight.tryAcquire(task.id)) {
         TickResult(task.id, task.name, "skipped_in_flight")
       } else try {
         runOne(task, now, logsByTask.getOrElse(task.id, Nil), knownIds, latestStatus)
@@ -80,7 +83,7 @@ final class Scheduler(
         case NonFatal(e) => // ST7 failure isolation: log, keep looping
           appendLog(task.id, "failed", s"scheduler error: ${e.getMessage}", now)
           TickResult(task.id, task.name, "error", Some(e.getMessage))
-      } finally guard.release(task.id)
+      } finally inFlight.release(task.id)
     }
   }
 
@@ -101,11 +104,14 @@ final class Scheduler(
 
     // Advance last_run/next_run BEFORE execution, but never on retry
     // (web_scheduler.py:1376-1399): a retry must not push the schedule.
+    // updateRows (read-modify-write under the table lock), NOT an upsert
+    // of the tick's snapshot: an admin edit landing between the tick's
+    // collect and this stamp must survive — only the run fields move.
     if (!retry) {
       val nr = Policies.nextRun(task.cronExpression, task.scheduleInterval, now)
-      store.upsert[Task]("tasks", Seq(task.copy(
+      store.updateRows[Task]("tasks", _.id == task.id, _.copy(
         lastRun = Some(java.sql.Timestamp.valueOf(now)),
-        nextRun = Some(java.sql.Timestamp.valueOf(nr)))), _.id)
+        nextRun = Some(java.sql.Timestamp.valueOf(nr))))
     }
 
     executor(task) match {

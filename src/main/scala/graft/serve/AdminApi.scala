@@ -37,7 +37,14 @@ final class AdminApi(
       * (web_scheduler.py:2752-2754, :4491 — test-env token seeding with a
       * committed default credential). Parity keeps that default; hardened
       * deployments pass false and the routes are simply not registered. */
-    debugEndpoints: Boolean = true) {
+    debugEndpoints: Boolean = true,
+    /** Share the SCHEDULER's in-flight set (Main wires Scheduler.inFlight
+      * here) so a manual run-now cannot race the scheduled run of the same
+      * task into a double execution; the default private instance still
+      * dedups concurrent manual runs. */
+    taskInFlight: graft.sched.InFlightGuard = new graft.sched.InFlightGuard,
+    /** Likewise the orchestrator's alert guard (duplicate emails). */
+    alertInFlight: graft.sched.InFlightGuard = new graft.sched.InFlightGuard) {
 
   private var server: HttpServer = _
 
@@ -207,7 +214,14 @@ final class AdminApi(
           // API-token surface (/api/database/insert) lives on HttpApi.
           (401, Json.obj("error" -> "未授权访问"))
         else {
-          val mutating = ex.getRequestMethod != "GET" && !segs.contains("run")
+          // slow EXECUTION routes run unlocked (their own guards/locks
+          // cover their writes): run-now, the manual alert check (a slow
+          // SQL + SMTP round-trip), and the SMTP connectivity test — held
+          // under writeLock these starved login and every CRUD for their
+          // full duration
+          val slowExecution = segs.contains("run") ||
+            segs.contains("check") || segs.contains("test")
+          val mutating = ex.getRequestMethod != "GET" && !slowExecution
           if (mutating) writeLock.synchronized { f(ex, ex.getRequestMethod, segs) }
           else f(ex, ex.getRequestMethod, segs)
         }
@@ -518,24 +532,35 @@ final class AdminApi(
       case Some(t) if t.taskType == "sql" && t.sqlScriptId.isEmpty =>
         (400, Json.obj("error" -> "任务类型不支持或配置不完整"))
       case Some(t) =>
-        val now = clock()
-        val (status, message) = executor(t) match {
-          case Right(_) => ("success", "任务执行成功")
-          case Left(err) => ("failed", s"任务执行失败: $err")
-        }
-        writeLock.synchronized {
-          // id allocation needs only max(id) — an aggregate, never a
-          // full collect of the unbounded log table
-          val maxLogId = store.read[TaskLog]("task_logs").agg(max("id"))
-            .head().get(0) match { case null => 0L; case v => v.asInstanceOf[Long] }
-          import spark.implicits._
-          store.append(Seq(TaskLog(maxLogId + 1, t.id, status,
-            message, ts(now))).toDS(), "task_logs")
-          // the reference notifies on manual SQL runs too (web_scheduler.py:5050-5055)
-          if (t.taskType == "sql") taskNotifier.foreach(_.notify(t.id, status, message))
-          store.upsert[Task]("tasks", Seq(t.copy(lastRun = Some(ts(now)))), _.id)
-        }
-        (200, Json.obj("message" -> message))
+        // share the scheduler's in-flight set: a manual run racing the
+        // scheduled run of this task would double-execute it (double
+        // truncate-load); same guard, same dedup
+        if (!taskInFlight.tryAcquire(t.id))
+          (409, Json.obj("error" -> "任务正在执行中"))
+        else try {
+          val now = clock()
+          val (status, message) = executor(t) match {
+            case Right(_) => ("success", "任务执行成功")
+            case Left(err) => ("failed", s"任务执行失败: $err")
+          }
+          writeLock.synchronized {
+            // id allocation needs only max(id) — an aggregate, never a
+            // full collect of the unbounded log table
+            val maxLogId = store.read[TaskLog]("task_logs").agg(max("id"))
+              .head().get(0) match { case null => 0L; case v => v.asInstanceOf[Long] }
+            import spark.implicits._
+            store.append(Seq(TaskLog(maxLogId + 1, t.id, status,
+              message, ts(now))).toDS(), "task_logs")
+            // the reference notifies on manual SQL runs too (web_scheduler.py:5050-5055)
+            if (t.taskType == "sql") taskNotifier.foreach(_.notify(t.id, status, message))
+            // stamp lastRun on the CURRENT row (updateRows re-reads under
+            // the table lock): upserting the pre-run snapshot `t` silently
+            // reverted any admin edit that landed during execution
+            store.updateRows[Task]("tasks", _.id == t.id,
+              _.copy(lastRun = Some(ts(now))))
+          }
+          (200, Json.obj("message" -> message))
+        } finally taskInFlight.release(t.id)
     }
 
   // ---- /api/db-configs --------------------------------------------------
@@ -783,8 +808,12 @@ final class AdminApi(
       store.read[SqlAlert]("sql_alerts").collect().find(_.id == id) match {
         case None => (404, Json.obj("error" -> "预警不存在"))
         case Some(a) if !a.isEnabled => (400, Json.obj("error" -> "预警已禁用"))
+        case Some(a) if !alertInFlight.tryAcquire(id) =>
+          // shares the orchestrator's guard: a manual check racing the
+          // scheduled check of one alert would send duplicate emails
+          (409, Json.obj("error" -> "预警正在检查中"))
         case Some(a) =>
-          svc.check(id) match {
+          try svc.check(id) match {
             case Left(err) => (500, Json.obj("error" -> s"检查SQL预警失败: $err"))
             case Right(res) =>
               // email outcome is recorded in the audit log by the service
@@ -802,7 +831,7 @@ final class AdminApi(
                   "result_count" -> res.rowCount, "triggered" -> false,
                   "condition_text" -> graft.alerts.Condition
                     .describe(a.conditionType, a.threshold)))
-          }
+          } finally alertInFlight.release(id)
       }
 
     case _ => (404, Json.obj("error" -> "not found"))

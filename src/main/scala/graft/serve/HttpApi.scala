@@ -114,6 +114,7 @@ final class HttpApi(spark: SparkSession, deps: HttpApi.Deps) {
     * `latest_status` (success/failed/none). Response `{"tasks":[...]}` with
     * the reference's field set, dependencies CSV parsed to an int list. */
   private def handleTasks(ex: HttpExchange): (Int, Any) = {
+    tokenAuth(ex).foreach(return _)
     val p = params(ex)
     val statusFilter = p.get("latest_status").map(_.trim).filter(_.nonEmpty).map {
       case "none" => "never_executed" // reference's tl.task_id IS NULL arm
@@ -170,6 +171,7 @@ final class HttpApi(spark: SparkSession, deps: HttpApi.Deps) {
     * task doesn't exist; per_page defaults 10, capped at 100; envelope
     * `{logs, pagination}` with status/message/execution_time rows. */
   private def handleTaskLogs(ex: HttpExchange): (Int, Any) = {
+    tokenAuth(ex).foreach(return _)
     val path = ex.getRequestURI.getPath.stripPrefix("/api/task-logs/")
     val taskId = try path.toLong catch {
       case _: NumberFormatException => return (404, Json.obj("message" -> "任务不存在"))
@@ -201,6 +203,7 @@ final class HttpApi(spark: SparkSession, deps: HttpApi.Deps) {
     * alert_type/status, LEFT JOIN email_configs for config_name, ordered
     * sent_time DESC, exact envelope shape. */
   private def handleNotificationLogs(ex: HttpExchange): (Int, Any) = {
+    tokenAuth(ex).foreach(return _)
     val p = params(ex)
     val (page, perPage, taskId) =
       try {
@@ -253,17 +256,21 @@ final class HttpApi(spark: SparkSession, deps: HttpApi.Deps) {
   /** Token-authenticated record insert (web_scheduler.py:4312-4373 +
     * api_token_required 1697-1736; golden request/response in
     * postman_api_guide.md:50-106). */
-  private def handleInsert(ex: HttpExchange): (Int, Any) = {
-    if (ex.getRequestMethod != "POST")
-      return (405, Json.obj("error" -> "method not allowed"))
-    // Bearer-token auth against user_tokens JOIN users with expiry check
+  /** Bearer-token auth against user_tokens JOIN users with expiry check
+    * (api_token_required, web_scheduler.py:1697-1736). Returns the error
+    * response to emit, or None when the token is valid. Shared by the
+    * insert route AND the GET read routes: the reference authenticates
+    * every one of these routes (its task/log reads are @login_required),
+    * so an unauthenticated read surface here would be an auth bypass of
+    * the session-guarded AdminApi serving the same tables. */
+  private def tokenAuth(ex: HttpExchange): Option[(Int, Any)] = {
     val token = Option(ex.getRequestHeaders.getFirst("Authorization"))
       .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer ").trim)
       .filter(_.nonEmpty)
     token match {
       case None =>
-        return (401, Json.obj(
-          "error" -> "缺少API Token，请在Authorization头中使用\"Bearer YOUR_TOKEN\"格式"))
+        Some((401, Json.obj(
+          "error" -> "缺少API Token，请在Authorization头中使用\"Bearer YOUR_TOKEN\"格式")))
       case Some(tok) =>
         val now = new java.sql.Timestamp(System.currentTimeMillis())
         // bind the users frame ONCE: a second deps.users() call would build
@@ -273,9 +280,15 @@ final class HttpApi(spark: SparkSession, deps: HttpApi.Deps) {
         val valid = deps.userTokens()
           .filter(col("token") === tok && col("expiresAt") > lit(now))
           .join(users, col("userId") === users("id"))
-        if (valid.isEmpty)
-          return (401, Json.obj("error" -> "无效或过期的API Token"))
+        if (valid.isEmpty) Some((401, Json.obj("error" -> "无效或过期的API Token")))
+        else None
     }
+  }
+
+  private def handleInsert(ex: HttpExchange): (Int, Any) = {
+    if (ex.getRequestMethod != "POST")
+      return (405, Json.obj("error" -> "method not allowed"))
+    tokenAuth(ex).foreach(return _)
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
     val data = try Json.parse(body) match {
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]

@@ -123,15 +123,40 @@ object Jdbc {
       case (r, i) if !cols.forall(r.contains) =>
         s"record $i missing column(s): ${cols.filterNot(r.contains).mkString(",")}"
     }
-    missing.toLeft(()).map { _ =>
+    missing.toLeft(()).flatMap { _ =>
       val schema = read(spark, t, table).schema
       // remote engines report folded (e.g. uppercase) names — match
       // case-insensitively but write with the caller's spelling
       val byLower = schema.fields.map(f => f.name.toLowerCase -> f).toMap
+      // a record column the table doesn't have is a clean client error,
+      // not a bare NoSuchElementException-turned-500
+      val unknown = cols.filterNot(c => byLower.contains(c.toLowerCase))
+      if (unknown.nonEmpty)
+        return Left(s"unknown column(s) for table '$table': " +
+          unknown.mkString(","))
       val ordered = org.apache.spark.sql.types.StructType(
         cols.map(c => byLower(c.toLowerCase).copy(name = c)))
+      // numeric widening/narrowing per the TARGET column type: JSON-borne
+      // values arrive as the parser's native types (Long/Double/String)
+      // and the Row encoder validates exactly — a Long into an INT column
+      // threw at execution time as a 500 instead of coercing
+      import org.apache.spark.sql.types._
+      def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+        case (null, _) => null
+        case (n: Number, IntegerType) => n.intValue()
+        case (n: Number, LongType) => n.longValue()
+        case (n: Number, DoubleType) => n.doubleValue()
+        case (n: Number, FloatType) => n.floatValue()
+        case (n: Number, ShortType) => n.shortValue()
+        case (n: Number, ByteType) => n.byteValue()
+        case (n: Number, _: DecimalType) =>
+          new java.math.BigDecimal(n.toString)
+        case (other, StringType) if other != null => other.toString
+        case (other, _) => other // remaining combos validate in the encoder
+      }
       val rows = records.map(r =>
-        org.apache.spark.sql.Row.fromSeq(cols.map(c => r(c))))
+        org.apache.spark.sql.Row.fromSeq(
+          cols.map(c => coerce(r(c), byLower(c.toLowerCase).dataType))))
       val writer = spark.createDataFrame(
           spark.sparkContext.parallelize(rows.toList), ordered)
         .write.format("jdbc")
@@ -139,7 +164,7 @@ object Jdbc {
         .mode(SaveMode.Append)
       t.props.stringPropertyNames().toArray(Array.empty[String])
         .foldLeft(writer)((w, k) => w.option(k, t.props.getProperty(k))).save()
-      records.size.toLong
+      Right(records.size.toLong)
     }
   }
 

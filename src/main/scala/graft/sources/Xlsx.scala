@@ -70,12 +70,20 @@ object Xlsx {
       sb.toString
     }
 
-    val zos = new ZipOutputStream(new FileOutputStream(path))
+    // write-aside + rename: a mid-write failure (disk full, a sheet's
+    // collect throwing) must neither leak the ZipOutputStream fd nor
+    // leave a truncated .xlsx at the destination that a later reader
+    // would trust
+    val dest = java.nio.file.Paths.get(path).toAbsolutePath
+    val tmp = java.nio.file.Files.createTempFile(
+      dest.getParent, "." + dest.getFileName.toString + ".", ".tmp")
+    val zos = new ZipOutputStream(new FileOutputStream(tmp.toFile))
     def entry(name: String, content: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))
       zos.write(content.getBytes("UTF-8")); zos.closeEntry()
     }
     val idx = sheets.indices
+    try {
     entry("[Content_Types].xml",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
       """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
@@ -106,10 +114,17 @@ object Xlsx {
         s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>""")
         .mkString +
       """</Relationships>""")
-    sheets.zipWithIndex.foreach { case ((_, df), i) =>
-      entry(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df))
+      sheets.zipWithIndex.foreach { case ((_, df), i) =>
+        entry(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df))
+      }
+      zos.close()
+      java.nio.file.Files.move(tmp, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case t: Throwable =>
+      try zos.close() catch { case _: Throwable => () }
+      java.nio.file.Files.deleteIfExists(tmp)
+      throw t
     }
-    zos.close()
   }
 
   // ---------- read ----------

@@ -35,8 +35,15 @@ object Sql {
           }
         case '\'' | '"' | '`' =>
           cur += c
+          // backslash-escaped char inside a string literal (Spark's and
+          // MySQL's default escape semantics): consume the escaped char so
+          // `'O\'Brien; x'` stays ONE literal instead of splitting at the
+          // quote. Backtick identifiers have no backslash escapes.
+          if (c == '\\' && state != '`' && i + 1 < n) {
+            cur += script.charAt(i + 1); i += 1
+          }
           // doubled quote inside a quoted region is an escaped quote
-          if (c == state) {
+          else if (c == state) {
             if (i + 1 < n && script.charAt(i + 1) == state) { cur += state; i += 1 }
             else state = 'n'
           }

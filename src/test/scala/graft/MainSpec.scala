@@ -48,12 +48,27 @@ class MainSpec extends SparkSuite {
             "schedule_interval":0}""", cookie)
       assert(tc == 200, s"task create failed: $tb")
       val tid = asMap(tb)("id").asInstanceOf[Long]
+      // the read API is token-authed (reference: @login_required reads) —
+      // mint one over the admin surface, the full production lifecycle
+      val (kc, kb, _) = send(app.adminPort, "POST", "/api/users/generate-token",
+        """{"name":"e2e-probe"}""", cookie)
+      assert(kc == 200, s"token mint failed: $kb")
+      val bearer = asMap(kb)("token").asInstanceOf[String]
+      def getLogs(tid: Long): (Int, Any) = {
+        val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${app.httpPort}/api/task-logs/$tid"))
+          .header("Authorization", s"Bearer $bearer").GET()
+        val r = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), Json.parse(r.body()))
+      }
+      // no token → 401 on the read surface too
+      assert(send(app.httpPort, "GET", s"/api/task-logs/$tid")._1 == 401)
       // the ORCHESTRATOR daemon (1 s ticks) must pick it up — no run-now
       val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
       var logs = Vector.empty[Map[String, Any]]
       while (logs.isEmpty && System.nanoTime < deadline) {
         Thread.sleep(500)
-        val (gc, gb, _) = send(app.httpPort, "GET", s"/api/task-logs/$tid")
+        val (gc, gb) = getLogs(tid)
         if (gc == 200)
           logs = asMap(gb)("logs").asInstanceOf[Vector[Any]].map(asMap)
       }

@@ -151,6 +151,23 @@ class SmtpSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("bare-LF body lines normalize to CRLF so dot-stuffing covers them (RFC 5321 §2.3.8)") {
+    val srv = new StubSmtpServer()
+    try {
+      val n = new SmtpNotifier("127.0.0.1", srv.port, useTls = false, "", "", "s@x.com")
+      // alert bodies are \n-built. Pre-normalization, the CRLF-only
+      // dot-stuffing pass never saw LF-separated "lines", so a body whose
+      // LF-line is exactly "." went out UNSTUFFED — any server that
+      // splits on LF (the stub's readLine does, like many lax MTAs) read
+      // it as end-of-DATA and silently TRUNCATED the message there.
+      assert(n.send(Seq("a@x.com"), "s", "line1\n.\nline2-after-dot") == Right(()))
+      val data = srv.transactions.head.data
+      assert(data.contains("line2-after-dot"),
+        s"message truncated at the bare-dot line: $data")
+      assert(data.contains("line1"), data)
+    } finally srv.stop()
+  }
+
   test("rejected recipient aborts the remaining sends with the error") {
     val srv = new StubSmtpServer(rejectRcpt = Some("bad@x.com"))
     try {

@@ -544,6 +544,19 @@ class PlanAuditSpec extends SparkSuite {
     // are quantized in-plan by design)
     val int8Scans = "graft_int8".r.findAllIn(finalPlan).size
     assert(int8Scans >= 1, s"rerank did not read the stored int8 table:\n$plan")
+    // ...and PIN that claim: the quantize kernel (rendered as the
+    // transform-over-aggregate int8 cast chain, distinctive marker
+    // `127`-scale casts inside a transform lambda) may appear for the
+    // 50-row query panel only. A regression that re-quantizes the CORPUS
+    // in-plan (scanning embeddings alongside the stored table) would
+    // still contain `graft_int8`, so the stored-table assertion alone
+    // cannot catch it — instead assert the embeddings SOURCE is scanned
+    // at most once in stage shape (the query panel's own read), never a
+    // second full-corpus quantize branch.
+    val embScans = "embeddings.parquet".r.findAllIn(finalPlan).size
+    assert(embScans <= 1,
+      s"corpus embeddings scanned $embScans times — a re-quantize branch " +
+      s"crept beside the stored int8 artifact:\n$plan")
   }
 
   test("q67 funnel: six stages fold into one aggregate, never re-scans per stage") {

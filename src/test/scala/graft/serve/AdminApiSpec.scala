@@ -730,4 +730,52 @@ class AdminApiSpec extends SparkSuite {
     assert(again.length == 1 && again.head.userId == 2L &&
       again.head.name.contains("Renamed"))
   }
+
+  test("run-now and manual alert check share the scheduler/orchestrator in-flight guards (409 while running)") {
+    val store2 = new CatalogStore(spark, tmpDir("admin-inflight"))
+    val exec: Task => Either[String, String] = _ => Right("ok")
+    val taskGuard = new graft.sched.InFlightGuard
+    val alertGuard = new graft.sched.InFlightGuard
+    def req(port: Int, method: String, path: String, body: String,
+            cookie: Option[String]) = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      cookie.foreach(c => b.header("Cookie", c))
+      val r = client.send(
+        (if (method == "GET") b.GET()
+         else b.method(method, HttpRequest.BodyPublishers.ofString(body))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(),
+       r.headers().firstValue("Set-Cookie")
+        .map[Option[String]](v => Some(v.split(';').head)).orElse(None))
+    }
+    import spark.implicits._
+    store2.overwrite(spark.createDataset(Seq(Task(
+      1L, "guarded", "python", Some("scripts/x.py"), None, 600L, None, None,
+      isActive = true, None, 0, 60, None,
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))), "tasks")
+    val api = new AdminApi(spark, store2, exec,
+      Some(new graft.alerts.AlertService(spark, store2, notifier,
+        tmpDir("admin-inflight-exp"))),
+      taskInFlight = taskGuard, alertInFlight = alertGuard)
+    val port = api.start()
+    try {
+      val (lc, cookie) = req(port, "POST", "/api/login",
+        """{"username":"admin","password":"admin123"}""", None)
+      assert(lc == 200)
+      // the SCHEDULED loop holds the task in flight (same guard instance
+      // Main wires from Scheduler.inFlight) — a manual run must not race
+      // it into a double execution
+      assert(taskGuard.tryAcquire(1L))
+      assert(req(port, "POST", "/api/tasks/1/run", "", cookie)._1 == 409)
+      taskGuard.release(1L)
+      assert(req(port, "POST", "/api/tasks/1/run", "", cookie)._1 == 200)
+      // same contract for the manual alert check vs the orchestrator
+      store2.overwrite(spark.createDataset(Seq(SqlAlert(
+        5L, "watch", 1L, None, "ops@x.com", "not_empty", 0,
+        isEnabled = true, None, None, None))), "sql_alerts")
+      assert(alertGuard.tryAcquire(5L))
+      assert(req(port, "POST", "/api/sql-alerts/5/check", "", cookie)._1 == 409)
+      alertGuard.release(5L)
+    } finally api.stop()
+  }
 }

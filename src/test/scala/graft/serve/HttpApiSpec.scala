@@ -66,10 +66,15 @@ class HttpApiSpec extends SparkSuite {
 
   private val client = HttpClient.newHttpClient()
 
-  private def get(path: String): (Int, Any) = {
-    val r = client.send(
-      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api._2}$path")).GET().build(),
-      HttpResponse.BodyHandlers.ofString())
+  // the read routes are token-authed like the insert route (the
+  // reference's task/log reads are @login_required — an open read surface
+  // would bypass the session-guarded admin API over the same tables)
+  private def get(path: String,
+                  token: Option[String] = Some("good-token")): (Int, Any) = {
+    val b = HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:${api._2}$path")).GET()
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    val r = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
     (r.statusCode(), Json.parse(r.body()))
   }
 
@@ -83,6 +88,13 @@ class HttpApiSpec extends SparkSuite {
 
   private def asMap(v: Any) = v.asInstanceOf[Map[String, Any]]
   private def asVec(v: Any) = v.asInstanceOf[Vector[Any]]
+
+  test("GET read routes reject missing/expired tokens like the insert route") {
+    assert(get("/api/tasks", token = None)._1 == 401)
+    assert(get("/api/tasks", token = Some("wrong-token"))._1 == 401)
+    assert(get("/api/task-logs/1", token = Some("expired-token"))._1 == 401)
+    assert(get("/api/notification-logs", token = None)._1 == 401)
+  }
 
   test("GET /api/tasks returns the reference's task shape with latest status") {
     val (code, body) = get("/api/tasks")

@@ -71,6 +71,18 @@ class JdbcSpec extends SparkSuite {
     assert(bad.isLeft && bad.left.exists(_.contains("name")))
     assert(Jdbc.read(spark, t, "recs").count() == 3) // nothing written
     assert(Jdbc.insertRecords(spark, t, "recs", Nil) == Left("no records provided"))
+    // an unknown column is a clean client error, not a bare
+    // NoSuchElementException surfaced as a 500
+    val unk = Jdbc.insertRecords(spark, t, "recs",
+      Seq(Map("id" -> 6, "nope" -> "x")))
+    assert(unk.isLeft && unk.left.exists(_.contains("unknown column")), unk)
+    // JSON-borne numerics coerce to the TARGET column type: the parser
+    // yields Long/Double natively and the Derby table's id is INT — the
+    // strict Row encoder used to throw this as a 500 at execution time
+    val coerced = Jdbc.insertRecords(spark, t, "recs",
+      Seq(Map("id" -> 7L, "name" -> "g")))
+    assert(coerced == Right(1L), coerced)
+    assert(Jdbc.read(spark, t, "recs").count() == 4)
   }
 
   test("runScript executes DML server-side and SELECTs through Spark") {

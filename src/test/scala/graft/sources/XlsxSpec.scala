@@ -65,6 +65,26 @@ class XlsxSpec extends SparkSuite {
     intercept[IllegalArgumentException](Xlsx.read(spark, path, sheetIndex = 2))
   }
 
+  test("mid-write failure leaves no truncated artifact (write-aside + rename)") {
+    import spark.implicits._
+    val dir = tmpDir("xlsx")
+    val path = dir + "/book.xlsx"
+    val good = Seq((1L, "a")).toDF("id", "name")
+    Xlsx.writeSheets(Seq("Good" -> good), path)
+    val before = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    // a sheet whose collect throws mid-write must neither replace the
+    // existing good workbook with a truncated zip nor leave a temp file
+    val exploding = good.filter(org.apache.spark.sql.functions
+      .expr("assert_true(id > 99)").isNull)
+    intercept[Throwable](
+      Xlsx.writeSheets(Seq("Good" -> good, "Boom" -> exploding), path))
+    assert(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      .sameElements(before), "destination workbook was clobbered")
+    val leftovers = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"temp leftovers: ${leftovers.toSeq}")
+  }
+
   test("empty cells become nulls and don't shift columns") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[String], 2.0), (2L, Some("x"), 3.0))

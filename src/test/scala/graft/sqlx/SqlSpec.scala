@@ -22,6 +22,15 @@ class SqlSpec extends SparkSuite {
       Seq("SELECT 'it''s; fine'", "SELECT 2"))
   }
 
+  test("splitter: backslash-escaped quote inside literal (Spark/MySQL default escapes)") {
+    assert(Sql.splitStatements("""SELECT 'O\'Brien; x'; SELECT 2""") ==
+      Seq("""SELECT 'O\'Brien; x'""", "SELECT 2"))
+    // a trailing backslash before the closing quote is CONSUMED as an
+    // escape pair, so the literal stays open across the next quote
+    assert(Sql.splitStatements("""SELECT 'a\\'; SELECT 'b;c'""") ==
+      Seq("""SELECT 'a\\'""", "SELECT 'b;c'"))
+  }
+
   test("splitter: double quotes and backticks") {
     assert(Sql.splitStatements("""SELECT "a;b", `c;d`; SELECT 2""") ==
       Seq("""SELECT "a;b", `c;d`""", "SELECT 2"))
