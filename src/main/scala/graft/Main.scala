@@ -99,7 +99,12 @@ object Main {
       // filesystem session store next to the catalog (the reference's
       // flask_session/ dir): logins survive a server restart
       sessionDir = Some(s"$catalogDir/_sessions"),
-      debugEndpoints = debugEndpoints)
+      debugEndpoints = debugEndpoints,
+      // ONE in-flight set per resource across the daemon and the API:
+      // a manual run-now (or alert check) racing the scheduled run of
+      // the same task/alert must 409, not double-execute
+      taskInFlight = scheduler.inFlight,
+      alertInFlight = orchestrator.alertGuard)
     val boundAdmin = adminApi.start(adminPort)
 
     val daemon = new Thread(() => orchestrator.runLoop(), "graft-orchestrator")
