@@ -81,7 +81,8 @@ object Bench {
                                     prebuildFailed: Seq[String],
                                     warmByArtifact: Seq[(String, Boolean)],
                                     timed: Seq[(String, Double, Long)],
-                                    ccRounds: Map[String, Int])
+                                    ccRounds: Map[String, Int],
+                                    candPairs: Map[String, Long])
 
   /** Propagation round counts observed for the cluster queries this run
     * (q57/q58 run live label propagation): ships in the artifacts so a
@@ -89,8 +90,22 @@ object Bench {
     * regression; same rounds, longer wall = box load. */
   private def ccRoundsFor(name: String): Option[(String, Int)] =
     if (name.startsWith("q57_") || name.startsWith("q58_")) {
-      val r = graft.operators.Pipeline.lastCcRounds
+      // thread-local register: this thread just ran the query, so the
+      // count is ITS run's even under a concurrent bench in the same JVM
+      val r = graft.operators.Pipeline.lastCcRounds.get().intValue()
       if (r >= 0) Some(name -> r) else None
+    } else None
+
+  /** Prefix-filter candidate-pair counts for the containment query (the
+    * q108 analogue of [[ccRoundsFor]]): the r10 fix's invariant is that
+    * this count grows LINEARLY in corpus size, so shipping it per probe
+    * entry makes a wall-clock drift adjudicable from the artifact alone —
+    * count blew up = real candidate-generation regression; same count,
+    * longer wall = box load (the r13 q57 / r14 q108 driver-probe class). */
+  private def candPairsFor(name: String): Option[(String, Long)] =
+    if (name.startsWith("q108_")) {
+      val c = graft.operators.Pipeline.lastContainmentCands.get().longValue()
+      if (c >= 0) Some(name -> c) else None
     } else None
 
   /** Prebuild + time the probe family on one corpus dir. The prebuild
@@ -151,6 +166,7 @@ object Bench {
       "pq_seed" ->
         graft.core.Warehouse.isFresh(spark, s"graft_pq_seed_$sfx", Seq(embStamp)))
     val ccRounds = scala.collection.mutable.Map[String, Int]()
+    val candPairs = scala.collection.mutable.Map[String, Long]()
     val runs = (1 to math.max(1, reps)).map { _ =>
       probeQueries.map { name =>
         val t0 = System.nanoTime()
@@ -158,7 +174,10 @@ object Bench {
                    catch { case t: Throwable =>
                      println(s"[bench] PROBE QUERY FAILED: $name: $t"); -1L }
         val sec = (System.nanoTime() - t0) / 1e9
-        if (rows >= 0) ccRoundsFor(name).foreach { case (n, r) => ccRounds(n) = r }
+        if (rows >= 0) {
+          ccRoundsFor(name).foreach { case (n, r) => ccRounds(n) = r }
+          candPairsFor(name).foreach { case (n, c) => candPairs(n) = c }
+        }
         // result consumed — drop tracked blocks. BLOCKING: a non-blocking
         // unpersist future from the last probe query can outlive the final
         // drain (its queue entry is already gone) and race spark.stop()
@@ -171,7 +190,8 @@ object Bench {
       val secs = runs.map(_(i)._2).sorted
       (name, secs(secs.length / 2), runs.map(_(i)._3).min)
     }
-    ProbeRun(prebuildSec, prebuildFailed, warmByArtifact, timed, ccRounds.toMap)
+    ProbeRun(prebuildSec, prebuildFailed, warmByArtifact, timed,
+      ccRounds.toMap, candPairs.toMap)
   }
 
   /** Synthetic-growth probe: time the dedup/ANN family on a 1× AND a
@@ -213,7 +233,11 @@ object Bench {
         case (Some(a), Some(b)) => s""",\"cc_rounds_1x\":$a,\"cc_rounds\":$b"""
         case _ => ""
       }
-      s"""\"$name\":{\"sec_1x\":$s1,\"rows_1x\":$rows1,\"sec\":$secN,\"rows\":$rowsN,\"ratio\":$ratio$cc}"""
+      val cp = (r1.candPairs.get(name), rN.candPairs.get(name)) match {
+        case (Some(a), Some(b)) => s""",\"cand_pairs_1x\":$a,\"cand_pairs\":$b"""
+        case _ => ""
+      }
+      s"""\"$name\":{\"sec_1x\":$s1,\"rows_1x\":$rows1,\"sec\":$secN,\"rows\":$rowsN,\"ratio\":$ratio$cc$cp}"""
     }.mkString(",")
     def warmJson(r: ProbeRun) = r.warmByArtifact
       .map { case (k, v) => s"""\"$k\":$v""" }.mkString("{", ",", "}")
@@ -251,8 +275,9 @@ object Bench {
         -1L
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      if (rows >= 0) ccRoundsFor(name).foreach { case (n, r) =>
-        mainCcRounds(n) = r
+      if (rows >= 0) {
+        ccRoundsFor(name).foreach { case (n, r) => mainCcRounds(n) = r }
+        candPairsFor(name).foreach { case (n, c) => mainCandPairs(n) = c }
       }
       // the query's RESULT was just consumed (count) — release the blocks
       // its operators tracked, exactly like the scheduler daemon does at
@@ -264,7 +289,10 @@ object Bench {
 
   /** cc-round observations of the MAIN timed set (last rep wins — the
     * count is corpus-deterministic, reps agree). */
-  private val mainCcRounds = scala.collection.mutable.Map[String, Int]()
+  private val mainCcRounds = scala.collection.concurrent.TrieMap[String, Int]()
+
+  /** Containment candidate-pair observations of the MAIN timed set. */
+  private val mainCandPairs = scala.collection.concurrent.TrieMap[String, Long]()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -391,8 +419,10 @@ object Bench {
     }
     val ccJson = mainCcRounds.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val cpJson = mainCandPairs.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"rows":$rowsJson,"failed":$failedJson,"cc_rounds":$ccJson,"sf":"${esc(sfDir)}","warehouse_warm":$warmAfter,"warehouse_warm_found":$warmFound,"prebuild_failed":${prebuildFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},"prebuild_sec":$prebuildSec$probeJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"rows":$rowsJson,"failed":$failedJson,"cc_rounds":$ccJson,"cand_pairs":$cpJson,"sf":"${esc(sfDir)}","warehouse_warm":$warmAfter,"warehouse_warm_found":$warmFound,"prebuild_failed":${prebuildFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},"prebuild_sec":$prebuildSec$probeJson}"""
     // r3 post-mortem: the metric line printed BEFORE spark.stop() was
     // displaced out of the driver's 2000-char stdout tail by a shutdown
     // stack-trace flood. r4 post-mortem: with 73 queries the single metric

@@ -92,15 +92,21 @@ object Locks {
       // in-JVM threads, so the section is covered without a new channel.
       if (owned.containsKey(key)) f
       else {
-        val ch = FileChannel.open(lockFile, StandardOpenOption.WRITE)
+        // register the claim BEFORE the channel opens: tryOwnProcessWide's
+        // overlap guard reads activeScoped, and registering only after
+        // ch.lock() returned left a window where a concurrent claim passed
+        // the guard, hit OverlappingFileLockException, and closed a second
+        // channel on a file whose scoped lock is held — the POSIX
+        // close-releases-locks hazard the guard exists to prevent
+        activeScoped.add(key)
         try {
-          val l = ch.lock() // blocks until the owning process releases/dies
-          held.add(key)
-          activeScoped.add(key)
-          try f finally {
-            held.remove(key); activeScoped.remove(key); l.release()
-          }
-        } finally ch.close()
+          val ch = FileChannel.open(lockFile, StandardOpenOption.WRITE)
+          try {
+            val l = ch.lock() // blocks until the owning process releases/dies
+            held.add(key)
+            try f finally { held.remove(key); l.release() }
+          } finally ch.close()
+        } finally activeScoped.remove(key)
       }
     }
   }
@@ -127,20 +133,30 @@ object Locks {
     // second open+close on an owned file could release the held OS lock
     // on POSIX (see ensureAndKey)
     if (owned.containsKey(key)) return true
-    // overlap guard: claiming a file that is mid-[[withFileLock]] in this
-    // process would open+close a second channel on it — on POSIX the
-    // close can silently release the scoped holder's OS lock. The two
-    // primitives use disjoint lock files by design; composing them on one
-    // file is a caller bug that must fail loud, not corrupt locking.
-    if (activeScoped.contains(key))
-      throw new IllegalStateException(
-        s"lock file '$lockFile' is in scoped withFileLock use in this " +
-        "process; process-wide ownership claims must use a distinct file")
-    val ch = FileChannel.open(lockFile, StandardOpenOption.WRITE)
-    val l =
-      try ch.tryLock()
-      catch { case _: OverlappingFileLockException => null }
-    if (l == null) { ch.close(); false }
-    else { owned.put(key, ch); true }
+    // serialize with [[withFileLock]] on the SAME per-key monitor: the
+    // scoped section holds it for its whole duration, so the overlap
+    // guard below and this claim's channel open/close can never
+    // interleave with a scoped acquisition mid-flight (the TOCTOU where
+    // a claim passed the guard just before activeScoped was populated,
+    // then closed a second channel on the scoped holder's file).
+    // Re-entry from a thread INSIDE a scoped section still reaches the
+    // guard (monitors are reentrant) and fails loud as intended.
+    keyMonitors.computeIfAbsent(key, _ => new Object).synchronized {
+      // overlap guard: claiming a file that is mid-[[withFileLock]] in this
+      // process would open+close a second channel on it — on POSIX the
+      // close can silently release the scoped holder's OS lock. The two
+      // primitives use disjoint lock files by design; composing them on one
+      // file is a caller bug that must fail loud, not corrupt locking.
+      if (activeScoped.contains(key))
+        throw new IllegalStateException(
+          s"lock file '$lockFile' is in scoped withFileLock use in this " +
+          "process; process-wide ownership claims must use a distinct file")
+      val ch = FileChannel.open(lockFile, StandardOpenOption.WRITE)
+      val l =
+        try ch.tryLock()
+        catch { case _: OverlappingFileLockException => null }
+      if (l == null) { ch.close(); false }
+      else { owned.put(key, ch); true }
+    }
   }
 }

@@ -653,21 +653,31 @@ object Vectors {
           nBuckets, codebook())
         graft.core.Warehouse.writeMeta(spark, table, meta)
         graft.core.Warehouse.writeMeta(spark, table + "_codebook", meta)
-        codebookMemo.put(memoKey, cb)
+        memoCodebook(memoKey, () => cb)
       }
     }
     // warm calls read the stored codebook ONCE per session per artifact:
     // without the memo every warm caller (each q160-q163 run, every
     // index-task tick) paid a 1-row head() job for an immutable value
-    codebookMemo.computeIfAbsent(memoKey,
-      _ => pqCodebookFromTable(spark, table, m, k, dsub))
+    memoCodebook(memoKey, () => pqCodebookFromTable(spark, table, m, k, dsub))
   }
 
   /** Session cache of stored PQ codebooks, keyed by (warehouse, table,
-    * full meta). Bounded by the number of distinct artifacts (each value
-    * is m·k·dsub ints — ~4 KB at the canonical 8×16×8). */
+    * full meta). Each value is m·k·dsub ints — ~4 KB at the canonical
+    * 8×16×8. EVICTION-BOUNDED: a long-lived process cycling through
+    * unbounded distinct artifacts (per-tempdir warehouses in tests, a
+    * daemon serving many corpora) must not grow the memo without limit,
+    * so crossing [[CodebookMemoMax]] clears the map (the BPE memo's
+    * clear-on-threshold shape) — a re-read after a clear costs one 1-row
+    * head() job, the thing the memo exists to amortize, not correctness. */
+  private[graft] val CodebookMemoMax = 64
   private val codebookMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+
+  private[graft] def memoCodebook(key: String, load: () => Array[Int]): Array[Int] = {
+    if (codebookMemo.size() > CodebookMemoMax) codebookMemo.clear()
+    codebookMemo.computeIfAbsent(key, _ => load())
+  }
 
   /** The stored codebook of a [[writePqCodes]] artifact, with the caller's
     * expected config as the drift guard — scoring with a codebook other

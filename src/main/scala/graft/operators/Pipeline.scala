@@ -201,6 +201,14 @@ object Pipeline {
         Dedup.shingleHashRows(docs, "doc_id", "text", w = 3)) { grams =>
       graft.core.Mat.tracked(containmentCandidates(grams))
     }
+    // candidate-mass register (the q108 analogue of lastCcRounds): the
+    // count of PREFIX-FILTER-OPENED pairs is the r10 fix's invariant —
+    // linear in corpus size — so Bench ships it per probe entry and a
+    // wall-clock drift is attributable: count grew super-linearly = plan
+    // regression; same count, longer wall = box load. The frame was just
+    // localCheckpoint'ed, so this count scans cached blocks, not the
+    // gram index.
+    lastContainmentCands.set(java.lang.Long.valueOf(cand.count()))
     // same O(candidates)-not-O(corpus) verify shape as verifyPairsExact:
     // only candidate docs get their shingle arrays built
     val candIds = cand.select(col("id_a").as("doc_id"))
@@ -1541,7 +1549,18 @@ object Pipeline {
     * (same rounds, longer wall) — the r13 driver probe showed q57 at 6.2×
     * while two same-head builder runs read ≤3.8×, and without the round
     * count the artifact could not say which kind of drift that was. */
-  @volatile private[graft] var lastCcRounds: Int = -1
+  /** Thread-local: the CC loop runs on the calling (driver) thread, so
+    * the caller that just ran a cluster query reads ITS run's count even
+    * when two benches/queries run concurrently in one JVM — a shared
+    * `@volatile var` would attribute one run's rounds to the other. */
+  private[graft] val lastCcRounds: ThreadLocal[Integer] =
+    ThreadLocal.withInitial[Integer](() => Integer.valueOf(-1))
+
+  /** Candidate-pair count of the most recent [[containmentPairs]] run on
+    * this thread — the q108 probe's in-artifact adjudication evidence
+    * (see the register's doc at the call site). */
+  private[graft] val lastContainmentCands: ThreadLocal[java.lang.Long] =
+    ThreadLocal.withInitial[java.lang.Long](() => java.lang.Long.valueOf(-1L))
 
   private[graft] def connectedComponents(ids: DataFrame,
                                          edges: DataFrame,
@@ -1621,7 +1640,7 @@ object Pipeline {
         col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("is_canonical")))
       Mat.release(labels, blocking = true) // last scope-exit before return
-      lastCcRounds = iter
+      lastCcRounds.set(iter)
       (out, iter)
     }
   }

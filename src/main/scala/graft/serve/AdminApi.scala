@@ -219,8 +219,8 @@ final class AdminApi(
           // SQL + SMTP round-trip), and the SMTP connectivity test — held
           // under writeLock these starved login and every CRUD for their
           // full duration
-          val slowExecution = segs.contains("run") ||
-            segs.contains("check") || segs.contains("test")
+          val slowExecution = AdminApi.isSlowExecutionRoute(
+            ex.getRequestMethod, segs)
           val mutating = ex.getRequestMethod != "GET" && !slowExecution
           if (mutating) writeLock.synchronized { f(ex, ex.getRequestMethod, segs) }
           else f(ex, ex.getRequestMethod, segs)
@@ -1210,6 +1210,21 @@ final class AdminApi(
 }
 
 object AdminApi {
+  /** The EXACT execution-route shapes exempt from the API write lock —
+    * method + full segment pattern, exactly as the handlers match them.
+    * A bare segment-name check (`segs.contains("test")`) would silently
+    * exempt any future mutating route that reuses a generic segment name
+    * (e.g. a `.../test` CRUD sub-resource) and regress the max(id)+1
+    * log-allocation serialization the lock provides. */
+  private[serve] def isSlowExecutionRoute(method: String,
+                                          segs: Seq[String]): Boolean =
+    (method, segs) match {
+      case ("POST", Seq("api", "tasks", _, "run"))          => true
+      case ("POST", Seq("api", "sql-alerts", _, "check"))   => true
+      case ("POST", Seq("api", "email-configs", _, "test")) => true
+      case _                                                => false
+    }
+
   /** Default test-send path: a real SMTP dialogue via [[graft.alerts.SmtpNotifier]]
     * with the reference's fixed test subject/body (web_scheduler.py:2362-2368).
     * Tests inject a recording mailer instead. */

@@ -139,32 +139,70 @@ object Jdbc {
       // numeric widening/narrowing per the TARGET column type: JSON-borne
       // values arrive as the parser's native types (Long/Double/String)
       // and the Row encoder validates exactly — a Long into an INT column
-      // threw at execution time as a 500 instead of coercing
+      // threw at execution time as a 500 instead of coercing. Narrowing is
+      // RANGE-CHECKED: a value that doesn't fit the target column (or a
+      // fractional value into an integral column) is a clean client error,
+      // never a silent wrap/truncate landing corrupt data in the external
+      // database with a success response.
       import org.apache.spark.sql.types._
-      def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+      final case class Reject(msg: String) extends RuntimeException(msg)
+      def exactIntegral(n: Number, col: String, lo: Long, hi: Long,
+                        kind: String): Long = {
+        val d = n.doubleValue()
+        n match {
+          case _: java.lang.Double | _: java.lang.Float
+              if d.isNaN || d.isInfinite =>
+            throw Reject(s"non-finite value $n for $kind column '$col'")
+          case _ => ()
+        }
+        val bd = new java.math.BigDecimal(n.toString)
+        if (bd.stripTrailingZeros.scale > 0)
+          throw Reject(s"fractional value $n for $kind column '$col'")
+        val bi = bd.toBigInteger
+        if (bi.compareTo(java.math.BigInteger.valueOf(lo)) < 0 ||
+            bi.compareTo(java.math.BigInteger.valueOf(hi)) > 0)
+          throw Reject(s"value $n out of range for $kind column '$col' " +
+            s"[$lo, $hi]")
+        bi.longValue()
+      }
+      def coerce(v: Any, col: String, dt: DataType): Any = (v, dt) match {
         case (null, _) => null
-        case (n: Number, IntegerType) => n.intValue()
-        case (n: Number, LongType) => n.longValue()
-        case (n: Number, DoubleType) => n.doubleValue()
-        case (n: Number, FloatType) => n.floatValue()
-        case (n: Number, ShortType) => n.shortValue()
-        case (n: Number, ByteType) => n.byteValue()
+        case (n: Number, IntegerType) =>
+          exactIntegral(n, col, Int.MinValue, Int.MaxValue, "INT").toInt
+        case (n: Number, LongType) =>
+          exactIntegral(n, col, Long.MinValue, Long.MaxValue, "BIGINT")
+        case (n: Number, DoubleType) => n.doubleValue() // widening
+        case (n: Number, FloatType) =>
+          val d = n.doubleValue()
+          if (!d.isNaN && !d.isInfinite && math.abs(d) > Float.MaxValue)
+            throw Reject(s"value $n out of range for FLOAT column '$col'")
+          d.toFloat
+        case (n: Number, ShortType) =>
+          exactIntegral(n, col, Short.MinValue, Short.MaxValue,
+            "SMALLINT").toShort
+        case (n: Number, ByteType) =>
+          exactIntegral(n, col, Byte.MinValue, Byte.MaxValue,
+            "TINYINT").toByte
         case (n: Number, _: DecimalType) =>
           new java.math.BigDecimal(n.toString)
         case (other, StringType) if other != null => other.toString
         case (other, _) => other // remaining combos validate in the encoder
       }
-      val rows = records.map(r =>
-        org.apache.spark.sql.Row.fromSeq(
-          cols.map(c => coerce(r(c), byLower(c.toLowerCase).dataType))))
-      val writer = spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toList), ordered)
-        .write.format("jdbc")
-        .option("url", t.url).option("dbtable", table)
-        .mode(SaveMode.Append)
-      t.props.stringPropertyNames().toArray(Array.empty[String])
-        .foldLeft(writer)((w, k) => w.option(k, t.props.getProperty(k))).save()
-      Right(records.size.toLong)
+      val rowsOrErr =
+        try Right(records.map(r =>
+          org.apache.spark.sql.Row.fromSeq(
+            cols.map(c => coerce(r(c), c, byLower(c.toLowerCase).dataType)))))
+        catch { case Reject(m) => Left(m) }
+      rowsOrErr.map { rows =>
+        val writer = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toList), ordered)
+          .write.format("jdbc")
+          .option("url", t.url).option("dbtable", table)
+          .mode(SaveMode.Append)
+        t.props.stringPropertyNames().toArray(Array.empty[String])
+          .foldLeft(writer)((w, k) => w.option(k, t.props.getProperty(k))).save()
+        records.size.toLong
+      }
     }
   }
 

@@ -106,4 +106,43 @@ class CrossProcessLockSpec extends SparkSuite {
     Locks.withFileLock(lock) { reached = false }
     assert(!reached)
   }
+
+  test("tryOwnProcessWide serializes with a live scoped section instead of racing it") {
+    // the r14 TOCTOU: a claim that checked activeScoped just before the
+    // scoped holder registered could open+close a second channel on the
+    // held file — on POSIX that close silently releases the holder's OS
+    // lock. Both primitives now serialize on the same per-key monitor, so
+    // a concurrent claim WAITS for the scoped section to end (then claims
+    // cleanly) and a SAME-THREAD claim inside the section fails loud.
+    val lock = Paths.get(tmpDir("xproc-toctou"), "_graft_locks", "t.lock")
+    val inSection = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var claimedAt = 0L
+    @volatile var sectionEndAt = 0L
+    val holder = new Thread(() => Locks.withFileLock(lock) {
+      inSection.countDown()
+      release.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      sectionEndAt = System.nanoTime()
+    })
+    holder.start()
+    assert(inSection.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    val claimer = new Thread(() => {
+      val ok = Locks.tryOwnProcessWide(lock)
+      claimedAt = if (ok) System.nanoTime() else -1L
+    })
+    claimer.start()
+    Thread.sleep(300) // give the claimer time to (wrongly) slip through
+    assert(claimedAt == 0L,
+      "claim completed while the scoped section still held the file")
+    release.countDown()
+    claimer.join(10000); holder.join(10000)
+    assert(claimedAt > 0L, "claim should succeed once the section ended")
+    assert(claimedAt >= sectionEndAt,
+      "claim resolved before the scoped section exited")
+    // same-THREAD composition on one file is a caller bug: still loud
+    val lock2 = Paths.get(tmpDir("xproc-toctou2"), "_graft_locks", "t.lock")
+    Locks.withFileLock(lock2) {
+      intercept[IllegalStateException](Locks.tryOwnProcessWide(lock2))
+    }
+  }
 }

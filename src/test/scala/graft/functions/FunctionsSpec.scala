@@ -695,4 +695,28 @@ class FunctionsSpec extends SparkSuite {
         .adc_score(col("qv"), col("codes"), cb, 8, 16, 8)).head().getLong(0)
     assert(ok == 2L * 64L) // every product 2*1, 64 terms
   }
+
+  test("codebook memo is eviction-bounded: crossing the cap clears, then reloads") {
+    // a daemon cycling unbounded distinct artifacts (per-tempdir test
+    // warehouses, many corpora) must not grow the memo forever; past the
+    // cap the map clears and a later hit re-reads — an amortization cost,
+    // never a correctness one
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+    def load(i: Int): Array[Int] = { loads.incrementAndGet(); Array(i) }
+    val first = Vectors.memoCodebook("evict-spec-key-0", () => load(0))
+    assert(first.sameElements(Array(0)))
+    // warm hit: no reload
+    Vectors.memoCodebook("evict-spec-key-0", () => load(0))
+    assert(loads.get() == 1)
+    // blow past the cap with distinct keys (other specs may have seeded
+    // entries — the cap is a threshold, so over-filling is fine)
+    (1 to Vectors.CodebookMemoMax + 2).foreach(i =>
+      Vectors.memoCodebook(s"evict-spec-key-$i", () => load(i)))
+    // the original key was evicted by the threshold clear: reload happens
+    val before = loads.get()
+    val again = Vectors.memoCodebook("evict-spec-key-0", () => load(0))
+    assert(again.sameElements(Array(0)))
+    assert(loads.get() == before + 1,
+      "key-0 should have been evicted by the threshold clear and reloaded")
+  }
 }

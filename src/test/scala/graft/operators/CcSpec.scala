@@ -52,4 +52,29 @@ class CcSpec extends SparkSuite {
       s"expected evens→0 (9), odds→1 (9), isolated 18/19: $byCluster")
     graft.core.Mat.releaseAll()
   }
+
+  test("round-count register is per-thread: a concurrent run can't clobber mine") {
+    import spark.implicits._
+    // Bench attributes cc_rounds to the query IT just ran by reading the
+    // register after the call — a shared var would let a concurrent CC
+    // (parallel bench, daemon tick) overwrite it between run and read.
+    val ids = spark.range(8).select(col("id").as("doc_id"))
+    val edges = (0L until 7L).map(i => (i, i + 1)).toDF("a", "b")
+    val (_, myRounds) = Pipeline.connectedComponentsWithRounds(ids, edges)
+    assert(Pipeline.lastCcRounds.get().intValue() == myRounds)
+    @volatile var otherRounds = -2
+    val t = new Thread(() => {
+      // a DIFFERENT graph shape (no edges → converges in 1 round)
+      val ids2 = spark.range(4).select(col("id").as("doc_id"))
+      val e2 = Seq.empty[(Long, Long)].toDF("a", "b")
+      otherRounds = Pipeline.connectedComponentsWithRounds(ids2, e2)._2
+      graft.core.Mat.releaseAll()
+    })
+    t.start(); t.join(60000)
+    assert(otherRounds >= 0, "concurrent run did not complete")
+    assert(otherRounds != myRounds, "shapes chosen to differ — fix the test")
+    assert(Pipeline.lastCcRounds.get().intValue() == myRounds,
+      "another thread's CC run clobbered this thread's round register")
+    graft.core.Mat.releaseAll()
+  }
 }

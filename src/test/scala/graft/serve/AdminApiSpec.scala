@@ -778,4 +778,24 @@ class AdminApiSpec extends SparkSuite {
       alertGuard.release(5L)
     } finally api.stop()
   }
+
+  test("write-lock exemption matches the three execution routes EXACTLY") {
+    // the r14 shape keyed on bare segment names (run/check/test anywhere
+    // in the path), so a future mutating route reusing a generic name —
+    // e.g. a `.../test` CRUD sub-resource — would silently skip the
+    // write lock and regress max(id)+1 log-allocation serialization
+    def slow(m: String, path: String) =
+      AdminApi.isSlowExecutionRoute(m,
+        path.split('/').toSeq.filter(_.nonEmpty))
+    assert(slow("POST", "/api/tasks/7/run"))
+    assert(slow("POST", "/api/sql-alerts/7/check"))
+    assert(slow("POST", "/api/email-configs/7/test"))
+    // generic-name lookalikes stay LOCKED
+    assert(!slow("POST", "/api/tasks/7/test"))
+    assert(!slow("POST", "/api/email-configs/7/run"))
+    assert(!slow("POST", "/api/tests/7/update"))
+    assert(!slow("POST", "/api/run"))
+    assert(!slow("PUT", "/api/tasks/7/run"))
+    assert(!slow("POST", "/api/tasks/7/run/extra"))
+  }
 }

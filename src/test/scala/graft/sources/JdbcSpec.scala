@@ -83,6 +83,26 @@ class JdbcSpec extends SparkSuite {
       Seq(Map("id" -> 7L, "name" -> "g")))
     assert(coerced == Right(1L), coerced)
     assert(Jdbc.read(spark, t, "recs").count() == 4)
+    // narrowing is RANGE-CHECKED: 2^32 into an INT column must be a clean
+    // client error, never intValue()'s silent wrap to 0 landing in the
+    // external database under a success response
+    val wide = Jdbc.insertRecords(spark, t, "recs",
+      Seq(Map("id" -> 4294967296L, "name" -> "overflow")))
+    assert(wide.isLeft && wide.left.exists(_.contains("out of range")), wide)
+    // a fractional value into an integral column must not silently truncate
+    val frac = Jdbc.insertRecords(spark, t, "recs",
+      Seq(Map("id" -> 7.5, "name" -> "frac")))
+    assert(frac.isLeft && frac.left.exists(_.contains("fractional")), frac)
+    // NaN/Infinity into an integral column rejects instead of landing an
+    // arbitrary sentinel
+    val nan = Jdbc.insertRecords(spark, t, "recs",
+      Seq(Map("id" -> Double.NaN, "name" -> "nan")))
+    assert(nan.isLeft && nan.left.exists(_.contains("non-finite")), nan)
+    // an integer-valued Double still coerces (JSON parsers hand back 8.0)
+    val whole = Jdbc.insertRecords(spark, t, "recs",
+      Seq(Map("id" -> 8.0, "name" -> "whole")))
+    assert(whole == Right(1L), whole)
+    assert(Jdbc.read(spark, t, "recs").count() == 5) // only the valid rows
   }
 
   test("runScript executes DML server-side and SELECTs through Spark") {

@@ -39,9 +39,15 @@ family = sorted(set().union(
 curve = {}
 for q in family:
     b = base["queries"].get(q)
+    # a query benched only at later points (added mid-family) still gets a
+    # row — ratios normalize by each point's OWN base, so arts[0]'s base is
+    # display-only; dropping the row here was the same silent-drop the
+    # family-key union exists to prevent
     if b is None or b <= 0:
-        continue
-    row = {"base_sec_1x": round(b, 2), "ratios": {}}
+        row = {"base_sec_1x": None,
+               "note": "absent from the 1x artifact's base run", "ratios": {}}
+    else:
+        row = {"base_sec_1x": round(b, 2), "ratios": {}}
     for factor, _, a in points:
         s = a["scale"]["queries"].get(q)
         # each artifact's own base timing normalizes its point (same-run
