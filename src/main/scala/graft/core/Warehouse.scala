@@ -98,6 +98,60 @@ object Warehouse {
   def fingerprintOf(spark: SparkSession, table: String): Option[String] =
     metaOf(spark, table)
 
+  /** On-disk directory of a warehouse table (for DDL re-attach of tables
+    * whose schema can't be inferred from files — e.g. an EMPTY growable
+    * table). */
+  def tableDir(spark: SparkSession, table: String): Path = dirOf(spark, table)
+
+  /** The warehouse root as a filesystem path — for underscore-prefixed
+    * state directories (stream checkpoints, admission sinks) that must
+    * live NEXT TO the tables they serve (same volume, same lifecycle)
+    * while staying invisible to Spark's table listing. */
+  def warehousePath(spark: SparkSession): Path = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    Paths.get(if (wh.startsWith("file:")) java.net.URI.create(wh).getPath else wh)
+  }
+
+  /** Ensure a GROWABLE table exists and is session-registered. Unlike the
+    * ensure* ingest artifacts a growable table is MUTABLE STATE (admission
+    * loops append each tick's survivors), so it is NEVER cleared on
+    * re-entry: a fingerprint MISMATCH fails loud — silently resetting
+    * standing admission state would re-admit every historical duplicate —
+    * and a missing catalog entry with a valid fingerprint re-attaches via
+    * DDL (the table may be EMPTY, so the schema is stated, not inferred
+    * from files). `bucketCol == null` creates a plain table. */
+  def ensureGrowableTable(spark: SparkSession, table: String, meta: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          bucketCol: String, nBuckets: Int): Unit =
+    withTableLock(spark, table) {
+      metaOf(spark, table) match {
+        case Some(m) if m != meta =>
+          throw new IllegalStateException(
+            s"growable table '$table' was built under config '$m', caller " +
+            s"expects '$meta' — standing state cannot be silently reset; " +
+            "drop the table explicitly to restart")
+        case Some(_) =>
+          if (!spark.catalog.tableExists(table)) {
+            val bucketSpec =
+              if (bucketCol == null) ""
+              else s"CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) " +
+                   s"INTO $nBuckets BUCKETS "
+            spark.sql(s"CREATE TABLE `$table` (${schema.toDDL}) " +
+              "USING parquet " + bucketSpec +
+              s"LOCATION '${dirOf(spark, table)}'")
+          }
+        case None =>
+          clear(spark, table) // torn leftover (no fingerprint) only
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          val w = empty.write
+          (if (bucketCol == null) w
+           else w.bucketBy(nBuckets, bucketCol).sortBy(bucketCol))
+            .saveAsTable(table)
+          writeMeta(spark, table, meta)
+      }
+    }
+
   private def dirOf(spark: SparkSession, table: String): Path = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val p = if (wh.startsWith("file:")) java.net.URI.create(wh).getPath else wh

@@ -277,6 +277,59 @@ object Dedup {
   def simhash(toks: Column): Column =
     graft.expressions.TextExpressions.simhash64(toks)
 
+  /** Ensure the GROWABLE banded-signature table for a self-growing
+    * admission loop exists and is session-registered
+    * ([[graft.core.Warehouse.ensureGrowableTable]] semantics: mutable
+    * state, fail-loud on config drift, DDL re-attach for the empty case).
+    * [[appendSignatureRows]] appends each tick's admitted signatures. */
+  def ensureGrowableSignatureTable(spark: org.apache.spark.sql.SparkSession,
+                                   table: String, k: Int = 32, bands: Int = 8,
+                                   nBuckets: Int = 32): Unit = {
+    requireBanding(k, bands)
+    import org.apache.spark.sql.types._
+    graft.core.Warehouse.ensureGrowableTable(spark, table,
+      s"minhash-grow k=$k bands=$bands nBuckets=$nBuckets",
+      StructType(Seq(
+        StructField("id", LongType), StructField("sig",
+          ArrayType(IntegerType, containsNull = false)),
+        StructField("band", IntegerType), StructField("bh", IntegerType))),
+      "bh", nBuckets)
+  }
+
+  /** Append `df`'s banded signature rows to a growable signature table
+    * ([[ensureGrowableSignatureTable]]), PRESERVING the bucket spec so the
+    * standing table stays pre-partitioned for the band join. Idempotent
+    * under at-least-once replay: rows whose id already exists in the
+    * table are anti-joined away before the append, so a foreachBatch
+    * retry after a crash-between-append-and-offset-commit cannot
+    * double-insert a batch's signatures.
+    *
+    * Bucket-cap note: the per-append `bucketCap` bounds THIS batch's
+    * contribution per (band, bh); the standing table's buckets grow
+    * across appends — bounded in practice because only verified
+    * NON-duplicates are ever appended, so the collision mass is the
+    * corpus's natural banding-collision rate, not duplicate families. */
+  def appendSignatureRows(spark: org.apache.spark.sql.SparkSession,
+                          df: DataFrame, idCol: String, textCol: String,
+                          table: String, k: Int = 32, bands: Int = 8,
+                          bucketCap: Int = 256, nBuckets: Int = 32): Unit = {
+    requireBanding(k, bands)
+    graft.core.Warehouse.withTableLock(spark, table) {
+      // prior appends may have come from another session over the same
+      // catalog (a stream's cloned session): drop any cached file listing
+      // so the replay anti-join sees every row already written
+      spark.catalog.refreshTable(table)
+      val existing = spark.table(table).select(col("id")).distinct()
+      bandedSignatures(minhashSignatures(df.select(
+            col(idCol).as("doc_id"), col(textCol).as("text")),
+          "doc_id", "text", k), bands, k / bands, bucketCap)
+        .join(existing, Seq("id"), "left_anti")
+        .repartition(nBuckets, col("bh"))
+        .write.mode("append").format("parquet")
+        .bucketBy(nBuckets, "bh").sortBy("bh").saveAsTable(table)
+    }
+  }
+
   /** Reference composition of [[simhash]] from Spark built-ins — kept as
     * the independent implementation the fused expression is asserted
     * bit-identical against (FunctionsSpec). */

@@ -2185,6 +2185,167 @@ object Pipeline {
       .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
   }
 
+  /** SELF-GROWING minhash admission — the full production inc-vs-inc loop
+    * the q82 doc sketches as deliberately outside the gated query: each
+    * tick reads the increment files that arrived in `incDir` since the
+    * LAST tick (persistent stream offsets under the warehouse), dedups
+    * them against the frozen corpus signature table AND a GROWABLE
+    * standing table holding every previously-ADMITTED increment doc, and
+    * appends the tick's survivors (signature rows + doc texts) back into
+    * the growable state — so increment N+1 rejects near-dups of docs
+    * admitted in increments 1..N, not just of the frozen corpus. The
+    * q74/q82-shared immutable artifact stays untouched (this loop ensures
+    * its OWN frozen table over the FULL corpus, `graft_sig_adm`).
+    *
+    * Per-batch semantics (increment rows are (doc_id, text)):
+    *  - near-dup = verified exact shingle Jaccard ≥ 0.9 (q24's bar)
+    *    against corpus ∪ previously-admitted; candidates come from banded
+    *    MinHash (k=48/bands=12, q82's config) probing the two stored
+    *    BUCKETED tables — the standing side never re-tokenizes,
+    *    re-hashes, or re-shuffles;
+    *  - WITHIN-batch dups resolve pair-greedily: a doc with a verified
+    *    dup of smaller doc_id in its own batch is rejected (the
+    *    lowest-id family member is admitted — dupClusters' canonical
+    *    convention);
+    *  - admitted docs' banded signatures append to the growable table
+    *    (bucket spec preserved; id-anti-join makes at-least-once replay
+    *    idempotent) and their texts to the admitted-docs table (the
+    *    exact-verification side of future ticks).
+    *
+    * Contract: increment doc_ids never collide with CORPUS doc_ids
+    * (production: disjoint id ranges for ingest streams). A re-delivered
+    * already-ADMITTED id is benign: its own standing rows are excluded
+    * from its probe (the replay rule below), so it re-admits with
+    * identical verdicts and the anti-joined appends never double-insert.
+    *
+    * Returns THIS tick's verdicts (doc_id, n_dups, admit); empty when no
+    * new files arrived. */
+  def growingMinhashAdmission(spark: SparkSession, corpusDir: String,
+                              incDir: String): DataFrame = {
+    val k = 48; val bands = 12
+    val docs = Tables.documents(spark, corpusDir).select(col("doc_id"), col("text"))
+    val corpusTable = cellTableName("graft_sig_adm", corpusDir)
+    Dedup.ensureSignatureTable(docs, "doc_id", "text", corpusTable,
+      k = k, bands = bands,
+      tag = graft.core.Warehouse.sourceStamp(s"$corpusDir/documents.parquet"))
+    val growTable = cellTableName("graft_sig_grow", corpusDir)
+    val admTable = cellTableName("graft_adm_docs", corpusDir)
+    Dedup.ensureGrowableSignatureTable(spark, growTable, k, bands)
+    graft.core.Warehouse.ensureGrowableTable(spark, admTable,
+      "admitted-docs v1",
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string"),
+      null, 0)
+    // persistent stream state (offsets + verdict sink) lives under the
+    // warehouse, underscore-prefixed: tick N+1's source listing skips
+    // every file tick N already processed — re-delivery across ticks is
+    // the CHECKPOINT's job, replay within a tick the anti-joins'
+    val state = graft.core.Warehouse.warehousePath(spark)
+      .resolve("_graft_admit_" + graft.core.Warehouse.corpusSuffix(corpusDir))
+    val out = state.resolve("out").toString
+    val ckpt = state.resolve("ckpt").toString
+    // an idle tick before the FIRST increment must see an empty dir, not
+    // throw path-not-found out of the stream's file listing
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(incDir))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val processed = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val src = spark.readStream.schema(schema).parquet(incDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        growingAdmissionBatch(spark, docs, corpusTable, growTable, admTable,
+          batch, batchId, out, k, bands)
+        processed.add(java.lang.Long.valueOf(batchId))
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    // the batches appended from the stream's cloned session: refresh THIS
+    // session's cached relations so callers (and the next tick's ensure)
+    // read the grown state, not a stale file listing
+    spark.catalog.refreshTable(growTable)
+    spark.catalog.refreshTable(admTable)
+    if (processed.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("n_dups", "long").add("admit", "boolean"))
+    import scala.jdk.CollectionConverters._
+    spark.read.parquet(
+        processed.asScala.toSeq.map(b => s"$out/batch_id=$b"): _*)
+      .select("doc_id", "n_dups", "admit")
+      .orderBy("doc_id")
+  }
+
+  /** One [[growingMinhashAdmission]] micro-batch (factored out so the
+    * replay contract is directly testable — calling this twice with the
+    * same batchId leaves the standing tables and the verdict sink exactly
+    * once-written). */
+  private[graft] def growingAdmissionBatch(spark: SparkSession,
+      corpusDocs: DataFrame, corpusTable: String, growTable: String,
+      admTable: String, batch: DataFrame, batchId: Long, out: String,
+      k: Int, bands: Int): Unit = {
+    // the growable tables are APPENDED to by prior batches — possibly from
+    // the stream's CLONED session, whose writes refresh its own relation
+    // cache, not this session's. A stale cached file listing here would
+    // silently probe last tick's state (the debug-spec failure shape:
+    // admitted docs invisible to the very next tick).
+    spark.catalog.refreshTable(growTable)
+    spark.catalog.refreshTable(admTable)
+    graft.core.Mat.withMaterialized(
+        batch.select(col("doc_id"), col("text"))) { b =>
+      val candCorpus = Dedup.minhashCandidatesAgainstTable(spark, corpusTable,
+        b, "doc_id", "text", k, bands, threshold = 0.2)
+      // the grow-table probe EXCLUDES this batch's own ids from its
+      // standing side: a replayed batch (foreachBatch is at-least-once)
+      // has already appended its admitted signatures, and without the
+      // exclusion the replay would see each admitted doc as a dup of its
+      // own first-run copy and flip its verdict — the probe must see
+      // exactly the PRE-batch standing state on first run and replay alike
+      val candGrow = Dedup.minhashCandidatesAgainstTable(spark, growTable,
+          b, "doc_id", "text", k, bands, threshold = 0.2)
+        .join(b.select(col("doc_id").as("corpus_id")), Seq("corpus_id"),
+          "left_anti")
+      // previously-admitted docs MINUS this batch's ids: on a replayed
+      // batch the doc's text must come from the batch side exactly once,
+      // or the verify stage's shingle build would see the id twice
+      val admDocs = spark.table(admTable)
+        .join(b.select("doc_id"), Seq("doc_id"), "left_anti")
+      val standing = candCorpus.unionByName(candGrow)
+        .select(col("inc_id"), col("corpus_id"))
+      val docsAll = corpusDocs.unionByName(admDocs).unionByName(b)
+      val dupStanding = verifyPairsExact(docsAll, standing,
+        "inc_id", "corpus_id", theta = 0.9)
+      val candIntra = Dedup.minhashCandidates(b, "doc_id", "text", k, bands,
+        threshold = 0.2).select(col("id_a"), col("id_b"))
+      val dupIntra = verifyPairsExact(b, candIntra, "id_a", "id_b",
+        theta = 0.9)
+      val rejections = dupStanding.select(col("inc_id").as("doc_id"))
+        .unionByName(dupIntra.select(col("id_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dups"))
+      val verdicts = graft.core.Mat.tracked(
+        b.select(col("doc_id"))
+          .join(rejections, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+            (coalesce(col("n_dups"), lit(0L)) === 0).as("admit")))
+      val admitted = b.join(
+        verdicts.filter(col("admit")).select("doc_id"), Seq("doc_id"))
+      // grow the standing state FIRST, verdict sink LAST: a crash between
+      // the two replays the whole batch — both appends are id-anti-join
+      // idempotent and the verdict write is a batchId-keyed overwrite
+      Dedup.appendSignatureRows(spark, admitted, "doc_id", "text", growTable,
+        k, bands)
+      graft.core.Warehouse.withTableLock(spark, admTable) {
+        admitted.select(col("doc_id"), col("text"))
+          .join(spark.table(admTable).select("doc_id"), Seq("doc_id"),
+            "left_anti")
+          .write.mode("append").format("parquet").saveAsTable(admTable)
+      }
+      verdicts.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+    }
+  }
+
   /** The release funnel as a STREAMING ADMISSION LOOP: documents arrive
     * in id-ordered micro-batches and every q67 per-doc gate runs per
     * batch — Gopher quality, eval holdout, benchmark decontamination

@@ -328,6 +328,80 @@ class OrchestratorSpec extends SparkSuite {
     assert(graft.core.Mat.liveCount == 0)
   }
 
+  test("self-growing admission task: tick 2 rejects a near-dup of a doc ADMITTED in tick 1") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def text(seed: String): String =
+      (1 to 40).map(j => s"${seed}w$j").mkString(" ")
+    val corpusDir = tmpDir("grow-corpus")
+    val incDir = tmpDir("grow-inc") + "/files"
+    Seq((1L, text("corp1"), "en", "web", 40L),
+        (2L, text("corp2"), "en", "web", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$corpusDir/documents.parquet")
+
+    val store = new CatalogStore(spark, tmpDir("grow-store"))
+    store.overwrite(spark.createDataset(Seq(Task(
+      1L, "grow-admit", "admission",
+      Some(s"minhash-grow:$corpusDir:$incDir"), None, 600L, None, None,
+      isActive = true, None, 0, 0, None, Timestamp.valueOf(t0)))), "tasks")
+    store.overwrite(spark.createDataset(Seq.empty[SqlAlert]), "sql_alerts")
+    var now = t0
+    val sched = new Scheduler(spark, store,
+      Scheduler.defaultExecutor(spark, store), () => now)
+    val orch = new Orchestrator(spark, store, sched,
+      new AlertService(spark, store, new InMemoryNotifier,
+        tmpDir("grow-exp"), () => now), () => now)
+    def lastMsg(): String = store.read[TaskLog]("task_logs").collect()
+      .maxBy(_.id).message
+
+    // tick 0: no increment has ever arrived — an idle day logs 0/0 success
+    val (r0, _) = orch.tick()
+    assert(r0.find(_.taskId == 1L).flatMap(_.status).contains("success"))
+    assert(lastMsg().contains("admitted=0 rejected=0"), lastMsg())
+
+    // tick 1: increment A — one fresh doc (100) and one exact copy of a
+    // CORPUS doc (101, must reject against the frozen table)
+    now = now.plusSeconds(601)
+    Seq((100L, text("freshA")), (101L, text("corp1")))
+      .toDF("doc_id", "text").write.mode("append").parquet(incDir)
+    val (r1, _) = orch.tick()
+    assert(r1.find(_.taskId == 1L).flatMap(_.status).contains("success"))
+    assert(lastMsg().contains("admitted=1 rejected=1"), lastMsg())
+
+    // tick 2: increment B — a copy of doc 100 (ADMITTED last tick: must
+    // reject via the GROWABLE standing state, the inc-vs-inc loop the
+    // frozen-corpus-only path structurally cannot catch) and a fresh doc
+    now = now.plusSeconds(601)
+    Seq((200L, text("freshA")), (201L, text("freshB")))
+      .toDF("doc_id", "text").write.mode("append").parquet(incDir)
+    val (r2, _) = orch.tick()
+    assert(r2.find(_.taskId == 1L).flatMap(_.status).contains("success"))
+    assert(lastMsg().contains("admitted=1 rejected=1"),
+      s"tick 2 must reject the near-dup of tick 1's admission: ${lastMsg()}")
+
+    // the standing state holds exactly the three admitted docs
+    val sfx = graft.core.Warehouse.corpusSuffix(corpusDir)
+    val admitted = spark.table(s"graft_adm_docs_$sfx")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(admitted == Seq(100L, 201L), s"admitted-docs table: $admitted")
+    val grown = spark.table(s"graft_sig_grow_$sfx")
+      .select("id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(grown == Seq(100L, 201L), s"growable signature ids: $grown")
+
+    // tick 3: nothing new arrived — idle again, zero admissions, and the
+    // previously-processed increments are NOT re-read (stream offsets)
+    now = now.plusSeconds(601)
+    val (r3, _) = orch.tick()
+    assert(r3.find(_.taskId == 1L).flatMap(_.status).contains("success"))
+    assert(lastMsg().contains("admitted=0 rejected=0"), lastMsg())
+
+    graft.core.Warehouse.sweepCorpus(spark, corpusDir)
+    graft.core.Fs.deleteRecursively(
+      graft.core.Warehouse.warehousePath(spark).resolve("_graft_admit_" + sfx))
+    assert(graft.core.Mat.liveCount == 0)
+  }
+
   test("runLoop: daemon ticks until stopped (ST1)") {
     val store = new CatalogStore(spark, tmpDir("loop"))
     import spark.implicits._
