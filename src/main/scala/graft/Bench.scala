@@ -32,7 +32,14 @@ object Bench {
     // r13: the two-stage IVF-PQ serving path — stage 1 is a cell-probed
     // 4 B/vector code scan, stage 2 a broadcast against the stored int8
     // table; the composition must stay sublinear like q161
-    "q163_ivfpq_rerank")
+    "q163_ivfpq_rerank",
+    // r15: filtered ANN — the label predicate must prune AT the code-table
+    // scan and the widened fallback must stay a broadcast, so the probe
+    // ratio tracks q161's, not a corpus-join blowup
+    "q164_filtered_ann",
+    // r15: tombstoned serving — the deletion anti-joins ride broadcast on
+    // q163's two-stage path, so the ratio must track q163's
+    "q165_tombstoned_ann")
 
   /** Synthesize one probe corpus of `nDocs` documents + `nVecs` embeddings
     * under `dir`. Hash-generated with a 5k-word vocabulary so
@@ -73,7 +80,11 @@ object Bench {
         transform(sequence(lit(1), lit(64)),
           j => (pmod(hash(col("id"), j), lit(2000001)).cast("double") / 1000000.0
                 - 1.0).cast("float")).as("embedding"),
-        lit(0).as("label"))
+        // label shape matches the real corpus (~10 classes, ~10% each):
+        // the filtered-ANN probe (q164) filters on label — a constant
+        // label would either starve EVERY query or filter NOTHING, and
+        // neither exercises the narrow-vs-widened split the probe times
+        pmod(col("id"), lit(10)).cast("int").as("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
@@ -136,7 +147,11 @@ object Bench {
         "q158_int8_quant_recall",
         // r13: q163 reads the seeded cell + PQ code tables too — build
         // them on the probe corpus via q160 (same ensure path)
-        "q160_pq_adc_recall")
+        "q160_pq_adc_recall",
+        // r15: q164 reads the LABELED code table (graft_pq_lbl); q165's
+        // prebuild lands the tombstone-table creation + rule population
+        // (write-time state) outside the timed ratios
+        "q164_filtered_ann", "q165_tombstoned_ann")
       .flatMap { n =>
         val failed = try { SparkEntry.queries(n)(spark, dir).count(); None }
                      catch { case t: Throwable =>
@@ -164,7 +179,10 @@ object Bench {
       "ivf_seed" ->
         graft.core.Warehouse.isFresh(spark, s"graft_ivf_seed_$sfx", Seq(embStamp)),
       "pq_seed" ->
-        graft.core.Warehouse.isFresh(spark, s"graft_pq_seed_$sfx", Seq(embStamp)))
+        graft.core.Warehouse.isFresh(spark, s"graft_pq_seed_$sfx", Seq(embStamp)),
+      // the timed q164 reads the labeled code table (its own prebuild)
+      "pq_lbl" ->
+        graft.core.Warehouse.isFresh(spark, s"graft_pq_lbl_$sfx", Seq(embStamp)))
     val ccRounds = scala.collection.mutable.Map[String, Int]()
     val candPairs = scala.collection.mutable.Map[String, Long]()
     val runs = (1 to math.max(1, reps)).map { _ =>
@@ -324,7 +342,8 @@ object Bench {
       graft.core.Warehouse.isFresh(spark, s"graft_vecbkt_corpus_$sfx", Seq(embStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_pq_seed_$sfx", Seq(embStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_pq_train_$sfx", Seq(embStamp)) &&
-      graft.core.Warehouse.isFresh(spark, s"graft_int8_$sfx", Seq(embStamp))
+      graft.core.Warehouse.isFresh(spark, s"graft_int8_$sfx", Seq(embStamp)) &&
+      graft.core.Warehouse.isFresh(spark, s"graft_pq_lbl_$sfx", Seq(embStamp))
     }
     val warmFound = warmCheck(sfDir)
     // session warmup: JIT/codegen/scheduler paths + parquet reader init
@@ -346,7 +365,10 @@ object Bench {
         // the Lloyd training, which must not land in the timed section)
         "q160_pq_adc_recall", "q162_pq_trained_audit",
         // r13: the stored int8 quantization table (graft_int8)
-        "q158_int8_quant_recall").flatMap { n =>
+        "q158_int8_quant_recall",
+        // r15: the labeled code table (graft_pq_lbl) q164 probes; q165's
+        // tombstone-table creation + rule population (write-time state)
+        "q164_filtered_ann", "q165_tombstoned_ann").flatMap { n =>
       val failed = try { SparkEntry.queries(n)(spark, sfDir).count(); None }
                    catch { case _: Throwable => Some(n) }
       graft.core.Mat.releaseAll(blocking = true)

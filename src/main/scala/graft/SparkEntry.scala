@@ -379,6 +379,14 @@ object SparkEntry {
     // IVF-PQ with exact re-ranking: ADC top-20 shortlist, exact int8
     // top-5 — the production two-stage serving path
     "q163_ivfpq_rerank" -> Pipeline.ivfPqRerank _,
+    // filtered ANN: top-k under a metadata predicate (label) pushed into
+    // the stored code-table scan, with a widened-nprobe fallback for
+    // queries the filter starves
+    "q164_filtered_ann" -> Pipeline.ivfPqFilteredTopK _,
+    // tombstoned ANN serving: the two-stage IVF-PQ path under DELETIONS —
+    // a stored tombstone list anti-joins queries, code candidates, and
+    // the int8 rerank; top-k refills from survivors
+    "q165_tombstoned_ann" -> Pipeline.tombstonedAnnServe _,
     // trained-vs-seeded PQ codebook quality contract: Lloyd-trained
     // per-subspace centroids must beat the seeded floor by a margin
     "q162_pq_trained_audit" -> Pipeline.pqTrainedAudit _,
@@ -645,7 +653,10 @@ object SparkEntry {
     * corpus cell assignment, the 50-query panel's top-4 probed cells, and
     * the probed candidates' ADC scores over [[pqSeedCtes]] — everything
     * through the approximate shortlist, before any final ranking. */
-  private val ivfPqProbeCtes =
+  /** Cell-layout + probe CTEs (seeded centroids, corpus cell assignment,
+    * 50-query panel, top-4 probed cells) — the piece q161/q163/q164 share
+    * BEFORE any candidate definition. */
+  private val ivfPqCellCtes =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
       |        v AS cvec
@@ -660,14 +671,20 @@ object SparkEntry {
       |    SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id
       |        ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC,
       |                 c.cid ASC) AS prk
-      |    FROM qf q, cents c) WHERE prk <= 4),
-      |""".stripMargin + pqSeedCtes + ",\n" +
+      |    FROM qf q, cents c) WHERE prk <= 4)""".stripMargin
+
+  /** The panel's per-subspace int8 query slices (over [[pqSeedCtes]]'s
+    * `qv`) — shared by every ADC scorer below. */
+  private val ivfPqPsubCte =
     """psub AS (SELECT q.vec_id AS query_id, ss.s,
       |           list_slice(q.q, ss.s*8+1, ss.s*8+8) AS sub
-      |         FROM qv q, ss WHERE q.vec_id < 50),
-      |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-      |  FROM pr p JOIN asg a USING (cid) WHERE a.vec_id <> p.query_id),
-      |adc AS (SELECT c.query_id, c.neighbor_id,
+      |         FROM qv q, ss WHERE q.vec_id < 50)""".stripMargin
+
+  /** ADC scores for an upstream `cand(query_id, neighbor_id)` CTE —
+    * identical text for the unfiltered (q161/q163) and filtered (q164)
+    * candidate definitions. */
+  private val ivfPqAdcCte =
+    """adc AS (SELECT c.query_id, c.neighbor_id,
       |    CAST(sum(list_dot_product(ps.sub::DOUBLE[], cb.c::DOUBLE[]))
       |         AS BIGINT) AS adc_score
       |  FROM cand c
@@ -675,6 +692,12 @@ object SparkEntry {
       |  JOIN psub ps ON ps.query_id = c.query_id AND ps.s = cd.s
       |  JOIN cb ON cb.s = cd.s AND cb.j = cd.code
       |  GROUP BY 1, 2)""".stripMargin
+
+  private val ivfPqProbeCtes =
+    ivfPqCellCtes + ",\n" + pqSeedCtes + ",\n" + ivfPqPsubCte + ",\n" +
+    """cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM pr p JOIN asg a USING (cid) WHERE a.vec_id <> p.query_id),
+      |""".stripMargin + ivfPqAdcCte
 
   /** q162's trained-codebook sums, calibrated per gate corpus (r13): the
     * Lloyd training lives only in this engine, so the oracle cannot
@@ -2044,6 +2067,68 @@ object SparkEntry {
     // the output, so every row the re-rank reorders is value-checked
     "q163_ivfpq_rerank" ->
       ("WITH " + ivfPqProbeCtes + ",\n" +
+        """sl AS (SELECT query_id, neighbor_id, adc_score FROM (
+        |    SELECT query_id, neighbor_id, adc_score, row_number() OVER
+        |        (PARTITION BY query_id ORDER BY adc_score DESC,
+        |         neighbor_id ASC) AS arank
+        |    FROM adc) WHERE arank <= 20),
+        |ex AS (SELECT s.query_id, s.neighbor_id, s.adc_score,
+        |    CAST(list_dot_product(q1.q::DOUBLE[], q2.q::DOUBLE[])
+        |         AS BIGINT) AS exact_score
+        |  FROM sl s JOIN qv q1 ON q1.vec_id = s.query_id
+        |            JOIN qv q2 ON q2.vec_id = s.neighbor_id)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+        |       exact_score, adc_score
+        |FROM (SELECT query_id, neighbor_id, exact_score, adc_score,
+        |    row_number() OVER (PARTITION BY query_id
+        |        ORDER BY exact_score DESC, neighbor_id ASC) AS rank
+        |  FROM ex) WHERE rank <= 5""".stripMargin),
+    // filtered ANN recomputed whole: label-filtered candidates in the
+    // probed cells, per-query starvation counts, the widened
+    // (nprobe = nlist) fallback for starved queries, ADC scores, top-5 —
+    // DuckDB recomputes filter + ranking end-to-end, including WHICH
+    // queries widened
+    "q164_filtered_ann" ->
+      ("WITH " + ivfPqCellCtes + ",\n" + pqSeedCtes + ",\n" + ivfPqPsubCte +
+        ",\n" +
+        """lbl AS (SELECT vec_id, label FROM embeddings),
+        |candn AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM pr p JOIN asg a USING (cid) JOIN lbl l ON l.vec_id = a.vec_id
+        |  WHERE a.vec_id <> p.query_id AND l.label = 3),
+        |cnt AS (SELECT q.query_id, count(c.neighbor_id) AS n
+        |        FROM qf q LEFT JOIN candn c USING (query_id) GROUP BY 1),
+        |starved AS (SELECT query_id FROM cnt WHERE n < 5),
+        |candw AS (SELECT s.query_id, l.vec_id AS neighbor_id
+        |  FROM starved s JOIN lbl l ON l.label = 3 AND l.vec_id <> s.query_id),
+        |cand AS (SELECT query_id, neighbor_id FROM candn
+        |         WHERE query_id NOT IN (SELECT query_id FROM starved)
+        |         UNION ALL SELECT query_id, neighbor_id FROM candw),
+        |""".stripMargin + ivfPqAdcCte + "\n" +
+        """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_score,
+        |  query_id IN (SELECT query_id FROM starved) AS widened
+        |FROM (SELECT query_id, neighbor_id, adc_score, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC)
+        |      AS rank
+        |  FROM adc) WHERE rank <= 5""".stripMargin),
+    // tombstoned ANN recomputed whole: the deterministic revocation set
+    // (vec_id ≡ 5 mod 17) is excluded from the query panel, the probed
+    // candidates, and therefore both ranking stages — top-5 refills from
+    // the survivors; DuckDB recomputes q163's two-stage path minus the set
+    "q165_tombstoned_ann" ->
+      ("WITH " + ivfPqCellCtes + ",\n" + pqSeedCtes + ",\n" + ivfPqPsubCte +
+        ",\n" +
+        """ts AS (SELECT vec_id FROM embeddings WHERE vec_id % 17 = 5),
+        |pr2 AS (SELECT query_id, cid FROM (
+        |    SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC,
+        |                 c.cid ASC) AS prk
+        |    FROM qf q, cents c
+        |    WHERE q.query_id NOT IN (SELECT vec_id FROM ts)) WHERE prk <= 4),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM pr2 p JOIN asg a USING (cid)
+        |  WHERE a.vec_id <> p.query_id
+        |    AND a.vec_id NOT IN (SELECT vec_id FROM ts)),
+        |""".stripMargin + ivfPqAdcCte + ",\n" +
         """sl AS (SELECT query_id, neighbor_id, adc_score FROM (
         |    SELECT query_id, neighbor_id, adc_score, row_number() OVER
         |        (PARTITION BY query_id ORDER BY adc_score DESC,

@@ -257,4 +257,26 @@ object Warehouse {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     Fs.deleteRecursively(dirOf(spark, table))
   }
+
+  /** Empty a GROWABLE table's rows while keeping the table, its schema
+    * registration, and its fingerprint (vacuum empties the tombstone list
+    * once deletions are folded into the artifacts). File-level: delete
+    * every data file under the table dir except the fingerprint, then
+    * drop the cached relation so every session re-lists. TRUNCATE TABLE
+    * is not used because a re-attached growable table is EXTERNAL
+    * (CREATE ... LOCATION) and Spark refuses to truncate those. */
+  def truncateGrowable(spark: SparkSession, table: String): Unit =
+    withTableLock(spark, table) {
+      val d = dirOf(spark, table)
+      if (Files.exists(d)) {
+        val s = Files.list(d)
+        val files =
+          try s.toArray.map(_.asInstanceOf[Path])
+            .filter(p => Files.isRegularFile(p) &&
+              p.getFileName.toString != "_graft_meta.json").toSeq
+          finally s.close()
+        files.foreach(Files.deleteIfExists(_))
+      }
+      if (spark.catalog.tableExists(table)) spark.catalog.refreshTable(table)
+    }
 }

@@ -580,17 +580,22 @@ object Vectors {
   def writePqCodes(df: DataFrame, idCol: String, vecCol: String,
                    cellTable: String, table: String,
                    m: Int, k: Int, dsub: Int, nBuckets: Int = 32,
-                   codebook: Option[Array[Int]] = None): Array[Int] = {
+                   codebook: Option[Array[Int]] = None,
+                   attrs: Seq[String] = Nil): Array[Int] = {
     val spark = df.sparkSession
     val cb = codebook.getOrElse(seededPqCodebook(df, idCol, vecCol, m, k, dsub))
     require(cb.length == m * k * dsub,
       s"writePqCodes: codebook length ${cb.length} != ${m * k * dsub} (m*k*dsub)")
-    val coded = df.select(col(idCol).as("id"),
+    // `attrs`: metadata columns of `df` carried onto the stored code rows
+    // (source/label/date-class attributes) — what makes FILTERED ANN a
+    // scan-level predicate at query time instead of a corpus join: the
+    // filter pushes into the code-table parquet scan (PlanAuditSpec)
+    val coded = df.select(col(idCol).as("id") +: attrs.map(col) :+
       graft.expressions.VectorExpressions.pq_encode(
-        quantizeInt8(col(vecCol)), cb, m, k, dsub).as("codes"))
+        quantizeInt8(col(vecCol)), cb, m, k, dsub).as("codes"): _*)
     spark.table(cellTable).select(col("cid"), col("id"))
       .join(coded, Seq("id"))
-      .select(col("cid"), col("id"), col("codes"))
+      .select(Seq(col("cid"), col("id")) ++ attrs.map(col) :+ col("codes"): _*)
       // align write tasks with the bucket hash — one file per bucket
       // (see Ivf.writeCellTable for the tiny-files failure this avoids)
       .repartition(nBuckets, col("cid"))
@@ -626,7 +631,8 @@ object Vectors {
       m: Int, k: Int, dsub: Int, nBuckets: Int = 32,
       tag: String = "",
       codebookId: String = "seed-lowest-id",
-      codebook: () => Option[Array[Int]] = () => None): Array[Int] = {
+      codebook: () => Option[Array[Int]] = () => None,
+      attrs: Seq[String] = Nil): Array[Int] = {
     val spark = org.apache.spark.sql.SparkSession.active
     // the cell table's OWN fingerprint rides along (hashed — it embeds
     // the corpus stamp and every cell-layout config), so cids always come
@@ -636,8 +642,13 @@ object Vectors {
       .map(s => java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString)
       .getOrElse("absent")
+    // `attrs=` enters the fingerprint only when present, so every
+    // pre-existing attribute-less artifact keeps its exact meta (no
+    // spurious rebuild on upgrade)
     val meta = (s"pq-codes m=$m k=$k dsub=$dsub cb=$codebookId " +
-      s"cells=$cellTable cellsMeta=$cellFp nBuckets=$nBuckets " + tag).trim
+      s"cells=$cellTable cellsMeta=$cellFp nBuckets=$nBuckets " +
+      (if (attrs.nonEmpty) s"attrs=${attrs.mkString(",")} " else "") +
+      tag).trim
     // memo key: warehouse + table + FULL meta — a rebuild changes the meta
     // and so the key, making a stale memo entry unreachable by design
     val memoKey = spark.conf.get("spark.sql.warehouse.dir") + "|" + table +
@@ -650,7 +661,7 @@ object Vectors {
         graft.core.Warehouse.clear(spark, table)
         graft.core.Warehouse.clear(spark, table + "_codebook")
         val cb = writePqCodes(df, idCol, vecCol, cellTable, table, m, k, dsub,
-          nBuckets, codebook())
+          nBuckets, codebook(), attrs)
         graft.core.Warehouse.writeMeta(spark, table, meta)
         graft.core.Warehouse.writeMeta(spark, table + "_codebook", meta)
         memoCodebook(memoKey, () => cb)

@@ -753,6 +753,7 @@ object Pipeline {
     // at 100 TB, an object-store metadata scan per tick for nothing)
     lazy val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     lazy val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    lazy val emb2 = Tables.embeddings(spark, dir) // + label, for the q164 index
     def name(p: String) = cellTableName(p, dir)
     // build order matters only for the PQ pair: codes co-locate with (and
     // fingerprint against) the seeded coarse cells, so cells land first
@@ -771,6 +772,11 @@ object Pipeline {
       // seeded coarse cells + seeded PQ codes (q160/q161/q162's index)
       (name("graft_ivf_seed"), () => { ensureSeededPq(spark, dir, 8, 16, 8); () }),
       (name("graft_pq_seed"), () => { ensureSeededPq(spark, dir, 8, 16, 8); () }),
+      // labeled PQ codes (q164's filtered-ANN index — label attr on rows)
+      (name("graft_pq_lbl"), () => {
+        Vectors.ensurePqCodes(emb2, "vec_id", "embedding",
+          name("graft_ivf_seed"), name("graft_pq_lbl"), 8, 16, 8,
+          tag = embStamp, attrs = Seq("label")); () }),
       // trained PQ codes (q162's Lloyd codebook)
       (name("graft_pq_train"), () => { ensureTrainedPq(spark, dir); () }),
       // int8 quantized corpus + cached norms (q158's integer index)
@@ -967,6 +973,371 @@ object Pipeline {
       .filter(col("rank") <= TOPK)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("neighbor_id"), col("exact_score"), col("adc_score"))
+  }
+
+  /** q164 — FILTERED ANN: top-k under a structured metadata predicate
+    * (here: neighbor `label = 3`), the standard production vector-store
+    * operation the unfiltered q161 path lacks. Two design decisions,
+    * both the standard ones for attribute-filtered IVF serving:
+    *
+    *  1. The filter is a SCAN-level predicate, not a corpus join: the
+    *     metadata column rides ON the stored code rows (ensurePqCodes
+    *     `attrs` — written once at ingest into `graft_pq_lbl`, bucketed
+    *     by cid exactly like the unfiltered code table), so at query
+    *     time `label = 3` pushes into the code-table parquet scan
+    *     (PlanAuditSpec asserts PushedFilters) and prunes candidates
+    *     BEFORE any ADC work. At 100 TB the filtered scan reads 4 B/code
+    *     + 4 B/label per probed-cell row, with row-group min/max pruning
+    *     wherever ingest clusters labels.
+    *  2. Selective filters STARVE cells: with ~10% label selectivity a
+    *     4-of-16-cell probe can hold < k matching candidates for some
+    *     queries. Those queries FALL BACK to a widened probe —
+    *     nprobe = nlist, i.e. the whole (label-filtered) code table —
+    *     in one deterministic second stage: per-query candidate counts
+    *     decide narrow-vs-wide, the wide side is ONE scan cross-joined
+    *     against the (driver-small, broadcast) starved panel, and both
+    *     sides union into one ADC ranking. `widened` ships per row so
+    *     the fallback is visible in the result. In production the widen
+    *     would step nprobe geometrically instead of jumping to nlist;
+    *     the one-step form keeps the plan static and oracle-checkable,
+    *     and the scan it pays is the 4 B/vector code table, not vectors.
+    *
+    * The DuckDB oracle recomputes the ENTIRE path — seeded cells, label
+    * filter, starvation counts, widened fallback, ADC scores, final
+    * ranking — end-to-end. */
+  def ivfPqFilteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 8; val K = 16; val DSUB = 8; val NPROBE = 4; val TOPK = 5
+    val LABEL = 3
+    val emb = Tables.embeddings(spark, dir)
+    val stamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
+    // shared seeded cells (q152/q161/q163's coarse layout)
+    val cellTable = cellTableName("graft_ivf_seed", dir)
+    Ivf.ensureCellTable(emb, "vec_id", "embedding", dim = 64, nlist = 16,
+      cellTable, tag = "seed-centroids " + stamp,
+      model = Some(Ivf.seedModel(emb, "vec_id", "embedding", nlist = 16)))
+    // the labeled code table: same seeded codebook construction as
+    // graft_pq_seed, plus the label attribute on every code row
+    val lblTable = cellTableName("graft_pq_lbl", dir)
+    val cb = Vectors.ensurePqCodes(emb, "vec_id", "embedding", cellTable,
+      lblTable, M, K, DSUB, tag = stamp, attrs = Seq("label"))
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        Vectors.quantizeInt8(col("embedding")).as("q_qv"))
+    val cents = spark.table(cellTable + "_centroids")
+    val probes = queries.join(broadcast(cents))
+      .withColumn("__rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(Vectors.cosine(col("q_emb"), col("cvec")).desc, col("cid").asc)))
+      .filter(col("__rk") <= NPROBE)
+      .select(col("query_id"), col("q_qv"), col("cid"))
+    def adcOf(c: org.apache.spark.sql.Column, codes: org.apache.spark.sql.Column) =
+      graft.expressions.VectorExpressions.adc_score(c, codes, cb, M, K, DSUB)
+    // stage 1 (narrow): probed cells, label filter IN the scan
+    val narrow = graft.core.Mat.tracked(
+      Vectors.pqCodesFromTable(spark, lblTable)
+        .filter(col("label") === LABEL)
+        .select(col("cid"), col("id").as("neighbor_id"), col("codes"))
+        .join(broadcast(probes), Seq("cid"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          adcOf(col("q_qv"), col("codes")).as("adc_score")))
+    // starvation: a query whose probed cells hold < k matching candidates
+    val counts = narrow.groupBy("query_id").agg(count(lit(1)).as("n"))
+    val starved = graft.core.Mat.tracked(
+      queries.join(counts, Seq("query_id"), "left")
+        .filter(coalesce(col("n"), lit(0L)) < TOPK)
+        .select(col("query_id"), col("q_qv")))
+    // stage 2 (wide): nprobe = nlist for the starved panel — one
+    // label-filtered code scan against the broadcast starved queries
+    val wide = Vectors.pqCodesFromTable(spark, lblTable)
+      .filter(col("label") === LABEL)
+      .select(col("id").as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(starved))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcOf(col("q_qv"), col("codes")).as("adc_score"))
+    val cand = narrow
+      .join(starved.select("query_id"), Seq("query_id"), "left_anti")
+      .unionByName(wide)
+      .join(starved.select(col("query_id"), lit(true).as("widened")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("adc_score"),
+        coalesce(col("widened"), lit(false)).as("widened"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= TOPK)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("adc_score"), col("widened"))
+  }
+
+  // ───── tombstones: DELETE maintenance for the stored vector/doc indexes
+  // (q112 covers index ADD without retrain; this is the other half —
+  // production indexes shed revoked/contaminated rows without a rebuild,
+  // then a scheduled vacuum folds accumulated deletions into the stored
+  // artifacts once their fraction passes a threshold) ─────
+
+  /** Ensure the per-corpus ACTIVE tombstone table (growable state: one
+    * (kind, id) row per deleted-but-not-yet-folded entity; kind ∈
+    * {vec, doc}). Serving probes anti-join THIS list. */
+  private[graft] def ensureTombstoneTable(spark: SparkSession,
+                                          dir: String): String = {
+    val t = cellTableName("graft_tombstones", dir)
+    graft.core.Warehouse.ensureGrowableTable(spark, t, "tombstones v1",
+      new org.apache.spark.sql.types.StructType()
+        .add("kind", "string").add("id", "long"), null, 0)
+    t
+  }
+
+  /** The FOLDED tombstone table: deletions a past vacuum already rebuilt
+    * the artifacts without. Retained forever (not a cost center — it's
+    * the deletion log) because it is what makes the stored artifacts
+    * RECONSTRUCTIBLE: any later rebuild must exclude these ids, or a lost
+    * artifact would resurrect every vacuumed deletion from the raw
+    * corpus. */
+  private[graft] def ensureFoldedTable(spark: SparkSession,
+                                       dir: String): String = {
+    val t = cellTableName("graft_tombstones_fold", dir)
+    graft.core.Warehouse.ensureGrowableTable(spark, t, "tombstones v1",
+      new org.apache.spark.sql.types.StructType()
+        .add("kind", "string").add("id", "long"), null, 0)
+    t
+  }
+
+  /** Fold-state of `kind`: (count, ensure-tag suffix). The suffix is ""
+    * when nothing has been folded, so a never-vacuumed corpus's serve
+    * ensures carry EXACTLY the plain tags and share q161/q163's
+    * artifacts; a nonempty fold changes every dependent fingerprint (the
+    * ensures' own rebuild contract drives the vacuum's rebuilds). The
+    * fingerprint is order-independent (count + sum of per-id hashes). */
+  private def foldState(spark: SparkSession, foldTable: String,
+                        kind: String): (Long, String) = {
+    spark.catalog.refreshTable(foldTable)
+    val r = spark.table(foldTable).filter(col("kind") === kind)
+      .agg(count(lit(1)), sum(xxhash64(col("id")))).head()
+    val n = r.getLong(0)
+    if (n == 0L) (0L, "")
+    else (n, s" folded=$kind$n:${java.lang.Long.toHexString(r.getLong(1))}")
+  }
+
+  /** Ensure the tombstone-aware serving artifacts (seeded cells, seeded
+    * PQ codes, int8) for `dir` under the CURRENT fold state: the corpus
+    * minus all FOLDED deletions, tagged with the fold fingerprint. With
+    * an empty fold this is exactly [[ensureSeededPq]] + the int8 ensure —
+    * same tags, same shared artifacts. Returns (cellTable, codesTable,
+    * int8Table, codebook). */
+  private def ensureServeArtifacts(spark: SparkSession, dir: String,
+                                   foldTable: String)
+      : (String, String, String, Array[Int]) = {
+    val stamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
+    val (nFold, vtag) = foldState(spark, foldTable, "vec")
+    lazy val embServe = {
+      val raw = Tables.embeddings(spark, dir)
+      if (nFold == 0L) raw
+      else raw.join(broadcast(spark.table(foldTable)
+          .filter(col("kind") === "vec").select(col("id").as("vec_id"))),
+        Seq("vec_id"), "left_anti")
+    }
+    val cellTable = cellTableName("graft_ivf_seed", dir)
+    Ivf.ensureCellTable(embServe, "vec_id", "embedding", dim = 64, nlist = 16,
+      cellTable, tag = "seed-centroids " + stamp + vtag,
+      model = Some(Ivf.seedModel(embServe, "vec_id", "embedding", nlist = 16)))
+    val codesTable = cellTableName("graft_pq_seed", dir)
+    val cb = Vectors.ensurePqCodes(embServe, "vec_id", "embedding", cellTable,
+      codesTable, 8, 16, 8, tag = stamp + vtag)
+    val int8Table = cellTableName("graft_int8", dir)
+    Vectors.ensureInt8Table(embServe, "vec_id", "embedding", int8Table,
+      tag = stamp + vtag)
+    (cellTable, codesTable, int8Table, cb)
+  }
+
+  /** Record deletions: append `ids` (single column `id`) of `kind` to the
+    * corpus's tombstone table. Idempotent — already-tombstoned ids are
+    * anti-joined away, so re-issuing a delete (API retry, replayed task)
+    * never duplicates rows. Returns the number of NEW tombstones. */
+  def addTombstones(spark: SparkSession, dir: String, kind: String,
+                    ids: DataFrame): Long = {
+    require(kind == "vec" || kind == "doc", s"tombstone kind must be vec|doc, got '$kind'")
+    val t = ensureTombstoneTable(spark, dir)
+    graft.core.Warehouse.withTableLock(spark, t) {
+      spark.catalog.refreshTable(t) // another session may have appended
+      graft.core.Mat.withMaterialized(
+        ids.select(col("id").cast("long").as("id")).distinct()
+          .join(spark.table(t).filter(col("kind") === kind).select("id"),
+            Seq("id"), "left_anti")
+          .select(lit(kind).as("kind"), col("id"))
+      ) { fresh =>
+        fresh.write.mode("append").format("parquet").saveAsTable(t)
+        spark.catalog.refreshTable(t)
+        fresh.count()
+      }
+    }
+  }
+
+  /** Anti-join `df` against the corpus's `kind` tombstones on `idCol`.
+    * The tombstone side broadcasts: between vacuums it holds only the
+    * deletions accumulated since the last fold — small by the vacuum
+    * threshold's construction. */
+  private def notTombstoned(spark: SparkSession, tsTable: String,
+                            kind: String, df: DataFrame,
+                            idCol: String): DataFrame =
+    df.join(broadcast(spark.table(tsTable)
+        .filter(col("kind") === kind).select(col("id").as(idCol))),
+      Seq(idCol), "left_anti")
+
+  /** q165 — the two-stage IVF-PQ serving path (q163's shape) under
+    * DELETIONS: a deterministic revocation set (vec_id ≡ 5 mod 17 — the
+    * oracle-recomputable stand-in for runtime DELETE calls, the eval-
+    * holdout convention) is tombstoned, and the probe must never return a
+    * tombstoned id — as query or neighbor — while top-k REFILLS from the
+    * survivors (exclusion lands before ranking, never as a post-k
+    * filter). DuckDB recomputes filter + both ranking stages end-to-end. */
+  def tombstonedAnnServe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    addTombstones(spark, dir, "vec",
+      emb.filter(pmod(col("vec_id"), lit(17)) === 5)
+        .select(col("vec_id").as("id")))
+    tombstoneAwareServe(spark, dir)
+  }
+
+  /** The tombstone-aware serving probe (factored from [[tombstonedAnnServe]]
+    * so the vacuum e2e drives it with arbitrary runtime deletions): q163's
+    * two-stage IVF-PQ rerank where BOTH panels come from the STORED
+    * artifacts (the int8 table — so a vacuumed corpus serves identically
+    * whether a deletion still sits in the tombstone list or has been
+    * folded into the rebuilt artifacts) and the live tombstone list
+    * anti-joins the query panel, the code-scan candidates, and the int8
+    * rerank side. */
+  private[graft] def tombstoneAwareServe(spark: SparkSession,
+                                         dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 8; val K = 16; val DSUB = 8; val NPROBE = 4; val R = 20; val TOPK = 5
+    val fold = ensureFoldedTable(spark, dir)
+    val (cellTable, codesTable, int8Table, cb) =
+      ensureServeArtifacts(spark, dir, fold)
+    val ts = ensureTombstoneTable(spark, dir)
+    spark.catalog.refreshTable(ts) // deletes may come from other sessions
+    // queries from the STORED int8 layout (id, v, qv): raw-corpus rows
+    // deleted-then-vacuumed are absent from the artifact, so the panel is
+    // identical before and after a vacuum folds the tombstones in
+    val queries = notTombstoned(spark, ts, "vec",
+      Vectors.int8FromTable(spark, int8Table).filter(col("id") < 50), "id")
+      .select(col("id").as("query_id"), col("v").as("q_emb"),
+        col("qv").as("q_qv"))
+    val cents = spark.table(cellTable + "_centroids")
+    val probes = queries.join(broadcast(cents))
+      .withColumn("__rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(Vectors.cosine(col("q_emb"), col("cvec")).desc, col("cid").asc)))
+      .filter(col("__rk") <= NPROBE)
+      .select(col("query_id"), col("q_qv"), col("cid"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    val shortlist = notTombstoned(spark, ts, "vec",
+      Vectors.pqCodesFromTable(spark, codesTable)
+        .select(col("cid"), col("id").as("neighbor_id"), col("codes")),
+      "neighbor_id")
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("q_qv"), col("neighbor_id"),
+        graft.expressions.VectorExpressions
+          .adc_score(col("q_qv"), col("codes"), cb, M, K, DSUB).as("adc_score"))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= R)
+    val wEx = Window.partitionBy("query_id")
+      .orderBy(col("exact_score").desc, col("neighbor_id").asc)
+    notTombstoned(spark, ts, "vec",
+      Vectors.int8FromTable(spark, int8Table)
+        .select(col("id").as("neighbor_id"), col("qv").as("n_qv")),
+      "neighbor_id")
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adc_score"),
+        graft.expressions.VectorExpressions
+          .int8_dot(col("q_qv"), col("n_qv")).as("exact_score"))
+      .withColumn("rank", row_number().over(wEx))
+      .filter(col("rank") <= TOPK)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("exact_score"), col("adc_score"))
+  }
+
+  /** Fold accumulated tombstones into the stored artifacts: rebuild the
+    * vector family (seeded cells, seeded + labeled PQ codes, int8, LSH
+    * buckets) minus `vec` tombstones and the signature table minus `doc`
+    * tombstones — each through its normal ensure* with a meta tag carrying
+    * the tombstone-set fingerprint, so the ensures' own rebuild contract
+    * drives the work (a second vacuum over the same set warm-attaches) —
+    * then EMPTY the tombstone table. Ordering is crash-safe without
+    * transactions: the serving probes anti-join the live tombstone list,
+    * so a vacuum that dies mid-rebuild leaves results correct (some
+    * artifacts already exclude the rows, the anti-join covers the rest)
+    * and the next run finishes idempotently; the truncate happens LAST,
+    * only after every rebuild succeeded.
+    *
+    * Cohabitation note: a vacuumed artifact's meta differs from the plain
+    * ensure tag, so running the full-corpus gated queries on a vacuumed
+    * corpus rebuilds the artifacts back (and vice versa) — wasted work,
+    * never a wrong answer. Serve vacuum-maintained corpora through the
+    * tombstone-aware probes.
+    *
+    * If a deleted row was a codebook/centroid SEED (among the 16 lowest
+    * ids), the rebuilt index's scores legitimately shift — deletions
+    * change the index; the contract is tombstone-free results, not
+    * frozen scores. Returns (kind → folded-count). */
+  private[graft] def vacuumCorpusArtifacts(spark: SparkSession,
+                                           dir: String): Map[String, Long] = {
+    val ts = ensureTombstoneTable(spark, dir)
+    val fold = ensureFoldedTable(spark, dir)
+    spark.catalog.refreshTable(ts)
+    val active = spark.table(ts).groupBy("kind").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nVec = active.getOrElse("vec", 0L)
+    val nDoc = active.getOrElse("doc", 0L)
+    if (nVec == 0L && nDoc == 0L) return Map("vec" -> 0L, "doc" -> 0L)
+    // 1. MOVE active → folded (idempotent: anti-join on (kind, id)) —
+    //    first, so the fold fingerprint the rebuilds tag with is the one
+    //    every later serve derives from the folded table
+    graft.core.Warehouse.withTableLock(spark, fold) {
+      spark.catalog.refreshTable(fold)
+      spark.table(ts)
+        .join(spark.table(fold), Seq("kind", "id"), "left_anti")
+        .write.mode("append").format("parquet").saveAsTable(fold)
+      spark.catalog.refreshTable(fold)
+    }
+    // 2. REBUILD under the new fold state: each ensure sees a new
+    //    fingerprint and rebuilds from corpus-minus-folded; a vacuum
+    //    re-run (crash recovery) warm-attaches everything here
+    ensureServeArtifacts(spark, dir, fold)
+    val embStamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
+    val (nVecFold, vtag) = foldState(spark, fold, "vec")
+    if (nVecFold > 0L) {
+      lazy val embF = Tables.embeddings(spark, dir)
+        .join(broadcast(spark.table(fold).filter(col("kind") === "vec")
+          .select(col("id").as("vec_id"))), Seq("vec_id"), "left_anti")
+      Vectors.ensurePqCodes(embF, "vec_id", "embedding",
+        cellTableName("graft_ivf_seed", dir),
+        cellTableName("graft_pq_lbl", dir), 8, 16, 8, tag = embStamp + vtag,
+        attrs = Seq("label"))
+      Vectors.ensureBucketTable(
+        embF.filter(pmod(col("vec_id"), lit(5)) =!= 4), "vec_id", "embedding",
+        dim = 64, table = cellTableName("graft_vecbkt_corpus", dir),
+        tag = embStamp + vtag)
+    }
+    val (nDocFold, dtag) = foldState(spark, fold, "doc")
+    if (nDocFold > 0L) {
+      val docStamp = graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet")
+      lazy val docsF = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .join(broadcast(spark.table(fold).filter(col("kind") === "doc")
+          .select(col("id").as("doc_id"))), Seq("doc_id"), "left_anti")
+      Dedup.ensureSignatureTable(
+        docsF.filter(pmod(col("doc_id"), lit(5)) =!= 4), "doc_id", "text",
+        cellTableName("graft_sig_corpus", dir), k = 48, bands = 12,
+        tag = docStamp + dtag)
+    }
+    // 3. EMPTY the active list — LAST, only after every rebuild landed.
+    //    A crash anywhere above leaves results correct: the serving
+    //    anti-join still covers whatever the rebuilds haven't folded yet,
+    //    and the next vacuum converges idempotently.
+    graft.core.Warehouse.truncateGrowable(spark, ts)
+    Map("vec" -> nVec, "doc" -> nDoc)
   }
 
   /** q162 — trained-vs-seeded PQ codebook quality contract (the r11

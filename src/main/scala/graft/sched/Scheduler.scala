@@ -194,6 +194,12 @@ object Scheduler {
         // idempotent ensure* (see IndexTask): scriptPath carries "<corpusDir>"
         task.scriptPath.toRight("index task without spec in script_path")
           .flatMap(IndexTask.run(spark, _))
+      case "vacuum" =>
+        // tombstone maintenance — fold accumulated deletions into the
+        // stored artifacts past a threshold (see VacuumTask): scriptPath
+        // carries "<corpusDir>[:<threshold>]"
+        task.scriptPath.toRight("vacuum task without spec in script_path")
+          .flatMap(VacuumTask.run(spark, _))
       case other => Left(s"unknown task type '$other'")
     }
 

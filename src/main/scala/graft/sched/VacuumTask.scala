@@ -1,0 +1,78 @@
+package graft.sched
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** task_type='vacuum' — DELETE maintenance for the stored vector/doc
+  * indexes, completing the task DAG's lifecycle:
+  *
+  *   index (build) → admission (incremental add) → vacuum (deletions)
+  *                                                → compact (sink files)
+  *
+  * Deletions accumulate in a per-corpus TOMBSTONE table
+  * ([[graft.operators.Pipeline.addTombstones]]); every tombstone-aware
+  * probe anti-joins it, so results are correct the moment a delete lands.
+  * What the vacuum adds is COST control: once the active-tombstone
+  * fraction passes the threshold, it folds the deletions into the stored
+  * artifacts (rebuild minus tombstones via the ensure* contract — seeded
+  * cells, seeded + labeled PQ codes, int8, LSH buckets, MinHash
+  * signatures), records them in the permanent FOLDED table (what keeps a
+  * lost artifact reconstructible), and empties the active list — the
+  * serving anti-join's broadcast side returns to zero rows.
+  *
+  * The task row's `scriptPath` carries `"vacuum-spec <corpusDir>[:<threshold>]"`
+  * — actually just `"<corpusDir>[:<threshold>]"`; threshold is the
+  * active-tombstone fraction (of the larger of the two corpora) above
+  * which the fold runs, default 0.01. Below threshold the tick logs a
+  * skip (success — deferral is the job working as designed, not a
+  * failure). Retry / dependency / cadence semantics apply unchanged.
+  */
+object VacuumTask {
+
+  def run(spark: SparkSession, spec: String): Either[String, String] = {
+    val parts = spec.trim.split(":", 2)
+    val dir = parts(0)
+    if (dir.isEmpty)
+      return Left("vacuum task spec must be '<corpusDir>[:<threshold>]', " +
+        s"got '$spec'")
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+      return Left(s"vacuum task: no such corpus directory: $dir")
+    val threshold =
+      if (parts.length < 2) 0.01
+      else try parts(1).toDouble catch {
+        case _: NumberFormatException =>
+          return Left(s"vacuum task: invalid threshold '${parts(1)}'")
+      }
+    try {
+      val ts = graft.operators.Pipeline.ensureTombstoneTable(spark, dir)
+      spark.catalog.refreshTable(ts)
+      val active = spark.table(ts).groupBy("kind")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nVec = active.getOrElse("vec", 0L)
+      val nDoc = active.getOrElse("doc", 0L)
+      if (nVec == 0L && nDoc == 0L)
+        return Right("vacuum: no active tombstones, skipped")
+      def corpusCount(table: String): Long =
+        try spark.read.parquet(s"$dir/$table.parquet").count()
+        catch { case NonFatal(_) => 0L }
+      val vecFrac =
+        if (nVec == 0L) 0.0
+        else nVec.toDouble / math.max(1L, corpusCount("embeddings"))
+      val docFrac =
+        if (nDoc == 0L) 0.0
+        else nDoc.toDouble / math.max(1L, corpusCount("documents"))
+      val frac = math.max(vecFrac, docFrac)
+      if (frac < threshold)
+        return Right(f"vacuum: fraction $frac%.4f below threshold " +
+          f"$threshold%.4f (vec=$nVec doc=$nDoc), deferred")
+      val folded = graft.operators.Pipeline.vacuumCorpusArtifacts(spark, dir)
+      Right(s"vacuum: folded vec=${folded("vec")} doc=${folded("doc")} " +
+        "tombstones into the stored artifacts; active list emptied")
+    } catch { case NonFatal(e) =>
+      Left(s"vacuum failed for $dir: ${e.getMessage}")
+    }
+  }
+}

@@ -660,4 +660,31 @@ class OperatorsSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(m == Map(("src_x", "src_x") -> 1L, ("src_x", "src_y") -> 2L))
   }
+
+  test("q164 widened fallback: a starving filter falls back to nprobe=nlist") {
+    import spark.implicits._
+    // only 3 corpus vectors carry the filtered label (55/56/57, none in
+    // the query panel) — EVERY query starves its probed cells (< k
+    // matches exist anywhere), so every query must widen and return
+    // exactly those 3 neighbors; a dead fallback would return 0-row or
+    // partial panels the moment a filter gets selective
+    val dir = tmpDir("fann-starve")
+    (0L until 60L).map { i =>
+      (i, Array.tabulate(64)(j => (((i * 31 + j * 7) % 13).toFloat - 6.0f)),
+        if (i >= 55L && i <= 57L) 3 else 1)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Pipeline.ivfPqFilteredTopK(spark, dir).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.size == 50, s"expected all 50 panel queries: ${byQuery.size}")
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.forall(_.getBoolean(4)), s"query $q did not widen")
+      assert(rows.map(_.getLong(2)).toSet == Set(55L, 56L, 57L),
+        s"query $q neighbors: ${rows.map(_.getLong(2)).toSeq}")
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3),
+        s"query $q ranks: ${rows.map(_.getInt(1)).toSeq}")
+    }
+    graft.core.Warehouse.sweepCorpus(spark, dir)
+    graft.core.Mat.releaseAll(blocking = true)
+  }
 }

@@ -190,6 +190,24 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q164 filtered ANN: label predicate pushes into the CODE-TABLE scan") {
+    // the attribute rides on the stored code rows (ensurePqCodes attrs),
+    // so the filter must prune at the parquet scan of graft_pq_lbl —
+    // a post-scan Filter or a corpus-side join would read every code row
+    // of the probed cells at 100 TB before dropping 90% of them
+    val plan = executedPlan("q164_filtered_ann")
+    val lblScans = plan.linesIterator
+      .filter(l => l.contains("graft_pq_lbl") && l.contains("PushedFilters"))
+      .toSeq
+    assert(lblScans.nonEmpty, s"no code-table scan with pushed filters:\n$plan")
+    assert(lblScans.forall(_.contains("EqualTo(label,3)")),
+      s"label predicate not pushed into the code-table scan:\n${lblScans.mkString("\n")}")
+    // the fallback stays bounded: the wide side joins the BROADCAST
+    // starved panel, never a shuffle of the code table
+    assert(!plan.contains("CartesianProduct"),
+      s"widened fallback degenerated to an unbroadcast cartesian:\n$plan")
+  }
+
   test("q110 star join: date filter pushed to the orders scan, dims broadcast, no cartesian") {
     val plan = executedPlan("q110_local_supplier")
     assert(plan.contains("PushedFilters:") &&

@@ -286,7 +286,7 @@ class OrchestratorSpec extends SparkSuite {
     val logs1 = store.read[TaskLog]("task_logs").collect()
     val ok1 = logs1.find(l => l.taskId == 1L && l.status == "success")
     assert(ok1.isDefined, s"no success log for the index task: ${logs1.toSeq}")
-    assert(ok1.get.message.contains("built=8 warm=0"),
+    assert(ok1.get.message.contains("built=9 warm=0"),
       s"first run must build everything: ${ok1.get.message}")
     assert(logs1.exists(l => l.taskId == 3L && l.status == "failed" &&
       l.message.contains("no such corpus directory")))
@@ -320,7 +320,7 @@ class OrchestratorSpec extends SparkSuite {
         Thread.sleep(1000) // listener bus is async — let events drain
         r
       } finally spark.sparkContext.removeSparkListener(jobCounter)
-    assert(again.exists(_.contains("built=0 warm=8")),
+    assert(again.exists(_.contains("built=0 warm=9")),
       s"re-run must warm-attach everything: $again")
     assert(jobs.get() == 0, s"warm index tick ran ${jobs.get()} Spark jobs")
 
@@ -399,6 +399,97 @@ class OrchestratorSpec extends SparkSuite {
     graft.core.Warehouse.sweepCorpus(spark, corpusDir)
     graft.core.Fs.deleteRecursively(
       graft.core.Warehouse.warehousePath(spark).resolve("_graft_admit_" + sfx))
+    assert(graft.core.Mat.liveCount == 0)
+  }
+
+  test("vacuum task: delete → probe excludes → vacuum folds → probe invariant, list emptied") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = tmpDir("vac-corpus")
+    // 60 vectors; the panel is vec_id < 50, seeds are the 16 lowest ids —
+    // the deletions (20, 33) sit OUTSIDE the seed range so the rebuilt
+    // index's centroids/codebook are unchanged and the probe must be
+    // BIT-IDENTICAL before and after the fold
+    (0L until 60L).map { i =>
+      (i, Array.tabulate(64)(j => (((i * 17 + j * 5) % 11).toFloat - 5.0f)), 1)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    Seq((1L, (1 to 30).map(i => s"w$i").mkString(" "), "en", "web", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val sfx = graft.core.Warehouse.corpusSuffix(dir)
+
+    def serve() = graft.operators.Pipeline.tombstoneAwareServe(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(r => (r._1, r._2)).toSeq
+    val baseline = serve()
+    assert(baseline.nonEmpty)
+    assert(baseline.exists(r => r._3 == 20L || r._3 == 33L),
+      "test premise: 20/33 must appear as neighbors before deletion")
+
+    // DELETE two vectors: the probe must exclude them IMMEDIATELY (as
+    // query and neighbor), refilling top-k from survivors
+    val added = graft.operators.Pipeline.addTombstones(spark, dir, "vec",
+      Seq(20L, 33L).toDF("id"))
+    assert(added == 2L)
+    // idempotent re-delete appends nothing
+    assert(graft.operators.Pipeline.addTombstones(spark, dir, "vec",
+      Seq(20L, 33L).toDF("id")) == 0L)
+    val afterDelete = serve()
+    assert(!afterDelete.exists(r => r._1 == 20L || r._3 == 20L ||
+      r._1 == 33L || r._3 == 33L), "probe returned a tombstoned id")
+    assert(afterDelete.map(_._1).distinct.size == 48, "panel must refill to 48")
+
+    // VACUUM via a scheduled tick: below-threshold first (defers), then a
+    // real fold (threshold 0 forces it)
+    val store = new CatalogStore(spark, tmpDir("vac-store"))
+    store.overwrite(spark.createDataset(Seq(
+      Task(1L, "vac-defer", "vacuum", Some(s"$dir:0.9"), None, 600L, None,
+        None, isActive = true, None, 0, 0, None, Timestamp.valueOf(t0)),
+      Task(2L, "vac-run", "vacuum", Some(s"$dir:0.0"), None, 600L, None,
+        None, isActive = true, Some("1"), 0, 0, None, Timestamp.valueOf(t0)),
+      Task(3L, "vac-bad", "vacuum", Some(""), None, 600L, None, None,
+        isActive = true, None, 0, 0, None, Timestamp.valueOf(t0)))), "tasks")
+    store.overwrite(spark.createDataset(Seq.empty[SqlAlert]), "sql_alerts")
+    var now = t0
+    val sched = new Scheduler(spark, store,
+      Scheduler.defaultExecutor(spark, store), () => now)
+    val orch = new Orchestrator(spark, store, sched,
+      new AlertService(spark, store, new InMemoryNotifier, tmpDir("vac-exp"),
+        () => now), () => now)
+    val (r1, _) = orch.tick()
+    assert(r1.find(_.taskId == 1L).flatMap(_.status).contains("success"))
+    assert(r1.find(_.taskId == 2L).map(_.action).contains("blocked_dependency"))
+    assert(r1.find(_.taskId == 3L).flatMap(_.status).contains("failed"))
+    val logs1 = store.read[TaskLog]("task_logs").collect()
+    assert(logs1.exists(l => l.taskId == 1L && l.message.contains("deferred")),
+      s"below-threshold must defer: ${logs1.map(_.message).toSeq}")
+    // the deferral did NOT touch the artifacts or the list
+    assert(spark.table(s"graft_tombstones_$sfx").count() == 2L)
+
+    now = t0.plusSeconds(5)
+    val (r2, _) = orch.tick()
+    assert(r2.find(_.taskId == 2L).flatMap(_.status).contains("success"))
+    val msg2 = store.read[TaskLog]("task_logs").collect()
+      .filter(_.taskId == 2L).maxBy(_.id).message
+    assert(msg2.contains("folded vec=2 doc=0"), msg2)
+    // the fold REBUILT the artifacts without the deleted rows...
+    spark.catalog.refreshTable(s"graft_int8_$sfx")
+    val int8Ids = spark.table(s"graft_int8_$sfx").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!int8Ids.contains(20L) && !int8Ids.contains(33L),
+      "vacuum did not rebuild the int8 artifact without the tombstones")
+    assert(spark.table(s"graft_pq_seed_$sfx").filter(col("id").isin(20L, 33L))
+      .count() == 0, "vacuum left tombstoned codes in the PQ table")
+    // ...emptied the ACTIVE list and retained the FOLDED log
+    assert(spark.table(s"graft_tombstones_$sfx").count() == 0L)
+    assert(spark.table(s"graft_tombstones_fold_$sfx").count() == 2L)
+    // and the probe is BIT-IDENTICAL to the anti-join era: exclusion via
+    // rebuilt artifacts ≡ exclusion via the live list
+    assert(serve() == afterDelete,
+      "vacuum changed probe results (fold must be invisible to serving)")
+
+    graft.core.Warehouse.sweepCorpus(spark, dir)
     assert(graft.core.Mat.liveCount == 0)
   }
 

@@ -37,7 +37,8 @@ FAMILY = [
     "q51_exact_nn", "q52_ivf_topk", "q27_lsh_topk", "q106_error_proximity",
     "q152_ivf_partial_probe", "q154_incremental_embedding",
     "q158_int8_quant_recall", "q160_pq_adc_recall", "q161_ivfpq_topk",
-    "q162_pq_trained_audit", "q163_ivfpq_rerank",
+    "q162_pq_trained_audit", "q163_ivfpq_rerank", "q164_filtered_ann",
+    "q165_tombstoned_ann",
     # TPC-H shapes: the classic join/agg plans must grow sublinearly too
     "q01_pricing_summary", "q13_revenue_nation", "q141_trade_flows",
     "q143_small_order_revenue", "q148_market_share", "q150_order_priority",
