@@ -278,6 +278,65 @@ object Vectors {
     }
   }
 
+  /** Ensure the GROWABLE LSH bucket table for a self-growing embedding
+    * admission loop ([[graft.core.Warehouse.ensureGrowableTable]]
+    * semantics: mutable state, fail-loud on config drift, DDL re-attach
+    * for the empty case) plus its `_cfg` companion, so
+    * [[lshScoredPairsAgainstTable]] probes it exactly like an ingest
+    * artifact. `bitsPerTable` must be FIXED (appends hash with the same
+    * hyperplane slices forever — an adaptive-bits growable table would
+    * bucket-join apples to oranges as it grew). */
+  def ensureGrowableBucketTable(spark: org.apache.spark.sql.SparkSession,
+                                table: String, dim: Int, bitsPerTable: Int,
+                                nTables: Int = 6, bucketCap: Int = 256,
+                                nBuckets: Int = 32): Unit = {
+    require(bitsPerTable > 0,
+      "growable bucket table needs FIXED bitsPerTable (> 0)")
+    val meta = s"lsh-grow dim=$dim bits=$bitsPerTable nTables=$nTables " +
+      s"bucketCap=$bucketCap nBuckets=$nBuckets"
+    import org.apache.spark.sql.types._
+    graft.core.Warehouse.ensureGrowableTable(spark, table, meta,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("v", ArrayType(FloatType)),
+        StructField("tbl", IntegerType), StructField("sig", IntegerType))),
+      "sig", nBuckets)
+    // cfg companion (what probes read the layout from): written once;
+    // drift already failed loud above, so a mismatch here is only a torn
+    // leftover — rewrite it
+    val cfgT = table + "_cfg"
+    graft.core.Warehouse.withTableLock(spark, cfgT) {
+      if (!graft.core.Warehouse.ensureRegistered(spark, cfgT, meta, null, 0)) {
+        import spark.implicits._
+        Seq((dim, bitsPerTable, nTables, bucketCap))
+          .toDF("dim", "bits", "n_tables", "bucket_cap")
+          .write.mode("overwrite").saveAsTable(cfgT)
+        graft.core.Warehouse.writeMeta(spark, cfgT, meta)
+      }
+    }
+  }
+
+  /** Append `df`'s bucket rows to a growable bucket table, PRESERVING the
+    * bucket spec and hashing with the layout's stored cfg. Idempotent
+    * under at-least-once replay (id-anti-join — the
+    * Dedup.appendSignatureRows convention). */
+  def appendBucketRows(spark: org.apache.spark.sql.SparkSession,
+                       df: DataFrame, idCol: String, vecCol: String,
+                       table: String, nBuckets: Int = 32): Unit =
+    graft.core.Warehouse.withTableLock(spark, table) {
+      val cfg = spark.table(table + "_cfg").head()
+      spark.catalog.refreshTable(table) // appends may come from a clone
+      val existing = spark.table(table).select(col("id")).distinct()
+      bucketRows(df.select(col(idCol).as("id"), col(vecCol).as("v")),
+          "id", "v", "id", cfg.getAs[Int]("dim"), cfg.getAs[Int]("bits"),
+          cfg.getAs[Int]("n_tables"), cfg.getAs[Int]("bucket_cap"),
+          vecAs = "v")
+        .join(existing, Seq("id"), "left_anti")
+        .repartition(nBuckets, col("sig"))
+        .write.mode("append").format("parquet")
+        .bucketBy(nBuckets, "sig").sortBy("sig").saveAsTable(table)
+    }
+
   /** Self near-duplicate candidates (corpus vs itself, id_a < id_b):
     * signatures computed ONCE and self-joined — half the signature work and
     * one bucket shuffle instead of two vs calling lshScoredPairs(df, df).

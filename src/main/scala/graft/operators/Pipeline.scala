@@ -2717,6 +2717,104 @@ object Pipeline {
     }
   }
 
+  /** SELF-GROWING embedding admission — [[growingMinhashAdmission]]'s
+    * vector twin (spec `embedding-grow:<corpusDir>:<incDir>`): each tick's
+    * new increment files probe the frozen FULL-corpus LSH bucket table AND
+    * a growable bucket table of previously-admitted vectors (vectors ride
+    * on the bucket rows, so exact cosine verifies inside the probe join —
+    * no separate admitted-vector table is needed), then the tick's
+    * survivors' bucket rows append back into the growable state. Near-dup
+    * bar: cosine ≥ 0.9 (q159's). Within-batch dups resolve pair-greedily
+    * (lowest id admitted); the replay rule, idempotent appends, verdict
+    * sink, and id contract mirror the minhash arm exactly. The growable
+    * layout's bits are FROZEN from the corpus layout at creation (an
+    * adaptive-bits growable table would re-bucket as it grew). */
+  def growingEmbeddingAdmission(spark: SparkSession, corpusDir: String,
+                                incDir: String): DataFrame = {
+    lazy val emb = Tables.embeddings(spark, corpusDir)
+      .select(col("vec_id"), col("embedding"))
+    val corpusTable = cellTableName("graft_vecbkt_adm", corpusDir)
+    Vectors.ensureBucketTable(emb, "vec_id", "embedding", dim = 64,
+      table = corpusTable,
+      tag = graft.core.Warehouse.sourceStamp(s"$corpusDir/embeddings.parquet"))
+    val growTable = cellTableName("graft_vecbkt_grow", corpusDir)
+    // freeze the growable layout to the FROZEN corpus table's resolved
+    // bits: the standing corpus dominates the mass, and both probes then
+    // bucket with comparable collision statistics
+    val bits = spark.table(corpusTable + "_cfg").head().getAs[Int]("bits")
+    Vectors.ensureGrowableBucketTable(spark, growTable, dim = 64,
+      bitsPerTable = bits)
+    val state = graft.core.Warehouse.warehousePath(spark)
+      .resolve("_graft_admit_emb_" +
+        graft.core.Warehouse.corpusSuffix(corpusDir))
+    val out = state.resolve("out").toString
+    val ckpt = state.resolve("ckpt").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(incDir))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", "long")
+      .add("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    val processed = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val src = spark.readStream.schema(schema).parquet(incDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        growingEmbeddingBatch(spark, corpusTable, growTable, batch, batchId,
+          out)
+        processed.add(java.lang.Long.valueOf(batchId))
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.catalog.refreshTable(growTable) // cloned-session appends
+    if (processed.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("vec_id", "long").add("n_dups", "long").add("admit", "boolean"))
+    import scala.jdk.CollectionConverters._
+    spark.read.parquet(
+        processed.asScala.toSeq.map(b => s"$out/batch_id=$b"): _*)
+      .select("vec_id", "n_dups", "admit")
+      .orderBy("vec_id")
+  }
+
+  /** One [[growingEmbeddingAdmission]] micro-batch (factored out so the
+    * replay contract is directly testable). */
+  private[graft] def growingEmbeddingBatch(spark: SparkSession,
+      corpusTable: String, growTable: String, batch: DataFrame,
+      batchId: Long, out: String): Unit = {
+    graft.core.Mat.withMaterialized(
+        batch.select(col("vec_id"), col("embedding"))) { b =>
+      spark.catalog.refreshTable(growTable) // prior batches' appends
+      val hitsCorpus = Vectors.lshScoredPairsAgainstTable(spark, corpusTable,
+        b, "vec_id", "embedding", dim = 64, minCos = 0.9)
+      // replay rule (see growingAdmissionBatch): exclude the batch's own
+      // ids from the growable standing side
+      val hitsGrow = Vectors.lshScoredPairsAgainstTable(spark, growTable,
+          b, "vec_id", "embedding", dim = 64, minCos = 0.9)
+        .join(b.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"),
+          "left_anti")
+      // within-batch: pair-greedy, lowest id admitted
+      val intra = Vectors.lshSelfPairs(b, "vec_id", "embedding", dim = 64,
+        minCos = 0.9)
+      val rejections = hitsCorpus.select(col("query_id").as("vec_id"))
+        .unionByName(hitsGrow.select(col("query_id").as("vec_id")))
+        .unionByName(intra.select(col("neighbor_id").as("vec_id")))
+        .groupBy("vec_id").agg(count(lit(1)).as("n_dups"))
+      val verdicts = graft.core.Mat.tracked(
+        b.select(col("vec_id"))
+          .join(rejections, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+            (coalesce(col("n_dups"), lit(0L)) === 0).as("admit")))
+      val admitted = b.join(
+        verdicts.filter(col("admit")).select("vec_id"), Seq("vec_id"))
+      Vectors.appendBucketRows(spark, admitted, "vec_id", "embedding",
+        growTable)
+      verdicts.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+    }
+  }
+
   /** The release funnel as a STREAMING ADMISSION LOOP: documents arrive
     * in id-ordered micro-batches and every q67 per-doc gate runs per
     * batch — Gopher quality, eval holdout, benchmark decontamination

@@ -69,30 +69,36 @@ object AdmissionTask {
       // tick against the frozen corpus AND every previously-admitted
       // increment, then appends the survivors to the growable standing
       // tables (Pipeline.growingMinhashAdmission)
-      case Array("minhash-grow", rest) if rest.nonEmpty =>
+      case Array(kind @ ("minhash-grow" | "embedding-grow"), rest)
+          if rest.nonEmpty =>
         rest.split(":", 2) match {
           case Array(corpusDir, incDir)
               if corpusDir.nonEmpty && incDir.nonEmpty =>
             try {
-              val out = graft.operators.Pipeline
-                .growingMinhashAdmission(spark, corpusDir, incDir)
-                .agg(
+              val verdicts =
+                if (kind == "minhash-grow")
+                  graft.operators.Pipeline
+                    .growingMinhashAdmission(spark, corpusDir, incDir)
+                else
+                  graft.operators.Pipeline
+                    .growingEmbeddingAdmission(spark, corpusDir, incDir)
+              val out = verdicts.agg(
                   coalesce(sum(when(col("admit"), 1L).otherwise(0L)), lit(0L))
                     .as("admitted"),
                   coalesce(sum(when(col("admit"), 0L).otherwise(1L)), lit(0L))
                     .as("rejected"))
                 .head()
-              Right(s"minhash-grow admission: admitted=${out.getLong(0)} " +
+              Right(s"$kind admission: admitted=${out.getLong(0)} " +
                 s"rejected=${out.getLong(1)}")
             } catch { case NonFatal(e) =>
-              Left(s"minhash-grow admission failed: ${e.getMessage}")
+              Left(s"$kind admission failed: ${e.getMessage}")
             }
           case _ =>
-            Left("minhash-grow admission spec must be " +
-              s"'minhash-grow:<corpusDir>:<incDir>', got '$spec'")
+            Left(s"$kind admission spec must be " +
+              s"'$kind:<corpusDir>:<incDir>', got '$spec'")
         }
       case _ =>
         Left("admission task spec must be '<embedding|minhash>:<dir>' or " +
-          s"'minhash-grow:<corpusDir>:<incDir>', got '$spec'")
+          s"'<minhash-grow|embedding-grow>:<corpusDir>:<incDir>', got '$spec'")
     }
 }

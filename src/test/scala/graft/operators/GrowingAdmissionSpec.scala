@@ -75,6 +75,98 @@ class GrowingAdmissionSpec extends SparkSuite {
     graft.core.Mat.releaseAll(blocking = true)
   }
 
+  test("growable BUCKET table: probe parity, append idempotency, batch replay") {
+    import graft.functions.Vectors
+    def vec(seed: Long): Array[Float] = {
+      // seeded gaussian: distinct seeds give near-orthogonal vectors
+      // (|cos| ~ 1/sqrt(64)), identical seeds exact copies — no
+      // accidental >=0.9 cosine between different seeds
+      val rnd = new scala.util.Random(seed)
+      Array.fill(64)(rnd.nextGaussian().toFloat)
+    }
+    val grow = "graft_test_vecgrow"
+    graft.core.Warehouse.clear(spark, grow)
+    graft.core.Warehouse.clear(spark, grow + "_cfg")
+    Vectors.ensureGrowableBucketTable(spark, grow, dim = 64, bitsPerTable = 4)
+    val admitted = Seq((10L, vec(1L)), (11L, vec(2L)))
+      .toDF("vec_id", "embedding")
+    Vectors.appendBucketRows(spark, admitted, "vec_id", "embedding", grow)
+    val once = spark.table(grow).count()
+    assert(once > 0)
+    // replayed append adds nothing; a new id still appends
+    Vectors.appendBucketRows(spark, admitted, "vec_id", "embedding", grow)
+    assert(spark.table(grow).count() == once, "replayed append double-inserted")
+    // probe parity: stored growable path == direct two-sided probe at the
+    // SAME fixed bits (the cfg pins the layout)
+    val probe = Seq((100L, vec(1L)), (101L, vec(55L)))
+      .toDF("vec_id", "embedding")
+    val viaTable = Vectors.lshScoredPairsAgainstTable(spark, grow, probe,
+        "vec_id", "embedding", dim = 64, minCos = 0.9)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Vectors.lshScoredPairs(admitted, probe, "vec_id",
+        "embedding", dim = 64, bitsPerTable = 4, minCos = 0.9)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaTable == direct,
+      s"stored growable path diverged from direct: $viaTable vs $direct")
+    assert(viaTable.contains((100L, 10L)), s"planted copy missed: $viaTable")
+    // config drift on the standing layout fails loud
+    val e = intercept[IllegalStateException](
+      Vectors.ensureGrowableBucketTable(spark, grow, dim = 64,
+        bitsPerTable = 8))
+    assert(e.getMessage.contains("cannot be silently reset"), e.getMessage)
+    graft.core.Warehouse.clear(spark, grow)
+    graft.core.Warehouse.clear(spark, grow + "_cfg")
+    graft.core.Mat.releaseAll(blocking = true)
+  }
+
+  test("growingEmbeddingBatch replay: growable table and verdict sink once-written") {
+    import graft.functions.Vectors
+    def vec(seed: Long): Array[Float] = {
+      // seeded gaussian: distinct seeds give near-orthogonal vectors
+      // (|cos| ~ 1/sqrt(64)), identical seeds exact copies — no
+      // accidental >=0.9 cosine between different seeds
+      val rnd = new scala.util.Random(seed)
+      Array.fill(64)(rnd.nextGaussian().toFloat)
+    }
+    val corpusDir = tmpDir("egadm-corpus")
+    (0L until 16L).map(i => (i, vec(i), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$corpusDir/embeddings.parquet")
+    val sfx = graft.core.Warehouse.corpusSuffix(corpusDir)
+    val corpusTable = s"graft_vecbkt_adm_$sfx"
+    val growTable = s"graft_vecbkt_grow_$sfx"
+    Vectors.ensureBucketTable(
+      graft.core.Tables.embeddings(spark, corpusDir)
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", dim = 64, table = corpusTable,
+      tag = graft.core.Warehouse.sourceStamp(s"$corpusDir/embeddings.parquet"))
+    val bits = spark.table(corpusTable + "_cfg").head().getAs[Int]("bits")
+    Vectors.ensureGrowableBucketTable(spark, growTable, dim = 64,
+      bitsPerTable = bits)
+    val out = tmpDir("egadm-out")
+    // fresh vec 50, copy of CORPUS vec 3 (reject), within-batch copy of 50
+    val batch = Seq((50L, vec(777L)), (51L, vec(3L)), (52L, vec(777L)))
+      .toDF("vec_id", "embedding")
+    Pipeline.growingEmbeddingBatch(spark, corpusTable, growTable, batch,
+      batchId = 0L, out)
+    def state() = (
+      spark.table(growTable).select("id").distinct().count(),
+      spark.read.parquet(s"$out/batch_id=0").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq)
+    val s1 = state()
+    assert(s1._1 == 1L, s"expected exactly vec 50 in the growable: $s1")
+    assert(s1._2 == Seq((50L, 0L, true), (51L, 1L, false), (52L, 1L, false)),
+      s1._2)
+    Pipeline.growingEmbeddingBatch(spark, corpusTable, growTable, batch,
+      batchId = 0L, out)
+    assert(state() == s1, s"replay mutated state: ${state()} vs $s1")
+    graft.core.Warehouse.sweepCorpus(spark, corpusDir)
+    graft.core.Mat.releaseAll(blocking = true)
+  }
+
   test("growingAdmissionBatch replay: standing tables and verdict sink once-written") {
     val corpusDir = tmpDir("gadm-corpus")
     Seq((1L, doc(1L, "corp")._2, "en", "web", 40L))

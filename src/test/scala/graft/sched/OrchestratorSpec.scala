@@ -402,6 +402,65 @@ class OrchestratorSpec extends SparkSuite {
     assert(graft.core.Mat.liveCount == 0)
   }
 
+  test("self-growing EMBEDDING admission: tick 2 rejects a dup of a vector ADMITTED in tick 1") {
+    import spark.implicits._
+    def vec(seed: Long): Array[Float] = {
+      // seeded gaussian: distinct seeds give near-orthogonal vectors
+      // (|cos| ~ 1/sqrt(64)), identical seeds exact copies — no
+      // accidental >=0.9 cosine between different seeds
+      val rnd = new scala.util.Random(seed)
+      Array.fill(64)(rnd.nextGaussian().toFloat)
+    }
+    val corpusDir = tmpDir("egrow-corpus")
+    val incDir = tmpDir("egrow-inc") + "/files"
+    (0L until 20L).map(i => (i, vec(i), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$corpusDir/embeddings.parquet")
+
+    val store = new CatalogStore(spark, tmpDir("egrow-store"))
+    store.overwrite(spark.createDataset(Seq(Task(
+      1L, "egrow-admit", "admission",
+      Some(s"embedding-grow:$corpusDir:$incDir"), None, 600L, None, None,
+      isActive = true, None, 0, 0, None, Timestamp.valueOf(t0)))), "tasks")
+    store.overwrite(spark.createDataset(Seq.empty[SqlAlert]), "sql_alerts")
+    var now = t0
+    val sched = new Scheduler(spark, store,
+      Scheduler.defaultExecutor(spark, store), () => now)
+    val orch = new Orchestrator(spark, store, sched,
+      new AlertService(spark, store, new InMemoryNotifier,
+        tmpDir("egrow-exp"), () => now), () => now)
+    def lastMsg(): String = store.read[TaskLog]("task_logs").collect()
+      .maxBy(_.id).message
+
+    // tick 1: vec 100 fresh (admit), vec 101 = exact copy of CORPUS vec 3
+    // (reject against the frozen bucket table)
+    Seq((100L, vec(777L)), (101L, vec(3L)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(incDir)
+    val (r1, _) = orch.tick()
+    assert(r1.find(_.taskId == 1L).flatMap(_.status).contains("success"))
+    assert(lastMsg().contains("admitted=1 rejected=1"), lastMsg())
+
+    // tick 2: vec 200 = copy of ADMITTED vec 100 (must reject via the
+    // GROWABLE bucket table), vec 201 fresh (admit)
+    now = now.plusSeconds(601)
+    Seq((200L, vec(777L)), (201L, vec(888L)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(incDir)
+    val (r2, _) = orch.tick()
+    assert(r2.find(_.taskId == 1L).flatMap(_.status).contains("success"))
+    assert(lastMsg().contains("admitted=1 rejected=1"),
+      s"tick 2 must reject the dup of tick 1's admission: ${lastMsg()}")
+
+    val sfx = graft.core.Warehouse.corpusSuffix(corpusDir)
+    val grown = spark.table(s"graft_vecbkt_grow_$sfx")
+      .select("id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(grown == Seq(100L, 201L), s"growable bucket ids: $grown")
+
+    graft.core.Warehouse.sweepCorpus(spark, corpusDir)
+    graft.core.Fs.deleteRecursively(graft.core.Warehouse.warehousePath(spark)
+      .resolve("_graft_admit_emb_" + sfx))
+    assert(graft.core.Mat.liveCount == 0)
+  }
+
   test("vacuum task: delete → probe excludes → vacuum folds → probe invariant, list emptied") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
