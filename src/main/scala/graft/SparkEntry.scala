@@ -387,6 +387,17 @@ object SparkEntry {
     // a stored tombstone list anti-joins queries, code candidates, and
     // the int8 rerank; top-k refills from survivors
     "q165_tombstoned_ann" -> Pipeline.tombstonedAnnServe _,
+    // grown-corpus serving: admitted vectors PROMOTED into the stored
+    // artifacts (the grow fold) and returned by the two-stage path —
+    // the index lifecycle's ADD loop closed end-to-end
+    "q166_grown_ann" -> Pipeline.grownAnnServe _,
+    // vector UPSERT: tombstone + re-admit under the same id, one fold
+    // applies both — the UPDATE completing the index CRUD set
+    "q167_upsert_ann" -> Pipeline.upsertAnnServe _,
+    // hybrid retrieval: RRF fusion of the inverted-index term arm (q130)
+    // and the IVF-PQ two-stage vector arm (q163) — two stored-artifact
+    // shortlists, one broadcast fusion join
+    "q168_hybrid_rrf" -> Pipeline.hybridRetrieval _,
     // trained-vs-seeded PQ codebook quality contract: Lloyd-trained
     // per-subspace centroids must beat the seeded floor by a margin
     "q162_pq_trained_audit" -> Pipeline.pqTrainedAudit _,
@@ -623,10 +634,13 @@ object SparkEntry {
   /** Shared seeded-PQ CTE body (q160/q161/q162 oracles): the int8
     * quantizer, the 16-lowest-id seeded codebook, and argmin-L2 codes
     * with lowest-index tie-break — every quantity an exact integer. */
-  private val pqSeedCtes =
-    """mm AS (SELECT vec_id, embedding,
+  /** `base` parameterizes the corpus relation (default the raw table;
+    * the grown-serving oracles q166/q167 pass a union/replacement CTE —
+    * the same machinery recomputed over corpus ∪ admitted). */
+  private def pqSeedCtesOver(base: String): String =
+    s"""mm AS (SELECT vec_id, embedding,
       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
-      |  FROM embeddings),
+      |  FROM $base),
       |qv AS (SELECT vec_id,
       |    list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
       |      ELSE CAST(floor(x::DOUBLE*127/m + 0.5) AS INT) END) AS q
@@ -649,6 +663,8 @@ object SparkEntry {
       |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s
       |        ORDER BY d ASC, j ASC) rn FROM enc0) WHERE rn = 1)""".stripMargin
 
+  private val pqSeedCtes = pqSeedCtesOver("embeddings")
+
   /** Shared IVF-PQ probe CTEs (q161/q163 oracles): seeded centroids,
     * corpus cell assignment, the 50-query panel's top-4 probed cells, and
     * the probed candidates' ADC scores over [[pqSeedCtes]] — everything
@@ -656,8 +672,8 @@ object SparkEntry {
   /** Cell-layout + probe CTEs (seeded centroids, corpus cell assignment,
     * 50-query panel, top-4 probed cells) — the piece q161/q163/q164 share
     * BEFORE any candidate definition. */
-  private val ivfPqCellCtes =
-    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private def ivfPqCellCtesOver(base: String): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $base),
       |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
       |        v AS cvec
       |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
@@ -672,6 +688,8 @@ object SparkEntry {
       |        ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC,
       |                 c.cid ASC) AS prk
       |    FROM qf q, cents c) WHERE prk <= 4)""".stripMargin
+
+  private val ivfPqCellCtes = ivfPqCellCtesOver("embeddings")
 
   /** The panel's per-subspace int8 query slices (over [[pqSeedCtes]]'s
     * `qv`) — shared by every ADC scorer below. */
@@ -698,6 +716,39 @@ object SparkEntry {
     """cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
       |  FROM pr p JOIN asg a USING (cid) WHERE a.vec_id <> p.query_id),
       |""".stripMargin + ivfPqAdcCte
+
+  /** q163's two-stage tail (ADC top-20 shortlist → exact int8 re-rank →
+    * top-5), shared by the grown-serving oracles — identical text over
+    * whatever `adc`/`qv` the upstream CTEs defined. */
+  private val ivfPqRerankTail =
+    """sl AS (SELECT query_id, neighbor_id, adc_score FROM (
+      |    SELECT query_id, neighbor_id, adc_score, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY adc_score DESC,
+      |         neighbor_id ASC) AS arank
+      |    FROM adc) WHERE arank <= 20),
+      |ex AS (SELECT s.query_id, s.neighbor_id, s.adc_score,
+      |    CAST(list_dot_product(q1.q::DOUBLE[], q2.q::DOUBLE[])
+      |         AS BIGINT) AS exact_score
+      |  FROM sl s JOIN qv q1 ON q1.vec_id = s.query_id
+      |            JOIN qv q2 ON q2.vec_id = s.neighbor_id)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |       exact_score, adc_score
+      |FROM (SELECT query_id, neighbor_id, exact_score, adc_score,
+      |    row_number() OVER (PARTITION BY query_id
+      |        ORDER BY exact_score DESC, neighbor_id ASC) AS rank
+      |  FROM ex) WHERE rank <= 5""".stripMargin
+
+  /** Full two-stage IVF-PQ recompute (q163's machinery verbatim) over a
+    * caller-supplied base-relation CTE named `embu` — the grown-serving
+    * oracles: the base is corpus ∪ admitted (q166) or the updated
+    * replacement (q167), and DuckDB rebuilds seeds, cells, probes, codes,
+    * ADC, and the exact re-rank from that base alone. */
+  private def grownRerankOracle(baseCte: String): String =
+    "WITH " + baseCte + ",\n" + ivfPqCellCtesOver("embu") + ",\n" +
+    pqSeedCtesOver("embu") + ",\n" + ivfPqPsubCte + ",\n" +
+    """cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM pr p JOIN asg a USING (cid) WHERE a.vec_id <> p.query_id),
+      |""".stripMargin + ivfPqAdcCte + ",\n" + ivfPqRerankTail
 
   /** q162's trained-codebook sums, calibrated per gate corpus (r13): the
     * Lloyd training lives only in this engine, so the oracle cannot
@@ -1845,7 +1896,9 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name""".stripMargin,
     "q06_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT')""".stripMargin,
     "q07_semi_join" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE c_acctbal > 0
@@ -2145,6 +2198,91 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |        ORDER BY exact_score DESC, neighbor_id ASC) AS rank
         |  FROM ex) WHERE rank <= 5""".stripMargin),
+    // grown-corpus serving: the admitted set is deterministic (vec_id ≡ 3
+    // mod 23, re-keyed +10M, embedding reversed), so DuckDB recomputes
+    // the ENTIRE two-stage path over corpus ∪ admitted from scratch —
+    // admitted ids returned as neighbors are value-checked end-to-end
+    "q166_grown_ann" -> grownRerankOracle(
+      """embu AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000 AS vec_id,
+        |         list_reverse(embedding) AS embedding
+        |  FROM embeddings WHERE vec_id % 23 = 3)""".stripMargin),
+    // vector upsert: the deterministic update set (vec_id ≡ 7 mod 29,
+    // vec_id ≥ 50) serves its NEW (reversed) embedding under the SAME id;
+    // the old version is excluded from the recomputed base entirely
+    "q167_upsert_ann" -> grownRerankOracle(
+      """embu AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE NOT (vec_id % 29 = 7 AND vec_id >= 50)
+        |  UNION ALL
+        |  SELECT vec_id, list_reverse(embedding) AS embedding
+        |  FROM embeddings WHERE vec_id % 29 = 7 AND vec_id >= 50)""".stripMargin),
+    // hybrid RRF recomputed whole: exact tf/df term retrieval (q130's
+    // CTEs), the exact two-stage ANN (q163's CTEs, panel < 3), and the
+    // fusion — ranks are exact ints, RRF doubles recomputed from them
+    "q168_hybrid_rrf" ->
+      ("WITH " + ivfPqCellCtes + ",\n" + pqSeedCtes + ",\n" + ivfPqPsubCte +
+        ",\n" +
+        """pr3 AS (SELECT query_id, cid FROM pr WHERE query_id < 3),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM pr3 p JOIN asg a USING (cid) WHERE a.vec_id <> p.query_id),
+        |""".stripMargin + ivfPqAdcCte + ",\n" +
+        """sl AS (SELECT query_id, neighbor_id, adc_score FROM (
+        |    SELECT query_id, neighbor_id, adc_score, row_number() OVER
+        |        (PARTITION BY query_id ORDER BY adc_score DESC,
+        |         neighbor_id ASC) AS arank
+        |    FROM adc) WHERE arank <= 20),
+        |exv AS (SELECT s.query_id, s.neighbor_id,
+        |    CAST(list_dot_product(q1.q::DOUBLE[], q2.q::DOUBLE[])
+        |         AS BIGINT) AS exact_score
+        |  FROM sl s JOIN qv q1 ON q1.vec_id = s.query_id
+        |            JOIN qv q2 ON q2.vec_id = s.neighbor_id),
+        |vecside AS (SELECT query_id, neighbor_id AS id,
+        |    CAST(r AS INT) AS vec_rank
+        |  FROM (SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id
+        |       ORDER BY exact_score DESC, neighbor_id ASC) AS r
+        |    FROM exv) WHERE r <= 10),
+        |tt AS (SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text),'\S+')) AS term
+        |       FROM documents),
+        |tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |        FROM tt GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tfq GROUP BY 1),
+        |q3 AS (SELECT term, df,
+        |         row_number() OVER (ORDER BY df DESC, term ASC) - 1
+        |           AS query_id
+        |       FROM (SELECT term, df FROM dfq
+        |             ORDER BY df DESC, term ASC LIMIT 3)),
+        |termside AS (SELECT query_id, doc_id AS id, CAST(r AS INT)
+        |    AS term_rank
+        |  FROM (SELECT q3.query_id, tfq.doc_id, row_number() OVER
+        |      (PARTITION BY q3.query_id
+        |       ORDER BY CAST(tfq.tf AS DOUBLE)/CAST(q3.df AS DOUBLE) DESC,
+        |                tfq.doc_id ASC) AS r
+        |    FROM tfq JOIN q3 USING (term)) WHERE r <= 10),
+        |fused AS (SELECT coalesce(t.query_id, v.query_id) AS query_id,
+        |    coalesce(t.id, v.id) AS id,
+        |    coalesce(t.term_rank, 0) AS term_rank,
+        |    coalesce(v.vec_rank, 0) AS vec_rank
+        |  FROM termside t FULL OUTER JOIN vecside v
+        |    ON t.query_id = v.query_id AND t.id = v.id),
+        |scored AS (SELECT query_id, id, term_rank, vec_rank,
+        |    (CASE WHEN term_rank > 0
+        |          THEN 1.0::DOUBLE / (60 + term_rank) ELSE 0.0::DOUBLE END)
+        |  + (CASE WHEN vec_rank > 0
+        |          THEN 1.0::DOUBLE / (60 + vec_rank) ELSE 0.0::DOUBLE END)
+        |      AS rrf_score
+        |  FROM fused)
+        |SELECT query_id, CAST(rank AS INT) AS rank, id, term_rank,
+        |       vec_rank, rrf_score
+        |FROM (SELECT query_id, id, term_rank, vec_rank, rrf_score,
+        |    row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rrf_score DESC, id ASC) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin),
     // q162's recomputable half: the seeded panel×corpus ADC score-error
     // sum (q160's exact/adc CTEs) and the seeded corpus distortion
     // (argmin-L2 min-distance sum — exactly what the engine derives from

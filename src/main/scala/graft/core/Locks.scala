@@ -127,7 +127,7 @@ object Locks {
     * false when ANOTHER process holds it. The OS releases the claim at
     * process exit — including crashes — so ownership can never leak past
     * the owner's death. */
-  def tryOwnProcessWide(lockFile: Path): Boolean = this.synchronized {
+  def tryOwnProcessWide(lockFile: Path): Boolean = {
     val key = ensureAndKey(lockFile)
     // idempotent re-claim resolves BEFORE any channel is opened — a
     // second open+close on an owned file could release the held OS lock
@@ -141,7 +141,16 @@ object Locks {
     // then closed a second channel on the scoped holder's file).
     // Re-entry from a thread INSIDE a scoped section still reaches the
     // guard (monitors are reentrant) and fails loud as intended.
+    // NO lock wider than the per-key monitor is taken: a global monitor
+    // here nested Locks.this -> keyMonitor(key) against withFileLock's
+    // keyMonitor(key)-for-the-section hold, an ABBA shape (and a single
+    // global wait point) the per-key serialization never needed.
     keyMonitors.computeIfAbsent(key, _ => new Object).synchronized {
+      // re-check under the monitor: a concurrent claim of the SAME key may
+      // have won while this thread waited for the monitor — proceeding
+      // would open+close a second channel on an owned file (POSIX releases
+      // the held lock on close)
+      if (owned.containsKey(key)) return true
       // overlap guard: claiming a file that is mid-[[withFileLock]] in this
       // process would open+close a second channel on it — on POSIX the
       // close can silently release the scoped holder's OS lock. The two

@@ -152,6 +152,21 @@ object Warehouse {
       }
     }
 
+  /** Read a GROWABLE table's CURRENT rows — the read contract for mutable
+    * standing state (ask of the r15 verdict: freshness as contract, not
+    * convention). Growable tables are appended to by admission/tombstone
+    * writers, possibly from a stream's CLONED session or another JVM,
+    * whose writes refresh THEIR relation cache, not this session's; a raw
+    * `spark.table` on a growable name can silently serve a stale cached
+    * file listing (last tick's state — old data, no error). Every reader
+    * of a growable table goes through here: refresh, then read.
+    * WarehouseSpec pins that a reader cannot observe pre-append state. */
+  def readGrowableTable(spark: SparkSession,
+                        table: String): org.apache.spark.sql.DataFrame = {
+    spark.catalog.refreshTable(table)
+    spark.table(table)
+  }
+
   private def dirOf(spark: SparkSession, table: String): Path = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val p = if (wh.startsWith("file:")) java.net.URI.create(wh).getPath else wh

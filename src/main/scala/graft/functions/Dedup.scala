@@ -315,11 +315,11 @@ object Dedup {
                           bucketCap: Int = 256, nBuckets: Int = 32): Unit = {
     requireBanding(k, bands)
     graft.core.Warehouse.withTableLock(spark, table) {
-      // prior appends may have come from another session over the same
-      // catalog (a stream's cloned session): drop any cached file listing
-      // so the replay anti-join sees every row already written
-      spark.catalog.refreshTable(table)
-      val existing = spark.table(table).select(col("id")).distinct()
+      // readGrowableTable: prior appends may have come from another
+      // session over the same catalog (a stream's cloned session) — the
+      // replay anti-join must see every row already written
+      val existing = graft.core.Warehouse.readGrowableTable(spark, table)
+        .select(col("id")).distinct()
       bandedSignatures(minhashSignatures(df.select(
             col(idCol).as("doc_id"), col(textCol).as("text")),
           "doc_id", "text", k), bands, k / bands, bucketCap)

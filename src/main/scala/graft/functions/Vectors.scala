@@ -325,8 +325,9 @@ object Vectors {
                        table: String, nBuckets: Int = 32): Unit =
     graft.core.Warehouse.withTableLock(spark, table) {
       val cfg = spark.table(table + "_cfg").head()
-      spark.catalog.refreshTable(table) // appends may come from a clone
-      val existing = spark.table(table).select(col("id")).distinct()
+      // readGrowableTable: appends may come from a clone
+      val existing = graft.core.Warehouse.readGrowableTable(spark, table)
+        .select(col("id")).distinct()
       bucketRows(df.select(col(idCol).as("id"), col(vecCol).as("v")),
           "id", "v", "id", cfg.getAs[Int]("dim"), cfg.getAs[Int]("bits"),
           cfg.getAs[Int]("n_tables"), cfg.getAs[Int]("bucket_cap"),

@@ -89,11 +89,17 @@ object Relational {
       .agg(count(col("o_orderkey")).as("n_orders"),
            round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
 
-  /** J6-as-anti-join — customers that never ordered (reference's
-    * `tl.task_id IS NULL` never-executed filter, web_scheduler.py:4639-4640). */
+  /** J6-as-anti-join — customers with no URGENT order (reference's
+    * `tl.task_id IS NULL` never-executed filter, web_scheduler.py:4639-4640).
+    * The anti-join's build side is FILTERED (priority = 1-URGENT) so the
+    * result has real mass at every gate SF — the unfiltered form was a
+    * degenerate 0-rows-both-sides pass wherever every customer has an
+    * order (r15 verdict: a broken anti-join could still pass 3 gates). */
   def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+      .join(Tables.orders(spark, dir)
+              .filter(col("o_orderpriority") === "1-URGENT")
+              .select(col("o_custkey")),
             col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
 

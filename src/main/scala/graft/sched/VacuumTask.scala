@@ -47,17 +47,15 @@ object VacuumTask {
       }
     try {
       val ts = graft.operators.Pipeline.ensureTombstoneTable(spark, dir)
-      spark.catalog.refreshTable(ts)
-      val active = spark.table(ts).groupBy("kind")
-        .agg(count(lit(1)).as("n"))
+      val active = graft.core.Warehouse.readGrowableTable(spark, ts)
+        .groupBy("kind").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val nVec = active.getOrElse("vec", 0L)
       val nDoc = active.getOrElse("doc", 0L)
       if (nVec == 0L && nDoc == 0L)
         return Right("vacuum: no active tombstones, skipped")
       def corpusCount(table: String): Long =
-        try spark.read.parquet(s"$dir/$table.parquet").count()
-        catch { case NonFatal(_) => 0L }
+        corpusCountCached(spark, dir, table)
       val vecFrac =
         if (nVec == 0L) 0.0
         else nVec.toDouble / math.max(1L, corpusCount("embeddings"))
@@ -74,5 +72,28 @@ object VacuumTask {
     } catch { case NonFatal(e) =>
       Left(s"vacuum failed for $dir: ${e.getMessage}")
     }
+  }
+
+  /** Corpus row counts for the threshold fraction, CACHED by source stamp
+    * (§16 item 5, r15): once tombstones exist, a long-lived scheduler paid
+    * a parquet listing + count job on EVERY tick for a value that only
+    * changes when the corpus files do — the stamp (driver-side listing,
+    * no Spark job) keys the memo, so a regenerated corpus recounts and a
+    * warm deferral tick's only Spark work is the small tombstone-table
+    * aggregate. Eviction-bounded (the codebook-memo shape): a daemon
+    * cycling through unbounded corpora clears past 64 entries. */
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[sched] def corpusCountCached(spark: SparkSession, dir: String,
+                                       table: String): Long = {
+    val stamp = graft.core.Warehouse.sourceStamp(s"$dir/$table.parquet")
+    if (stamp == "absent") return 0L
+    if (countMemo.size() > 64) countMemo.clear()
+    countMemo.computeIfAbsent(s"$dir|$table|$stamp", _ =>
+      try java.lang.Long.valueOf(
+        spark.read.parquet(s"$dir/$table.parquet").count())
+      catch { case NonFatal(_) => java.lang.Long.valueOf(0L) }
+    ).longValue()
   }
 }

@@ -26,20 +26,17 @@ class GrowDirectSpec extends SparkSuite {
       .toDF("doc_id", "text").write.mode("append").parquet(incDir)
     val v1 = Pipeline.growingMinhashAdmission(spark, corpusDir, incDir)
       .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1).toSeq
-    println(s"[gdbg] tick1 verdicts: $v1")
-    println(s"[gdbg] grow ids after tick1: " +
-      spark.table(s"graft_sig_grow_$sfx").select("id").distinct()
-        .collect().map(_.getLong(0)).sorted.toSeq)
-    println(s"[gdbg] adm docs after tick1: " +
-      spark.table(s"graft_adm_docs_$sfx").select("doc_id")
-        .collect().map(_.getLong(0)).sorted.toSeq)
-    assert(v1 == Seq((100L, true), (101L, false)), v1)
+    val growIds = spark.table(s"graft_sig_grow_$sfx").select("id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val admIds = spark.table(s"graft_adm_docs_$sfx").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(v1 == Seq((100L, true), (101L, false)),
+      s"verdicts=$v1 grow=$growIds adm=$admIds")
 
     Seq((200L, text("freshA")), (201L, text("freshB")))
       .toDF("doc_id", "text").write.mode("append").parquet(incDir)
     val v2 = Pipeline.growingMinhashAdmission(spark, corpusDir, incDir)
       .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1).toSeq
-    println(s"[gdbg] tick2 verdicts: $v2")
     assert(v2 == Seq((200L, false), (201L, true)), v2)
 
     graft.core.Warehouse.sweepCorpus(spark, corpusDir)

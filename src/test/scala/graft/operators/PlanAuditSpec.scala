@@ -208,6 +208,32 @@ class PlanAuditSpec extends SparkSuite {
       s"widened fallback degenerated to an unbroadcast cartesian:\n$plan")
   }
 
+  test("q166 grown serving: probes broadcast onto the stored grown code table, no cartesian") {
+    val plan = executedPlan("q166_grown_ann")
+    // both stages ride broadcasts of driver-small panels — the grown code
+    // and int8 tables stream out of storage exactly like q163's
+    assert(plan.contains("graft_pq_grown_q166"),
+      s"serve does not read the stored grown code table:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe/shortlist joins did not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"grown serve degenerated to a cross product:\n$plan")
+  }
+
+  test("q168 hybrid RRF: both arms probe stored artifacts; fusion joins shortlists only") {
+    val plan = executedPlan("q168_hybrid_rrf")
+    // the vector arm reads the stored code + int8 tables with broadcast
+    // probes (q163's shape); the term arm aggregates the token index; the
+    // fusion's full-outer join touches only the two ≤3·R-row shortlists —
+    // never a corpus relation — so no cartesian anywhere
+    assert(plan.contains("graft_pq_seed"),
+      s"vector arm does not read the stored code table:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe joins did not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"hybrid fusion degenerated to a cross product:\n$plan")
+  }
+
   test("q110 star join: date filter pushed to the orders scan, dims broadcast, no cartesian") {
     val plan = executedPlan("q110_local_supplier")
     assert(plan.contains("PushedFilters:") &&

@@ -461,6 +461,92 @@ class OrchestratorSpec extends SparkSuite {
     assert(graft.core.Mat.liveCount == 0)
   }
 
+  test("grow fold: admit (task tick) → promote → serve RETURNS the admitted vector; replayed fold bit-identical; upsert serves new, never old") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def vec(seed: Long): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(64)(rnd.nextGaussian().toFloat)
+    }
+    // v = a·vec(base) + b·vec(noiseSeed): cos(v, vec(base)) ≈ a — below
+    // the 0.9 admission bar, far above the corpus's ~1/sqrt(64) noise
+    def blend(base: Long, noiseSeed: Long, a: Float, b: Float): Array[Float] = {
+      val x = vec(base); val y = vec(noiseSeed)
+      x.indices.map(i => a * x(i) + b * y(i)).toArray
+    }
+    val corpusDir = tmpDir("gfold-corpus")
+    val incDir = tmpDir("gfold-inc") + "/files"
+    (0L until 20L).map(i => (i, vec(i), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$corpusDir/embeddings.parquet")
+
+    val store = new CatalogStore(spark, tmpDir("gfold-store"))
+    store.overwrite(spark.createDataset(Seq(Task(
+      1L, "gfold-admit", "admission",
+      Some(s"embedding-grow:$corpusDir:$incDir"), None, 600L, None, None,
+      isActive = true, None, 0, 0, None, Timestamp.valueOf(t0)))), "tasks")
+    store.overwrite(spark.createDataset(Seq.empty[SqlAlert]), "sql_alerts")
+    val now = t0
+    val sched = new Scheduler(spark, store,
+      Scheduler.defaultExecutor(spark, store), () => now)
+    val orch = new Orchestrator(spark, store, sched,
+      new AlertService(spark, store, new InMemoryNotifier,
+        tmpDir("gfold-exp"), () => now), () => now)
+
+    // the REAL admission loop admits vec 100 — correlated with corpus
+    // vec 3 (cos ≈ 0.8: under the dup bar, far above the noise floor)
+    Seq((100L, blend(3L, 777L, 0.8f, 0.6f)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(incDir)
+    val (r1, _) = orch.tick()
+    assert(r1.find(_.taskId == 1L).flatMap(_.status).contains("success"))
+
+    def serve() = graft.operators.Pipeline.grownServe(spark, corpusDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(x => (x._1, x._2)).toSeq
+    val s1 = serve()
+    // the admitted vector IS SERVED: top neighbor of its correlated query
+    assert(s1.exists(x => x._1 == 3L && x._2 == 1 && x._3 == 100L),
+      s"admitted vec 100 should be query 3's top-1 neighbor: " +
+        s1.filter(_._1 == 3L).toString)
+    // replayed fold (promote runs again inside serve): bit-identical
+    val fp = graft.core.Warehouse.fingerprintOf(spark,
+      "graft_int8_grown_" + graft.core.Warehouse.corpusSuffix(corpusDir))
+    val s2 = serve()
+    assert(s1 == s2, "replayed fold changed serving results")
+    assert(graft.core.Warehouse.fingerprintOf(spark,
+      "graft_int8_grown_" + graft.core.Warehouse.corpusSuffix(corpusDir)) == fp,
+      "replayed fold rebuilt instead of warm-attaching")
+
+    // UPSERT: vec 5 gets a NEW embedding correlated with vec 7. Before:
+    // 5 is not 7's top-1; after: the SAME id serves its new vector and
+    // the old one never surfaces
+    assert(!s1.exists(x => x._1 == 7L && x._2 == 1 && x._3 == 5L))
+    val newV5 = Seq((5L, blend(7L, 888L, 0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val applied = graft.operators.Pipeline.upsertVectors(
+      spark, corpusDir, newV5)
+    assert(applied == 1L)
+    val s3 = serve()
+    assert(s3.exists(x => x._1 == 7L && x._2 == 1 && x._3 == 5L),
+      s"upserted vec 5 should serve its NEW embedding (query 7's top-1): " +
+        s3.filter(_._1 == 7L).toString)
+    // replayed upsert (at-least-once): idempotent no-op
+    assert(graft.operators.Pipeline.upsertVectors(spark, corpusDir, newV5) == 0L)
+    assert(serve() == s3, "replayed upsert changed serving results")
+    // a SECOND update of the same id with a DIFFERENT vector fails loud
+    val conflicting = Seq((5L, vec(999L))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Pipeline.upsertVectors(spark, corpusDir, conflicting)
+    }
+    assert(e.getMessage.contains("DIFFERENT"), e.getMessage)
+
+    graft.core.Warehouse.sweepCorpus(spark, corpusDir)
+    graft.core.Fs.deleteRecursively(graft.core.Warehouse.warehousePath(spark)
+      .resolve("_graft_admit_emb_" +
+        graft.core.Warehouse.corpusSuffix(corpusDir)))
+    graft.core.Mat.releaseAll(blocking = true)
+  }
+
   test("vacuum task: delete → probe excludes → vacuum folds → probe invariant, list emptied") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

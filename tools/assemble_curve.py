@@ -63,6 +63,17 @@ for q in family:
             row.setdefault("failed_points", []).append(f"{factor}x")
         elif s is not None and b_own:
             row["ratios"][f"{factor}x"] = round(s / b_own, 2)
+        # r16: carry the invariant registers (q57/q58 cc_rounds, q108
+        # cand_pairs) per point so the curve itself adjudicates its tail —
+        # flat rounds + linear candidate mass under a grown wall = load
+        regs = {}
+        for key in ("cc_rounds", "cand_pairs"):
+            bv = a["base"].get(key, {}).get(q)
+            sv = a["scale"].get(key, {}).get(q)
+            if bv is not None or sv is not None:
+                regs[key] = {"base": bv, "scale": sv}
+        if regs:
+            row.setdefault("registers", {})[f"{factor}x"] = regs
     curve[q] = row
 
 commit = subprocess.check_output(["git", "rev-parse", "HEAD"]).decode().strip()

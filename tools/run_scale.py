@@ -38,7 +38,7 @@ FAMILY = [
     "q152_ivf_partial_probe", "q154_incremental_embedding",
     "q158_int8_quant_recall", "q160_pq_adc_recall", "q161_ivfpq_topk",
     "q162_pq_trained_audit", "q163_ivfpq_rerank", "q164_filtered_ann",
-    "q165_tombstoned_ann",
+    "q165_tombstoned_ann", "q166_grown_ann", "q167_upsert_ann",
     # TPC-H shapes: the classic join/agg plans must grow sublinearly too
     "q01_pricing_summary", "q13_revenue_nation", "q141_trade_flows",
     "q143_small_order_revenue", "q148_market_share", "q150_order_priority",
@@ -122,6 +122,13 @@ def section(detail):
         "prebuild_sec": round(detail["prebuild_sec"], 2),
         "reps": detail["reps"],
         "queries": {k: round(v, 3) for k, v in sorted(detail["queries"].items())},
+        # r16 (judge ask #2): the invariant registers ride IN the stamped
+        # artifacts — q57/q58 propagation rounds and q108 prefix-filter
+        # candidate mass per point — so a probe-ratio flag at any scale is
+        # adjudicable from the artifact alone (rounds grew / counts grew
+        # super-linearly = real regression; flat registers = box load)
+        "cc_rounds": detail.get("cc_rounds", {}),
+        "cand_pairs": detail.get("cand_pairs", {}),
     }
 
 
