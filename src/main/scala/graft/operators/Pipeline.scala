@@ -1468,7 +1468,11 @@ object Pipeline {
     * family IS the production index and the plain family is the frozen
     * snapshot evals pin against). Seeds/codebook stay the 16 lowest ids —
     * admitted ids are higher by the id contract, so an EMPTY fold yields
-    * artifacts identical to the plain family's.
+    * artifacts identical to the plain family's. The LABELED code table
+    * (q164's filtered-ANN artifact) is not folded here: admitted
+    * increments carry (vec_id, embedding) only — growing it requires
+    * label attrs on the ingest stream, at which point the same
+    * ensurePqCodes(attrs=…) call slots in under the same tag.
     * Returns (cellTable, codesTable, int8Table, codebook). */
   private[graft] def promoteAdmittedVectors(spark: SparkSession, dir: String,
                                             ns: String = "")
