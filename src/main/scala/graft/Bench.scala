@@ -41,8 +41,9 @@ object Bench {
     // q163's two-stage path, so the ratio must track q163's
     "q165_tombstoned_ann",
     // r16: grown-corpus serving and upsert — the grow fold is prebuilt
-    // ingest work; the timed serve must track q163's two-stage ratio
-    "q166_grown_ann", "q167_upsert_ann")
+    // ingest work; the timed serve must track q163's two-stage ratio —
+    // plus the doc-arm grown-signature probe (must track q74's shape)
+    "q166_grown_ann", "q167_upsert_ann", "q169_grown_minhash")
 
   /** Synthesize one probe corpus of `nDocs` documents + `nVecs` embeddings
     * under `dir`. Hash-generated with a 5k-word vocabulary so
@@ -158,7 +159,7 @@ object Bench {
         // r16: the grow fold (admit + promote into the grown artifact
         // family) is ingest work — prebuild it so the timed ratios
         // measure the serve path
-        "q166_grown_ann", "q167_upsert_ann")
+        "q166_grown_ann", "q167_upsert_ann", "q169_grown_minhash")
       .flatMap { n =>
         val failed = try { SparkEntry.queries(n)(spark, dir).count(); None }
                      catch { case t: Throwable =>
@@ -198,7 +199,9 @@ object Bench {
         Seq("ivf_grown", "pq_grown", "int8_grown", "vecbkt_grown")
           .flatMap(b => Seq(s"${b}_q166", s"${b}_q167")))
         .map(b => b -> graft.core.Warehouse.isFresh(
-          spark, s"graft_${b}_$sfx", Seq(embStamp)))
+          spark, s"graft_${b}_$sfx", Seq(embStamp))) ++
+      Seq("sig_grown_q169" -> graft.core.Warehouse.isFresh(
+        spark, s"graft_sig_grown_q169_$sfx", Seq(docStamp)))
     val ccRounds = scala.collection.mutable.Map[String, Int]()
     val candPairs = scala.collection.mutable.Map[String, Long]()
     val runs = (1 to math.max(1, reps)).map { _ =>
@@ -368,7 +371,9 @@ object Bench {
       (Seq("ivf_grown", "pq_grown", "int8_grown", "vecbkt_grown")
         .flatMap(b => Seq(s"${b}_q166", s"${b}_q167"))
         .forall(b => graft.core.Warehouse.isFresh(
-          spark, s"graft_${b}_$sfx", Seq(embStamp))))
+          spark, s"graft_${b}_$sfx", Seq(embStamp)))) &&
+      graft.core.Warehouse.isFresh(
+        spark, s"graft_sig_grown_q169_$sfx", Seq(docStamp))
     }
     val warmFound = warmCheck(sfDir)
     // session warmup: JIT/codegen/scheduler paths + parquet reader init

@@ -398,6 +398,9 @@ object SparkEntry {
     // and the IVF-PQ two-stage vector arm (q163) — two stored-artifact
     // shortlists, one broadcast fusion join
     "q168_hybrid_rrf" -> Pipeline.hybridRetrieval _,
+    // grown-corpus MinHash serving: admitted docs promoted into ONE
+    // stored grown signature table; a probe panel must find them there
+    "q169_grown_minhash" -> Pipeline.grownMinhashServe _,
     // trained-vs-seeded PQ codebook quality contract: Lloyd-trained
     // per-subspace centroids must beat the seeded floor by a margin
     "q162_pq_trained_audit" -> Pipeline.pqTrainedAudit _,
@@ -2283,6 +2286,39 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |        ORDER BY rrf_score DESC, id ASC) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin),
+    // doc-arm grow fold: union (corpus + word-reversed admitted docs) +
+    // exact-copy probe panel, full pairwise trigram Jaccard >= 0.9 via
+    // the inverted-gram join (the q65/q74 oracle shape over the grown
+    // base) — recall over admitted docs is value-checked end-to-end
+    "q169_grown_minhash" ->
+      """WITH du AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |         array_to_string(list_reverse(
+        |           regexp_extract_all(lower(text), '\S+')), ' ') AS text
+        |  FROM documents WHERE doc_id % 31 = 4),
+        |al AS (SELECT doc_id, text FROM du
+        |  UNION ALL
+        |  SELECT doc_id + 20000000 AS doc_id, text FROM du
+        |  WHERE doc_id % 41 = 6),
+        |t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') toks
+        |      FROM al),
+        |s AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+        |             ELSE list_transform(range(len(toks)-2),
+        |                    i -> array_to_string(toks[i+1:i+3],' ')) END) sh
+        |      FROM t),
+        |sz AS (SELECT doc_id, len(sh) n FROM s),
+        |inv AS (SELECT doc_id, unnest(sh) g FROM s),
+        |c AS (SELECT i.doc_id inc_id, cc.doc_id corpus_id, count(*) shared
+        |      FROM inv i JOIN inv cc ON cc.g = i.g
+        |        AND i.doc_id >= 20000000 AND cc.doc_id < 20000000
+        |      GROUP BY 1, 2),
+        |p AS (SELECT inc_id, corpus_id,
+        |        CAST(shared AS DOUBLE) / (si.n + sc.n - shared) j
+        |      FROM c JOIN sz si ON si.doc_id = c.inc_id
+        |             JOIN sz sc ON sc.doc_id = c.corpus_id)
+        |SELECT inc_id, corpus_id, j AS jaccard FROM p WHERE j >= 0.9""".stripMargin,
     // q162's recomputable half: the seeded panel×corpus ADC score-error
     // sum (q160's exact/adc CTEs) and the seeded corpus distortion
     // (argmin-L2 min-distance sum — exactly what the engine derives from

@@ -1426,30 +1426,34 @@ object Pipeline {
     * change under an unchanged id set ([[upsertVectors]] fails loud on
     * the one way a caller could try). */
   private def growState(spark: SparkSession,
-                        growTable: String): (Long, String) = {
+                        growTable: String): (Long, String) =
+    growStateOf(spark, growTable, "id")
+
+  private def growStateOf(spark: SparkSession, growTable: String,
+                          idCol: String): (Long, String) = {
     val r = graft.core.Warehouse.readGrowableTable(spark, growTable)
-      .select("id").distinct()
-      .agg(count(lit(1)), expr("bit_xor(xxhash64(id))")).head()
+      .select(idCol).distinct()
+      .agg(count(lit(1)), expr(s"bit_xor(xxhash64($idCol))")).head()
     val n = r.getLong(0)
     if (n == 0L) (0L, "")
     else (n, s" grown=$n:${java.lang.Long.toHexString(r.getLong(1))}")
   }
 
-  /** Removal-state of namespace `ns`'s vec tombstones, ACTIVE ∪ FOLDED:
+  /** Removal-state of namespace `ns`'s `kind` tombstones, ACTIVE ∪ FOLDED:
     * (count, tag suffix, ids frame). The grown artifacts exclude BOTH
     * lists at build time — an upsert's old version must be gone whether or
     * not a vacuum has folded it — so the fingerprint covers their union. */
-  private def vecRemovalState(spark: SparkSession, ts: String, fold: String)
-      : (Long, String, DataFrame) = {
+  private def removalState(spark: SparkSession, ts: String, fold: String,
+                           kind: String): (Long, String, DataFrame) = {
     lazy val ids = graft.core.Warehouse.readGrowableTable(spark, ts)
-      .filter(col("kind") === "vec").select("id")
+      .filter(col("kind") === kind).select("id")
       .unionByName(graft.core.Warehouse.readGrowableTable(spark, fold)
-        .filter(col("kind") === "vec").select("id"))
+        .filter(col("kind") === kind).select("id"))
       .distinct()
     val r = ids.agg(count(lit(1)), expr("bit_xor(xxhash64(id))")).head()
     val n = r.getLong(0)
     if (n == 0L) (0L, "", ids)
-    else (n, s" removed=$n:${java.lang.Long.toHexString(r.getLong(1))}", ids)
+    else (n, s" removed_$kind=$n:${java.lang.Long.toHexString(r.getLong(1))}", ids)
   }
 
   /** THE GROW FOLD (mirror of [[vacuumCorpusArtifacts]], which proves the
@@ -1482,7 +1486,7 @@ object Pipeline {
     val fold = ensureFoldedTable(spark, dir, ns)
     val stamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
     val (nGrow, gtag) = growState(spark, growTable)
-    val (nRem, rtag, removedIds) = vecRemovalState(spark, ts, fold)
+    val (nRem, rtag, removedIds) = removalState(spark, ts, fold, "vec")
     lazy val embAll = {
       val raw = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
@@ -1639,6 +1643,115 @@ object Pipeline {
         .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
       ns = "q167")
     grownServe(spark, dir, ns = "q167")
+  }
+
+  /** Ensure the growable DOC standing state for `dir` under namespace
+    * `ns` — the banded-signature growable table plus the admitted-docs
+    * (doc_id, text) table. Factored so the minhash admission stream, the
+    * direct [[admitDocs]] API, and the doc-side promote agree on the
+    * layout by construction (the vector twin is [[ensureVectorGrowState]]).
+    * Returns (growTable, admTable). */
+  private[graft] def ensureDocGrowState(spark: SparkSession, dir: String,
+                                        ns: String = ""): (String, String) = {
+    val growTable = cellTableName("graft_sig_grow" + nsSfx(ns), dir)
+    val admTable = cellTableName("graft_adm_docs" + nsSfx(ns), dir)
+    Dedup.ensureGrowableSignatureTable(spark, growTable, k = 48, bands = 12)
+    graft.core.Warehouse.ensureGrowableTable(spark, admTable,
+      "admitted-docs v1",
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string"),
+      null, 0)
+    (growTable, admTable)
+  }
+
+  /** Record ADMITTED docs (doc_id, text) directly into the growable
+    * standing state — the doc twin of [[admitVectors]]: banded signatures
+    * into the growable signature table, texts into the admitted-docs
+    * table (future exact verification needs them). Idempotent on id. */
+  def admitDocs(spark: SparkSession, dir: String, docsIn: DataFrame,
+                ns: String = ""): Unit = {
+    val (growTable, admTable) = ensureDocGrowState(spark, dir, ns)
+    graft.core.Mat.withMaterialized(
+        docsIn.select(col("doc_id"), col("text"))) { d =>
+      Dedup.appendSignatureRows(spark, d, "doc_id", "text", growTable,
+        k = 48, bands = 12)
+      graft.core.Warehouse.withTableLock(spark, admTable) {
+        d.join(graft.core.Warehouse.readGrowableTable(spark, admTable)
+            .select("doc_id"), Seq("doc_id"), "left_anti")
+          .write.mode("append").format("parquet").saveAsTable(admTable)
+      }
+    }
+  }
+
+  /** THE DOC-SIDE GROW FOLD: promote the admitted-docs standing state into
+    * ONE stored GROWN signature table over (corpus − removed docs) ∪
+    * admitted — [[promoteAdmittedVectors]]'s twin for the MinHash serving
+    * family. Between folds an admission loop probes TWO tables (frozen
+    * corpus + growable standing); the fold compacts them into one bucketed
+    * ingest-shape artifact, so every later probe pays a single
+    * pre-partitioned scan — the same cost profile as the never-grown q74
+    * path. Fingerprinted by the corpus stamp + doc removal + admitted-id
+    * fingerprints; replayed folds warm-attach. Returns the grown table. */
+  private[graft] def promoteAdmittedDocs(spark: SparkSession, dir: String,
+                                         ns: String = ""): String = {
+    val (_, admTable) = ensureDocGrowState(spark, dir, ns)
+    val ts = ensureTombstoneTable(spark, dir, ns)
+    val fold = ensureFoldedTable(spark, dir, ns)
+    val docStamp = graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet")
+    val (nGrow, gtag) = growStateOf(spark, admTable, "doc_id")
+    val (nRem, rtag, removedIds) = removalState(spark, ts, fold, "doc")
+    lazy val docsAll = {
+      val raw = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val base =
+        if (nRem == 0L) raw
+        else raw.join(broadcast(removedIds.select(col("id").as("doc_id"))),
+          Seq("doc_id"), "left_anti")
+      if (nGrow == 0L) base
+      else base.unionByName(
+        graft.core.Warehouse.readGrowableTable(spark, admTable)
+          .select(col("doc_id"), col("text")).dropDuplicates("doc_id"))
+    }
+    val grown = cellTableName("graft_sig_grown" + nsSfx(ns), dir)
+    Dedup.ensureSignatureTable(docsAll, "doc_id", "text", grown,
+      k = 48, bands = 12, tag = docStamp + rtag + gtag)
+    grown
+  }
+
+  /** q169 — GROWN-CORPUS MINHASH DEDUP SERVING, the doc arm of the grow
+    * fold (q166's twin): a deterministic admitted set (doc_id ≡ 4 mod 31,
+    * re-keyed +10M, text = the WORD-REVERSED lowercased doc — its trigram
+    * shingles are disjoint from the source's, so it is genuinely fresh
+    * mass, and the transform is exactly recomputable in SQL) is admitted
+    * into the growable standing state and PROMOTED into one stored grown
+    * signature table; then a deterministic probe panel (exact copies of
+    * every (corpus ∪ admitted) doc with id ≡ 6 mod 41, re-keyed +20M)
+    * probes THE GROWN TABLE ALONE and verified (exact trigram Jaccard ≥
+    * 0.9) near-dup pairs are emitted — a probe copying an ADMITTED doc
+    * must find it, proving admitted docs are SERVED by the single-scan
+    * dedup path, not only standing in the two-table admission state.
+    * DuckDB recomputes union, transform, probes, and the full pairwise
+    * Jaccard (inverted-gram join) from scratch. */
+  def grownMinhashServe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val adm = docs.filter(pmod(col("doc_id"), lit(31)) === 4)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        array_join(reverse(
+          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))),
+          " ").as("text"))
+    admitDocs(spark, dir, adm, ns = "q169")
+    val grownTable = promoteAdmittedDocs(spark, dir, ns = "q169")
+    // the union reconstructs deterministically (the admitted table holds
+    // exactly `adm`); probes are exact copies, so banding recall is the
+    // all-bands-match guarantee, and near-misses carry q24's 12-band bar
+    val union = docs.unionByName(adm)
+    val probes = union.filter(pmod(col("doc_id"), lit(41)) === 6)
+      .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text"))
+    val cand = Dedup.minhashCandidatesAgainstTable(spark, grownTable, probes,
+        "doc_id", "text", k = 48, bands = 12, threshold = 0.2)
+      .select(col("inc_id"), col("corpus_id"))
+    verifyPairsExact(union.unionByName(probes), cand, "inc_id", "corpus_id",
+        theta = 0.9)
+      .orderBy("inc_id", "corpus_id")
   }
 
   /** q168 — HYBRID RETRIEVAL: deterministic reciprocal-rank fusion
@@ -3003,14 +3116,7 @@ object Pipeline {
     Dedup.ensureSignatureTable(docs, "doc_id", "text", corpusTable,
       k = k, bands = bands,
       tag = graft.core.Warehouse.sourceStamp(s"$corpusDir/documents.parquet"))
-    val growTable = cellTableName("graft_sig_grow", corpusDir)
-    val admTable = cellTableName("graft_adm_docs", corpusDir)
-    Dedup.ensureGrowableSignatureTable(spark, growTable, k, bands)
-    graft.core.Warehouse.ensureGrowableTable(spark, admTable,
-      "admitted-docs v1",
-      new org.apache.spark.sql.types.StructType()
-        .add("doc_id", "long").add("text", "string"),
-      null, 0)
+    val (growTable, admTable) = ensureDocGrowState(spark, corpusDir)
     // persistent stream state (offsets + verdict sink) lives under the
     // warehouse, underscore-prefixed: tick N+1's source listing skips
     // every file tick N already processed — re-delivery across ticks is

@@ -45,6 +45,38 @@ class GrowingAdmissionSpec extends SparkSuite {
     graft.core.Mat.releaseAll(blocking = true)
   }
 
+  test("doc grow fold: promote compacts corpus ∪ admitted into ONE grown table; probe finds the admitted doc; replay warm-attaches") {
+    import graft.core.Warehouse
+    val dir = java.nio.file.Files.createTempDirectory("docfold").toString
+    Seq(doc(1L, "alpha"), doc(2L, "beta"), doc(3L, "gamma"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val sfx = Warehouse.corpusSuffix(dir)
+    Pipeline.admitDocs(spark, dir,
+      Seq(doc(100L, "delta")).toDF("doc_id", "text"), ns = "t")
+    val grown = Pipeline.promoteAdmittedDocs(spark, dir, ns = "t")
+    assert(grown == s"graft_sig_grown_t_$sfx")
+    // the grown table holds corpus AND admitted signature rows
+    val ids = spark.table(grown).select("id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 100L), s"grown ids: $ids")
+    // a probe copying the ADMITTED doc finds it in ONE scan of the
+    // grown table (the compaction contract)
+    val probe = Seq(doc(900L, "delta")).toDF("doc_id", "text")
+    val cands = graft.functions.Dedup.minhashCandidatesAgainstTable(
+        spark, grown, probe, "doc_id", "text", k = 48, bands = 12,
+        threshold = 0.2)
+      .select("inc_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == Set((900L, 100L)), s"probe missed the admitted doc: $cands")
+    // replayed fold: same fingerprint, zero rebuild
+    val fp = Warehouse.fingerprintOf(spark, grown)
+    Pipeline.promoteAdmittedDocs(spark, dir, ns = "t")
+    assert(Warehouse.fingerprintOf(spark, grown) == fp,
+      "replayed doc fold rebuilt instead of warm-attaching")
+    Warehouse.sweepCorpus(spark, dir)
+    graft.core.Mat.releaseAll(blocking = true)
+  }
+
   test("appendSignatureRows is id-anti-join idempotent; config drift fails loud") {
     val grow = "graft_test_grow_replay"
     graft.core.Warehouse.clear(spark, grow)
