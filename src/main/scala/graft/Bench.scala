@@ -373,7 +373,12 @@ object Bench {
         .forall(b => graft.core.Warehouse.isFresh(
           spark, s"graft_${b}_$sfx", Seq(embStamp)))) &&
       graft.core.Warehouse.isFresh(
-        spark, s"graft_sig_grown_q169_$sfx", Seq(docStamp))
+        spark, s"graft_sig_grown_q169_$sfx", Seq(docStamp)) &&
+      // r17: the stored term index (both tables — a torn build leaves the
+      // postings fingerprinted but the df side missing, and ensure* would
+      // rebuild, so the flag must read cold)
+      graft.core.Warehouse.isFresh(spark, s"graft_terms_$sfx", Seq(docStamp)) &&
+      graft.core.Warehouse.isFresh(spark, s"graft_terms_${sfx}_df", Seq(docStamp))
     }
     val warmFound = warmCheck(sfDir)
     // session warmup: JIT/codegen/scheduler paths + parquet reader init
@@ -399,8 +404,13 @@ object Bench {
         // r15: the labeled code table (graft_pq_lbl) q164 probes; q165's
         // tombstone-table creation + rule population (write-time state)
         "q164_filtered_ann", "q165_tombstoned_ann",
-        // r16: the grow fold (admit + promote) is ingest work
-        "q166_grown_ann", "q167_upsert_ann").flatMap { n =>
+        // r16: the grow fold (admit + promote) is ingest work — including
+        // the doc arm's (q169: warmCheck requires graft_sig_grown_q169, so
+        // the prebuild must cover it or a cold warehouse pays the fold in
+        // the timed first rep and warmAfter reads false — r16 ADVICE)
+        "q166_grown_ann", "q167_upsert_ann", "q169_grown_minhash",
+        // r17: the stored term index (graft_terms + _df) q130/q168 probe
+        "q130_term_retrieval").flatMap { n =>
       val failed = try { SparkEntry.queries(n)(spark, sfDir).count(); None }
                    catch { case _: Throwable => Some(n) }
       graft.core.Mat.releaseAll(blocking = true)
