@@ -43,7 +43,13 @@ object Bench {
     // r16: grown-corpus serving and upsert — the grow fold is prebuilt
     // ingest work; the timed serve must track q163's two-stage ratio —
     // plus the doc-arm grown-signature probe (must track q74's shape)
-    "q166_grown_ann", "q167_upsert_ann", "q169_grown_minhash")
+    "q166_grown_ann", "q167_upsert_ann", "q169_grown_minhash",
+    // r17: between-fold deletes (broadcast anti-join on the grown path),
+    // grown filtered ANN (labeled code table grows), and hybrid RRF over
+    // the grown family (grown term index × grown two-stage ANN) — all
+    // three must inherit the serving family's flat ratio
+    "q170_grown_tombstoned", "q171_grown_filtered_ann",
+    "q172_grown_hybrid_rrf")
 
   /** Synthesize one probe corpus of `nDocs` documents + `nVecs` embeddings
     * under `dir`. Hash-generated with a 5k-word vocabulary so
@@ -159,7 +165,12 @@ object Bench {
         // r16: the grow fold (admit + promote into the grown artifact
         // family) is ingest work — prebuild it so the timed ratios
         // measure the serve path
-        "q166_grown_ann", "q167_upsert_ann", "q169_grown_minhash")
+        "q166_grown_ann", "q167_upsert_ann", "q169_grown_minhash",
+        // r17: the grown families of the new lifecycle gates (q170's
+        // tombstone state, q171's labeled grown codes, q172's grown term
+        // index) are ingest work too
+        "q170_grown_tombstoned", "q171_grown_filtered_ann",
+        "q172_grown_hybrid_rrf")
       .flatMap { n =>
         val failed = try { SparkEntry.queries(n)(spark, dir).count(); None }
                      catch { case t: Throwable =>
@@ -197,11 +208,19 @@ object Bench {
       // probe table the admit path ensures
       (Seq("vecbkt_adm") ++
         Seq("ivf_grown", "pq_grown", "int8_grown", "vecbkt_grown")
-          .flatMap(b => Seq(s"${b}_q166", s"${b}_q167")))
+          .flatMap(b => Seq(s"${b}_q166", s"${b}_q167",
+            // r17: the new lifecycle gates' grown families
+            s"${b}_q170", s"${b}_q171")) ++
+        Seq("pq_lbl_grown_q171"))
         .map(b => b -> graft.core.Warehouse.isFresh(
           spark, s"graft_${b}_$sfx", Seq(embStamp))) ++
       Seq("sig_grown_q169" -> graft.core.Warehouse.isFresh(
-        spark, s"graft_sig_grown_q169_$sfx", Seq(docStamp)))
+        spark, s"graft_sig_grown_q169_$sfx", Seq(docStamp)),
+        // r17: q172's grown term index (both tables)
+        "terms_grown_q169" -> graft.core.Warehouse.isFresh(
+          spark, s"graft_terms_grown_q169_$sfx", Seq(docStamp)),
+        "terms_grown_q169_df" -> graft.core.Warehouse.isFresh(
+          spark, s"graft_terms_grown_q169_${sfx}_df", Seq(docStamp)))
     val ccRounds = scala.collection.mutable.Map[String, Int]()
     val candPairs = scala.collection.mutable.Map[String, Long]()
     val runs = (1 to math.max(1, reps)).map { _ =>
@@ -369,9 +388,16 @@ object Bench {
       graft.core.Warehouse.isFresh(spark, s"graft_pq_lbl_$sfx", Seq(embStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_vecbkt_adm_$sfx", Seq(embStamp)) &&
       (Seq("ivf_grown", "pq_grown", "int8_grown", "vecbkt_grown")
-        .flatMap(b => Seq(s"${b}_q166", s"${b}_q167"))
+        .flatMap(b => Seq(s"${b}_q166", s"${b}_q167",
+          s"${b}_q170", s"${b}_q171"))
         .forall(b => graft.core.Warehouse.isFresh(
           spark, s"graft_${b}_$sfx", Seq(embStamp)))) &&
+      graft.core.Warehouse.isFresh(
+        spark, s"graft_pq_lbl_grown_q171_$sfx", Seq(embStamp)) &&
+      graft.core.Warehouse.isFresh(
+        spark, s"graft_terms_grown_q169_$sfx", Seq(docStamp)) &&
+      graft.core.Warehouse.isFresh(
+        spark, s"graft_terms_grown_q169_${sfx}_df", Seq(docStamp)) &&
       graft.core.Warehouse.isFresh(
         spark, s"graft_sig_grown_q169_$sfx", Seq(docStamp)) &&
       // r17: the stored term index (both tables — a torn build leaves the

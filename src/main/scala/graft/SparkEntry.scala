@@ -401,6 +401,16 @@ object SparkEntry {
     // grown-corpus MinHash serving: admitted docs promoted into ONE
     // stored grown signature table; a probe panel must find them there
     "q169_grown_minhash" -> Pipeline.grownMinhashServe _,
+    // grown serving under BETWEEN-FOLD deletions: active tombstones ride
+    // the serve-time broadcast anti-join (no rebuild per delete); the
+    // grow-namespace vacuum folds them in later
+    "q170_grown_tombstoned" -> Pipeline.grownTombstonedServe _,
+    // filtered ANN over the grown corpus: the labeled code table grows
+    // (admitted vectors carry labels), q164's starvation/widening shape
+    "q171_grown_filtered_ann" -> Pipeline.grownFilteredServe _,
+    // hybrid RRF over the GROWN family: grown term index × grown two-stage
+    // ANN — retrieval over the live, growing index
+    "q172_grown_hybrid_rrf" -> Pipeline.grownHybridRetrieval _,
     // trained-vs-seeded PQ codebook quality contract: Lloyd-trained
     // per-subspace centroids must beat the seeded floor by a margin
     "q162_pq_trained_audit" -> Pipeline.pqTrainedAudit _,
@@ -752,6 +762,28 @@ object SparkEntry {
     """cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
       |  FROM pr p JOIN asg a USING (cid) WHERE a.vec_id <> p.query_id),
       |""".stripMargin + ivfPqAdcCte + ",\n" + ivfPqRerankTail
+
+  /** The grown-corpus union base shared by q166/q170/q171/q172: corpus ∪
+    * the deterministic admitted set (vec_id ≡ 3 mod 23, re-keyed +10M,
+    * embedding reversed — the q166 convention those gates share). */
+  private val embuGrownCte =
+    """embu AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000000 AS vec_id,
+      |         list_reverse(embedding) AS embedding
+      |  FROM embeddings WHERE vec_id % 23 = 3)""".stripMargin
+
+  /** The grown-doc union base shared by q169/q172: corpus ∪ the
+    * deterministic admitted docs (doc_id ≡ 4 mod 31, re-keyed +10M,
+    * word-reversed text — the q169 convention). */
+  private val duGrownCte =
+    """du AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id,
+      |         array_to_string(list_reverse(
+      |           regexp_extract_all(lower(text), '\S+')), ' ') AS text
+      |  FROM documents WHERE doc_id % 31 = 4)""".stripMargin
 
   /** q162's trained-codebook sums, calibrated per gate corpus (r13): the
     * Lloyd training lives only in this engine, so the oracle cannot
@@ -2205,13 +2237,7 @@ object SparkEntry {
     // mod 23, re-keyed +10M, embedding reversed), so DuckDB recomputes
     // the ENTIRE two-stage path over corpus ∪ admitted from scratch —
     // admitted ids returned as neighbors are value-checked end-to-end
-    "q166_grown_ann" -> grownRerankOracle(
-      """embu AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 10000000 AS vec_id,
-        |         list_reverse(embedding) AS embedding
-        |  FROM embeddings WHERE vec_id % 23 = 3)""".stripMargin),
+    "q166_grown_ann" -> grownRerankOracle(embuGrownCte),
     // vector upsert: the deterministic update set (vec_id ≡ 7 mod 29,
     // vec_id ≥ 50) serves its NEW (reversed) embedding under the SAME id;
     // the old version is excluded from the recomputed base entirely
@@ -2291,13 +2317,8 @@ object SparkEntry {
     // the inverted-gram join (the q65/q74 oracle shape over the grown
     // base) — recall over admitted docs is value-checked end-to-end
     "q169_grown_minhash" ->
-      """WITH du AS (SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000000 AS doc_id,
-        |         array_to_string(list_reverse(
-        |           regexp_extract_all(lower(text), '\S+')), ' ') AS text
-        |  FROM documents WHERE doc_id % 31 = 4),
-        |al AS (SELECT doc_id, text FROM du
+      ("WITH " + duGrownCte + ",\n" +
+      """al AS (SELECT doc_id, text FROM du
         |  UNION ALL
         |  SELECT doc_id + 20000000 AS doc_id, text FROM du
         |  WHERE doc_id % 41 = 6),
@@ -2318,7 +2339,122 @@ object SparkEntry {
         |        CAST(shared AS DOUBLE) / (si.n + sc.n - shared) j
         |      FROM c JOIN sz si ON si.doc_id = c.inc_id
         |             JOIN sz sc ON sc.doc_id = c.corpus_id)
-        |SELECT inc_id, corpus_id, j AS jaccard FROM p WHERE j >= 0.9""".stripMargin,
+        |SELECT inc_id, corpus_id, j AS jaccard FROM p WHERE j >= 0.9""".stripMargin),
+    // grown serving under between-fold deletions: the grown union base
+    // (q166's) recomputed whole, MINUS the deterministic revocation set
+    // (corpus vec_id ≡ 11 mod 43, ≥ 50) — excluded from the query panel,
+    // the probed candidates, and both ranking stages (q165's shape over
+    // the grown base); top-k refills from the survivors
+    "q170_grown_tombstoned" ->
+      ("WITH " + embuGrownCte + ",\n" + ivfPqCellCtesOver("embu") + ",\n" +
+        pqSeedCtesOver("embu") + ",\n" + ivfPqPsubCte + ",\n" +
+        """ts AS (SELECT vec_id FROM embeddings
+        |        WHERE vec_id % 43 = 11 AND vec_id >= 50),
+        |pr2 AS (SELECT query_id, cid FROM (
+        |    SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC,
+        |                 c.cid ASC) AS prk
+        |    FROM qf q, cents c
+        |    WHERE q.query_id NOT IN (SELECT vec_id FROM ts)) WHERE prk <= 4),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM pr2 p JOIN asg a USING (cid)
+        |  WHERE a.vec_id <> p.query_id
+        |    AND a.vec_id NOT IN (SELECT vec_id FROM ts)),
+        |""".stripMargin + ivfPqAdcCte + ",\n" + ivfPqRerankTail),
+    // filtered ANN over the grown corpus: q164's filter + starvation +
+    // widened-fallback recomputed whole over the grown union base, with
+    // the label relation the union of corpus labels and the admitted
+    // set's source-row labels
+    "q171_grown_filtered_ann" ->
+      ("WITH " + embuGrownCte + ",\n" + ivfPqCellCtesOver("embu") + ",\n" +
+        pqSeedCtesOver("embu") + ",\n" + ivfPqPsubCte + ",\n" +
+        """lbl AS (SELECT vec_id, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000 AS vec_id, label FROM embeddings
+        |  WHERE vec_id % 23 = 3),
+        |candn AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM pr p JOIN asg a USING (cid) JOIN lbl l ON l.vec_id = a.vec_id
+        |  WHERE a.vec_id <> p.query_id AND l.label = 3),
+        |cnt AS (SELECT q.query_id, count(c.neighbor_id) AS n
+        |        FROM qf q LEFT JOIN candn c USING (query_id) GROUP BY 1),
+        |starved AS (SELECT query_id FROM cnt WHERE n < 5),
+        |candw AS (SELECT s.query_id, l.vec_id AS neighbor_id
+        |  FROM starved s JOIN lbl l ON l.label = 3 AND l.vec_id <> s.query_id),
+        |cand AS (SELECT query_id, neighbor_id FROM candn
+        |         WHERE query_id NOT IN (SELECT query_id FROM starved)
+        |         UNION ALL SELECT query_id, neighbor_id FROM candw),
+        |""".stripMargin + ivfPqAdcCte + "\n" +
+        """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_score,
+        |  query_id IN (SELECT query_id FROM starved) AS widened
+        |FROM (SELECT query_id, neighbor_id, adc_score, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC)
+        |      AS rank
+        |  FROM adc) WHERE rank <= 5""".stripMargin),
+    // hybrid RRF over the GROWN family: q168's fusion recomputed whole
+    // with both bases grown — the term arm's tf/df over corpus ∪ admitted
+    // docs, the vector arm's two-stage ANN over corpus ∪ admitted vectors
+    "q172_grown_hybrid_rrf" ->
+      ("WITH " + duGrownCte + ",\n" + embuGrownCte + ",\n" +
+        ivfPqCellCtesOver("embu") + ",\n" + pqSeedCtesOver("embu") + ",\n" +
+        ivfPqPsubCte + ",\n" +
+        """pr3 AS (SELECT query_id, cid FROM pr WHERE query_id < 3),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM pr3 p JOIN asg a USING (cid) WHERE a.vec_id <> p.query_id),
+        |""".stripMargin + ivfPqAdcCte + ",\n" +
+        """sl AS (SELECT query_id, neighbor_id, adc_score FROM (
+        |    SELECT query_id, neighbor_id, adc_score, row_number() OVER
+        |        (PARTITION BY query_id ORDER BY adc_score DESC,
+        |         neighbor_id ASC) AS arank
+        |    FROM adc) WHERE arank <= 20),
+        |exv AS (SELECT s.query_id, s.neighbor_id,
+        |    CAST(list_dot_product(q1.q::DOUBLE[], q2.q::DOUBLE[])
+        |         AS BIGINT) AS exact_score
+        |  FROM sl s JOIN qv q1 ON q1.vec_id = s.query_id
+        |            JOIN qv q2 ON q2.vec_id = s.neighbor_id),
+        |vecside AS (SELECT query_id, neighbor_id AS id,
+        |    CAST(r AS INT) AS vec_rank
+        |  FROM (SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id
+        |       ORDER BY exact_score DESC, neighbor_id ASC) AS r
+        |    FROM exv) WHERE r <= 10),
+        |tt AS (SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text),'\S+')) AS term
+        |       FROM du),
+        |tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |        FROM tt GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tfq GROUP BY 1),
+        |q3 AS (SELECT term, df,
+        |         row_number() OVER (ORDER BY df DESC, term ASC) - 1
+        |           AS query_id
+        |       FROM (SELECT term, df FROM dfq
+        |             ORDER BY df DESC, term ASC LIMIT 3)),
+        |termside AS (SELECT query_id, doc_id AS id, CAST(r AS INT)
+        |    AS term_rank
+        |  FROM (SELECT q3.query_id, tfq.doc_id, row_number() OVER
+        |      (PARTITION BY q3.query_id
+        |       ORDER BY CAST(tfq.tf AS DOUBLE)/CAST(q3.df AS DOUBLE) DESC,
+        |                tfq.doc_id ASC) AS r
+        |    FROM tfq JOIN q3 USING (term)) WHERE r <= 10),
+        |fused AS (SELECT coalesce(t.query_id, v.query_id) AS query_id,
+        |    coalesce(t.id, v.id) AS id,
+        |    coalesce(t.term_rank, 0) AS term_rank,
+        |    coalesce(v.vec_rank, 0) AS vec_rank
+        |  FROM termside t FULL OUTER JOIN vecside v
+        |    ON t.query_id = v.query_id AND t.id = v.id),
+        |scored AS (SELECT query_id, id, term_rank, vec_rank,
+        |    (CASE WHEN term_rank > 0
+        |          THEN 1.0::DOUBLE / (60 + term_rank) ELSE 0.0::DOUBLE END)
+        |  + (CASE WHEN vec_rank > 0
+        |          THEN 1.0::DOUBLE / (60 + vec_rank) ELSE 0.0::DOUBLE END)
+        |      AS rrf_score
+        |  FROM fused)
+        |SELECT query_id, CAST(rank AS INT) AS rank, id, term_rank,
+        |       vec_rank, rrf_score
+        |FROM (SELECT query_id, id, term_rank, vec_rank, rrf_score,
+        |    row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rrf_score DESC, id ASC) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin),
     // q162's recomputable half: the seeded panel×corpus ADC score-error
     // sum (q160's exact/adc CTEs) and the seeded corpus distortion
     // (argmin-L2 min-distance sum — exactly what the engine derives from

@@ -1087,6 +1087,45 @@ object Pipeline {
     * q165's shared active list). */
   private def nsSfx(ns: String): String = if (ns.isEmpty) "" else "_" + ns
 
+  /** Gate-namespace staleness guard (r16 ADVICE): a GATE query's namespace
+    * state (admitted vectors/docs, tombstones, overlay) is derived
+    * deterministically from the corpus, so when the corpus is regenerated
+    * IN PLACE the standing rows — derived from the OLD data — would make
+    * the id-anti-joined re-admission keep stale vectors and diverge the
+    * query from its oracle (or trip the upsert conflict gate forever).
+    * Every gated entry point calls this first: if the recorded corpus
+    * stamp differs, truncate every growable state table of the namespace
+    * (they are all derived — truncation loses nothing a re-run doesn't
+    * deterministically recreate) and record the new stamp. Production
+    * namespaces ("" — real admitted data, not derived) are never touched:
+    * `ns` must be nonempty. No-op cost on the warm path: one marker-file
+    * read, no Spark jobs. */
+  private def resetGateNamespaceIfStale(spark: SparkSession, dir: String,
+                                        ns: String): Unit = {
+    require(ns.nonEmpty, "gate-namespace guard is for gate namespaces only")
+    val stamp =
+      graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet") + "|" +
+      graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet")
+    val marker = graft.core.Warehouse.warehousePath(spark)
+      .resolve("_graft_ns_stamp")
+      .resolve(ns + "_" + graft.core.Warehouse.corpusSuffix(dir))
+    val cur =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+      else ""
+    if (cur != stamp) {
+      for (p <- Seq("graft_tombstones", "graft_tombstones_fold",
+          "graft_vecbkt_grow", "graft_adm_docs", "graft_sig_grow",
+          "graft_vecadm_fold", "graft_adm_lbl")) {
+        val t = cellTableName(p + nsSfx(ns), dir)
+        if (java.nio.file.Files.exists(graft.core.Warehouse.tableDir(spark, t)))
+          graft.core.Warehouse.truncateGrowable(spark, t)
+      }
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, (stamp + "\n").getBytes("UTF-8"))
+    }
+  }
+
   /** Ensure the per-corpus ACTIVE tombstone table (growable state: one
     * (kind, id) row per deleted-but-not-yet-folded entity; kind ∈
     * {vec, doc}). Serving probes anti-join THIS list. */
@@ -1175,7 +1214,15 @@ object Pipeline {
   def addTombstones(spark: SparkSession, dir: String, kind: String,
                     ids: DataFrame, ns: String = ""): Long = {
     require(kind == "vec" || kind == "doc", s"tombstone kind must be vec|doc, got '$kind'")
-    val t = ensureTombstoneTable(spark, dir, ns)
+    appendTombstoneRows(spark, ensureTombstoneTable(spark, dir, ns), kind, ids)
+  }
+
+  /** Idempotent (kind, id) append into one tombstone table — shared by
+    * the ACTIVE list ([[addTombstones]]) and the direct-to-FOLDED path
+    * ([[upsertVectors]], whose removal is applied at build time by its
+    * own synchronous fold, so it is born folded). */
+  private def appendTombstoneRows(spark: SparkSession, t: String,
+                                  kind: String, ids: DataFrame): Long =
     graft.core.Warehouse.withTableLock(spark, t) {
       graft.core.Mat.withMaterialized(
         ids.select(col("id").cast("long").as("id")).distinct()
@@ -1190,7 +1237,26 @@ object Pipeline {
         fresh.count()
       }
     }
-  }
+
+  /** Deletions that arrived BETWEEN grow folds: ACTIVE minus FOLDED of
+    * `kind` (a row in both is a fold in progress or a pre-r17 leftover —
+    * already excluded from the artifacts, so the serve-time anti-join
+    * must not re-exclude it from panels the oracle expects intact).
+    * Small by construction: the grow-namespace vacuum folds it away. */
+  private def betweenFoldRemovals(spark: SparkSession, ts: String,
+                                  fold: String, kind: String): DataFrame =
+    graft.core.Warehouse.readGrowableTable(spark, ts)
+      .filter(col("kind") === kind).select("id")
+      .join(graft.core.Warehouse.readGrowableTable(spark, fold)
+          .filter(col("kind") === kind).select("id"),
+        Seq("id"), "left_anti")
+
+  /** Anti-join `df` against an id frame (the grown serving path's
+    * between-fold exclusion — [[notTombstoned]]'s shape over an already-
+    * computed removal set; broadcast, exclusion lands before ranking). */
+  private def notInIds(df: DataFrame, ids: DataFrame,
+                       idCol: String): DataFrame =
+    df.join(broadcast(ids.select(col("id").as(idCol))), Seq(idCol), "left_anti")
 
   /** Anti-join `df` against the corpus's `kind` tombstones on `idCol`.
     * The tombstone side broadcasts: between vacuums it holds only the
@@ -1211,6 +1277,7 @@ object Pipeline {
     * survivors (exclusion lands before ranking, never as a post-k
     * filter). DuckDB recomputes filter + both ranking stages end-to-end. */
   def tombstonedAnnServe(spark: SparkSession, dir: String): DataFrame = {
+    resetGateNamespaceIfStale(spark, dir, "q165")
     val emb = Tables.embeddings(spark, dir)
     // dedicated q165 namespace: the gated query's active list holds the
     // mod-17 rule set and NOTHING else — a manual addTombstones or a
@@ -1440,9 +1507,10 @@ object Pipeline {
   }
 
   /** Removal-state of namespace `ns`'s `kind` tombstones, ACTIVE ∪ FOLDED:
-    * (count, tag suffix, ids frame). The grown artifacts exclude BOTH
-    * lists at build time — an upsert's old version must be gone whether or
-    * not a vacuum has folded it — so the fingerprint covers their union. */
+    * (count, tag suffix, ids frame). The DOC-arm grown artifacts exclude
+    * both lists at build time (fold-synchronous); the VECTOR arm's build
+    * excludes FOLDED only ([[foldedRemovalState]]) and anti-joins the
+    * between-fold remainder at serve time. */
   private def removalState(spark: SparkSession, ts: String, fold: String,
                            kind: String): (Long, String, DataFrame) = {
     lazy val ids = graft.core.Warehouse.readGrowableTable(spark, ts)
@@ -1450,43 +1518,126 @@ object Pipeline {
       .unionByName(graft.core.Warehouse.readGrowableTable(spark, fold)
         .filter(col("kind") === kind).select("id"))
       .distinct()
+    removalStateOf(ids, kind)
+  }
+
+  /** Removal-state over the FOLDED list alone — what the grown VECTOR
+    * artifacts are built minus (r16 verdict ask #4: a delete arriving
+    * between grow folds must be honored immediately WITHOUT forcing a
+    * rebuild per delete, so the build tag tracks only folded removals and
+    * the active remainder rides the serve-time anti-join; the grow-
+    * namespace vacuum moves active → folded and the next promote folds
+    * them in). Tag format unchanged from the r16 union form, so existing
+    * gate warehouses stay warm (the sets coincide once the upsert path
+    * writes its removals directly to FOLDED). */
+  private def foldedRemovalState(spark: SparkSession, fold: String,
+                                 kind: String): (Long, String, DataFrame) = {
+    lazy val ids = graft.core.Warehouse.readGrowableTable(spark, fold)
+      .filter(col("kind") === kind).select("id").distinct()
+    removalStateOf(ids, kind)
+  }
+
+  private def removalStateOf(ids: => DataFrame, kind: String)
+      : (Long, String, DataFrame) = {
     val r = ids.agg(count(lit(1)), expr("bit_xor(xxhash64(id))")).head()
     val n = r.getLong(0)
     if (n == 0L) (0L, "", ids)
     else (n, s" removed_$kind=$n:${java.lang.Long.toHexString(r.getLong(1))}", ids)
   }
 
+  /** The PROMOTED-ADMISSION overlay table of a grow namespace: (id, v,
+    * gen) rows a past grow-namespace vacuum compacted out of the growable
+    * standing state. Append-only (gen = fold generation, latest wins), so
+    * no crash window can lose an admitted vector — the standing table is
+    * only truncated AFTER its rows land here. Exists so a SECOND update
+    * of an id is possible at all: the standing state is id-anti-joined
+    * append-only, and without the overlay an id's first update would
+    * block every later one forever (r16 verdict ask #3). */
+  private[graft] def ensurePromotedVecTable(spark: SparkSession, dir: String,
+                                            ns: String = ""): String = {
+    val t = cellTableName("graft_vecadm_fold" + nsSfx(ns), dir)
+    graft.core.Warehouse.ensureGrowableTable(spark, t, "vecadm-fold v1",
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long")
+        .add("v", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false))
+        .add("gen", "long"), null, 0)
+    t
+  }
+
+  /** The RESOLVED admitted view of a grow namespace — standing state
+    * (newest, synthetic gen = maxGen+1) overriding the promoted overlay's
+    * latest generation per id — plus its count and ensure-tag suffix.
+    * With an EMPTY overlay this is exactly the r16 [[growState]] view and
+    * fingerprint, so never-vacuumed namespaces (every gate query) keep
+    * their stored artifacts warm; a nonempty overlay fingerprints over
+    * (id, gen) pairs, so a new generation of an id — the thing the
+    * overlay exists to allow — changes every dependent tag and rebuilds. */
+  private def resolvedAdmittedState(spark: SparkSession, growTable: String,
+                                    pTable: String)
+      : (Long, String, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val p = graft.core.Warehouse.readGrowableTable(spark, pTable)
+    val pAgg = p.agg(count(lit(1)), coalesce(max("gen"), lit(0L))).head()
+    lazy val a = graft.core.Warehouse.readGrowableTable(spark, growTable)
+      .select(col("id"), col("v")).dropDuplicates("id")
+    if (pAgg.getLong(0) == 0L) {
+      val (n, tag) = growState(spark, growTable)
+      (n, tag, a)
+    } else {
+      val w = Window.partitionBy("id").orderBy(col("gen").desc)
+      val pLatest = p.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select("id", "v", "gen")
+      val resolved = a.withColumn("gen", lit(pAgg.getLong(1) + 1L))
+        .unionByName(pLatest.join(a.select("id"), Seq("id"), "left_anti"))
+      val r = resolved
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(id, gen))")).head()
+      (r.getLong(0),
+       if (r.getLong(0) == 0L) ""
+       else s" grownv=${r.getLong(0)}:${java.lang.Long.toHexString(r.getLong(1))}",
+       resolved.select("id", "v"))
+    }
+  }
+
   /** THE GROW FOLD (mirror of [[vacuumCorpusArtifacts]], which proves the
-    * same mechanism in the shrink direction): promote the growable
-    * standing state into a stored GROWN serving-artifact family — seeded
-    * cells, seeded PQ codes, int8, LSH buckets over
-    * (corpus − removed) ∪ admitted — each through its normal ensure* under
-    * a fingerprint carrying the corpus stamp + the removal and grow
-    * fingerprints, so the ensures' own rebuild contract drives the work:
-    * a replayed fold (crash recovery, every warm serve) re-attaches with
-    * zero build jobs and bit-identical artifacts; new admissions/removals
-    * change the tags and rebuild. The grown family has its OWN table names
-    * (graft_*_grown<ns>) — sharing the frozen-corpus queries' names would
-    * thrash rebuilds on any corpus serving both (the vacuum's documented
-    * cohabitation cost, avoided here by construction; at 100 TB the grown
-    * family IS the production index and the plain family is the frozen
-    * snapshot evals pin against). Seeds/codebook stay the 16 lowest ids —
-    * admitted ids are higher by the id contract, so an EMPTY fold yields
-    * artifacts identical to the plain family's. The LABELED code table
-    * (q164's filtered-ANN artifact) is not folded here: admitted
-    * increments carry (vec_id, embedding) only — growing it requires
-    * label attrs on the ingest stream, at which point the same
-    * ensurePqCodes(attrs=…) call slots in under the same tag.
+    * same mechanism in the shrink direction): promote the resolved
+    * admitted view (growable standing state over the promoted overlay —
+    * [[resolvedAdmittedState]]) into a stored GROWN serving-artifact
+    * family — seeded cells, seeded PQ codes, int8, LSH buckets over
+    * (corpus − FOLDED removals) ∪ admitted — each through its normal
+    * ensure* under a fingerprint carrying the corpus stamp + the folded-
+    * removal and grow fingerprints, so the ensures' own rebuild contract
+    * drives the work: a replayed fold (crash recovery, every warm serve)
+    * re-attaches with zero build jobs and bit-identical artifacts; new
+    * admissions, new overlay generations, and newly FOLDED removals
+    * change the tags and rebuild. ACTIVE (between-fold) removals do NOT
+    * touch the tags — they ride [[grownServe]]'s broadcast anti-join
+    * until a grow-namespace vacuum folds them in, so a stream of deletes
+    * never forces a rebuild per delete. The grown family has its OWN
+    * table names (graft_*_grown<ns>) — sharing the frozen-corpus
+    * queries' names would thrash rebuilds on any corpus serving both
+    * (the vacuum's documented cohabitation cost, avoided here by
+    * construction; at 100 TB the grown family IS the production index
+    * and the plain family is the frozen snapshot evals pin against).
+    * Seeds/codebook stay the 16 lowest ids — admitted ids are higher by
+    * the id contract, so an EMPTY fold yields artifacts identical to the
+    * plain family's. The LABELED code table (q164's filtered-ANN
+    * artifact) grows through [[promoteAdmittedVectorsLabeled]] when the
+    * ingest stream carries label attrs (q171).
     * Returns (cellTable, codesTable, int8Table, codebook). */
   private[graft] def promoteAdmittedVectors(spark: SparkSession, dir: String,
                                             ns: String = "")
       : (String, String, String, Array[Int]) = {
     val (_, growTable) = ensureVectorGrowState(spark, dir, ns)
-    val ts = ensureTombstoneTable(spark, dir, ns)
     val fold = ensureFoldedTable(spark, dir, ns)
+    val pTable = ensurePromotedVecTable(spark, dir, ns)
     val stamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
-    val (nGrow, gtag) = growState(spark, growTable)
-    val (nRem, rtag, removedIds) = removalState(spark, ts, fold, "vec")
+    val (nGrow, gtag, admitted) =
+      resolvedAdmittedState(spark, growTable, pTable)
+    // FOLDED removals only: deletes between folds ride [[grownServe]]'s
+    // broadcast anti-join instead of forcing a rebuild per delete (r16
+    // verdict ask #4); the upsert path folds its removals synchronously
+    val (nRem, rtag, removedIds) = foldedRemovalState(spark, fold, "vec")
     lazy val embAll = {
       val raw = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
@@ -1496,9 +1647,7 @@ object Pipeline {
           Seq("vec_id"), "left_anti")
       if (nGrow == 0L) base
       else base.unionByName(
-        graft.core.Warehouse.readGrowableTable(spark, growTable)
-          .select(col("id").as("vec_id"), col("v").as("embedding"))
-          .dropDuplicates("vec_id"))
+        admitted.select(col("id").as("vec_id"), col("v").as("embedding")))
     }
     val tag = stamp + rtag + gtag
     val cellTable = cellTableName("graft_ivf_grown" + nsSfx(ns), dir)
@@ -1524,18 +1673,24 @@ object Pipeline {
     * artifacts: panel and both ranking stages read ONLY the stored grown
     * family, so an admitted vector is a first-class citizen — probed,
     * ADC-scored off its stored codes, exactly re-ranked off its stored
-    * int8 row — and a removed one is simply absent. No serve-time
-    * anti-join: the fold already applied removals at build time (deletes
-    * arriving BETWEEN folds are q165's tombstone-aware path; upsert folds
-    * synchronously). */
+    * int8 row — and a folded-out one is simply absent. Deletes arriving
+    * BETWEEN folds (tombstoned but not yet vacuumed into the artifacts)
+    * ride [[tombstoneAwareServe]]'s composition: a broadcast anti-join of
+    * the between-fold removal set onto the query panel, the code-scan
+    * candidates, and the re-rank side — exclusion lands before ranking,
+    * top-k refills from survivors, and no rebuild is paid until the
+    * grow-namespace vacuum folds the set in (r16 verdict ask #4). */
   private[graft] def grownServe(spark: SparkSession, dir: String,
                                 ns: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val M = 8; val K = 16; val DSUB = 8; val NPROBE = 4; val R = 20; val TOPK = 5
     val (cellTable, codesTable, int8Table, cb) =
       promoteAdmittedVectors(spark, dir, ns)
-    val queries = Vectors.int8FromTable(spark, int8Table)
-      .filter(col("id") < 50)
+    val ts = ensureTombstoneTable(spark, dir, ns)
+    val fold = ensureFoldedTable(spark, dir, ns)
+    val bfr = betweenFoldRemovals(spark, ts, fold, "vec")
+    val queries = notInIds(Vectors.int8FromTable(spark, int8Table)
+      .filter(col("id") < 50), bfr, "id")
       .select(col("id").as("query_id"), col("v").as("q_emb"),
         col("qv").as("q_qv"))
     val cents = spark.table(cellTable + "_centroids")
@@ -1546,8 +1701,9 @@ object Pipeline {
       .select(col("query_id"), col("q_qv"), col("cid"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc_score").desc, col("neighbor_id").asc)
-    val shortlist = Vectors.pqCodesFromTable(spark, codesTable)
-      .select(col("cid"), col("id").as("neighbor_id"), col("codes"))
+    val shortlist = notInIds(Vectors.pqCodesFromTable(spark, codesTable)
+      .select(col("cid"), col("id").as("neighbor_id"), col("codes")),
+        bfr, "neighbor_id")
       .join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("q_qv"), col("neighbor_id"),
@@ -1557,8 +1713,9 @@ object Pipeline {
       .filter(col("adc_rank") <= R)
     val wEx = Window.partitionBy("query_id")
       .orderBy(col("exact_score").desc, col("neighbor_id").asc)
-    Vectors.int8FromTable(spark, int8Table)
-      .select(col("id").as("neighbor_id"), col("qv").as("n_qv"))
+    notInIds(Vectors.int8FromTable(spark, int8Table)
+      .select(col("id").as("neighbor_id"), col("qv").as("n_qv")),
+        bfr, "neighbor_id")
       .join(broadcast(shortlist), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("adc_score"),
         graft.expressions.VectorExpressions
@@ -1581,6 +1738,7 @@ object Pipeline {
     * over corpus ∪ admitted. DuckDB recomputes the whole union path —
     * seeds, cells, codes, ADC, exact re-rank — from scratch. */
   def grownAnnServe(spark: SparkSession, dir: String): DataFrame = {
+    resetGateNamespaceIfStale(spark, dir, "q166")
     val emb = Tables.embeddings(spark, dir)
     admitVectors(spark, dir,
       emb.filter(pmod(col("vec_id"), lit(23)) === 3)
@@ -1590,40 +1748,116 @@ object Pipeline {
   }
 
   /** UPSERT: replace `vecs`' stored embeddings under their EXISTING ids —
-    * tombstone the old versions, admit the new ones, one fold applies
-    * both (the grown base excludes removed ids before the admitted union,
-    * so the same id serves its NEW vector). Closes the index CRUD set:
-    * ADD q112/q166, DELETE q165, UPDATE here. The growable standing state
-    * is append-only, so a SECOND update of an id whose first update
-    * already stands would silently keep the old rows — that conflict
-    * fails loud instead (re-key, or vacuum + re-admit); replaying the
-    * SAME upsert is the idempotent no-op at-least-once delivery needs.
-    * Returns the number of ids whose update was newly applied. */
+    * record the old versions as FOLDED removals (the upsert's fold is
+    * synchronous: the next promote rebuilds without them, so the old
+    * vector is rebuilt out of the artifacts, never filtered), admit the
+    * new ones, one fold applies both. Closes the index CRUD set: ADD
+    * q112/q166, DELETE q165, UPDATE here. The growable standing state is
+    * append-only, so a SECOND update of an id whose first update still
+    * stands fails loud (replaying the SAME upsert is the idempotent no-op
+    * at-least-once delivery needs) — the scheduled grow-namespace vacuum
+    * ([[vacuumGrowNamespace]]) compacts standing updates into the
+    * promoted overlay and unblocks the id (r16 verdict ask #3). The whole
+    * gate-check → record → admit sequence runs under the grow table's
+    * lock, so two concurrent upserts of one id cannot both pass the gate
+    * and silently drop the loser (r16 ADVICE). Returns the number of ids
+    * whose update was newly applied. */
   def upsertVectors(spark: SparkSession, dir: String, vecs: DataFrame,
                     ns: String = ""): Long = {
     val (_, growTable) = ensureVectorGrowState(spark, dir, ns)
-    graft.core.Mat.withMaterialized(
-        vecs.select(col("vec_id"), col("embedding"))) { v =>
-      // conflict gate: an id already standing in the growable state with a
-      // DIFFERENT vector cannot be updated again — the id-anti-joined
-      // append would silently keep the first update's rows
-      val standing = graft.core.Warehouse.readGrowableTable(spark, growTable)
-        .select(col("id").as("vec_id"), col("v").as("standing_v"))
-        .dropDuplicates("vec_id")
-      val conflicts = v.join(standing, Seq("vec_id"))
-        .filter(col("embedding") =!= col("standing_v")).count()
-      require(conflicts == 0L,
-        s"upsertVectors: $conflicts id(s) already carry a DIFFERENT " +
-        "standing update in this namespace — the growable state is " +
-        "append-only; re-key the new version or vacuum + re-admit")
-      val applied =
-        v.join(standing.select("vec_id"), Seq("vec_id"), "left_anti").count()
-      // tombstone old versions first, then admit the new ones — both are
-      // id-anti-join idempotent, so a crash between the two replays clean
-      addTombstones(spark, dir, "vec", v.select(col("vec_id").as("id")), ns)
-      admitVectors(spark, dir, v, ns)
-      applied
+    val fold = ensureFoldedTable(spark, dir, ns)
+    graft.core.Warehouse.withTableLock(spark, growTable) {
+      graft.core.Mat.withMaterialized(
+          vecs.select(col("vec_id"), col("embedding"))) { v =>
+        // conflict gate: an id already standing in the growable state with
+        // a DIFFERENT vector cannot be updated again — the id-anti-joined
+        // append would silently keep the first update's rows
+        val standing = graft.core.Warehouse.readGrowableTable(spark, growTable)
+          .select(col("id").as("vec_id"), col("v").as("standing_v"))
+          .dropDuplicates("vec_id")
+        val conflicts = v.join(standing, Seq("vec_id"))
+          .filter(col("embedding") =!= col("standing_v")).count()
+        require(conflicts == 0L,
+          s"upsertVectors: $conflicts id(s) already carry a DIFFERENT " +
+          "standing update in this namespace — the growable state is " +
+          "append-only between folds; run the grow-namespace vacuum " +
+          "(task_type='vacuum', spec 'grow:<ns>:<dir>') and retry, or " +
+          "re-key the new version")
+        val applied =
+          v.join(standing.select("vec_id"), Seq("vec_id"), "left_anti").count()
+        // record removals first, then admit — both are id-anti-join
+        // idempotent, so a crash between the two replays clean
+        appendTombstoneRows(spark, fold, "vec", v.select(col("vec_id").as("id")))
+        admitVectors(spark, dir, v, ns)
+        applied
+      }
     }
+  }
+
+  /** THE GROW-NAMESPACE VACUUM (r16 verdict ask #3): compact the grow
+    * namespace's mutable state so the lifecycle can continue forever —
+    * (1) between-fold deletions move ACTIVE → FOLDED (the corpus-vacuum
+    * move), so the next promote folds them into the rebuilt artifacts and
+    * the serve-time anti-join returns to zero rows; (2) the growable
+    * standing state compacts into the promoted overlay as a NEW
+    * generation (append-only — an admitted vector is never in zero
+    * durable tables), then truncates, which unblocks a fresh update of
+    * every id; (3) the promote runs, so the rebuild lands here (scheduled
+    * ingest work), not in the next serve. Idempotent: a replay appends no
+    * overlay rows (same-content generations are skipped), moves nothing,
+    * and warm-attaches every artifact. Returns
+    * (folded-removals, promoted-rows). */
+  private[graft] def vacuumGrowNamespace(spark: SparkSession, dir: String,
+                                         ns: String = ""): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, growTable) = ensureVectorGrowState(spark, dir, ns)
+    val pTable = ensurePromotedVecTable(spark, dir, ns)
+    val ts = ensureTombstoneTable(spark, dir, ns)
+    val fold = ensureFoldedTable(spark, dir, ns)
+    // 1. ACTIVE → FOLDED (all kinds — the doc arm's promote reads the
+    //    union, so its tags don't move), then empty the active list
+    val nMoved = graft.core.Warehouse.withTableLock(spark, fold) {
+      graft.core.Mat.withMaterialized(
+        graft.core.Warehouse.readGrowableTable(spark, ts)
+          .join(graft.core.Warehouse.readGrowableTable(spark, fold),
+            Seq("kind", "id"), "left_anti")
+      ) { fresh =>
+        fresh.write.mode("append").format("parquet").saveAsTable(fold)
+        spark.catalog.refreshTable(fold)
+        fresh.count()
+      }
+    }
+    graft.core.Warehouse.truncateGrowable(spark, ts)
+    // 2. standing state → promoted overlay, one new generation; rows whose
+    //    latest overlay version already carries the same vector are
+    //    skipped, so a crash-replay appends nothing and converges
+    val nPromoted = graft.core.Warehouse.withTableLock(spark, growTable) {
+      graft.core.Warehouse.withTableLock(spark, pTable) {
+        val p = graft.core.Warehouse.readGrowableTable(spark, pTable)
+        val maxGen = p.agg(coalesce(max("gen"), lit(0L))).head().getLong(0)
+        val w = Window.partitionBy("id").orderBy(col("gen").desc)
+        val pLatest = p.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).select(col("id"), col("v").as("pv"))
+        val n = graft.core.Mat.withMaterialized(
+          graft.core.Warehouse.readGrowableTable(spark, growTable)
+            .select(col("id"), col("v")).dropDuplicates("id")
+            .join(pLatest, Seq("id"), "left")
+            .filter(col("pv").isNull || col("v") =!= col("pv"))
+            .select(col("id"), col("v"), lit(maxGen + 1L).as("gen"))
+        ) { fresh =>
+          fresh.write.mode("append").format("parquet").saveAsTable(pTable)
+          spark.catalog.refreshTable(pTable)
+          fresh.count()
+        }
+        // truncate LAST — the rows are durable in the overlay now
+        graft.core.Warehouse.truncateGrowable(spark, growTable)
+        n
+      }
+    }
+    // 3. fold the new state into the stored artifacts NOW (a scheduled
+    //    tick is ingest work; the next serve must warm-attach)
+    promoteAdmittedVectors(spark, dir, ns)
+    (nMoved, nPromoted)
   }
 
   /** q167 — vector UPSERT served (the UPDATE completing the index CRUD
@@ -1637,12 +1871,192 @@ object Pipeline {
     * and the old version can never surface because the stored artifacts
     * were rebuilt without it. */
   def upsertAnnServe(spark: SparkSession, dir: String): DataFrame = {
+    resetGateNamespaceIfStale(spark, dir, "q167")
     val emb = Tables.embeddings(spark, dir)
     upsertVectors(spark, dir,
       emb.filter(pmod(col("vec_id"), lit(29)) === 7 && col("vec_id") >= 50)
         .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
       ns = "q167")
     grownServe(spark, dir, ns = "q167")
+  }
+
+  /** q170 — GROWN SERVING UNDER BETWEEN-FOLD DELETIONS, composing q166
+    * and q165 (r16 verdict ask #4): the q166-convention admitted set
+    * (vec_id ≡ 3 mod 23, re-keyed +10M, embedding reversed) is admitted
+    * and promoted into this namespace's grown artifacts; THEN a
+    * deterministic revocation set (corpus vec_id ≡ 11 mod 43 with
+    * vec_id ≥ 50 — outside the 16-seed range and the 50-query panel, so
+    * the stamp stays in the grown family's warm band) lands as ACTIVE
+    * tombstones only. The artifacts are NOT rebuilt — the build tag
+    * tracks folded removals alone — and [[grownServe]]'s broadcast
+    * anti-join honors the deletes immediately, before ranking, with
+    * top-k refilling from survivors. DuckDB recomputes the grown
+    * two-stage path (q166's union base) minus the revocation set
+    * end-to-end. The e2e composition (delete between folds → excluded
+    * now → grow-vacuum folds it in → probe bit-identical) is
+    * OrchestratorSpec's grow-fold test. */
+  def grownTombstonedServe(spark: SparkSession, dir: String): DataFrame = {
+    resetGateNamespaceIfStale(spark, dir, "q170")
+    val emb = Tables.embeddings(spark, dir)
+    admitVectors(spark, dir,
+      emb.filter(pmod(col("vec_id"), lit(23)) === 3)
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          reverse(col("embedding")).as("embedding")), ns = "q170")
+    addTombstones(spark, dir, "vec",
+      emb.filter(pmod(col("vec_id"), lit(43)) === 11 && col("vec_id") >= 50)
+        .select(col("vec_id").as("id")), ns = "q170")
+    grownServe(spark, dir, ns = "q170")
+  }
+
+  /** Ensure the growable ADMITTED-LABEL side table of a grow namespace —
+    * (id, label) rows for admitted vectors whose ingest stream carries
+    * label attrs, so the LABELED code table (q164's filtered-ANN
+    * artifact) can grow too (r16 verdict ask #5). Append-only and
+    * id-anti-joined like the vector state itself. */
+  private[graft] def ensureAdmittedLabelTable(spark: SparkSession,
+                                              dir: String,
+                                              ns: String = ""): String = {
+    val t = cellTableName("graft_adm_lbl" + nsSfx(ns), dir)
+    graft.core.Warehouse.ensureGrowableTable(spark, t, "adm-labels v1",
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("label", "int"), null, 0)
+    t
+  }
+
+  /** [[admitVectors]] for labeled ingest: (vec_id, embedding, label) —
+    * vectors into the growable bucket state, labels into the admitted-
+    * label side table. Idempotent on id (labels are immutable per id by
+    * the same append-only argument as the vectors). */
+  def admitVectorsLabeled(spark: SparkSession, dir: String, vecs: DataFrame,
+                          ns: String = ""): Unit = {
+    graft.core.Mat.withMaterialized(
+        vecs.select(col("vec_id"), col("embedding"),
+          col("label").cast("int").as("label"))) { v =>
+      admitVectors(spark, dir, v.select("vec_id", "embedding"), ns)
+      val t = ensureAdmittedLabelTable(spark, dir, ns)
+      graft.core.Warehouse.withTableLock(spark, t) {
+        v.select(col("vec_id").as("id"), col("label")).dropDuplicates("id")
+          .join(graft.core.Warehouse.readGrowableTable(spark, t).select("id"),
+            Seq("id"), "left_anti")
+          .write.mode("append").format("parquet").saveAsTable(t)
+        spark.catalog.refreshTable(t)
+      }
+    }
+  }
+
+  /** The LABELED arm of the grow fold (r16 verdict ask #5 — through r16
+    * the labeled code table did not grow, so filtered ANN over a grown
+    * corpus was unsupported): the shared grown family promotes as usual
+    * ([[promoteAdmittedVectors]]), and the labeled grown code table —
+    * (corpus − folded removals) ∪ admitted, each row carrying its label —
+    * is ensured beside it under the same fingerprint (corpus labels from
+    * the source table, admitted labels from the side table; an admitted
+    * row that never carried a label codes as label −1, matching no
+    * filter). Returns (cellTable, labeledCodesTable, codebook). */
+  private[graft] def promoteAdmittedVectorsLabeled(spark: SparkSession,
+                                                   dir: String,
+                                                   ns: String = "")
+      : (String, String, Array[Int]) = {
+    val (cellTable, _, _, _) = promoteAdmittedVectors(spark, dir, ns)
+    val (_, growTable) = ensureVectorGrowState(spark, dir, ns)
+    val pTable = ensurePromotedVecTable(spark, dir, ns)
+    val lblTable = ensureAdmittedLabelTable(spark, dir, ns)
+    val fold = ensureFoldedTable(spark, dir, ns)
+    val stamp = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet")
+    val (nGrow, gtag, admitted) =
+      resolvedAdmittedState(spark, growTable, pTable)
+    val (nRem, rtag, removedIds) = foldedRemovalState(spark, fold, "vec")
+    lazy val embAllLbl = {
+      val raw = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val base =
+        if (nRem == 0L) raw
+        else raw.join(broadcast(removedIds.select(col("id").as("vec_id"))),
+          Seq("vec_id"), "left_anti")
+      if (nGrow == 0L) base
+      else base.unionByName(
+        admitted.select(col("id").as("vec_id"), col("v").as("embedding"))
+          .join(graft.core.Warehouse.readGrowableTable(spark, lblTable)
+              .select(col("id").as("vec_id"), col("label")),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"), col("embedding"),
+            coalesce(col("label"), lit(-1)).cast("int").as("label")))
+    }
+    val codesTable = cellTableName("graft_pq_lbl_grown" + nsSfx(ns), dir)
+    val cb = Vectors.ensurePqCodes(embAllLbl, "vec_id", "embedding",
+      cellTable, codesTable, 8, 16, 8, tag = stamp + rtag + gtag,
+      attrs = Seq("label"))
+    (cellTable, codesTable, cb)
+  }
+
+  /** q171 — FILTERED ANN OVER THE GROWN CORPUS (q164 ∘ q166): the
+    * q166-convention admitted set arrives WITH labels (each reversed
+    * vector carries its source row's label — deterministic and
+    * oracle-recomputable), the labeled grow fold promotes it into the
+    * grown labeled code table, and q164's exact serving shape — label
+    * predicate pruned AT the code-table scan, per-query starvation
+    * counts, the widened nprobe = nlist fallback — runs over the grown
+    * artifacts, so an admitted vector is returned by label-constrained
+    * search like any corpus row. DuckDB recomputes filter + starvation +
+    * widening + ranking over the union base end-to-end. */
+  def grownFilteredServe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 8; val K = 16; val DSUB = 8; val NPROBE = 4; val TOPK = 5
+    val LABEL = 3
+    resetGateNamespaceIfStale(spark, dir, "q171")
+    val emb = Tables.embeddings(spark, dir)
+    admitVectorsLabeled(spark, dir,
+      emb.filter(pmod(col("vec_id"), lit(23)) === 3)
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          reverse(col("embedding")).as("embedding"), col("label")),
+      ns = "q171")
+    val (cellTable, codesTable, cb) =
+      promoteAdmittedVectorsLabeled(spark, dir, ns = "q171")
+    val int8Table = cellTableName("graft_int8_grown_q171", dir)
+    val queries = Vectors.int8FromTable(spark, int8Table)
+      .filter(col("id") < 50)
+      .select(col("id").as("query_id"), col("v").as("q_emb"),
+        col("qv").as("q_qv"))
+    val cents = spark.table(cellTable + "_centroids")
+    val probes = queries.join(broadcast(cents))
+      .withColumn("__rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(Vectors.cosine(col("q_emb"), col("cvec")).desc, col("cid").asc)))
+      .filter(col("__rk") <= NPROBE)
+      .select(col("query_id"), col("q_qv"), col("cid"))
+    def adcOf(c: org.apache.spark.sql.Column, codes: org.apache.spark.sql.Column) =
+      graft.expressions.VectorExpressions.adc_score(c, codes, cb, M, K, DSUB)
+    val narrow = graft.core.Mat.tracked(
+      Vectors.pqCodesFromTable(spark, codesTable)
+        .filter(col("label") === LABEL)
+        .select(col("cid"), col("id").as("neighbor_id"), col("codes"))
+        .join(broadcast(probes), Seq("cid"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          adcOf(col("q_qv"), col("codes")).as("adc_score")))
+    val counts = narrow.groupBy("query_id").agg(count(lit(1)).as("n"))
+    val starved = graft.core.Mat.tracked(
+      queries.join(counts, Seq("query_id"), "left")
+        .filter(coalesce(col("n"), lit(0L)) < TOPK)
+        .select(col("query_id"), col("q_qv")))
+    val wide = Vectors.pqCodesFromTable(spark, codesTable)
+      .filter(col("label") === LABEL)
+      .select(col("id").as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(starved))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcOf(col("q_qv"), col("codes")).as("adc_score"))
+    val cand = narrow
+      .join(starved.select("query_id"), Seq("query_id"), "left_anti")
+      .unionByName(wide)
+      .join(starved.select(col("query_id"), lit(true).as("widened")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("adc_score"),
+        coalesce(col("widened"), lit(false)).as("widened"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= TOPK)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("adc_score"), col("widened"))
   }
 
   /** Ensure the growable DOC standing state for `dir` under namespace
@@ -1694,13 +2108,28 @@ object Pipeline {
     * fingerprints; replayed folds warm-attach. Returns the grown table. */
   private[graft] def promoteAdmittedDocs(spark: SparkSession, dir: String,
                                          ns: String = ""): String = {
+    val (docsAll, tag) = grownDocsBase(spark, dir, ns)
+    val grown = cellTableName("graft_sig_grown" + nsSfx(ns), dir)
+    Dedup.ensureSignatureTable(docsAll(), "doc_id", "text", grown,
+      k = 48, bands = 12, tag = tag)
+    grown
+  }
+
+  /** The GROWN DOC BASE of a namespace — (corpus − removed docs) ∪
+    * admitted, as a thunk (a warm ensure must not pay the frame's
+    * construction) plus the fold fingerprint every doc-side grown
+    * artifact tags with. Factored from [[promoteAdmittedDocs]] so the
+    * signature fold and the grown TERM INDEX ([[ensureGrownTermIndex]])
+    * are built from the same base and invalidate together. */
+  private def grownDocsBase(spark: SparkSession, dir: String,
+                            ns: String): (() => DataFrame, String) = {
     val (_, admTable) = ensureDocGrowState(spark, dir, ns)
     val ts = ensureTombstoneTable(spark, dir, ns)
     val fold = ensureFoldedTable(spark, dir, ns)
     val docStamp = graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet")
     val (nGrow, gtag) = growStateOf(spark, admTable, "doc_id")
     val (nRem, rtag, removedIds) = removalState(spark, ts, fold, "doc")
-    lazy val docsAll = {
+    def docsAll = {
       val raw = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val base =
         if (nRem == 0L) raw
@@ -1711,10 +2140,20 @@ object Pipeline {
         graft.core.Warehouse.readGrowableTable(spark, admTable)
           .select(col("doc_id"), col("text")).dropDuplicates("doc_id"))
     }
-    val grown = cellTableName("graft_sig_grown" + nsSfx(ns), dir)
-    Dedup.ensureSignatureTable(docsAll, "doc_id", "text", grown,
-      k = 48, bands = 12, tag = docStamp + rtag + gtag)
-    grown
+    (() => docsAll, docStamp + rtag + gtag)
+  }
+
+  /** The grown TERM INDEX of a doc-grow namespace: [[ensureCorpusTermIndex]]
+    * over the grown doc base, fingerprinted with the fold state, so
+    * lexical retrieval serves admitted docs the way the grown signature
+    * table serves dedup probes. Returns (postingTable, dfTable). */
+  private[graft] def ensureGrownTermIndex(spark: SparkSession, dir: String,
+                                          ns: String): (String, String) = {
+    val (docsAll, tag) = grownDocsBase(spark, dir, ns)
+    val t = cellTableName("graft_terms_grown" + nsSfx(ns), dir)
+    graft.functions.TermIndex.ensureTermIndex(
+      docsAll(), "doc_id", "text", t, tag = tag)
+    (t, t + "_df")
   }
 
   /** q169 — GROWN-CORPUS MINHASH DEDUP SERVING, the doc arm of the grow
@@ -1732,6 +2171,7 @@ object Pipeline {
     * DuckDB recomputes union, transform, probes, and the full pairwise
     * Jaccard (inverted-gram join) from scratch. */
   def grownMinhashServe(spark: SparkSession, dir: String): DataFrame = {
+    resetGateNamespaceIfStale(spark, dir, "q169")
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val adm = docs.filter(pmod(col("doc_id"), lit(31)) === 4)
       .select((col("doc_id") + lit(10000000L)).as("doc_id"),
@@ -1838,6 +2278,107 @@ object Pipeline {
     // ── fusion: full-outer join of the two shortlists, RRF, fused top-5.
     // rank 0 = absent from that arm (contributes 0) — integer-encoded so
     // the output carries no NULLs and the fused double is reproducible
+    val fused = termSide.join(vecSide, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"),
+        coalesce(col("term_rank"), lit(0)).as("term_rank"),
+        coalesce(col("vec_rank"), lit(0)).as("vec_rank"))
+      .withColumn("rrf_score",
+        when(col("term_rank") > 0,
+          lit(1.0) / (lit(RRF_K) + col("term_rank"))).otherwise(lit(0.0)) +
+        when(col("vec_rank") > 0,
+          lit(1.0) / (lit(RRF_K) + col("vec_rank"))).otherwise(lit(0.0)))
+    val wF = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("id").asc)
+    fused.withColumn("rank", row_number().over(wF)).filter(col("rank") <= TOPK)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("id"),
+        col("term_rank"), col("vec_rank"), col("rrf_score"))
+  }
+
+  /** q172 — HYBRID RETRIEVAL OVER THE GROWN FAMILY (q168 ∘ q166 ∘ q169,
+    * r16 verdict ask #6): the production query path a live vector store
+    * actually runs — retrieval over the index AS IT GROWS. The vector arm
+    * serves the q166 namespace's grown artifacts (its deterministic
+    * admitted set is ensured first — admits are idempotent, so this gate
+    * and q166 SHARE state and artifacts by construction instead of
+    * doubling the table families); the lexical arm probes the GROWN term
+    * index over the q169 namespace's doc base (corpus ∪ word-reversed
+    * admitted docs). Panel and fusion are q168's exactly: top-3 grown-df
+    * terms bind to grown corpus vectors 0-2, per-arm top-10 shortlists,
+    * RRF k=60, fused top-5. An admitted doc reachable only through the
+    * grown postings, or an admitted vector reachable only through the
+    * grown codes, is a first-class fusion candidate. DuckDB recomputes
+    * both unions, tf/df, the two-stage ANN, and the fusion end-to-end. */
+  def grownHybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 8; val K = 16; val DSUB = 8; val NPROBE = 4
+    val R2 = 20; val R = 10; val RRF_K = 60; val TOPK = 5
+    resetGateNamespaceIfStale(spark, dir, "q166")
+    resetGateNamespaceIfStale(spark, dir, "q169")
+    val emb = Tables.embeddings(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // ── grown VECTOR state (q166's convention) + artifacts
+    admitVectors(spark, dir,
+      emb.filter(pmod(col("vec_id"), lit(23)) === 3)
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          reverse(col("embedding")).as("embedding")), ns = "q166")
+    val (cellTable, codesTable, int8Table, cb) =
+      promoteAdmittedVectors(spark, dir, ns = "q166")
+    // ── grown DOC state (q169's convention) + grown term index
+    admitDocs(spark, dir,
+      docs.filter(pmod(col("doc_id"), lit(31)) === 4)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          array_join(reverse(
+            regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))),
+            " ").as("text")), ns = "q169")
+    val (postTable, dfTable) = ensureGrownTermIndex(spark, dir, "q169")
+    // ── lexical arm: q168's routed shape over the GROWN posting tables
+    val (qpanel, terms) = topDfTerms(spark, dfTable)
+    val qterms = qpanel.withColumn("query_id", row_number().over(
+        Window.orderBy(col("df").desc, col("term").asc)).cast("long") - 1)
+    val wT = Window.partitionBy("term")
+      .orderBy((col("tf").cast("double") / col("df").cast("double")).desc,
+        col("doc_id").asc)
+    val termSide = graft.functions.TermIndex.postingsFromTable(spark, postTable)
+      .filter(col("term").isin(terms: _*))
+      .join(broadcast(qterms), Seq("term"))
+      .withColumn("r", row_number().over(wT)).filter(col("r") <= R)
+      .select(col("query_id"), col("doc_id").as("id"),
+        col("r").cast("int").as("term_rank"))
+    // ── vector arm: q168's two-stage shape over the GROWN artifacts,
+    // panel = grown corpus vectors 0-2 (stored int8 rows)
+    val queries = Vectors.int8FromTable(spark, int8Table)
+      .filter(col("id") < 3)
+      .select(col("id").as("query_id"), col("v").as("q_emb"),
+        col("qv").as("q_qv"))
+    val cents = spark.table(cellTable + "_centroids")
+    val probes = queries.join(broadcast(cents))
+      .withColumn("__rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(Vectors.cosine(col("q_emb"), col("cvec")).desc, col("cid").asc)))
+      .filter(col("__rk") <= NPROBE)
+      .select(col("query_id"), col("q_qv"), col("cid"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    val shortlist = Vectors.pqCodesFromTable(spark, codesTable)
+      .select(col("cid"), col("id").as("neighbor_id"), col("codes"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("q_qv"), col("neighbor_id"),
+        graft.expressions.VectorExpressions
+          .adc_score(col("q_qv"), col("codes"), cb, M, K, DSUB).as("adc_score"))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= R2)
+    val wEx = Window.partitionBy("query_id")
+      .orderBy(col("exact_score").desc, col("neighbor_id").asc)
+    val vecSide = Vectors.int8FromTable(spark, int8Table)
+      .select(col("id").as("neighbor_id"), col("qv").as("n_qv"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.expressions.VectorExpressions
+          .int8_dot(col("q_qv"), col("n_qv")).as("exact_score"))
+      .withColumn("r", row_number().over(wEx)).filter(col("r") <= R)
+      .select(col("query_id"), col("neighbor_id").as("id"),
+        col("r").cast("int").as("vec_rank"))
+    // ── fusion: identical to q168
     val fused = termSide.join(vecSide, Seq("query_id", "id"), "full_outer")
       .select(col("query_id"), col("id"),
         coalesce(col("term_rank"), lit(0)).as("term_rank"),

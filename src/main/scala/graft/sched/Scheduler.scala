@@ -197,7 +197,7 @@ object Scheduler {
       case "vacuum" =>
         // tombstone maintenance — fold accumulated deletions into the
         // stored artifacts past a threshold (see VacuumTask): scriptPath
-        // carries "<corpusDir>[:<threshold>]"
+        // carries "<corpusDir>[:<threshold>]" or "grow:<ns>:<corpusDir>"
         task.scriptPath.toRight("vacuum task without spec in script_path")
           .flatMap(VacuumTask.run(spark, _))
       case other => Left(s"unknown task type '$other'")

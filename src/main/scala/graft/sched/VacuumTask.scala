@@ -32,6 +32,29 @@ import org.apache.spark.sql.functions._
 object VacuumTask {
 
   def run(spark: SparkSession, spec: String): Either[String, String] = {
+    // grow-namespace vacuum (r17): spec "grow:<ns>:<corpusDir>" compacts a
+    // grow namespace's mutable state — between-fold deletions fold into
+    // the grown artifacts, the standing admitted state compacts into the
+    // promoted overlay (unblocking a fresh UPDATE of every id), and the
+    // rebuild runs in the tick (ingest work, never the next serve)
+    if (spec.trim.startsWith("grow:")) {
+      val gp = spec.trim.stripPrefix("grow:").split(":", 2)
+      if (gp.length < 2 || gp(1).isEmpty)
+        return Left("grow-vacuum task spec must be 'grow:<ns>:<corpusDir>', " +
+          s"got '$spec'")
+      val (ns, gdir) = (gp(0), gp(1))
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(gdir)))
+        return Left(s"grow-vacuum task: no such corpus directory: $gdir")
+      return try {
+        val (nMoved, nPromoted) =
+          graft.operators.Pipeline.vacuumGrowNamespace(spark, gdir, ns)
+        Right(s"grow-vacuum[$ns]: folded $nMoved between-fold deletions, " +
+          s"promoted $nPromoted standing updates into the overlay; " +
+          "grown artifacts rebuilt")
+      } catch { case NonFatal(e) =>
+        Left(s"grow-vacuum failed for $gdir ns=$ns: ${e.getMessage}")
+      }
+    }
     val parts = spec.trim.split(":", 2)
     val dir = parts(0)
     if (dir.isEmpty)

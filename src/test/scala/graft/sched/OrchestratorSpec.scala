@@ -540,6 +540,61 @@ class OrchestratorSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("DIFFERENT"), e.getMessage)
 
+    // GROW-NAMESPACE VACUUM as a scheduled tick (r16 verdict ask #3): the
+    // standing update compacts into the promoted overlay, after which a
+    // SECOND update of the same id succeeds and serves the NEWEST vector
+    store.overwrite(spark.createDataset(Seq(Task(
+      2L, "gfold-growvac", "vacuum",
+      Some(s"grow::$corpusDir"), None, 600L, None, None,
+      isActive = true, None, 0, 0, None, Timestamp.valueOf(t0)))), "tasks")
+    val (r2, _) = orch.tick()
+    val vr = r2.find(_.taskId == 2L)
+    assert(vr.flatMap(_.status).contains("success"), vr.toString)
+    assert(store.read[TaskLog]("task_logs").collect()
+      .exists(l => l.taskId == 2L && l.message.contains("grow-vacuum")),
+      "grow-vacuum tick should log its fold summary")
+    // between folds the id is unblocked: update 5 AGAIN, toward vec 9 now
+    val thirdV5 = Seq((5L, blend(9L, 555L, 0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    assert(graft.operators.Pipeline.upsertVectors(
+      spark, corpusDir, thirdV5) == 1L)
+    val s5 = serve()
+    assert(s5.exists(x => x._1 == 9L && x._2 == 1 && x._3 == 5L),
+      s"re-upserted vec 5 should serve its NEWEST embedding (query 9's " +
+        s"top-1): ${s5.filter(_._1 == 9L).toString}")
+    assert(!s5.exists(x => x._1 == 7L && x._2 == 1 && x._3 == 5L),
+      "the SUPERSEDED update (toward vec 7) must no longer rank first")
+    // replayed second update: idempotent no-op; a replayed grow-vacuum
+    // promotes nothing and the serve stays bit-identical
+    assert(graft.operators.Pipeline.upsertVectors(
+      spark, corpusDir, thirdV5) == 0L)
+    assert(graft.operators.Pipeline.vacuumGrowNamespace(
+      spark, corpusDir)._2 == 1L) // the standing third update compacts
+    assert(graft.operators.Pipeline.vacuumGrowNamespace(
+      spark, corpusDir) == ((0L, 0L)), "replayed grow-vacuum must be a no-op")
+    assert(serve() == s5, "grow-vacuum changed serving results")
+
+    // BETWEEN-FOLD DELETE (r16 verdict ask #4): a delete after the fold is
+    // honored IMMEDIATELY by the grown path via the serve-time anti-join —
+    // no rebuild — and the next grow-vacuum folds it into the artifacts
+    // with a bit-identical probe (id 17 is outside the 16-seed range, so
+    // the rebuilt codebook/centroids are unchanged)
+    val int8Grown = "graft_int8_grown_" +
+      graft.core.Warehouse.corpusSuffix(corpusDir)
+    val fpPre = graft.core.Warehouse.fingerprintOf(spark, int8Grown)
+    graft.operators.Pipeline.addTombstones(spark, corpusDir, "vec",
+      Seq(17L).toDF("id"))
+    val s6 = serve()
+    assert(!s6.exists(x => x._1 == 17L || x._3 == 17L),
+      "deleted id 17 must be excluded immediately — as query and neighbor")
+    assert(graft.core.Warehouse.fingerprintOf(spark, int8Grown) == fpPre,
+      "a between-fold delete must NOT rebuild the grown artifacts")
+    graft.operators.Pipeline.vacuumGrowNamespace(spark, corpusDir)
+    assert(graft.core.Warehouse.fingerprintOf(spark, int8Grown) != fpPre,
+      "the grow-vacuum should fold the delete into rebuilt artifacts")
+    assert(serve() == s6,
+      "folding a non-seed delete must leave the probe bit-identical")
+
     graft.core.Warehouse.sweepCorpus(spark, corpusDir)
     graft.core.Fs.deleteRecursively(graft.core.Warehouse.warehousePath(spark)
       .resolve("_graft_admit_emb_" +

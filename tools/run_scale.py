@@ -39,7 +39,8 @@ FAMILY = [
     "q158_int8_quant_recall", "q160_pq_adc_recall", "q161_ivfpq_topk",
     "q162_pq_trained_audit", "q163_ivfpq_rerank", "q164_filtered_ann",
     "q165_tombstoned_ann", "q166_grown_ann", "q167_upsert_ann",
-    "q168_hybrid_rrf", "q169_grown_minhash",
+    "q168_hybrid_rrf", "q169_grown_minhash", "q170_grown_tombstoned",
+    "q171_grown_filtered_ann", "q172_grown_hybrid_rrf",
     # TPC-H shapes: the classic join/agg plans must grow sublinearly too
     "q01_pricing_summary", "q13_revenue_nation", "q141_trade_flows",
     "q143_small_order_revenue", "q148_market_share", "q150_order_priority",
