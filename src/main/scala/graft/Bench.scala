@@ -436,7 +436,15 @@ object Bench {
         // the timed first rep and warmAfter reads false — r16 ADVICE)
         "q166_grown_ann", "q167_upsert_ann", "q169_grown_minhash",
         // r17: the stored term index (graft_terms + _df) q130/q168 probe
-        "q130_term_retrieval").flatMap { n =>
+        "q130_term_retrieval",
+        // r17 opt round: warmCheck requires the q170/q171/q172 grown
+        // families (tombstone state, labeled grown codes, grown term
+        // index) — without prebuilding them a cold warehouse pays those
+        // grow folds in the timed first rep and warmAfter reads false
+        // after a fully successful prebuild (the r16-ADVICE q169 class;
+        // the scale probe's prebuild already covers all three)
+        "q170_grown_tombstoned", "q171_grown_filtered_ann",
+        "q172_grown_hybrid_rrf").flatMap { n =>
       val failed = try { SparkEntry.queries(n)(spark, sfDir).count(); None }
                    catch { case _: Throwable => Some(n) }
       graft.core.Mat.releaseAll(blocking = true)

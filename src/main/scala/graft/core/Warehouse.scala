@@ -159,12 +159,117 @@ object Warehouse {
     * whose writes refresh THEIR relation cache, not this session's; a raw
     * `spark.table` on a growable name can silently serve a stale cached
     * file listing (last tick's state — old data, no error). Every reader
-    * of a growable table goes through here: refresh, then read.
-    * WarehouseSpec pins that a reader cannot observe pre-append state. */
+    * of a growable table goes through here.
+    * WarehouseSpec pins that a reader cannot observe pre-append state.
+    *
+    * r17 opt: `refreshTable` re-lists the directory and drops the cached
+    * relation on EVERY read — on the serving paths that is several
+    * redundant refreshes per query over tables that did not change. The
+    * refresh now runs only when the table directory's content stamp
+    * ([[tableStamp]] — a driver-side listing, no Spark job) differs from
+    * the one recorded at this session-state's last refresh: any append,
+    * truncate, or cross-JVM write changes the stamp (file set/size/mtime),
+    * so a reader still cannot observe pre-append state, it just stops
+    * paying for invalidation when nothing happened. Keyed per session
+    * state AND directory — independent sessions each refresh their own
+    * relation cache at least once. */
   def readGrowableTable(spark: SparkSession,
                         table: String): org.apache.spark.sql.DataFrame = {
-    spark.catalog.refreshTable(table)
+    val key = System.identityHashCode(spark.sessionState) + "|" +
+      dirOf(spark, table).toString
+    val now = tableStamp(spark, table)
+    if (lastRefreshStamp.get(key) != now) {
+      spark.catalog.refreshTable(table)
+      lastRefreshStamp.put(key, now)
+    }
     spark.table(table)
+  }
+
+  private val lastRefreshStamp =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Content stamp of a table's directory: data-file count, total bytes,
+    * max mtime, xor of name hashes — pure driver-side listing (no Spark
+    * job, no recursion: growable/ensure tables keep their files flat).
+    * Any append/truncate/rewrite changes it; identical stamps mean the
+    * file set is unchanged. "absent" for a missing directory. */
+  def tableStamp(spark: SparkSession, table: String): String = {
+    val d = dirOf(spark, table)
+    if (!Files.exists(d)) return "absent"
+    val s = Files.list(d)
+    val files =
+      try s.toArray.map(_.asInstanceOf[Path]).filter(Files.isRegularFile(_))
+      finally s.close()
+    if (files.isEmpty) return "empty"
+    var size = 0L; var mtime = 0L; var nameHash = 0L
+    files.foreach { f =>
+      size += Files.size(f)
+      mtime = math.max(mtime, Files.getLastModifiedTime(f).toMillis)
+      nameHash ^= f.getFileName.toString.hashCode.toLong * 0x9e3779b97f4a7c15L
+    }
+    s"${files.length}:$size:$mtime:${java.lang.Long.toHexString(nameHash)}"
+  }
+
+  /** JVM-wide memo of small driver values DERIVED PURELY FROM TABLE
+    * CONTENT (state fingerprints, config-drift guards), keyed by `kind`
+    * plus the content stamp of every table the computation reads — any
+    * append/truncate/rebuild, from any session or JVM, changes a stamp
+    * and misses the cache. Never holds DataFrames or query results; only
+    * driver-small scalars the serving paths would otherwise re-derive
+    * with a Spark job per call. Clear-on-threshold bounded (the codebook
+    * memo's shape). */
+  def cachedByStamp[A](spark: SparkSession, kind: String,
+                       tables: Seq[String])(compute: => A): A = {
+    val key = kind + "|" + tables.map(t =>
+      dirOf(spark, t).toString + "@" + tableStamp(spark, t)).mkString("|")
+    val hit = stampCache.get(key)
+    if (hit != null) hit.asInstanceOf[A]
+    else {
+      val v = compute
+      if (stampCache.size > 4096) stampCache.clear()
+      stampCache.put(key, v.asInstanceOf[AnyRef])
+      v
+    }
+  }
+
+  private val stampCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** First row of a small WRITE-ONCE config side table (`*_cfg`,
+    * `*_centroids`-class layout rows), cached JVM-wide by the table
+    * directory's content stamp — the serving paths read the same
+    * immutable layout row on every call, and each `.head()` is a Spark
+    * job. A rebuild rewrites the files, changes the stamp, and misses the
+    * cache. */
+  def cachedConfigRow(spark: SparkSession,
+                      table: String): org.apache.spark.sql.Row = {
+    val key = dirOf(spark, table).toString + "@" + tableStamp(spark, table)
+    val hit = cfgRowCache.get(key)
+    if (hit != null) hit
+    else {
+      val r = spark.table(table).head()
+      if (cfgRowCache.size > 4096) cfgRowCache.clear()
+      cfgRowCache.put(key, r)
+      r
+    }
+  }
+
+  private val cfgRowCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+
+  /** True iff a growable table currently has at least one DATA file —
+    * a driver-side emptiness probe (the fingerprint/meta file does not
+    * count). Lets serving paths skip provably-empty anti-joins and lets
+    * gate-step skips verify their target state was not swept. */
+  def growableHasData(spark: SparkSession, table: String): Boolean = {
+    val d = dirOf(spark, table)
+    if (!Files.exists(d)) return false
+    val s = Files.list(d)
+    try s.toArray.map(_.asInstanceOf[Path]).exists(p =>
+      Files.isRegularFile(p) &&
+      !p.getFileName.toString.startsWith("_") &&
+      !p.getFileName.toString.startsWith("."))
+    finally s.close()
   }
 
   private def dirOf(spark: SparkSession, table: String): Path = {
@@ -266,6 +371,17 @@ object Warehouse {
         .filter(n => n.startsWith("graft_") && n.contains("_" + sfx)).toSeq
       finally s.close()
     tables.foreach(clear(spark, _))
+    // gate-namespace stamp/step markers of this corpus go with its tables:
+    // a marker surviving a sweep could let a later gate serve skip its
+    // (idempotent) state re-admission against the now-empty tables
+    val markers = dirOf(spark, "x").getParent.resolve("_graft_ns_stamp")
+    if (Files.exists(markers)) {
+      val m = Files.list(markers)
+      try m.toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith("_" + sfx))
+        .foreach(Files.deleteIfExists(_))
+      finally m.close()
+    }
   }
 
   def clear(spark: SparkSession, table: String): Unit = {

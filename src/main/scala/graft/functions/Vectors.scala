@@ -261,7 +261,7 @@ object Vectors {
                                  table: String, queries: DataFrame,
                                  idCol: String, vecCol: String, dim: Int,
                                  minCos: Double = -2.0): DataFrame = {
-    val cfg = spark.table(table + "_cfg").head()
+    val cfg = graft.core.Warehouse.cachedConfigRow(spark, table + "_cfg")
     val storedDim = cfg.getAs[Int]("dim")
     require(storedDim == dim,
       s"bucket table '$table' stores dim=$storedDim, caller expects dim=$dim")
@@ -324,7 +324,7 @@ object Vectors {
                        df: DataFrame, idCol: String, vecCol: String,
                        table: String, nBuckets: Int = 32): Unit =
     graft.core.Warehouse.withTableLock(spark, table) {
-      val cfg = spark.table(table + "_cfg").head()
+      val cfg = graft.core.Warehouse.cachedConfigRow(spark, table + "_cfg")
       // readGrowableTable: appends may come from a clone
       val existing = graft.core.Warehouse.readGrowableTable(spark, table)
         .select(col("id")).distinct()

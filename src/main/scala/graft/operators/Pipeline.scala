@@ -1100,19 +1100,34 @@ object Pipeline {
     * namespaces ("" — real admitted data, not derived) are never touched:
     * `ns` must be nonempty. No-op cost on the warm path: one marker-file
     * read, no Spark jobs. */
+  private def gateMarkerPath(spark: SparkSession, dir: String,
+                             ns: String): java.nio.file.Path =
+    graft.core.Warehouse.warehousePath(spark)
+      .resolve("_graft_ns_stamp")
+      .resolve(ns + "_" + graft.core.Warehouse.corpusSuffix(dir))
+
+  private def gateCorpusStamp(dir: String): String =
+    graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet") + "|" +
+    graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet")
+
+  /** Marker lines: first = the corpus stamp the namespace state derives
+    * from; the rest = completed idempotent gate STEPS (r17 opt — see
+    * [[gateStepOnce]]). A stamp mismatch resets both. */
+  private def readGateMarker(spark: SparkSession, dir: String,
+                             ns: String): Seq[String] = {
+    val marker = gateMarkerPath(spark, dir, ns)
+    if (java.nio.file.Files.exists(marker))
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    else Seq.empty
+  }
+
   private def resetGateNamespaceIfStale(spark: SparkSession, dir: String,
                                         ns: String): Unit = {
     require(ns.nonEmpty, "gate-namespace guard is for gate namespaces only")
-    val stamp =
-      graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet") + "|" +
-      graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet")
-    val marker = graft.core.Warehouse.warehousePath(spark)
-      .resolve("_graft_ns_stamp")
-      .resolve(ns + "_" + graft.core.Warehouse.corpusSuffix(dir))
-    val cur =
-      if (java.nio.file.Files.exists(marker))
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
-      else ""
+    val stamp = gateCorpusStamp(dir)
+    val marker = gateMarkerPath(spark, dir, ns)
+    val cur = readGateMarker(spark, dir, ns).headOption.getOrElse("")
     if (cur != stamp) {
       for (p <- Seq("graft_tombstones", "graft_tombstones_fold",
           "graft_vecbkt_grow", "graft_adm_docs", "graft_sig_grow",
@@ -1122,9 +1137,61 @@ object Pipeline {
           graft.core.Warehouse.truncateGrowable(spark, t)
       }
       java.nio.file.Files.createDirectories(marker.getParent)
+      // rewrite drops every recorded step — the state they described is gone
       java.nio.file.Files.write(marker, (stamp + "\n").getBytes("UTF-8"))
     }
   }
+
+  /** Run an idempotent, corpus-deterministic gate STATE STEP (a gate
+    * query's admit/tombstone/upsert of its fixed rule set) at most once
+    * per (namespace, corpus stamp) — the ensure-fingerprint contract
+    * applied to growable-state mutation (r17 opt). Through r16 every gate
+    * serve re-ran its step and relied on id-anti-joins to append nothing:
+    * correct, but each replay paid a corpus-filter scan plus an
+    * append-write job before the first serving job. The marker's step
+    * line (written only AFTER the step completed) short-circuits the
+    * replay; `resetGateNamespaceIfStale` — which every gate entry runs
+    * first — rewrites the marker (dropping all steps) whenever the corpus
+    * stamp moves, exactly when the derived state is truncated. As a
+    * belt-and-braces guard against out-of-band sweeps of the state tables
+    * (the marker says "admitted" but the rows are gone), the skip also
+    * requires each `guards` group to name at least one table that still
+    * has data files (driver-side listing) — otherwise the step re-runs,
+    * which is always safe because it is idempotent. */
+  private def gateStepOnce(spark: SparkSession, dir: String, ns: String,
+                           step: String, guards: Seq[Seq[String]] = Seq.empty)
+                          (body: => Unit): Unit = {
+    val lines = readGateMarker(spark, dir, ns)
+    val done = lines.headOption.contains(gateCorpusStamp(dir)) &&
+      lines.contains("step=" + step) &&
+      guards.forall(_.exists(graft.core.Warehouse.growableHasData(spark, _)))
+    if (!done) {
+      body
+      val marker = gateMarkerPath(spark, dir, ns)
+      val cur = readGateMarker(spark, dir, ns)
+      if (cur.headOption.contains(gateCorpusStamp(dir)) &&
+          !cur.contains("step=" + step))
+        java.nio.file.Files.write(marker,
+          ("step=" + step + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
+  /** JVM-wide cache of state FINGERPRINT aggregates (growable-table
+    * count/xor fingerprints — [[growStateOf]], [[foldState]],
+    * [[removalStateOf]], [[resolvedAdmittedState]]'s scalars), keyed by
+    * the content stamps of every table the aggregate reads
+    * ([[graft.core.Warehouse.tableStamp]]: file count/bytes/mtime/names —
+    * any append or truncate, from any session or JVM, changes the key).
+    * These aggregates are pure functions of table CONTENT, and the
+    * serving paths recompute them on every call (2-5 single-task Spark
+    * jobs per serve over state tables that change only when an
+    * admit/delete/vacuum lands) — the cache turns a warm serve's
+    * fingerprint work into driver-side directory listings. Never caches
+    * DataFrames or query results — only the (count, tag) scalars. */
+  private def cachedStateFp[A](spark: SparkSession, kind: String,
+                               tables: Seq[String])(compute: => A): A =
+    graft.core.Warehouse.cachedByStamp(spark, kind, tables)(compute)
 
   /** Ensure the per-corpus ACTIVE tombstone table (growable state: one
     * (kind, id) row per deleted-but-not-yet-folded entity; kind ∈
@@ -1162,18 +1229,19 @@ object Pipeline {
     * ensures' own rebuild contract drives the vacuum's rebuilds). The
     * fingerprint is order-independent (count + xor of per-id hashes). */
   private def foldState(spark: SparkSession, foldTable: String,
-                        kind: String): (Long, String) = {
+                        kind: String): (Long, String) =
     // bit_xor, not sum: ANSI mode overflows a sum of full-range 64-bit
     // hashes as soon as the set is more than a few rows; xor is order-
     // independent and overflow-free (gate corpora have EMPTY folds, so no
     // pre-existing nonempty-fold tag changes under this formula)
-    val r = graft.core.Warehouse.readGrowableTable(spark, foldTable)
-      .filter(col("kind") === kind)
-      .agg(count(lit(1)), expr("bit_xor(xxhash64(id))")).head()
-    val n = r.getLong(0)
-    if (n == 0L) (0L, "")
-    else (n, s" folded=$kind$n:${java.lang.Long.toHexString(r.getLong(1))}")
-  }
+    cachedStateFp(spark, s"fold:$kind", Seq(foldTable)) {
+      val r = graft.core.Warehouse.readGrowableTable(spark, foldTable)
+        .filter(col("kind") === kind)
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(id))")).head()
+      val n = r.getLong(0)
+      if (n == 0L) (0L, "")
+      else (n, s" folded=$kind$n:${java.lang.Long.toHexString(r.getLong(1))}")
+    }
 
   /** Ensure the tombstone-aware serving artifacts (seeded cells, seeded
     * PQ codes, int8) for `dir` under the CURRENT fold state: the corpus
@@ -1283,9 +1351,13 @@ object Pipeline {
     // mod-17 rule set and NOTHING else — a manual addTombstones or a
     // vacuum demo against the same corpus lands in the production ("")
     // namespace and cannot diverge this result from its oracle
-    addTombstones(spark, dir, "vec",
-      emb.filter(pmod(col("vec_id"), lit(17)) === 5)
-        .select(col("vec_id").as("id")), ns = "q165")
+    gateStepOnce(spark, dir, "q165", "tomb-mod17", guards = Seq(Seq(
+        cellTableName("graft_tombstones_q165", dir),
+        cellTableName("graft_tombstones_fold_q165", dir)))) {
+      addTombstones(spark, dir, "vec",
+        emb.filter(pmod(col("vec_id"), lit(17)) === 5)
+          .select(col("vec_id").as("id")), ns = "q165")
+    }
     tombstoneAwareServe(spark, dir, ns = "q165")
   }
 
@@ -1306,7 +1378,8 @@ object Pipeline {
     val (cellTable, codesTable, int8Table, cb) =
       ensureServeArtifacts(spark, dir, fold)
     val ts = ensureTombstoneTable(spark, dir, ns)
-    spark.catalog.refreshTable(ts) // deletes may come from other sessions
+    // cross-session delete freshness rides readGrowableTable's stamp-
+    // checked refresh (every notTombstoned read below goes through it)
     // queries from the STORED int8 layout (id, v, qv): raw-corpus rows
     // deleted-then-vacuumed are absent from the artifact, so the panel is
     // identical before and after a vacuum folds the tombstones in
@@ -1466,7 +1539,8 @@ object Pipeline {
     // freeze the growable layout to the FROZEN corpus table's resolved
     // bits: the standing corpus dominates the mass, and both probes then
     // bucket with comparable collision statistics
-    val bits = spark.table(corpusTable + "_cfg").head().getAs[Int]("bits")
+    val bits = graft.core.Warehouse.cachedConfigRow(spark, corpusTable + "_cfg")
+      .getAs[Int]("bits")
     Vectors.ensureGrowableBucketTable(spark, growTable, dim = 64,
       bitsPerTable = bits)
     (corpusTable, growTable)
@@ -1497,14 +1571,15 @@ object Pipeline {
     growStateOf(spark, growTable, "id")
 
   private def growStateOf(spark: SparkSession, growTable: String,
-                          idCol: String): (Long, String) = {
-    val r = graft.core.Warehouse.readGrowableTable(spark, growTable)
-      .select(idCol).distinct()
-      .agg(count(lit(1)), expr(s"bit_xor(xxhash64($idCol))")).head()
-    val n = r.getLong(0)
-    if (n == 0L) (0L, "")
-    else (n, s" grown=$n:${java.lang.Long.toHexString(r.getLong(1))}")
-  }
+                          idCol: String): (Long, String) =
+    cachedStateFp(spark, s"grow:$idCol", Seq(growTable)) {
+      val r = graft.core.Warehouse.readGrowableTable(spark, growTable)
+        .select(idCol).distinct()
+        .agg(count(lit(1)), expr(s"bit_xor(xxhash64($idCol))")).head()
+      val n = r.getLong(0)
+      if (n == 0L) (0L, "")
+      else (n, s" grown=$n:${java.lang.Long.toHexString(r.getLong(1))}")
+    }
 
   /** Removal-state of namespace `ns`'s `kind` tombstones, ACTIVE ∪ FOLDED:
     * (count, tag suffix, ids frame). The DOC-arm grown artifacts exclude
@@ -1518,7 +1593,7 @@ object Pipeline {
       .unionByName(graft.core.Warehouse.readGrowableTable(spark, fold)
         .filter(col("kind") === kind).select("id"))
       .distinct()
-    removalStateOf(ids, kind)
+    removalStateOf(spark, ids, kind, Seq(ts, fold))
   }
 
   /** Removal-state over the FOLDED list alone — what the grown VECTOR
@@ -1534,15 +1609,19 @@ object Pipeline {
                                  kind: String): (Long, String, DataFrame) = {
     lazy val ids = graft.core.Warehouse.readGrowableTable(spark, fold)
       .filter(col("kind") === kind).select("id").distinct()
-    removalStateOf(ids, kind)
+    removalStateOf(spark, ids, kind, Seq(fold))
   }
 
-  private def removalStateOf(ids: => DataFrame, kind: String)
+  private def removalStateOf(spark: SparkSession, ids: => DataFrame,
+                             kind: String, srcTables: Seq[String])
       : (Long, String, DataFrame) = {
-    val r = ids.agg(count(lit(1)), expr("bit_xor(xxhash64(id))")).head()
-    val n = r.getLong(0)
-    if (n == 0L) (0L, "", ids)
-    else (n, s" removed_$kind=$n:${java.lang.Long.toHexString(r.getLong(1))}", ids)
+    val (n, tag) = cachedStateFp(spark, s"rem:$kind", srcTables) {
+      val r = ids.agg(count(lit(1)), expr("bit_xor(xxhash64(id))")).head()
+      val c = r.getLong(0)
+      if (c == 0L) (0L, "")
+      else (c, s" removed_$kind=$c:${java.lang.Long.toHexString(r.getLong(1))}")
+    }
+    (n, tag, ids)
   }
 
   /** The PROMOTED-ADMISSION overlay table of a grow namespace: (id, v,
@@ -1577,25 +1656,30 @@ object Pipeline {
                                     pTable: String)
       : (Long, String, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val p = graft.core.Warehouse.readGrowableTable(spark, pTable)
-    val pAgg = p.agg(count(lit(1)), coalesce(max("gen"), lit(0L))).head()
+    lazy val p = graft.core.Warehouse.readGrowableTable(spark, pTable)
+    val (pCount, pMaxGen) = cachedStateFp(spark, "overlay", Seq(pTable)) {
+      val r = p.agg(count(lit(1)), coalesce(max("gen"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     lazy val a = graft.core.Warehouse.readGrowableTable(spark, growTable)
       .select(col("id"), col("v")).dropDuplicates("id")
-    if (pAgg.getLong(0) == 0L) {
+    if (pCount == 0L) {
       val (n, tag) = growState(spark, growTable)
       (n, tag, a)
     } else {
       val w = Window.partitionBy("id").orderBy(col("gen").desc)
-      val pLatest = p.withColumn("__rn", row_number().over(w))
+      lazy val pLatest = p.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).select("id", "v", "gen")
-      val resolved = a.withColumn("gen", lit(pAgg.getLong(1) + 1L))
+      lazy val resolved = a.withColumn("gen", lit(pMaxGen + 1L))
         .unionByName(pLatest.join(a.select("id"), Seq("id"), "left_anti"))
-      val r = resolved
-        .agg(count(lit(1)), expr("bit_xor(xxhash64(id, gen))")).head()
-      (r.getLong(0),
-       if (r.getLong(0) == 0L) ""
-       else s" grownv=${r.getLong(0)}:${java.lang.Long.toHexString(r.getLong(1))}",
-       resolved.select("id", "v"))
+      val (n, tag) = cachedStateFp(spark, "resolved", Seq(growTable, pTable)) {
+        val r = resolved
+          .agg(count(lit(1)), expr("bit_xor(xxhash64(id, gen))")).head()
+        (r.getLong(0),
+         if (r.getLong(0) == 0L) ""
+         else s" grownv=${r.getLong(0)}:${java.lang.Long.toHexString(r.getLong(1))}")
+      }
+      (n, tag, resolved.select("id", "v"))
     }
   }
 
@@ -1688,9 +1772,20 @@ object Pipeline {
       promoteAdmittedVectors(spark, dir, ns)
     val ts = ensureTombstoneTable(spark, dir, ns)
     val fold = ensureFoldedTable(spark, dir, ns)
-    val bfr = betweenFoldRemovals(spark, ts, fold, "vec")
-    val queries = notInIds(Vectors.int8FromTable(spark, int8Table)
-      .filter(col("id") < 50), bfr, "id")
+    // r17 opt: when the ACTIVE tombstone list has no data files at all
+    // (the common case — q166/q167-class namespaces never delete between
+    // folds, and a grow-vacuum empties the list), the between-fold removal
+    // set is provably empty, so the three broadcast anti-joins would each
+    // scan two state tables to exclude nothing. The driver-side emptiness
+    // probe drops them from the plan; any delete writes a data file and
+    // brings them back. Results are identical either way (anti-join
+    // against an empty set is the identity).
+    lazy val bfr = betweenFoldRemovals(spark, ts, fold, "vec")
+    val hasActive = graft.core.Warehouse.growableHasData(spark, ts)
+    def exRemoved(df: DataFrame, idCol: String): DataFrame =
+      if (!hasActive) df else notInIds(df, bfr, idCol)
+    val queries = exRemoved(Vectors.int8FromTable(spark, int8Table)
+      .filter(col("id") < 50), "id")
       .select(col("id").as("query_id"), col("v").as("q_emb"),
         col("qv").as("q_qv"))
     val cents = spark.table(cellTable + "_centroids")
@@ -1701,9 +1796,9 @@ object Pipeline {
       .select(col("query_id"), col("q_qv"), col("cid"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc_score").desc, col("neighbor_id").asc)
-    val shortlist = notInIds(Vectors.pqCodesFromTable(spark, codesTable)
+    val shortlist = exRemoved(Vectors.pqCodesFromTable(spark, codesTable)
       .select(col("cid"), col("id").as("neighbor_id"), col("codes")),
-        bfr, "neighbor_id")
+        "neighbor_id")
       .join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("q_qv"), col("neighbor_id"),
@@ -1713,9 +1808,9 @@ object Pipeline {
       .filter(col("adc_rank") <= R)
     val wEx = Window.partitionBy("query_id")
       .orderBy(col("exact_score").desc, col("neighbor_id").asc)
-    notInIds(Vectors.int8FromTable(spark, int8Table)
+    exRemoved(Vectors.int8FromTable(spark, int8Table)
       .select(col("id").as("neighbor_id"), col("qv").as("n_qv")),
-        bfr, "neighbor_id")
+        "neighbor_id")
       .join(broadcast(shortlist), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("adc_score"),
         graft.expressions.VectorExpressions
@@ -1740,10 +1835,14 @@ object Pipeline {
   def grownAnnServe(spark: SparkSession, dir: String): DataFrame = {
     resetGateNamespaceIfStale(spark, dir, "q166")
     val emb = Tables.embeddings(spark, dir)
-    admitVectors(spark, dir,
-      emb.filter(pmod(col("vec_id"), lit(23)) === 3)
-        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
-          reverse(col("embedding")).as("embedding")), ns = "q166")
+    gateStepOnce(spark, dir, "q166", "admit-mod23", guards = Seq(Seq(
+        cellTableName("graft_vecbkt_grow_q166", dir),
+        cellTableName("graft_vecadm_fold_q166", dir)))) {
+      admitVectors(spark, dir,
+        emb.filter(pmod(col("vec_id"), lit(23)) === 3)
+          .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+            reverse(col("embedding")).as("embedding")), ns = "q166")
+    }
     grownServe(spark, dir, ns = "q166")
   }
 
@@ -1873,10 +1972,15 @@ object Pipeline {
   def upsertAnnServe(spark: SparkSession, dir: String): DataFrame = {
     resetGateNamespaceIfStale(spark, dir, "q167")
     val emb = Tables.embeddings(spark, dir)
-    upsertVectors(spark, dir,
-      emb.filter(pmod(col("vec_id"), lit(29)) === 7 && col("vec_id") >= 50)
-        .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
-      ns = "q167")
+    gateStepOnce(spark, dir, "q167", "upsert-mod29", guards = Seq(
+        Seq(cellTableName("graft_vecbkt_grow_q167", dir),
+            cellTableName("graft_vecadm_fold_q167", dir)),
+        Seq(cellTableName("graft_tombstones_fold_q167", dir)))) {
+      upsertVectors(spark, dir,
+        emb.filter(pmod(col("vec_id"), lit(29)) === 7 && col("vec_id") >= 50)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        ns = "q167")
+    }
     grownServe(spark, dir, ns = "q167")
   }
 
@@ -1898,13 +2002,21 @@ object Pipeline {
   def grownTombstonedServe(spark: SparkSession, dir: String): DataFrame = {
     resetGateNamespaceIfStale(spark, dir, "q170")
     val emb = Tables.embeddings(spark, dir)
-    admitVectors(spark, dir,
-      emb.filter(pmod(col("vec_id"), lit(23)) === 3)
-        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
-          reverse(col("embedding")).as("embedding")), ns = "q170")
-    addTombstones(spark, dir, "vec",
-      emb.filter(pmod(col("vec_id"), lit(43)) === 11 && col("vec_id") >= 50)
-        .select(col("vec_id").as("id")), ns = "q170")
+    gateStepOnce(spark, dir, "q170", "admit-mod23", guards = Seq(Seq(
+        cellTableName("graft_vecbkt_grow_q170", dir),
+        cellTableName("graft_vecadm_fold_q170", dir)))) {
+      admitVectors(spark, dir,
+        emb.filter(pmod(col("vec_id"), lit(23)) === 3)
+          .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+            reverse(col("embedding")).as("embedding")), ns = "q170")
+    }
+    gateStepOnce(spark, dir, "q170", "tomb-mod43", guards = Seq(Seq(
+        cellTableName("graft_tombstones_q170", dir),
+        cellTableName("graft_tombstones_fold_q170", dir)))) {
+      addTombstones(spark, dir, "vec",
+        emb.filter(pmod(col("vec_id"), lit(43)) === 11 && col("vec_id") >= 50)
+          .select(col("vec_id").as("id")), ns = "q170")
+    }
     grownServe(spark, dir, ns = "q170")
   }
 
@@ -2005,11 +2117,16 @@ object Pipeline {
     val LABEL = 3
     resetGateNamespaceIfStale(spark, dir, "q171")
     val emb = Tables.embeddings(spark, dir)
-    admitVectorsLabeled(spark, dir,
-      emb.filter(pmod(col("vec_id"), lit(23)) === 3)
-        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
-          reverse(col("embedding")).as("embedding"), col("label")),
-      ns = "q171")
+    gateStepOnce(spark, dir, "q171", "admitlbl-mod23", guards = Seq(
+        Seq(cellTableName("graft_vecbkt_grow_q171", dir),
+            cellTableName("graft_vecadm_fold_q171", dir)),
+        Seq(cellTableName("graft_adm_lbl_q171", dir)))) {
+      admitVectorsLabeled(spark, dir,
+        emb.filter(pmod(col("vec_id"), lit(23)) === 3)
+          .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+            reverse(col("embedding")).as("embedding"), col("label")),
+        ns = "q171")
+    }
     val (cellTable, codesTable, cb) =
       promoteAdmittedVectorsLabeled(spark, dir, ns = "q171")
     val int8Table = cellTableName("graft_int8_grown_q171", dir)
@@ -2178,7 +2295,11 @@ object Pipeline {
         array_join(reverse(
           regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))),
           " ").as("text"))
-    admitDocs(spark, dir, adm, ns = "q169")
+    gateStepOnce(spark, dir, "q169", "admitdocs-mod31", guards = Seq(
+        Seq(cellTableName("graft_adm_docs_q169", dir)),
+        Seq(cellTableName("graft_sig_grow_q169", dir)))) {
+      admitDocs(spark, dir, adm, ns = "q169")
+    }
     val grownTable = promoteAdmittedDocs(spark, dir, ns = "q169")
     // the union reconstructs deterministically (the admitted table holds
     // exactly `adm`); probes are exact copies, so banding recall is the
@@ -2316,20 +2437,29 @@ object Pipeline {
     resetGateNamespaceIfStale(spark, dir, "q169")
     val emb = Tables.embeddings(spark, dir)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    // ── grown VECTOR state (q166's convention) + artifacts
-    admitVectors(spark, dir,
-      emb.filter(pmod(col("vec_id"), lit(23)) === 3)
-        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
-          reverse(col("embedding")).as("embedding")), ns = "q166")
+    // ── grown VECTOR state (q166's convention, SAME step marker as q166 —
+    // the namespaces and admitted sets are deliberately shared) + artifacts
+    gateStepOnce(spark, dir, "q166", "admit-mod23", guards = Seq(Seq(
+        cellTableName("graft_vecbkt_grow_q166", dir),
+        cellTableName("graft_vecadm_fold_q166", dir)))) {
+      admitVectors(spark, dir,
+        emb.filter(pmod(col("vec_id"), lit(23)) === 3)
+          .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+            reverse(col("embedding")).as("embedding")), ns = "q166")
+    }
     val (cellTable, codesTable, int8Table, cb) =
       promoteAdmittedVectors(spark, dir, ns = "q166")
-    // ── grown DOC state (q169's convention) + grown term index
-    admitDocs(spark, dir,
-      docs.filter(pmod(col("doc_id"), lit(31)) === 4)
-        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
-          array_join(reverse(
-            regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))),
-            " ").as("text")), ns = "q169")
+    // ── grown DOC state (q169's convention, shared step marker) + index
+    gateStepOnce(spark, dir, "q169", "admitdocs-mod31", guards = Seq(
+        Seq(cellTableName("graft_adm_docs_q169", dir)),
+        Seq(cellTableName("graft_sig_grow_q169", dir)))) {
+      admitDocs(spark, dir,
+        docs.filter(pmod(col("doc_id"), lit(31)) === 4)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            array_join(reverse(
+              regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))),
+              " ").as("text")), ns = "q169")
+    }
     val (postTable, dfTable) = ensureGrownTermIndex(spark, dir, "q169")
     // ── lexical arm: q168's routed shape over the GROWN posting tables
     val (qpanel, terms) = topDfTerms(spark, dfTable)
@@ -2540,6 +2670,7 @@ object Pipeline {
     // disjoint by vec_id, so appended results union to q154's exactly)
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(stage)
+    graft.streaming.Streams.withStatePartitions(spark) {
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val hits = Vectors.lshScoredPairsAgainstTable(spark, table, batch,
@@ -2562,6 +2693,7 @@ object Pipeline {
       }
       .option("checkpointLocation", ckpt).start()
     try q.processAllAvailable() finally q.stop()
+    }
     // an IDLE increment stages zero files → no micro-batch ever fires and
     // the sink dir is never created; an idle day must read as zero
     // admissions, not throw path-not-found into the task's failure path
@@ -3612,12 +3744,14 @@ object Pipeline {
     // cap, so recall vs the oracle is preserved)
     val inc = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(stage)
-    val q = inc.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        dedupStreamBatch(spark, docs, table, batch, batchId, out)
-      }
-      .option("checkpointLocation", ckpt).start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.withStatePartitions(spark) {
+      val q = inc.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          dedupStreamBatch(spark, docs, table, batch, batchId, out)
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // same idle-increment guard as streamEmbeddingAdmission: zero staged
     // files → zero batches → the sink dir was never created
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
@@ -3943,12 +4077,14 @@ object Pipeline {
           docs.filter(isEvalDoc).select(col("doc_id"), col("text")),
           "doc_id", "text", w = 8)
         .select(col("gh")).distinct()) { evalSet =>
-    val q = inc.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        releaseAdmissionBatch(spark, batch, batchId, evalSet, out, fpDir)
-      }
-      .option("checkpointLocation", ckpt).start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.withStatePartitions(spark) {
+      val q = inc.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          releaseAdmissionBatch(spark, batch, batchId, evalSet, out, fpDir)
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     }
     spark.read.parquet(out)
       .select("doc_id", "source", "n_tokens") // drop the partition column

@@ -24,6 +24,43 @@ import org.apache.spark.sql.types.StructType
   */
 object Streams {
 
+  /** Shuffle/state partition count for the synchronously-driven streaming
+    * queries (conf `spark.graft.stream.statePartitions`, default 8).
+    *
+    * Stateful streaming operators create one state-store instance per
+    * shuffle partition PER MICRO-BATCH, and each store pays an open +
+    * commit (delta file write, maintenance bookkeeping) even when its
+    * partition holds a handful of keys — at the bench's micro-batch sizes
+    * the per-store fixed cost dominates the stateful stages (measured at
+    * sf0.1/local[32]: the 9 streaming queries total 42.0 s at 32 state
+    * partitions vs 27.3 s at 8, emitted rows identical). State partition
+    * count is a property of the STREAM (key cardinality × state volume),
+    * not of the batch session's core count, so it is its own conf:
+    * production streams at 100 TB/day raise it to hundreds — it is pinned
+    * into each checkpoint at first start (Spark persists it in the offset
+    * log and ignores later session values), exactly like
+    * `spark.sql.shuffle.partitions` would be, but without coupling the
+    * batch suite's shuffle sizing to stream state sizing. The default (8)
+    * is core-count-independent, so driver bench runs at different
+    * `SPARK_GRAFT_CPUS` stay comparable. */
+  private[graft] def statePartitions(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt).getOrElse(8)
+
+  /** Run a synchronous stream drive with `spark.sql.shuffle.partitions`
+    * temporarily set to [[statePartitions]] (the value a fresh checkpoint
+    * pins for its state stores), restoring the session conf after. The
+    * queries drive to completion inside, so nothing else observes the
+    * temporary value. Emitted rows are partition-count-independent (the
+    * oracle re-checks them); only the per-micro-batch state-store fan-out
+    * changes. */
+  private[graft] def withStatePartitions[A](spark: SparkSession)(f: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      statePartitions(spark).toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Explicit strictly-increasing mtimes (60 s apart) on the staged chunk
     * files, in NAME order — which is range order for a repartitionByRange
     * write. The file source orders by modification time, and back-to-back
@@ -175,13 +212,15 @@ object Streams {
       .withColumn("window_end", col("window_end").cast("timestamp_ntz"))
     val work = graft.core.TempDirs.tempDir("graft-q35")
     val out = s"$work/result"
-    val q = agg.writeStream.outputMode("complete")
-      .option("checkpointLocation", s"$work/ckpt")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$work/ckpt")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(out)
   }
 
@@ -213,10 +252,12 @@ object Streams {
     val raw = spark.readStream.schema(stagedSchema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
     val agg = windowedEventCounts(raw)
-    val q = agg.writeStream.format("parquet")
-      .option("path", out).option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = agg.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(out)
   }
 
@@ -259,10 +300,12 @@ object Streams {
       .option("maxFilesPerTrigger", chunks.toString).parquet(stage)
     val deduped = raw.withWatermark("ts", "7 days")
       .dropDuplicates("event_id", "ts")
-    val q = deduped.writeStream.format("parquet")
-      .option("path", out).option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = deduped.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // min/max ts make the TIME AXIS oracle-visible: a timestamp-unit
     // regression (r6: micros read as millis compressed the axis 1000×)
     // turns this row red instead of hiding behind count-only output
@@ -310,10 +353,12 @@ object Streams {
       col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $intervalMinutes MINUTES") &&
       col("click_ts") <= col("purchase_ts"))
       .select(col("user_id"), col("purchase_id"), col("click_id"))
-    val q = joined.writeStream.format("parquet")
-      .option("path", out).option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(out)
   }
 
@@ -363,10 +408,12 @@ object Streams {
     // of failure the 100× gate caught on q109 (r11). The file sink keeps
     // the driver at O(1); only the per-user scalar state lives in memory.
     val out = s"$workDir/out"; val ckpt = s"$workDir/ckpt"
-    val q = annotated.writeStream.format("parquet")
-      .option("path", out).option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = annotated.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(out).select(col("event_id"), col("user_id"),
       expr("cast(timestamp_micros(tsMicros) as timestamp_ntz)").as("ts"),
       col("event_type"), col("value"), col("last_purchase_value"))
@@ -409,10 +456,12 @@ object Streams {
               col("session_window.start").as("session_start"),
               col("session_window.end").as("session_end"),
               col("n_events"), (col("cents") / 100.0).as("sum_value"))
-    val q = agg.writeStream.format("parquet")
-      .option("path", out).option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = agg.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(out)
       .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
       .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
