@@ -170,7 +170,9 @@ object Bench {
         // tombstone state, q171's labeled grown codes, q172's grown term
         // index) are ingest work too
         "q170_grown_tombstoned", "q171_grown_filtered_ann",
-        "q172_grown_hybrid_rrf")
+        "q172_grown_hybrid_rrf",
+        // r17 opt: the whole-corpus signature table the timed q24 probes
+        "q24_minhash_pairs")
       .flatMap { n =>
         val failed = try { SparkEntry.queries(n)(spark, dir).count(); None }
                      catch { case t: Throwable =>
@@ -187,6 +189,9 @@ object Bench {
         graft.core.Warehouse.isFresh(spark, s"graft_semdedup_cells_$sfx", Seq(embStamp)),
       "clusters" ->
         graft.core.Warehouse.isFresh(spark, s"graft_clusters_$sfx", Seq(docStamp)),
+      // r17 opt: the q24/q66/q90 self band-join's stored signature table
+      "sig_all" ->
+        graft.core.Warehouse.isFresh(spark, s"graft_sig_all_$sfx", Seq(docStamp)),
       "vecbkt_corpus" ->
         graft.core.Warehouse.isFresh(spark, s"graft_vecbkt_corpus_$sfx", Seq(embStamp)),
       "int8" ->
@@ -378,6 +383,9 @@ object Bench {
       graft.core.Warehouse.isFresh(spark, s"graft_ivf_cells_$sfx", Seq(embStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_semdedup_cells_$sfx", Seq(embStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_sig_corpus_$sfx", Seq(docStamp)) &&
+      // r17 opt: the whole-corpus signature table q24/q66/q90's self
+      // band-join probes (candidates were re-minhashed live before)
+      graft.core.Warehouse.isFresh(spark, s"graft_sig_all_$sfx", Seq(docStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_clusters_$sfx", Seq(docStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_ivf_inc_$sfx", Seq(embStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_ivf_seed_$sfx", Seq(embStamp)) &&
@@ -444,7 +452,10 @@ object Bench {
         // after a fully successful prebuild (the r16-ADVICE q169 class;
         // the scale probe's prebuild already covers all three)
         "q170_grown_tombstoned", "q171_grown_filtered_ann",
-        "q172_grown_hybrid_rrf").flatMap { n =>
+        "q172_grown_hybrid_rrf",
+        // r17 opt: the whole-corpus signature table (graft_sig_all) the
+        // q24/q66/q90 self band-join now probes
+        "q24_minhash_pairs").flatMap { n =>
       val failed = try { SparkEntry.queries(n)(spark, sfDir).count(); None }
                    catch { case _: Throwable => Some(n) }
       graft.core.Mat.releaseAll(blocking = true)

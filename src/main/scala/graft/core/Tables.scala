@@ -14,6 +14,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred-schema memo keyed by (path, content stamp): every query
+    * construction re-reads the parquet footer(s) to infer the same schema
+    * (driver-side work per call, hundreds of constructions per bench
+    * run) — supplying the cached schema skips inference entirely while a
+    * regenerated corpus (new stamp) still re-infers. Clear-on-threshold
+    * bounded like the other content-stamp memos. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def read(spark: SparkSession, path: String): DataFrame = {
+    val key = path + "@" + Warehouse.sourceStamp(path)
+    var schema = schemaCache.get(key)
+    if (schema == null) {
+      schema = spark.read.parquet(path).schema
+      if (schemaCache.size > 1024) schemaCache.clear()
+      schemaCache.put(key, schema)
+    }
+    spark.read.schema(schema).parquet(path)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS). What Spark infers for it
@@ -30,7 +50,7 @@ object Tables {
       // precision above 2^53 ns.
       import org.apache.spark.sql.functions.{col, expr}
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      val df = read(spark, s"$sfDir/$name.parquet")
       df.schema("ts").dataType match {
         case LongType =>
           df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
@@ -39,7 +59,7 @@ object Tables {
         case TimestampType => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
         case other => sys.error(s"events.ts: unexpected parquet mapping $other")
       }
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    } else read(spark, s"$sfDir/$name.parquet")
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

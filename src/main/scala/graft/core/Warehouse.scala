@@ -257,19 +257,33 @@ object Warehouse {
   private val cfgRowCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
 
-  /** True iff a growable table currently has at least one DATA file —
-    * a driver-side emptiness probe (the fingerprint/meta file does not
-    * count). Lets serving paths skip provably-empty anti-joins and lets
-    * gate-step skips verify their target state was not swept. */
-  def growableHasData(spark: SparkSession, table: String): Boolean = {
+  /** True iff a growable table currently holds at least one ROW. A pure
+    * file-listing probe is not enough — creating an empty growable table
+    * writes one 0-row parquet part file — so this reads the table
+    * (limit-1) ONCE per content stamp and memoizes: the steady-state
+    * probe is a driver-side directory listing, and any append/truncate
+    * changes the stamp and re-probes. Lets serving paths skip
+    * provably-empty anti-joins and lets gate-step skips verify their
+    * target state was not swept out from under the marker. */
+  def growableHasRows(spark: SparkSession, table: String): Boolean = {
     val d = dirOf(spark, table)
     if (!Files.exists(d)) return false
     val s = Files.list(d)
-    try s.toArray.map(_.asInstanceOf[Path]).exists(p =>
-      Files.isRegularFile(p) &&
-      !p.getFileName.toString.startsWith("_") &&
-      !p.getFileName.toString.startsWith("."))
-    finally s.close()
+    val hasDataFiles =
+      try s.toArray.map(_.asInstanceOf[Path]).exists(p =>
+        Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      finally s.close()
+    if (!hasDataFiles) return false
+    cachedByStamp(spark, "hasrows", Seq(table)) {
+      // registration-independent: a fresh session probes the files
+      // directly (the catalog re-attach belongs to ensure*, which may not
+      // have run yet); the result is content-keyed either way
+      if (spark.catalog.tableExists(table))
+        !readGrowableTable(spark, table).isEmpty
+      else !spark.read.parquet(d.toString).isEmpty
+    }
   }
 
   private def dirOf(spark: SparkSession, table: String): Path = {

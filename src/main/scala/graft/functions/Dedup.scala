@@ -277,6 +277,49 @@ object Dedup {
     }
   }
 
+  /** SELF near-dup candidates from a STORED signature table
+    * ([[writeSignatureTable]]): the whole-corpus twin of
+    * [[minhashCandidatesAgainstTable]] (r17 opt). The stored banded rows
+    * ARE [[bandedSignatures]]'s output (same cap, same hash families), so
+    * the self band join emits exactly [[minhashCandidates]]'s pair set —
+    * but the corpus is never re-tokenized or re-hashed at query time, and
+    * both join sides stream PRE-PARTITIONED out of the bh-bucketed table
+    * (HashPartitioning(bh) satisfies the join's (band, bh) clustering on
+    * both sides: zero exchanges feed the join). Returns
+    * (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated. */
+  def minhashSelfCandidatesFromTable(spark: org.apache.spark.sql.SparkSession,
+                                     table: String, k: Int, bands: Int,
+                                     threshold: Double): DataFrame = {
+    requireBanding(k, bands)
+    val cb = spark.table(table)
+    // same stamp-memoized drift guard as the incremental probe
+    val (storedK, storedBands) =
+      graft.core.Warehouse.cachedByStamp(spark, "sigcfg", Seq(table)) {
+        val kOpt = cb.select(size(col("sig")).as("k")).limit(1).collect()
+          .headOption.map(_.getInt(0))
+        val bRow = cb.agg(max("band")).head()
+        (kOpt, if (bRow.isNullAt(0)) None else Some(bRow.getInt(0)))
+      }
+    storedK.foreach { sk =>
+      require(sk == k,
+        s"signature table '$table' stores k=$sk, caller expects k=$k")
+    }
+    storedBands.foreach { sb =>
+      require(sb == bands - 1,
+        s"signature table '$table' stores ${sb + 1} bands, " +
+        s"caller expects $bands")
+    }
+    cb.as("l").join(cb.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+              col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+          round(minhashJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash over token hashes: per-bit majority vote of xxhash64
     * of each token. Returns one long per document; near-duplicates are
     * documents within small Hamming distance. Fused codegen expression —

@@ -135,10 +135,23 @@ object Pipeline {
     * 1−(1−0.9⁴)¹² ≈ 1−2.7·10⁻⁶ per pair — the oracle asserts
     * unconditional recall, so the banding is sized for it — while r=4
     * keeps low-similarity band collisions (∝ j⁴) bounded. */
-  private def verifiedNearDupPairs(docs: DataFrame): DataFrame = {
-    val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+  private def verifiedNearDupPairs(spark: SparkSession, dir: String,
+                                   docs: DataFrame): DataFrame = {
+    // r17 opt: candidates come from the STORED whole-corpus signature
+    // table instead of re-tokenizing + re-minhashing the corpus per call
+    // (the q74/q53 ingest-artifact pattern applied to the self-join
+    // family — q24/q66/q90 shared this live recompute). The stored rows
+    // are bandedSignatures' exact output (same cap/banding), so the pair
+    // set is bit-identical; both self-join sides stream pre-partitioned
+    // out of the bh-bucketed table, zero exchanges into the band join.
+    val table = cellTableName("graft_sig_all", dir)
+    Dedup.ensureSignatureTable(docs, "doc_id", "text", table,
+      k = 48, bands = 12,
+      tag = graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet"))
+    val cand = graft.core.Mat.tracked(
+      Dedup.minhashSelfCandidatesFromTable(spark, table,
         k = 48, bands = 12, threshold = 0.2)
-      .select(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b")))
     verifyPairsExact(docs, cand, "id_a", "id_b", theta = 0.9)
   }
 
@@ -162,7 +175,7 @@ object Pipeline {
     * every gate corpus. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    verifiedNearDupPairs(docs).orderBy(col("id_a"), col("id_b"))
+    verifiedNearDupPairs(spark, dir, docs).orderBy(col("id_a"), col("id_b"))
   }
 
   /** Asymmetric containment dedup (overlap coefficient): pairs where the
@@ -1164,7 +1177,7 @@ object Pipeline {
     val lines = readGateMarker(spark, dir, ns)
     val done = lines.headOption.contains(gateCorpusStamp(dir)) &&
       lines.contains("step=" + step) &&
-      guards.forall(_.exists(graft.core.Warehouse.growableHasData(spark, _)))
+      guards.forall(_.exists(graft.core.Warehouse.growableHasRows(spark, _)))
     if (!done) {
       body
       val marker = gateMarkerPath(spark, dir, ns)
@@ -1772,16 +1785,16 @@ object Pipeline {
       promoteAdmittedVectors(spark, dir, ns)
     val ts = ensureTombstoneTable(spark, dir, ns)
     val fold = ensureFoldedTable(spark, dir, ns)
-    // r17 opt: when the ACTIVE tombstone list has no data files at all
-    // (the common case — q166/q167-class namespaces never delete between
-    // folds, and a grow-vacuum empties the list), the between-fold removal
-    // set is provably empty, so the three broadcast anti-joins would each
-    // scan two state tables to exclude nothing. The driver-side emptiness
-    // probe drops them from the plan; any delete writes a data file and
+    // r17 opt: when the ACTIVE tombstone list holds no rows (the common
+    // case — q166/q167-class namespaces never delete between folds, and a
+    // grow-vacuum empties the list), the between-fold removal set is
+    // provably empty, so the three broadcast anti-joins would each scan
+    // two state tables to exclude nothing. The stamp-memoized emptiness
+    // probe drops them from the plan; any delete changes the stamp and
     // brings them back. Results are identical either way (anti-join
     // against an empty set is the identity).
     lazy val bfr = betweenFoldRemovals(spark, ts, fold, "vec")
-    val hasActive = graft.core.Warehouse.growableHasData(spark, ts)
+    val hasActive = graft.core.Warehouse.growableHasRows(spark, ts)
     def exRemoved(df: DataFrame, idCol: String): DataFrame =
       if (!hasActive) df else notInIds(df, bfr, idCol)
     val queries = exRemoved(Vectors.int8FromTable(spark, int8Table)
@@ -2670,7 +2683,9 @@ object Pipeline {
     // disjoint by vec_id, so appended results union to q154's exactly)
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(stage)
-    graft.streaming.Streams.withStatePartitions(spark) {
+    // NOT withStatePartitions: this pipeline is a STATELESS foreachBatch
+    // (no state stores to size) — capping shuffle partitions would only
+    // throttle the in-batch probe joins' parallelism
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val hits = Vectors.lshScoredPairsAgainstTable(spark, table, batch,
@@ -2693,7 +2708,6 @@ object Pipeline {
       }
       .option("checkpointLocation", ckpt).start()
     try q.processAllAvailable() finally q.stop()
-    }
     // an IDLE increment stages zero files → no micro-batch ever fires and
     // the sink dir is never created; an idle day must read as zero
     // admissions, not throw path-not-found into the task's failure path
@@ -3744,14 +3758,14 @@ object Pipeline {
     // cap, so recall vs the oracle is preserved)
     val inc = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(stage)
-    graft.streaming.Streams.withStatePartitions(spark) {
-      val q = inc.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-          dedupStreamBatch(spark, docs, table, batch, batchId, out)
-        }
-        .option("checkpointLocation", ckpt).start()
-      try q.processAllAvailable() finally q.stop()
-    }
+    // NOT withStatePartitions: stateless foreachBatch — see
+    // streamEmbeddingAdmission's note
+    val q = inc.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        dedupStreamBatch(spark, docs, table, batch, batchId, out)
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
     // same idle-increment guard as streamEmbeddingAdmission: zero staged
     // files → zero batches → the sink dir was never created
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
@@ -4077,14 +4091,14 @@ object Pipeline {
           docs.filter(isEvalDoc).select(col("doc_id"), col("text")),
           "doc_id", "text", w = 8)
         .select(col("gh")).distinct()) { evalSet =>
-    graft.streaming.Streams.withStatePartitions(spark) {
-      val q = inc.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-          releaseAdmissionBatch(spark, batch, batchId, evalSet, out, fpDir)
-        }
-        .option("checkpointLocation", ckpt).start()
-      try q.processAllAvailable() finally q.stop()
-    }
+    // NOT withStatePartitions: stateless foreachBatch — see
+    // streamEmbeddingAdmission's note
+    val q = inc.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        releaseAdmissionBatch(spark, batch, batchId, evalSet, out, fpDir)
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
     }
     spark.read.parquet(out)
       .select("doc_id", "source", "n_tokens") // drop the partition column
@@ -4426,7 +4440,7 @@ object Pipeline {
     * guarantee under the driver's oracle on real near-duplicates. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val nearDups = verifiedNearDupPairs(docs)
+    val nearDups = verifiedNearDupPairs(spark, dir, docs)
     val banded = Dedup.simhashCandidates(docs, "doc_id", "text")
       .select(col("id_a"), col("id_b"), lit(true).as("banded"))
     val fp = docs.select(col("doc_id"),
@@ -4739,7 +4753,7 @@ object Pipeline {
     // the UNORDERED pair set: q24's presentation orderBy would be dead
     // weight under this aggregate (EliminateSorts usually removes it,
     // but the contract belongs in the code, not the optimizer)
-    verifiedNearDupPairs(
+    verifiedNearDupPairs(spark, dir,
         Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
       .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))

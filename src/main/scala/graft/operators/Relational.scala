@@ -161,16 +161,27 @@ object Relational {
     * broadcasts explicitly, customer grows with SF so its strategy stays
     * with AQE — see revenueBySegment. */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame =
+    // r17 opt (guide §2.3 — aggregate before you shuffle): the orderkey
+    // join only needs each order's revenue-cents sum and line count, so
+    // lineitem partial-aggregates per order BEFORE its exchange — the
+    // orderkey shuffle carries one narrow row per order (~1/4 the rows,
+    // 3 columns) instead of raw fact rows, and the join's left side
+    // reuses the aggregate's partitioning (no extra exchange). Exact
+    // long cents are associative, so regrouping by order first yields
+    // bit-identical nation sums; n_items = Σ per-order counts.
     Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      // scaled-integer revenue (r9 sf10 fix — see pricingSummary): exact
+      // 10^-4 longs, one bit-identical final division
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                       * 10000).cast("long")).as("rev_units"),
+           count(lit(1)).as("n_lines"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
-      // scaled-integer revenue (r9 sf10 fix — see pricingSummary): exact
-      // 10^-4 longs, one bit-identical final division
-      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-                        * 10000).cast("long")) / 10000.0).as("revenue"),
-           count(lit(1)).as("n_items"))
+      .agg((sum(col("rev_units")) / 10000.0).as("revenue"),
+           sum(col("n_lines")).as("n_items"))
 
   /** q13's revenue-by-nation computed through [[SkewJoin.saltedJoin]] on
     * the lineitem–orders fact join: the manual skew fallback for when one
@@ -1093,9 +1104,16 @@ object Relational {
   def smallOrderRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-    val threshold = li.groupBy(col("l_partkey").as("t_partkey"))
-      .agg(round(avg(col("l_quantity")) * 0.2, 4).as("qty_cut"))
-    li.join(threshold, col("l_partkey") === col("t_partkey"))
+    // r17 opt (guide §2.4 — share the exchange): the per-part threshold
+    // used to be a groupBy-then-self-join, which scanned AND shuffled the
+    // fact table twice (the aggregate subtree and the probe side are
+    // distinct plans, so no ReusedExchange applies). The same-keyed
+    // window computes the identical per-part average over ONE exchange
+    // and one scan — partitions are per-part (~30 rows), so no window
+    // skew at any scale. Threshold value and comparison are unchanged
+    // (same rounding, same rows survive).
+    val wPart = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    li.withColumn("qty_cut", round(avg(col("l_quantity")).over(wPart) * 0.2, 4))
       .filter(col("l_quantity") < col("qty_cut"))
       .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
             col("l_partkey") === col("p_partkey"))

@@ -58,7 +58,23 @@ object Streams {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       statePartitions(spark).toString)
-    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try f finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      // The drive is synchronous and its checkpoint is per-call scratch,
+      // so its state-store PROVIDERS are garbage the moment it returns —
+      // but StateStore keeps every provider loaded JVM-wide and the
+      // 60 s maintenance task iterates all of them forever. In a session
+      // that drives many short streams (a bench run, a scheduler daemon's
+      // day) the leaked providers compound: measured q71 at 4.5 s in a
+      // fresh session vs 13.6-14.3 s late in a 50-stream session.
+      // Unload them; the subsystem lazily restarts for the next stream.
+      // Deployments running CONCURRENT long-lived streams in one JVM can
+      // disable this (their providers would reload next batch — correct
+      // but wasteful): spark.graft.stream.unloadStateOnStop=false.
+      if (spark.conf.getOption("spark.graft.stream.unloadStateOnStop")
+            .forall(_.toBoolean))
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
   }
 
   /** Explicit strictly-increasing mtimes (60 s apart) on the staged chunk

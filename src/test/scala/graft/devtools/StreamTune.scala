@@ -20,14 +20,15 @@ object StreamTune {
     val spark = graft.core.GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
-    for (p <- parts) {
-      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    val reps = 2
+    for (r <- 1 to reps; p <- parts) {
+      spark.conf.set("spark.graft.stream.statePartitions", p.toString)
       for (q <- qs) {
         val t0 = System.nanoTime()
         val n = graft.SparkEntry.queries(q)(spark, dir).count()
         val wall = (System.nanoTime() - t0) / 1e9
         graft.core.Mat.releaseAll(blocking = true)
-        println(f"parts=$p%3d  $q%-36s $wall%6.2f s  rows=$n")
+        println(f"rep=$r parts=$p%3d  $q%-36s $wall%6.2f s  rows=$n")
       }
     }
     graft.core.Mat.releaseAllScopes(blocking = true)
