@@ -172,7 +172,10 @@ object Bench {
         "q170_grown_tombstoned", "q171_grown_filtered_ann",
         "q172_grown_hybrid_rrf",
         // r17 opt: the whole-corpus signature table the timed q24 probes
-        "q24_minhash_pairs")
+        "q24_minhash_pairs",
+        // r18 opt: q58's k=32/8-band whole-corpus signature table (its
+        // LSH edges now come from the stored artifact) + the cluster map
+        "q58_dup_clusters_lsh")
       .flatMap { n =>
         val failed = try { SparkEntry.queries(n)(spark, dir).count(); None }
                      catch { case t: Throwable =>
@@ -192,6 +195,9 @@ object Bench {
       // r17 opt: the q24/q66/q90 self band-join's stored signature table
       "sig_all" ->
         graft.core.Warehouse.isFresh(spark, s"graft_sig_all_$sfx", Seq(docStamp)),
+      // r18 opt: q58's k=32/8-band signature table
+      "sig_all32" ->
+        graft.core.Warehouse.isFresh(spark, s"graft_sig_all32_$sfx", Seq(docStamp)),
       "vecbkt_corpus" ->
         graft.core.Warehouse.isFresh(spark, s"graft_vecbkt_corpus_$sfx", Seq(embStamp)),
       "int8" ->
@@ -221,6 +227,9 @@ object Bench {
           spark, s"graft_${b}_$sfx", Seq(embStamp))) ++
       Seq("sig_grown_q169" -> graft.core.Warehouse.isFresh(
         spark, s"graft_sig_grown_q169_$sfx", Seq(docStamp)),
+        // r18 opt: q169's stored probe-panel signature table
+        "sig_panel_q169" -> graft.core.Warehouse.isFresh(
+          spark, s"graft_sig_panel_q169_$sfx", Seq(docStamp)),
         // r17: q172's grown term index (both tables)
         "terms_grown_q169" -> graft.core.Warehouse.isFresh(
           spark, s"graft_terms_grown_q169_$sfx", Seq(docStamp)),
@@ -386,6 +395,8 @@ object Bench {
       // r17 opt: the whole-corpus signature table q24/q66/q90's self
       // band-join probes (candidates were re-minhashed live before)
       graft.core.Warehouse.isFresh(spark, s"graft_sig_all_$sfx", Seq(docStamp)) &&
+      // r18 opt: q58's k=32/8-band signature table
+      graft.core.Warehouse.isFresh(spark, s"graft_sig_all32_$sfx", Seq(docStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_clusters_$sfx", Seq(docStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_ivf_inc_$sfx", Seq(embStamp)) &&
       graft.core.Warehouse.isFresh(spark, s"graft_ivf_seed_$sfx", Seq(embStamp)) &&
@@ -408,6 +419,9 @@ object Bench {
         spark, s"graft_terms_grown_q169_${sfx}_df", Seq(docStamp)) &&
       graft.core.Warehouse.isFresh(
         spark, s"graft_sig_grown_q169_$sfx", Seq(docStamp)) &&
+      // r18 opt: q169's stored probe-panel signature table
+      graft.core.Warehouse.isFresh(
+        spark, s"graft_sig_panel_q169_$sfx", Seq(docStamp)) &&
       // r17: the stored term index (both tables — a torn build leaves the
       // postings fingerprinted but the df side missing, and ensure* would
       // rebuild, so the flag must read cold)
@@ -455,7 +469,10 @@ object Bench {
         "q172_grown_hybrid_rrf",
         // r17 opt: the whole-corpus signature table (graft_sig_all) the
         // q24/q66/q90 self band-join now probes
-        "q24_minhash_pairs").flatMap { n =>
+        "q24_minhash_pairs",
+        // r18 opt: q58's k=32/8-band whole-corpus signature table
+        // (graft_sig_all32) — its LSH edges now probe the stored artifact
+        "q58_dup_clusters_lsh").flatMap { n =>
       val failed = try { SparkEntry.queries(n)(spark, sfDir).count(); None }
                    catch { case _: Throwable => Some(n) }
       graft.core.Mat.releaseAll(blocking = true)

@@ -94,7 +94,7 @@ object SparkEntry {
     // expresses over the batch aggregate; window bounds cast to ntz at the
     // output edge (q35's convention, identity under the UTC session)
     "q48_stream_append"      -> ((s: SparkSession, dir: String) => {
-      val work = graft.core.TempDirs.tempDir("graft-q48")
+      val work = graft.core.TempDirs.scratchDir("graft-q48")
       // 4 chunks: enough micro-batches to exercise watermark advancement +
       // incremental arrival; emitted windows are identical from 2..8 chunks
       // (the trailing no-data batch flushes to global-max − watermark),
@@ -146,7 +146,7 @@ object SparkEntry {
     "q61_repetition"         -> Pipeline.repetitionMetrics _,
     "q62_semantic_dedup"     -> Pipeline.semanticDedup _,
     "q63_stream_dedup"       -> ((s: SparkSession, dir: String) => {
-      val work = graft.core.TempDirs.tempDir("graft-q63")
+      val work = graft.core.TempDirs.scratchDir("graft-q63")
       // state partitions sized down for the bench box like q48 (state-store
       // commit cost per partition per micro-batch dominates locally;
       // production sizes this to the executor count)
@@ -172,7 +172,7 @@ object SparkEntry {
     // stream-stream interval join (attribution): the emitted set equals
     // the batch interval join — oracle-checked
     "q71_stream_join"        -> ((s: SparkSession, dir: String) => {
-      val work = graft.core.TempDirs.tempDir("graft-q71")
+      val work = graft.core.TempDirs.scratchDir("graft-q71")
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try graft.streaming.Streams.streamStreamJoinFromParquet(s, dir, work)
@@ -266,7 +266,7 @@ object SparkEntry {
       // append + watermark + parquet sink (r11: the 100× gate OOM'd the
       // old complete-mode/memory-sink form — see Streams scaladoc);
       // state partitions sized down for the bench box like q48/q63
-      val work = graft.core.TempDirs.tempDir("graft-q109")
+      val work = graft.core.TempDirs.scratchDir("graft-q109")
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try graft.streaming.Streams
@@ -284,7 +284,7 @@ object SparkEntry {
     "q112_ivf_incremental"   -> Pipeline.ivfIncrementalAdd _,
     "q113_salted_fact_join"  -> Relational.revenueByNationSalted _,
     "q114_stream_locf"       -> ((s: SparkSession, dir: String) => {
-      val work = graft.core.TempDirs.tempDir("graft-q114")
+      val work = graft.core.TempDirs.scratchDir("graft-q114")
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try graft.streaming.Streams.streamLocfFromParquet(s, dir, work)

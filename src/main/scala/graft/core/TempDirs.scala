@@ -40,4 +40,36 @@ object TempDirs {
     dirs.add(p)
     p.toString
   }
+
+  /** Root for SMALL, short-lived scratch (streaming stage/checkpoint/sink
+    * dirs — per-call state that never outlives the query that made it):
+    * `SPARK_GRAFT_SCRATCH_DIR` if set, else the fastest writable local
+    * volume (`/dev/shm` when present — ephemeral stream scratch belongs on
+    * memory/SSD-class storage exactly like shuffle spill under
+    * `spark.local.dir`; a synchronous drive's checkpoint needs no
+    * durability, its unit of recovery is the whole call), else
+    * `java.io.tmpdir`. Bulk temp (probe corpora, export round-trips) stays
+    * on [[tempDir]] — sized in GBs at the scale gates, it must not compete
+    * with executor heap for RAM-backed tmpfs. Resolved once: a scratch
+    * root that changes mid-JVM would split a query's stage and checkpoint
+    * across volumes. */
+  private lazy val scratchRoot: Path = {
+    val candidates =
+      sys.env.get("SPARK_GRAFT_SCRATCH_DIR").map(java.nio.file.Paths.get(_)).toSeq ++
+      Seq(java.nio.file.Paths.get("/dev/shm"),
+          java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    candidates.find { d =>
+      try Files.isDirectory(d) && Files.isWritable(d)
+      catch { case _: Exception => false }
+    }.getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+  }
+
+  /** A fresh SCRATCH directory under [[scratchRoot]], swept at JVM exit —
+    * for the streaming work dirs (staged chunks, checkpoint, file sink).
+    * Same lifecycle as [[tempDir]]; only the volume differs. */
+  def scratchDir(prefix: String): String = {
+    val p = Files.createTempDirectory(scratchRoot, prefix)
+    dirs.add(p)
+    p.toString
+  }
 }

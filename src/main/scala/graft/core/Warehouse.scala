@@ -175,18 +175,33 @@ object Warehouse {
     * relation cache at least once. */
   def readGrowableTable(spark: SparkSession,
                         table: String): org.apache.spark.sql.DataFrame = {
-    val key = System.identityHashCode(spark.sessionState) + "|" +
-      dirOf(spark, table).toString
+    // Per-SESSION-STATE map under a weak key (r17 ADVICE): identityHashCode
+    // keys are not unique — a collision between live sessions (or hash
+    // reuse after GC) could skip the refresh this method exists to force —
+    // and a string-keyed map never forgets dead sessions. WeakHashMap's
+    // default reference-equality semantics for SessionState (no custom
+    // equals) give true per-session identity, and entries vanish with the
+    // session instead of growing unboundedly.
+    val perSession = lastRefreshStamp.synchronized {
+      var m = lastRefreshStamp.get(spark.sessionState)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        lastRefreshStamp.put(spark.sessionState, m)
+      }
+      m
+    }
+    val key = dirOf(spark, table).toString
     val now = tableStamp(spark, table)
-    if (lastRefreshStamp.get(key) != now) {
+    if (perSession.get(key) != now) {
       spark.catalog.refreshTable(table)
-      lastRefreshStamp.put(key, now)
+      perSession.put(key, now)
     }
     spark.table(table)
   }
 
   private val lastRefreshStamp =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.WeakHashMap[AnyRef,
+      java.util.concurrent.ConcurrentHashMap[String, String]]()
 
   /** Content stamp of a table's directory: data-file count, total bytes,
     * max mtime, xor of name hashes — pure driver-side listing (no Spark
@@ -220,14 +235,23 @@ object Warehouse {
     * memo's shape). */
   def cachedByStamp[A](spark: SparkSession, kind: String,
                        tables: Seq[String])(compute: => A): A = {
-    val key = kind + "|" + tables.map(t =>
+    def keyNow() = kind + "|" + tables.map(t =>
       dirOf(spark, t).toString + "@" + tableStamp(spark, t)).mkString("|")
+    val key = keyNow()
     val hit = stampCache.get(key)
     if (hit != null) hit.asInstanceOf[A]
     else {
       val v = compute
-      if (stampCache.size > 4096) stampCache.clear()
-      stampCache.put(key, v.asInstanceOf[AnyRef])
+      // r17 ADVICE: re-stamp AFTER compute — a cross-JVM writer landing
+      // between key computation and the read would otherwise cache a value
+      // derived from the NEW content under the OLD stamp key (and the next
+      // reader of the old content would wrongly hit it). If the stamp
+      // moved during compute, skip the put: the value is returned to this
+      // caller but never memoized under a stale key.
+      if (keyNow() == key) {
+        if (stampCache.size > 4096) stampCache.clear()
+        stampCache.put(key, v.asInstanceOf[AnyRef])
+      }
       v
     }
   }
@@ -247,6 +271,13 @@ object Warehouse {
     val hit = cfgRowCache.get(key)
     if (hit != null) hit
     else {
+      // r17 ADVICE: refresh on MISS before head() — a _cfg table rebuilt
+      // by another session/JVM changes the stamp (hence the miss), but
+      // this session's relation cache could still serve the OLD file
+      // listing; without the refresh that stale row would be pinned under
+      // the NEW stamp key and never self-correct. Misses are rare (one
+      // per rebuild), so the refresh cost is negligible.
+      spark.catalog.refreshTable(table)
       val r = spark.table(table).head()
       if (cfgRowCache.size > 4096) cfgRowCache.clear()
       cfgRowCache.put(key, r)

@@ -320,6 +320,41 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Band-join candidates between TWO stored signature tables
+    * ([[writeSignatureTable]] layout on both sides — r18 opt, q169's
+    * serve): the increment side's banded rows were themselves persisted at
+    * fold time, so NEITHER side tokenizes, hashes, or shuffles at query
+    * time — both stream pre-partitioned out of their bh-bucketed tables
+    * straight into the join. Emits (inc_id, corpus_id, est_jaccard),
+    * identical to [[minhashCandidatesAgainstTable]] over the same rows. */
+  def minhashCandidatesTableVsTable(spark: org.apache.spark.sql.SparkSession,
+                                    incTable: String, corpusTable: String,
+                                    k: Int, bands: Int,
+                                    threshold: Double): DataFrame = {
+    requireBanding(k, bands)
+    def guarded(table: String): DataFrame = {
+      val t = spark.table(table)
+      val (storedK, storedBands) =
+        graft.core.Warehouse.cachedByStamp(spark, "sigcfg", Seq(table)) {
+          val kOpt = t.select(size(col("sig")).as("k")).limit(1).collect()
+            .headOption.map(_.getInt(0))
+          val bRow = t.agg(max("band")).head()
+          (kOpt, if (bRow.isNullAt(0)) None else Some(bRow.getInt(0)))
+        }
+      storedK.foreach { sk =>
+        require(sk == k,
+          s"signature table '$table' stores k=$sk, caller expects k=$k")
+      }
+      storedBands.foreach { sb =>
+        require(sb == bands - 1,
+          s"signature table '$table' stores ${sb + 1} bands, " +
+          s"caller expects $bands")
+      }
+      t
+    }
+    scoreBandPairs(guarded(incTable), guarded(corpusTable), threshold)
+  }
+
   /** 64-bit SimHash over token hashes: per-bit majority vote of xxhash64
     * of each token. Returns one long per document; near-duplicates are
     * documents within small Hamming distance. Fused codegen expression —
@@ -423,13 +458,24 @@ object Dedup {
     * consumers pin. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3,
-                        bucketCap: Int = 256): DataFrame = {
+                        bucketCap: Int = 256): DataFrame =
+    simhashCandidatesFromHashes(
+      df.select(col(idCol).as("id"),
+        simhash(Text.tokens(col(textCol))).as("sh")),
+      maxHamming, bucketCap)
+
+  /** [[simhashCandidates]] over a precomputed (id, sh) fingerprint frame —
+    * for callers that ALSO need the per-doc fingerprints (q66 joins them
+    * back onto verified pairs): one simhash pass feeds both consumers
+    * instead of this function re-tokenizing and re-hashing the corpus
+    * internally (r18 opt — the banding, caps, and emitted pair set are
+    * exactly [[simhashCandidates]]'s). */
+  def simhashCandidatesFromHashes(fp: DataFrame, maxHamming: Int = 3,
+                                  bucketCap: Int = 256): DataFrame = {
     require(maxHamming <= 3, "4x16-bit banding only guarantees recall to Hamming 3")
     val w = Window.partitionBy("band", "bh").orderBy(col("id").asc)
     graft.core.Mat.withMaterialized(
-      df.select(col(idCol).as("id"),
-          simhash(Text.tokens(col(textCol))).as("sh"))
-        .select(col("id"), col("sh"),
+      fp.select(col("id"), col("sh"),
           posexplode(array((0 until 4).map(b =>
             shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*))
             .as(Seq("band", "bh")))

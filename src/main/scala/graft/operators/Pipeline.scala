@@ -1175,17 +1175,29 @@ object Pipeline {
                            step: String, guards: Seq[Seq[String]] = Seq.empty)
                           (body: => Unit): Unit = {
     val lines = readGateMarker(spark, dir, ns)
+    // r17 ADVICE: a step whose rule set legitimately selects ZERO rows
+    // leaves its guard tables row-less, so the row guard could never be
+    // satisfied and the (idempotent) step replayed on every serve — a
+    // quiet reversion to pre-r17 cost on edge corpora. The explicit
+    // ":empty" marker line records "step ran, selected nothing" and
+    // satisfies the skip without the row guard (there is no state for an
+    // out-of-band sweep to remove, so the belt-and-braces guard protects
+    // nothing there).
     val done = lines.headOption.contains(gateCorpusStamp(dir)) &&
-      lines.contains("step=" + step) &&
-      guards.forall(_.exists(graft.core.Warehouse.growableHasRows(spark, _)))
+      (lines.contains("step=" + step + ":empty") ||
+        (lines.contains("step=" + step) &&
+         guards.forall(_.exists(graft.core.Warehouse.growableHasRows(spark, _)))))
     if (!done) {
       body
       val marker = gateMarkerPath(spark, dir, ns)
       val cur = readGateMarker(spark, dir, ns)
+      val landedRows =
+        guards.forall(_.exists(graft.core.Warehouse.growableHasRows(spark, _)))
+      val line = "step=" + step + (if (landedRows) "" else ":empty")
       if (cur.headOption.contains(gateCorpusStamp(dir)) &&
-          !cur.contains("step=" + step))
+          !cur.contains(line))
         java.nio.file.Files.write(marker,
-          ("step=" + step + "\n").getBytes("UTF-8"),
+          (line + "\n").getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.APPEND)
     }
   }
@@ -2320,9 +2332,24 @@ object Pipeline {
     val union = docs.unionByName(adm)
     val probes = union.filter(pmod(col("doc_id"), lit(41)) === 6)
       .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text"))
-    val cand = Dedup.minhashCandidatesAgainstTable(spark, grownTable, probes,
-        "doc_id", "text", k = 48, bands = 12, threshold = 0.2)
-      .select(col("inc_id"), col("corpus_id"))
+    // r18 opt (r17 "not yet optimized" #2): the probe panel is 1/41 of the
+    // grown corpus BY CONSTRUCTION, so its per-serve tokenize+minhash pass
+    // was the one corpus-linear stage left in this serve. The panel is
+    // corpus-deterministic mass, so its banded signatures are fold-state
+    // ingest work like the grown table itself: persist them under the SAME
+    // fold fingerprint (any admit/removal/corpus change rebuilds both),
+    // and band-join stored-vs-stored — both sides stream pre-partitioned
+    // out of their bh-bucketed tables, zero signature computation at serve
+    // time. The stored rows are bandedSignatures' exact output, so the
+    // candidate set — and the verified pair set — is bit-identical.
+    val (_, foldTag) = grownDocsBase(spark, dir, "q169")
+    val panelTable = cellTableName("graft_sig_panel_q169", dir)
+    Dedup.ensureSignatureTable(probes, "doc_id", "text", panelTable,
+      k = 48, bands = 12, tag = foldTag)
+    val cand = graft.core.Mat.tracked(
+      Dedup.minhashCandidatesTableVsTable(spark, panelTable, grownTable,
+          k = 48, bands = 12, threshold = 0.2)
+        .select(col("inc_id"), col("corpus_id")))
     verifyPairsExact(union.unionByName(probes), cand, "inc_id", "corpus_id",
         theta = 0.9)
       .orderBy("inc_id", "corpus_id")
@@ -2671,7 +2698,7 @@ object Pipeline {
     Vectors.ensureBucketTable(corpus, "vec_id", "embedding", dim = 64,
       table = table,
       tag = graft.core.Warehouse.sourceStamp(s"$dir/embeddings.parquet"))
-    val work = graft.core.TempDirs.tempDir("graft-q159")
+    val work = graft.core.TempDirs.scratchDir("graft-q159")
     val stage = s"$work/stage"; val out = s"$work/out"; val ckpt = s"$work/ckpt"
     inc.repartition(4).write.mode("overwrite").parquet(stage)
     val schema = new org.apache.spark.sql.types.StructType()
@@ -3119,8 +3146,21 @@ object Pipeline {
     * clustering core stays CTE-oracle-checked through q57. */
   def dupClustersLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // r18 opt: candidates from a STORED whole-corpus signature table at
+    // THIS query's banding (k=32/8 bands — q24's table is k=48/12, a
+    // different estimator, so it gets its own artifact) instead of
+    // re-tokenizing + re-minhashing the corpus per call. The stored
+    // banded rows are bandedSignatures' exact output (same cap/banding/
+    // hash families), so the candidate pair set — and therefore the
+    // cluster assignment — is bit-identical; both self-join sides stream
+    // pre-partitioned out of the bh-bucketed table.
+    val table = cellTableName("graft_sig_all32", dir)
+    graft.functions.Dedup.ensureSignatureTable(docs, "doc_id", "text", table,
+      k = 32, bands = 8,
+      tag = graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet"))
     val lsh = graft.functions.Dedup
-      .minhashCandidates(docs, "doc_id", "text", threshold = 0.35)
+      .minhashSelfCandidatesFromTable(spark, table,
+        k = 32, bands = 8, threshold = 0.35)
       .select(col("id_a").as("a"), col("id_b").as("b"))
     // fingerprint star edges REQUIRED alongside LSH: the band-bucket cap
     // deliberately drops members of a duplicate family past 256 per
@@ -3746,7 +3786,7 @@ object Pipeline {
       docs.filter(pmod(col("doc_id"), lit(5)) =!= 4), "doc_id", "text", table,
       k = 48, bands = 12,
       tag = graft.core.Warehouse.sourceStamp(s"$dir/documents.parquet"))
-    val work = graft.core.TempDirs.tempDir("graft-q82")
+    val work = graft.core.TempDirs.scratchDir("graft-q82")
     val stage = s"$work/stage"; val out = s"$work/out"; val ckpt = s"$work/ckpt"
     docs.filter(pmod(col("doc_id"), lit(5)) === 4)
       .repartition(4).write.mode("overwrite").parquet(stage)
@@ -4053,7 +4093,7 @@ object Pipeline {
   def streamReleaseAdmission(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val work = graft.core.TempDirs.tempDir("graft-q96")
+    val work = graft.core.TempDirs.scratchDir("graft-q96")
     val stage = s"$work/stage"; val out = s"$work/out"
     val ckpt = s"$work/ckpt"; val fpDir = s"$work/fps"
     val mx = docs.agg(max("doc_id")).head().getLong(0)
@@ -4441,18 +4481,26 @@ object Pipeline {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val nearDups = verifiedNearDupPairs(spark, dir, docs)
-    val banded = Dedup.simhashCandidates(docs, "doc_id", "text")
-      .select(col("id_a"), col("id_b"), lit(true).as("banded"))
-    val fp = docs.select(col("doc_id"),
-      Dedup.simhash(Text.tokens(col("text"))).as("sh64"))
-    nearDups
-      .join(fp.select(col("doc_id").as("id_a"), col("sh64").as("ha")), Seq("id_a"))
-      .join(fp.select(col("doc_id").as("id_b"), col("sh64").as("hb")), Seq("id_b"))
-      .join(banded, Seq("id_a", "id_b"), "left")
-      .select(col("id_a"), col("id_b"), col("jaccard"),
-        (Dedup.hamming(col("ha"), col("hb")) > 3 ||
-          coalesce(col("banded"), lit(false))).as("band_recall_ok"))
-      .orderBy("id_a", "id_b")
+    // ONE simhash pass over the corpus (r18 opt): the banded candidate
+    // generation and the two per-pair fingerprint joins below previously
+    // each re-tokenized + re-simhashed the corpus (three full passes per
+    // call); the materialized (id, sh) frame now feeds all three — the
+    // banding, caps, and emitted values are bit-identical.
+    graft.core.Mat.withMaterialized(
+      docs.select(col("doc_id").as("id"),
+        Dedup.simhash(Text.tokens(col("text"))).as("sh"))) { fp =>
+      val banded = Dedup.simhashCandidatesFromHashes(fp)
+        .select(col("id_a"), col("id_b"), lit(true).as("banded"))
+      graft.core.Mat.tracked(
+        nearDups
+          .join(fp.select(col("id").as("id_a"), col("sh").as("ha")), Seq("id_a"))
+          .join(fp.select(col("id").as("id_b"), col("sh").as("hb")), Seq("id_b"))
+          .join(banded, Seq("id_a", "id_b"), "left")
+          .select(col("id_a"), col("id_b"), col("jaccard"),
+            (Dedup.hamming(col("ha"), col("hb")) > 3 ||
+              coalesce(col("banded"), lit(false))).as("band_recall_ok"))
+          .orderBy("id_a", "id_b"))
+    }
   }
 
   /** Unigram-LM quality scoring — the model-based step after the rule

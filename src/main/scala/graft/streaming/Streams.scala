@@ -53,7 +53,19 @@ object Streams {
     * queries drive to completion inside, so nothing else observes the
     * temporary value. Emitted rows are partition-count-independent (the
     * oracle re-checks them); only the per-micro-batch state-store fan-out
-    * changes. */
+    * changes.
+    *
+    * SEQUENTIAL-DRIVE ASSUMPTION (r17 ADVICE, made explicit): the conf
+    * mutation is session-wide and non-atomic, and the finally-block
+    * StateStore.stop() is JVM-wide — a concurrent batch query on the SAME
+    * session could observe the temporary partition count, and a
+    * concurrent long-lived stream in the same JVM would lose its loaded
+    * providers mid-batch (they reload next batch — correct but wasteful;
+    * opt out via spark.graft.stream.unloadStateOnStop=false). Every
+    * caller here is a synchronously-driven per-call stream (bench, verify,
+    * scheduler tick) on a driver that runs queries one at a time.
+    * Deployments that multiplex concurrent queries on one session should
+    * drive these on a cloned session (spark.newSession()) instead. */
   private[graft] def withStatePartitions[A](spark: SparkSession)(f: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
@@ -226,7 +238,7 @@ object Streams {
     val agg = windowedEventCounts(eventStreamWithInstantTs(spark, sfDir))
       .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
       .withColumn("window_end", col("window_end").cast("timestamp_ntz"))
-    val work = graft.core.TempDirs.tempDir("graft-q35")
+    val work = graft.core.TempDirs.scratchDir("graft-q35")
     val out = s"$work/result"
     withStatePartitions(spark) {
       val q = agg.writeStream.outputMode("complete")
